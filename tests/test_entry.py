@@ -1,0 +1,72 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB at sf0.001, compare row count, column
+names, and (order-insensitively) values."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) or hasattr(v, "tolist") and not isinstance(v, str) else v
+            )
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _cells_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    if a is None or b is None or (isinstance(a, float) and math.isnan(a)):
+        return (b is None or (isinstance(b, float) and math.isnan(b))) and (
+            a is None or (isinstance(a, float) and math.isnan(a))
+        )
+    return a == b
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_vs_oracle(spark, sf_dir, ddb, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, sf_dir).toPandas()
+    oracle = entry_mod.oracle_sql().get(name)
+    if oracle is None:
+        assert len(sdf) >= 0  # rows-only check for non-SQL-expressible ops
+        return
+    odf = ddb.execute(oracle).df()
+    assert sorted(sdf.columns) == sorted(odf.columns), f"{name}: column mismatch"
+    assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} != oracle {len(odf)}"
+    a, b = _norm(sdf), _norm(odf)
+    for col in a.columns:
+        av, bv = list(a[col]), list(b[col])
+        bad = [i for i in range(len(av)) if not _cells_equal(av[i], bv[i])]
+        assert not bad, f"{name}.{col}: {len(bad)} mismatched cells, first: {av[bad[0]]!r} != {bv[bad[0]]!r}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert df.schema is not None
