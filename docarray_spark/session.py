@@ -21,6 +21,13 @@ def get_spark(
     driver_memory: str | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # Make the package importable on python workers regardless of the
+    # driver's cwd (cluster mode would ship a wheel / --py-files instead).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(":"):
+        os.environ["PYTHONPATH"] = f"{repo_root}:{existing}" if existing else repo_root
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
@@ -39,6 +46,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

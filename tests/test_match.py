@@ -1,0 +1,136 @@
+"""Vector-search operator tests, modeled on the reference's
+tests/unit/array/mixins/test_match.py / test_find.py."""
+
+import numpy as np
+import pytest
+
+from docarray_spark.operators import match, find_by_vectors
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.RandomState(42)
+    mat = rng.rand(200, 16)
+    rows = [(f"d{i:03d}", [float(x) for x in mat[i]], int(i % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows, schema="id string, embedding array<double>, label int")
+    return df, mat
+
+
+@pytest.fixture(scope="module")
+def queries(spark, corpus):
+    _, mat = corpus
+    rows = [(f"d{i:03d}", [float(x) for x in mat[i]]) for i in range(5)]  # copies of corpus
+    return spark.createDataFrame(rows, schema="id string, embedding array<double>"), mat[:5]
+
+
+def brute(qmat, mat, metric="cosine"):
+    if metric == "cosine":
+        d = 1 - (qmat @ mat.T) / np.outer(
+            np.linalg.norm(qmat, axis=1), np.linalg.norm(mat, axis=1)
+        )
+    elif metric == "sqeuclidean":
+        d = ((qmat[:, None, :] - mat[None, :, :]) ** 2).sum(-1)
+    else:
+        d = np.sqrt(((qmat[:, None, :] - mat[None, :, :]) ** 2).sum(-1))
+    return d
+
+
+def test_match_topk_order_and_values(spark, corpus, queries):
+    cdf, mat = corpus
+    qdf, qmat = queries
+    res = match(cdf, qdf, k=10, metric="cosine", eps=0.0).toPandas()
+    assert set(res.columns) == {"query_id", "match_id", "rank", "score", "metric_name"}
+    assert len(res) == 5 * 10
+    d = brute(qmat, mat)
+    for qi in range(5):
+        qid = f"d{qi:03d}"
+        grp = res[res.query_id == qid].sort_values("rank")
+        # scores ascending (reference test_match.py:92-96)
+        assert (np.diff(grp.score.values) >= -1e-12).all()
+        expected = np.sort(d[qi])[:10]
+        np.testing.assert_allclose(grp.score.values, expected, atol=1e-9)
+        # self-match is rank 1 with ~0 distance
+        assert grp.iloc[0].match_id == qid
+
+
+def test_exclude_self(spark, corpus, queries):
+    cdf, _ = corpus
+    qdf, _ = queries
+    res = match(cdf, qdf, k=5, exclude_self=True, eps=0.0).toPandas()
+    assert not ((res.query_id == res.match_id).any())
+    assert len(res) == 25
+
+
+@pytest.mark.parametrize("metric", ["sqeuclidean", "euclidean"])
+def test_other_metrics(spark, corpus, queries, metric):
+    cdf, mat = corpus
+    qdf, qmat = queries
+    res = match(cdf, qdf, k=3, metric=metric).toPandas()
+    d = brute(qmat, mat, metric)
+    # expansion formula (reference numpy.py:27-38) has ~1e-15 cancellation,
+    # amplified to ~1e-7 by sqrt near zero
+    for qi in range(5):
+        grp = res[res.query_id == f"d{qi:03d}"].sort_values("rank")
+        np.testing.assert_allclose(grp.score.values, np.sort(d[qi])[:3], atol=1e-6)
+
+
+def test_extra_and_custom_metric(spark, corpus, queries):
+    cdf, mat = corpus
+    qdf, qmat = queries
+    res = match(cdf, qdf, k=3, metric="cityblock").toPandas()
+    d = np.abs(qmat[:, None, :] - mat[None, :, :]).sum(-1)
+    grp = res[res.query_id == "d000"].sort_values("rank")
+    np.testing.assert_allclose(grp.score.values, np.sort(d[0])[:3], atol=1e-9)
+
+    def inverted(x, y, eps=0.0):  # custom callable (test_find.py:11-25 analogue)
+        return -(x @ y.T)
+
+    res2 = match(cdf, qdf, k=1, metric=inverted).toPandas()
+    best = (qmat @ mat.T).argmax(axis=1)
+    got = {r.query_id: r.match_id for r in res2.itertuples()}
+    assert got == {f"d{i:03d}": f"d{best[i]:03d}" for i in range(5)}
+
+
+def test_filtered_search(spark, corpus, queries):
+    cdf, mat = corpus
+    qdf, _ = queries
+    res = match(cdf, qdf, k=5, filter={"label": {"$eq": 2}}, eps=0.0).toPandas()
+    ok = {f"d{i:03d}" for i in range(200) if i % 5 == 2}
+    assert set(res.match_id).issubset(ok)
+    assert len(res) == 25
+
+
+def test_normalization(spark, corpus, queries):
+    cdf, mat = corpus
+    qdf, qmat = queries
+    res = match(cdf, qdf, k=10, normalization=(0, 1), eps=0.0).toPandas()
+    d = brute(qmat, mat)
+    for qi in range(5):
+        grp = res[res.query_id == f"d{qi:03d}"].sort_values("rank")
+        lo, hi = d[qi].min(), d[qi].max()
+        expected = (np.sort(d[qi])[:10] - lo) / (hi - lo + 1e-7)
+        np.testing.assert_allclose(grp.score.values, np.clip(expected, 0, 1), atol=1e-9)
+    # inverted target range (1, 0)
+    res2 = match(cdf, qdf, k=3, normalization=(1, 0), eps=0.0).toPandas()
+    grp = res2[res2.query_id == "d000"].sort_values("rank")
+    assert (np.diff(grp.score.values) <= 1e-12).all()  # descending score, same rank order
+    assert grp.score.values.max() <= 1.0 and grp.score.values.min() >= 0.0
+
+
+def test_find_by_vectors_and_nulls(spark, corpus):
+    cdf, mat = corpus
+    # corpus with some null embeddings must not break nor match
+    null_rows = [("x1", None, 0), ("x2", None, 1)]
+    cdf2 = cdf.union(spark.createDataFrame(null_rows, schema=cdf.schema))
+    res = find_by_vectors(cdf2, mat[7], k=1, metric="cosine", eps=0.0).toPandas()
+    assert len(res) == 1
+    assert res.iloc[0].match_id == "d007"
+    assert res.iloc[0].query_id == 0
+
+
+def test_k_larger_than_corpus(spark, corpus, queries):
+    cdf, _ = corpus
+    qdf, _ = queries
+    small = cdf.limit(3)
+    res = match(small, qdf, k=10, eps=0.0).toPandas()
+    assert len(res) == 5 * 3
