@@ -13,7 +13,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
-from docarray_spark.operators import match
+from docarray_spark.operators import (
+    group_counts,
+    hash_sample,
+    match,
+    reduce_docs,
+    relevance_arrays,
+    traverse,
+)
+from docarray_spark.operators.evaluation import METRICS
 from docarray_spark.queryset import find
 from docarray_spark.sources import read_table as _t
 
@@ -56,6 +64,110 @@ def q_ql_filter_size_placeholder(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return find(emb, {"embedding": {"$size": 64}, "vec_id": {"$gt": "{label}"}}).drop(
         "embedding"
+    )
+
+
+# ------------------------------------------- grouping / merging / sampling
+
+def q_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split_by_tag-style grouping with order preservation
+    (array/mixins/group.py:17-39)."""
+    docs = _t(spark, sf_dir, "documents").withColumn("offset", F.col("doc_id"))
+    return group_counts(docs, "source")
+
+
+def q_reduce_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-by-id with left-priority field coalesce
+    (array/mixins/reduce.py:29-91)."""
+    docs = _t(spark, sf_dir, "documents")
+    left = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("source") != "src0", F.col("text")).alias("text"),
+        "n_chars",
+    )
+    right = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("id"), "text", F.lit(-1).cast("long").alias("n_chars")
+    )
+    return reduce_docs(left, right)
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic engine-portable sampling (extension; cf. sample.py:11-29)."""
+    return hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 0.5)
+
+
+# ----------------------------------------------------------------- traversal
+
+def _doc_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacency-list nodes table derived from `documents`: every doc is a
+    root; its text halves are chunks (granularity 1); their halves are
+    grand-chunks (granularity 2). Mirrors ChunkArray encoding
+    (array/chunk.py:30-45)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), "text"
+    )
+    roots = docs.select(
+        "id", F.lit("").alias("parent_id"), F.lit(0).alias("granularity"),
+        F.lit(0).cast("long").alias("offset"), "text",
+    )
+
+    def halves(df):
+        n = F.length("text")
+        first = F.substring(F.col("text"), F.lit(1), F.floor(n / 2).cast("int"))
+        second = F.expr("substring(text, cast(floor(length(text)/2) as int) + 1)")
+        g = F.col("granularity") + 1
+        a = df.select(
+            F.concat("id", F.lit(".0")).alias("id"), F.col("id").alias("parent_id"),
+            g.alias("granularity"), F.lit(0).cast("long").alias("offset"),
+            first.alias("text"),
+        )
+        b = df.select(
+            F.concat("id", F.lit(".1")).alias("id"), F.col("id").alias("parent_id"),
+            g.alias("granularity"), F.lit(1).cast("long").alias("offset"),
+            second.alias("text"),
+        )
+        return a.unionByName(b)
+
+    chunks = halves(roots)
+    grand = halves(chunks)
+    return roots.unionByName(chunks).unionByName(grand)
+
+
+def q_traverse_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traversal path DSL 'c[:1],cc[-1]' — first chunk per root plus last
+    grand-chunk per chunk (array/mixins/traverse.py:16-72,110-234)."""
+    nodes = _doc_nodes(spark, sf_dir)
+    return traverse(nodes, "c[:1],cc[-1]").select("id", "parent_id", "granularity", "text")
+
+
+# ----------------------------------------------------------------- evaluation
+
+def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-metric evaluation (array/mixins/evaluation.py:15-86,
+    math/evaluation.py:14-168): kNN matches vs label-based groundtruth."""
+    emb, queries = _emb_corpus_queries(spark, sf_dir, 10)
+    matches = match(
+        emb, queries, k=10, metric="cosine", corpus_id_col="vec_id",
+        exclude_self=True, eps=0.0,
+    )
+    gt = (
+        emb.alias("e")
+        .join(emb.filter(F.col("vec_id") < 10).alias("q"), F.expr("e.label = q.label"))
+        .select(
+            F.col("q.vec_id").alias("query_id"), F.col("e.vec_id").alias("match_id")
+        )
+        .filter("query_id <> match_id AND match_id % 7 = 0")
+    )
+    rel = relevance_arrays(matches, gt)
+    c = F.col("rel")
+    return rel.select(
+        "query_id",
+        F.round(METRICS["precision_at_k"](c, k=5), 6).alias("precision_at_5"),
+        F.round(METRICS["recall_at_k"](c, k=10, max_rel=10), 6).alias("recall_at_10"),
+        F.round(METRICS["reciprocal_rank"](c), 6).alias("reciprocal_rank"),
+        F.round(METRICS["average_precision"](c), 6).alias("average_precision"),
+        F.round(METRICS["ndcg_at_k"](c, k=10, method=1), 6).alias("ndcg_at_10"),
+        F.round(METRICS["hit_at_k"](c, k=3), 6).alias("hit_at_3"),
     )
 
 
@@ -124,6 +236,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_sqeuclidean_filtered": q_knn_sqeuclidean_filtered,
         "knn_euclidean_normalized": q_knn_euclidean_normalized,
         "knn_inner_product": q_knn_inner_product,
+        "group_counts": q_group_counts,
+        "reduce_merge": q_reduce_merge,
+        "hash_sample": q_hash_sample,
+        "traverse_paths": q_traverse_paths,
+        "eval_metrics": q_eval_metrics,
     }
 
 
@@ -204,5 +321,98 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, match_id, rnk::INT AS rank, round(dist, 6) AS score,
                    'inner_product' AS metric_name
             FROM r WHERE rnk <= 10
+        """,
+        "group_counts": """
+            SELECT source AS group_key, count(*) AS n, min(doc_id) AS first_offset
+            FROM documents GROUP BY source
+        """,
+        "reduce_merge": """
+            WITH l AS (
+              SELECT doc_id AS id,
+                     CASE WHEN source <> 'src0' THEN text END AS text,
+                     n_chars
+              FROM documents WHERE doc_id % 2 = 0
+            ),
+            r AS (
+              SELECT doc_id AS id, text, CAST(-1 AS BIGINT) AS n_chars
+              FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT coalesce(l.id, r.id) AS id,
+                   coalesce(l.text, r.text) AS text,
+                   coalesce(l.n_chars, r.n_chars) AS n_chars
+            FROM l FULL OUTER JOIN r ON l.id = r.id
+        """,
+        "hash_sample": """
+            SELECT * FROM documents
+            WHERE substr(md5(doc_id::VARCHAR), 1, 8) < '80000000'
+        """,
+        "traverse_paths": """
+            WITH roots AS (SELECT doc_id::VARCHAR AS id, text FROM documents),
+            chunks AS (
+              SELECT id || '.0' AS id, id AS parent_id, 1 AS granularity, 0 AS off,
+                     substr(text, 1, length(text) // 2) AS text FROM roots
+              UNION ALL
+              SELECT id || '.1', id, 1, 1, substr(text, length(text) // 2 + 1) FROM roots
+            ),
+            grand AS (
+              SELECT id || '.0' AS id, id AS parent_id, 2 AS granularity, 0 AS off,
+                     substr(text, 1, length(text) // 2) AS text FROM chunks
+              UNION ALL
+              SELECT id || '.1', id, 2, 1, substr(text, length(text) // 2 + 1) FROM chunks
+            )
+            SELECT id, parent_id, granularity, text FROM chunks WHERE off = 0
+            UNION ALL
+            SELECT id, parent_id, granularity, text FROM grand WHERE off = 1
+        """,
+        "eval_metrics": """
+            WITH q AS (
+              SELECT vec_id AS qid, embedding AS qe, label FROM embeddings WHERE vec_id < 10
+            ),
+            d AS (
+              SELECT q.qid AS query_id, e.vec_id AS match_id,
+                     1 - list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS dist
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+            ),
+            m AS (
+              SELECT query_id, match_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY dist, match_id) AS rnk
+              FROM d QUALIFY rnk <= 10
+            ),
+            gt AS (
+              SELECT q.qid AS query_id, e.vec_id AS match_id
+              FROM embeddings e JOIN q ON e.label = q.label
+              WHERE e.vec_id <> q.qid AND e.vec_id % 7 = 0
+            ),
+            rel AS (
+              SELECT m.query_id, m.rnk,
+                     CASE WHEN gt.match_id IS NOT NULL THEN 1 ELSE 0 END AS rel,
+                     sum(CASE WHEN gt.match_id IS NOT NULL THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY m.query_id ORDER BY m.rnk) AS cum
+              FROM m LEFT JOIN gt
+                ON m.query_id = gt.query_id AND m.match_id = gt.match_id
+            ),
+            agg AS (
+              SELECT query_id,
+                     avg(CASE WHEN rnk <= 5 THEN rel END) AS p5,
+                     sum(rel) / 10.0 AS r10,
+                     coalesce(1.0 / min(CASE WHEN rel = 1 THEN rnk END), 0.0) AS rr,
+                     coalesce(avg(CASE WHEN rel = 1 THEN cum * 1.0 / rnk END), 0.0) AS ap,
+                     sum(rel / log2(rnk + 1.0)) AS dcg,
+                     sum(rel) AS nrel,
+                     CASE WHEN sum(CASE WHEN rnk <= 3 THEN rel ELSE 0 END) > 0
+                          THEN 1.0 ELSE 0.0 END AS hit3
+              FROM rel GROUP BY query_id
+            )
+            SELECT query_id,
+                   round(p5, 6) AS precision_at_5,
+                   round(r10, 6) AS recall_at_10,
+                   round(rr, 6) AS reciprocal_rank,
+                   round(ap, 6) AS average_precision,
+                   round(CASE WHEN nrel = 0 THEN 0.0 ELSE dcg / (
+                     SELECT sum(1.0 / log2(i + 1.0))
+                     FROM generate_series(1, 10) AS s(i) WHERE i <= agg.nrel
+                   ) END, 6) AS ndcg_at_10,
+                   round(hit3, 6) AS hit_at_3
+            FROM agg
         """,
     }

@@ -1,0 +1,112 @@
+"""split_by_tag / sample / batch / reduce merge semantics
+(reference test_group.py, test_sample.py, test_reduce.py analogues)."""
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from docarray_spark.operators import (
+    add_offset,
+    concat,
+    contains_ids,
+    delete_by_ids,
+    group_counts,
+    hash_sample,
+    map_batch,
+    reduce_docs,
+    sample,
+    shuffle,
+    split_by_tag,
+    with_batch_id,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(id=f"d{i}", offset=i, group=f"g{i % 4}", weight=float(i), tags={"k": f"g{i % 3}"})
+        for i in range(100)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_split_by_tag_and_counts(spark, docs):
+    out = split_by_tag(docs, "group")
+    assert out.filter(F.col("group_key") == "g1").count() == 25
+    counts = {r.group_key: r.n for r in group_counts(docs, "group").collect()}
+    assert counts == {f"g{i}": 25 for i in range(4)}
+    # dunder nested tag (group.py:32-33)
+    nested = {r.group_key: r.n for r in group_counts(docs, "tags__k").collect()}
+    assert nested == {"g0": 34, "g1": 33, "g2": 33}
+
+
+def test_sample_shuffle(spark, docs):
+    s1 = sample(docs, 10, seed=7).collect()
+    s2 = sample(docs, 10, seed=7).collect()
+    assert len(s1) == 10
+    assert [r.id for r in s1] == [r.id for r in s2]  # seed reproducibility
+    sh = shuffle(docs, seed=3).collect()
+    assert sorted(r.id for r in sh) == sorted(f"d{i}" for i in range(100))  # permutation
+
+
+def test_hash_sample_deterministic(spark, docs):
+    a = sorted(r.id for r in hash_sample(docs, "id", 0.3).collect())
+    b = sorted(r.id for r in hash_sample(docs, "id", 0.3).collect())
+    assert a == b
+    assert 10 < len(a) < 60  # ~30 of 100
+
+
+def test_batch(spark, docs):
+    out = with_batch_id(docs, 32)
+    sizes = {r.batch_id: r.n for r in out.groupBy("batch_id").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {0: 32, 1: 32, 2: 32, 3: 4}  # ceil(100/32)=4, last partial
+
+
+def test_map_batch(spark, docs):
+    def double_weight(pdf):
+        pdf = pdf[["id", "weight"]].copy()
+        pdf["weight"] = pdf["weight"] * 2
+        return pdf
+
+    out = map_batch(docs, double_weight, "id string, weight double", batch_size=16)
+    got = {r.id: r.weight for r in out.collect()}
+    assert got["d7"] == 14.0 and len(got) == 100
+
+
+def test_reduce_merge_by_id(spark):
+    left = spark.createDataFrame(
+        [("a", "t1", None), ("b", None, 2.0)], "id string, text string, weight double"
+    )
+    right = spark.createDataFrame(
+        [("b", "t2", 9.0), ("c", "t3", 3.0)], "id string, text string, weight double"
+    )
+    got = {r.id: (r.text, r.weight) for r in reduce_docs(left, right).collect()}
+    # left priority on shared ids; right fills unset fields
+    assert got == {"a": ("t1", None), "b": ("t2", 2.0), "c": ("t3", 3.0)}
+
+
+def test_reduce_disjoint_columns(spark):
+    left = spark.createDataFrame([("a", "t1")], "id string, text string")
+    right = spark.createDataFrame([("a", 5.0), ("b", 6.0)], "id string, weight double")
+    got = {r.id: (r.text, r.weight) for r in reduce_docs(left, right).collect()}
+    assert got == {"a": ("t1", 5.0), "b": (None, 6.0)}
+
+
+def test_concat_delete_contains(spark, docs):
+    assert concat(docs, docs).count() == 200
+    assert delete_by_ids(docs, ["d0", "d1"]).count() == 98
+    sub = spark.createDataFrame([("d5",), ("d6",), ("nope",)], "id string")
+    assert delete_by_ids(docs, sub).count() == 98
+    assert contains_ids(docs, ["d5", "nope"]).count() == 1
+    assert contains_ids(docs, sub).count() == 2
+
+
+def test_add_offset(spark, docs):
+    df = docs.drop("offset")
+    out = add_offset(df, order_by=F.col("id"))
+    rows = out.orderBy("offset").collect()
+    assert rows[0].offset == 0 and rows[0].id == "d0"
+    assert out.count() == 100
+    out2 = add_offset(df)
+    assert sorted(r.offset for r in out2.collect()) == list(range(100))
