@@ -14,12 +14,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from docarray_spark.operators import (
+    dup_groups,
+    embedding_dup_pairs,
     group_counts,
     hash_sample,
+    lang_id,
     match,
+    minhash_dedup_pairs,
     reduce_docs,
     relevance_arrays,
+    simhash_table,
+    text_stats,
+    tokens_col,
     traverse,
+    vocabulary,
 )
 from docarray_spark.operators.evaluation import METRICS
 from docarray_spark.queryset import find
@@ -171,6 +179,102 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- text analysis (pipeline ops)
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, avg word length, type-token ratio,
+    stopword ratio, composite quality score — all JVM-side expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text_stats(docs)
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("token_count").cast("long").alias("token_count"),
+        F.round("avg_word_len", 6).alias("avg_word_len"),
+        F.round("type_token_ratio", 6).alias("type_token_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID with alphabetical tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    return lang_id(docs).select(
+        "doc_id", "lang", "lang_pred", F.round("lang_pred_score", 6).alias("lang_pred_score")
+    )
+
+
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_vocabulary (array/mixins/text.py:8-29): corpus word frequencies
+    with deterministic token ids (0=pad, 1=unk, ids from 2)."""
+    return vocabulary(_t(spark, sf_dir, "documents"), min_count=5)
+
+
+# ------------------------------------------------------- dedup (pipeline ops)
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on a first-2-token prefix fingerprint:
+    (fingerprint, dup_count, canonical_id)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "prefix2", F.concat_ws(" ", F.slice(tokens_col("text"), 1, 2))
+    )
+    return dup_groups(docs, ["prefix2"], id_col="doc_id")
+
+
+def _docs_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ synthetic near-duplicates: every 10th doc re-appears with
+    its first 4 tokens dropped (id + 100000) — deterministic and
+    SQL-reproducible, so LSH recall is oracle-checkable."""
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), "text")
+    copies = (
+        docs.filter(F.col("id") % 10 == 0)
+        .select(
+            (F.col("id") + 100000).alias("id"),
+            F.concat_ws(
+                " ", F.expr(r"slice(split(trim(text), '\\s+'), 5, 100000)")
+            ).alias("text"),
+        )
+    )
+    return docs.unionByName(copies)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: 3-word shingles → 16 banded minhashes →
+    bucket join → exact Jaccard ≥ 0.4."""
+    base = _docs_with_neardups(spark, sf_dir)
+    return minhash_dedup_pairs(
+        base, id_col="id", text_col="text", shingle_n=3, num_bands=16,
+        threshold=0.4, round_to=6,
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (md5-derived token hashes),
+    computed via explode + partial-agg (codegen path)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_table(docs, id_col="doc_id", text_col="text", bits=32)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over embeddings ∪ perturbed copies
+    (every 20th vector +0.01 per component). LSH hyperplane bucketing with
+    exact cosine verification."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    copies = emb.filter(F.col("id") % 20 == 0).select(
+        (F.col("id") + 100000).alias("id"),
+        F.expr("transform(embedding, x -> x + 0.01d)").alias("embedding"),
+    )
+    base = emb.unionByName(copies)
+    return embedding_dup_pairs(
+        base, id_col="id", threshold=0.01, method="lsh",
+        num_planes=12, num_tables=8, seed=42, round_to=6,
+    )
+
+
 # ------------------------------------------------------------ vector search
 
 def _emb_corpus_queries(spark, sf_dir, n_queries):
@@ -241,6 +345,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "traverse_paths": q_traverse_paths,
         "eval_metrics": q_eval_metrics,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "vocabulary": q_vocabulary,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
     }
 
 
@@ -414,5 +525,134 @@ def oracle_sql() -> dict[str, str]:
                    ) END, 6) AS ndcg_at_10,
                    round(hit3, 6) AS hit_at_3
             FROM agg
+        """,
+        "text_stats": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, lang, len(toks)::BIGINT AS token_count,
+                     CASE WHEN len(toks) > 0
+                       THEN list_sum(list_transform(toks, w -> length(w))) * 1.0 / len(toks)
+                       ELSE 0.0 END AS awl,
+                     CASE WHEN len(toks) > 0
+                       THEN len(list_distinct(toks)) * 1.0 / len(toks)
+                       ELSE 0.0 END AS ttr,
+                     CASE WHEN len(toks) > 0
+                       THEN len(list_filter(toks, w -> list_contains(
+                         ['the','a','of','and','is','to','in','that'], w))) * 1.0 / len(toks)
+                       ELSE 0.0 END AS swr
+              FROM t
+            )
+            SELECT doc_id, lang, token_count,
+                   round(awl, 6) AS avg_word_len,
+                   round(ttr, 6) AS type_token_ratio,
+                   round(swr, 6) AS stopword_ratio,
+                   round(least(1.0, token_count / 50.0) * 0.4 + ttr * 0.3
+                         + least(1.0, swr * 5) * 0.3, 6) AS quality_score
+            FROM s
+        """,
+        "lang_id": """
+            WITH profiles(cand, words) AS (VALUES
+              ('de', ['der','die','das','und','ist','nicht','ein','zu']),
+              ('en', ['the','a','of','and','is','to','in','that']),
+              ('es', ['el','la','de','y','es','que','un','en']),
+              ('fr', ['le','la','et','est','un','que','les','des'])
+            ),
+            t AS (
+              SELECT doc_id, lang,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM documents
+            ),
+            scored AS (
+              SELECT t.doc_id, t.lang, p.cand,
+                     CASE WHEN len(toks) > 0
+                       THEN len(list_filter(toks, w -> list_contains(p.words, w))) * 1.0 / len(toks)
+                       ELSE 0.0 END AS score
+              FROM t CROSS JOIN profiles p
+            )
+            SELECT doc_id, lang, cand AS lang_pred, round(score, 6) AS lang_pred_score
+            FROM scored
+            QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) = 1
+        """,
+        "vocabulary": """
+            WITH w AS (
+              SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+              FROM documents
+            )
+            SELECT token, count(*) AS count,
+                   (row_number() OVER (ORDER BY count(*) DESC, token ASC) + 1)::INT AS token_id
+            FROM w WHERE token <> ''
+            GROUP BY token HAVING count(*) >= 5
+        """,
+        "dedup_exact": """
+            WITH t AS (
+              SELECT doc_id,
+                     array_to_string((regexp_split_to_array(trim(lower(text)), '\\s+'))[1:2], ' ') AS p
+              FROM documents
+            )
+            SELECT md5(p) AS fingerprint, count(*) AS dup_count, min(doc_id) AS canonical_id
+            FROM t GROUP BY md5(p) HAVING count(*) > 1
+        """,
+        "dedup_minhash_lsh": """
+            WITH base AS (
+              SELECT doc_id AS id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                     array_to_string((regexp_split_to_array(trim(text), '\\s+'))[5:], ' ')
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            sh AS (
+              SELECT id, list_distinct(CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS shingles
+              FROM (SELECT id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM base)
+            ),
+            bands AS (
+              SELECT id, b.band,
+                     list_min(list_transform(shingles,
+                       s -> md5(b.band::VARCHAR || ':' || s))) AS mh
+              FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS band) b
+            ),
+            cand AS (
+              SELECT DISTINCT l.id AS id_a, r.id AS id_b
+              FROM bands l JOIN bands r ON l.band = r.band AND l.mh = r.mh AND l.id < r.id
+            ),
+            j AS (
+              SELECT c.id_a, c.id_b,
+                     round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+                           / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+              FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b
+            )
+            SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4
+        """,
+        "dedup_simhash": """
+            SELECT doc_id, CAST(list_aggregate(
+              list_transform(range(0, 32), i ->
+                CASE WHEN list_sum(list_transform(toks, t ->
+                  CASE WHEN (CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                             // CAST(power(2, i) AS BIGINT)) % 2 = 1
+                       THEN 1 ELSE -1 END)) > 0
+                     THEN CAST(power(2, i) AS BIGINT) ELSE 0 END),
+              'sum') AS BIGINT) AS simhash
+            FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                  FROM documents)
+        """,
+        "dedup_embedding": """
+            WITH base AS (
+              SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x + 0.01)
+              FROM embeddings WHERE vec_id % 20 = 0
+            ),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     round(1 - list_cosine_similarity(a.v, b.v), 6) AS cosine_dist
+              FROM base a JOIN base b ON a.id < b.id
+            )
+            SELECT id_a, id_b, cosine_dist FROM pairs WHERE cosine_dist < 0.01
         """,
     }

@@ -1,0 +1,101 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from docarray_spark.operators import (
+    dup_groups,
+    embedding_dup_pairs,
+    exact_dedup,
+    jaccard_col,
+    minhash_dedup_pairs,
+    simhash_col,
+    simhash_dup_pairs,
+    word_shingles_col,
+)
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def make_text(rng, n=30):
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        t = make_text(rng)
+        rows.append((f"d{i:02d}", t))
+        if i % 10 == 0:  # near-dup: drop first 3 words
+            rows.append((f"d{i:02d}x", " ".join(t.split()[3:])))
+    rows.append(("dup1", rows[0][1]))  # exact dup of d00
+    return spark.createDataFrame(rows, "id string, text string")
+
+
+def test_exact_dedup(spark, corpus):
+    out = exact_dedup(corpus, ["text"])
+    assert out.count() == corpus.count() - 1
+    assert out.filter("id = 'dup1'").count() == 0  # min id kept
+    groups = dup_groups(corpus, ["text"]).collect()
+    assert len(groups) == 1 and groups[0].dup_count == 2 and groups[0].canonical_id == "d00"
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame([("x", "a b c d e", "a b c d x")], "id string, t1 string, t2 string")
+    row = df.select(
+        word_shingles_col("t1", 3).alias("s1"), word_shingles_col("t2", 3).alias("s2")
+    ).select(jaccard_col(F.col("s1"), F.col("s2")).alias("j")).collect()[0]
+    # shingles t1: {abc,bcd,cde}, t2: {abc,bcd,cdx} → J = 2/4
+    assert row.j == pytest.approx(0.5)
+
+
+def test_minhash_finds_planted_neardups(spark, corpus):
+    pairs = minhash_dedup_pairs(corpus, shingle_n=3, num_bands=16, threshold=0.5).toPandas()
+    found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    for i in range(0, 60, 10):
+        assert (f"d{i:02d}", f"d{i:02d}x") in found, f"planted near-dup d{i:02d} missed"
+    # exact dup also found with jaccard 1.0
+    assert ("d00", "dup1") in found
+
+
+def test_simhash_value_and_pairs(spark, corpus):
+    vals = corpus.select("id", simhash_col("text", 16).alias("sh")).collect()
+    assert all(0 <= r.sh < 2**16 for r in vals)
+    # deterministic
+    vals2 = corpus.select("id", simhash_col("text", 16).alias("sh")).collect()
+    assert {r.id: r.sh for r in vals} == {r.id: r.sh for r in vals2}
+    pairs = simhash_dup_pairs(corpus, bits=32, max_hamming=3, num_bands=4).toPandas()
+    found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert ("d00", "dup1") in found  # identical text → hamming 0
+    assert (pairs.hamming <= 3).all()
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(3)
+    mat = rng.randn(80, 24)
+    rows = [(f"v{i:02d}", [float(x) for x in mat[i]]) for i in range(80)]
+    # planted near-dups: tiny perturbation
+    for i in range(0, 80, 16):
+        rows.append((f"v{i:02d}x", [float(x + 0.01) for x in mat[i]]))
+    return spark.createDataFrame(rows, "id string, embedding array<double>")
+
+
+def test_embedding_dups_exact(spark, vectors):
+    pairs = embedding_dup_pairs(vectors, threshold=0.05, method="exact").toPandas()
+    found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert {(f"v{i:02d}", f"v{i:02d}x") for i in range(0, 80, 16)} <= found
+
+
+def test_embedding_dups_lsh_recall(spark, vectors):
+    exact = embedding_dup_pairs(vectors, threshold=0.05, method="exact").toPandas()
+    lsh = embedding_dup_pairs(
+        vectors, threshold=0.05, method="lsh", num_planes=10, num_tables=6
+    ).toPandas()
+    e = {(a, b) for a, b in zip(exact.id_a, exact.id_b)}
+    l = {(a, b) for a, b in zip(lsh.id_a, lsh.id_b)}
+    assert l <= e  # no false positives (verified)
+    assert len(l) >= 0.8 * len(e)  # recall of the S-curve at theta≈0.05

@@ -1,0 +1,69 @@
+import pytest
+from pyspark.sql import Row, functions as F
+
+from docarray_spark.operators import (
+    fingerprint_col,
+    lang_id,
+    text_stats,
+    text_to_tensor,
+    vocabulary,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(id="a", text="the cat sat on the mat"),
+        Row(id="b", text="El perro es un animal y la casa es grande"),
+        Row(id="c", text="Der Hund ist ein Tier und das Haus ist nicht klein"),
+        Row(id="d", text="one two three two one"),
+        Row(id="e", text=""),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_text_stats(spark, docs):
+    out = {r.id: r for r in text_stats(docs).collect()}
+    assert out["a"].token_count == 6
+    assert out["a"].type_token_ratio == pytest.approx(5 / 6)
+    assert out["a"].stopword_ratio == pytest.approx(2 / 6)  # the ×2
+    assert out["d"].stopword_ratio == 0.0
+    assert out["e"].token_count <= 1  # empty text
+    assert 0 <= out["a"].quality_score <= 1
+
+
+def test_lang_id(spark, docs):
+    out = {r.id: r.lang_pred for r in lang_id(docs).collect()}
+    assert out["a"] == "en"
+    assert out["b"] == "es"
+    assert out["c"] == "de"
+    # no stopword hits → tie at 0 → alphabetical first
+    assert out["d"] == "de"
+
+
+def test_vocabulary_and_tensor(spark, docs):
+    vocab = vocabulary(docs, min_count=2)
+    v = {r.token: (r["count"], r.token_id) for r in vocab.collect()}
+    # most frequent gets id 2 (0=pad, 1=unk)
+    top = min(v.values(), key=lambda t: t[1])
+    assert top[1] == 2
+    assert v["the"][0] == 2 and v["es"][0] == 2
+    assert v["two"][0] == 2 and v["one"][0] == 2
+    assert "cat" not in v  # min_count=2
+
+    out = text_to_tensor(docs, vocab, max_len=4)
+    got = {r.id: r.tensor for r in out.collect()}
+    assert all(len(t) == 4 for t in got.values())
+    # 'one two three two' → [one, two, unk, two]
+    one_id, two_id = v["one"][1], v["two"][1]
+    assert got["d"] == [one_id, two_id, 1, two_id]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("a", "Hello  World"), ("b", "  hello world "), ("c", "hello worlds")],
+        "id string, text string",
+    )
+    fps = {r.id: r.fp for r in df.select("id", fingerprint_col("text").alias("fp")).collect()}
+    assert fps["a"] == fps["b"]
+    assert fps["a"] != fps["c"]
