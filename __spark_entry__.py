@@ -30,6 +30,15 @@ from docarray_spark.operators import (
     vocabulary,
 )
 from docarray_spark.operators.evaluation import METRICS
+from docarray_spark.operators.indexing import (
+    delete_where,
+    pop_attrs,
+    select_attrs,
+    set_attrs_where,
+    slice_by_offset,
+    update_by_id,
+)
+from docarray_spark.functions.content import feature_hash, text_to_datauri_col
 from docarray_spark.queryset import find
 from docarray_spark.sources import read_table as _t
 
@@ -275,6 +284,57 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- indexing / CRUD / content ops
+
+def q_slice_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Advanced indexing da[100:400:3][:, ('doc_id','text')]: offset-range +
+    step slice, then attribute projection (getitem.py:48-107)."""
+    docs = _t(spark, sf_dir, "documents").withColumn("offset", F.col("doc_id"))
+    sliced = slice_by_offset(docs, 100, 400, step=3)
+    return select_attrs(sliced, ["doc_id", "text", "n_chars"])
+
+
+def q_crud_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """setitem/delitem composition (setitem.py:61-244, delitem.py:19-78):
+    conditional bulk set, column pop (null-out), anti-filter delete."""
+    docs = _t(spark, sf_dir, "documents")
+    docs = set_attrs_where(
+        docs, F.col("source") == "src0", text=F.upper(F.col("text"))
+    )
+    docs = pop_attrs(docs, ["lang"])
+    return delete_where(docs, F.col("n_chars") > 900)
+
+
+def q_update_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point updates arriving as a table, merged by id with incoming-priority
+    coalesce (setitem by id; Delta-MERGE-shaped broadcast join)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text", "source"
+    )
+    updates = docs.filter(F.col("id") % 7 == 0).select(
+        "id", F.lit("UPDATED").alias("text")
+    )
+    return update_by_id(docs, updates, id_col="id")
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick text embedding (featurehash.py:14-87): md5 token
+    buckets, exploded to (doc_id, bucket, count) for exact oracle compare."""
+    docs = _t(spark, sf_dir, "documents")
+    hashed = feature_hash(docs, id_col="doc_id", n_dims=16, out_col="vec")
+    return (
+        hashed.select("doc_id", F.posexplode("vec").alias("bucket", "cnt"))
+        .filter(F.col("cnt") > 0)
+        .select("doc_id", "bucket", F.col("cnt").cast("long").alias("cnt"))
+    )
+
+
+def q_datauri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-2397 data-URI codec (convert.py:38-51) — base64 JVM expression."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select("doc_id", text_to_datauri_col("text").alias("datauri"))
+
+
 # ------------------------------------------------------------ vector search
 
 def _emb_corpus_queries(spark, sf_dir, n_queries):
@@ -344,6 +404,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reduce_merge": q_reduce_merge,
         "hash_sample": q_hash_sample,
         "traverse_paths": q_traverse_paths,
+        "slice_project": q_slice_project,
+        "crud_update": q_crud_update,
+        "update_by_id": q_update_by_id,
+        "feature_hash": q_feature_hash,
+        "datauri": q_datauri,
         "eval_metrics": q_eval_metrics,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -474,6 +539,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, parent_id, granularity, text FROM chunks WHERE off = 0
             UNION ALL
             SELECT id, parent_id, granularity, text FROM grand WHERE off = 1
+        """,
+        "slice_project": """
+            SELECT doc_id, text, n_chars FROM documents
+            WHERE doc_id >= 100 AND doc_id < 400 AND (doc_id - 100) % 3 = 0
+        """,
+        "crud_update": """
+            SELECT doc_id,
+                   CASE WHEN source = 'src0' THEN upper(text) ELSE text END AS text,
+                   CAST(NULL AS VARCHAR) AS lang,
+                   source, n_chars
+            FROM documents
+            WHERE NOT COALESCE(n_chars > 900, FALSE)
+        """,
+        "update_by_id": """
+            SELECT doc_id AS id,
+                   CASE WHEN doc_id % 7 = 0 THEN 'UPDATED' ELSE text END AS text,
+                   source
+            FROM documents
+        """,
+        "feature_hash": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   (CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 16)::INT AS bucket,
+                   count(*) AS cnt
+            FROM toks WHERE t <> ''
+            GROUP BY doc_id, bucket
+        """,
+        "datauri": """
+            SELECT doc_id,
+                   'data:text/plain;base64,' || to_base64(text::BLOB) AS datauri
+            FROM documents WHERE doc_id < 100
         """,
         "eval_metrics": """
             WITH q AS (

@@ -6,6 +6,16 @@ from docarray_spark.functions.distance import (
     l2_norm_col,
     sqeuclidean_distance_col,
 )
+from docarray_spark.functions.content import (
+    any_hash_col,
+    blob_to_tensor_udf,
+    content_type_col,
+    feature_hash,
+    tensor_to_blob_udf,
+    text_to_datauri_col,
+    to_datauri_col,
+    token_bucket_col,
+)
 
 __all__ = [
     "DISTANCE_KERNELS",
@@ -14,4 +24,12 @@ __all__ = [
     "euclidean_distance_col",
     "l2_norm_col",
     "sqeuclidean_distance_col",
+    "any_hash_col",
+    "blob_to_tensor_udf",
+    "content_type_col",
+    "feature_hash",
+    "tensor_to_blob_udf",
+    "text_to_datauri_col",
+    "to_datauri_col",
+    "token_bucket_col",
 ]
