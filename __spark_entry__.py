@@ -39,6 +39,8 @@ from docarray_spark.operators.indexing import (
     update_by_id,
 )
 from docarray_spark.functions.content import feature_hash, text_to_datauri_col
+from docarray_spark.operators.ann import ivf_match, lsh_match
+from docarray_spark.operators.multimodal import decode_images, image_sliding_windows, resize_images
 from docarray_spark.queryset import find
 from docarray_spark.sources import read_table as _t
 
@@ -384,6 +386,95 @@ def q_knn_inner_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- ANN similarity search
+
+def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (scale path for ANN): deterministic hash-sampled
+    centroids, probe 4/16 cells, exact cosine inside probed cells. Fully
+    SQL-reproducible, so oracle-gated despite being approximate."""
+    emb, queries = _emb_corpus_queries(spark, sf_dir, 8)
+    return ivf_match(
+        emb, queries, k=10, n_cells=16, n_probe=4, metric="cosine",
+        corpus_id_col="vec_id", query_id_col="id", round_scores=6,
+    )
+
+
+def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (numpy projections — not SQL-
+    reproducible; driver records the rows-only check, recall is asserted
+    against the exact operator in tests/test_ann.py)."""
+    emb, queries = _emb_corpus_queries(spark, sf_dir, 8)
+    return lsh_match(
+        emb, queries, k=10, metric="cosine", corpus_id_col="vec_id",
+        query_id_col="id", num_planes=4, num_tables=16, round_scores=6,
+    )
+
+
+# ------------------------------------------------------- multimodal pipeline
+
+def q_mm_image_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: text bytes as a stand-in binary blob →
+    deterministic fake decode (mapInPandas) → nearest-neighbour resize →
+    sliding-window patches as chunk rows (ChunkArray encoding). Decode is a
+    stub; schema/batching/chunk-explode are the real scale plumbing."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = docs.select(F.col("doc_id").cast("string").alias("id"),
+                        F.col("text").cast("binary").alias("blob"))
+    decoded = decode_images(media)
+    resized = resize_images(decoded, 8, 8)
+    chunks = image_sliding_windows(resized, window=4, stride=4)
+    return chunks.select(
+        "id", "parent_id", "granularity", "offset", "height", "width", "channels",
+        F.round(F.aggregate("pixels", F.lit(0.0), lambda a, x: a + x), 4).alias("pixel_sum"),
+    )
+
+
+# --------------------------------------------------- structured streaming
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """events → a temp landing dir → file-source stream (availableNow)."""
+    import tempfile
+
+    from docarray_spark.streaming import read_stream
+
+    landing = tempfile.mkdtemp(prefix="sg_stream_")
+    ev = _t(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(landing)
+    return read_stream(spark, landing, spark.read.parquet(landing).schema)
+
+
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermarked 1-hour tumbling-window aggregation, drained with
+    availableNow into a memory sink; complete-mode output == the batch
+    aggregation, so the batch SQL below is an exact oracle."""
+    import uuid
+
+    from docarray_spark.streaming import run_to_memory_sink, windowed_counts
+
+    sdf = _events_stream(spark, sf_dir)
+    out = windowed_counts(sdf, "ts", ["event_type"], window_duration="1 hour")
+    name = f"t_win_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(out, name, output_mode="complete")
+    return spark.table(name).select(
+        "window_start", "event_type", "n", F.round("sum_value", 4).alias("sum_value")
+    )
+
+
+def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on a content
+    fingerprint): surviving key set == batch DISTINCT."""
+    import uuid
+
+    from docarray_spark.streaming import run_to_memory_sink, streaming_dedup
+
+    sdf = _events_stream(spark, sf_dir)
+    out = streaming_dedup(sdf, ["user_id", "event_type"], ts_col="ts",
+                          watermark="3650 days")
+    name = f"t_dedup_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(out, name)
+    return spark.table(name).select("user_id", "event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact top-k cosine similarity join (the reference's
     signature ``match`` operator) on sf0.001."""
@@ -417,6 +508,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "ann_ivf_cosine": q_ann_ivf_cosine,
+        "ann_lsh_cosine": q_ann_lsh_cosine,
+        "mm_image_chunks": q_mm_image_chunks,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_dedup_keys": q_stream_dedup_keys,
     }
 
 
@@ -740,6 +836,43 @@ def oracle_sql() -> dict[str, str]:
               'sum') AS BIGINT) AS simhash
             FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
                   FROM documents)
+        """,
+        "ann_ivf_cosine": """
+            WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent0 AS (SELECT id, v FROM base ORDER BY md5(id::VARCHAR) LIMIT 16),
+            cent AS (
+              SELECT (row_number() OVER (ORDER BY id) - 1)::INT AS cell, v AS centroid
+              FROM cent0
+            ),
+            assigned AS (
+              SELECT c.cell, b.id, b.v FROM base b CROSS JOIN cent c
+              QUALIFY row_number() OVER (
+                PARTITION BY b.id ORDER BY list_distance(b.v, c.centroid), c.cell) = 1
+            ),
+            q AS (SELECT id AS query_id, v AS qv FROM base WHERE id < 8),
+            probes AS (
+              SELECT query_id, qv, c.cell FROM q CROSS JOIN cent c
+              QUALIFY row_number() OVER (
+                PARTITION BY query_id ORDER BY list_distance(qv, c.centroid), c.cell) <= 4
+            ),
+            cand AS (
+              SELECT p.query_id, a.id AS match_id,
+                     1 - list_cosine_similarity(p.qv, a.v) AS score
+              FROM probes p JOIN assigned a ON p.cell = a.cell
+            ),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score, match_id) AS rnk FROM cand)
+            SELECT query_id, match_id, rnk::INT AS rank, round(score, 6) AS score,
+                   'cosine' AS metric_name
+            FROM r WHERE rnk <= 10
+        """,
+        "stream_windowed_counts": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "stream_dedup_keys": """
+            SELECT DISTINCT user_id, event_type FROM events
         """,
         "dedup_embedding": """
             WITH base AS (

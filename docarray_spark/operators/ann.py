@@ -1,0 +1,186 @@
+"""Approximate nearest-neighbour search (engine extension; SURVEY.md §4.2).
+
+The reference delegates ANN to external HNSW stores (annlite/qdrant/
+weaviate/elastic, ``/root/reference/docarray/array/storage/annlite/find.py:
+16-44``); a 1000-executor Spark cluster can't host a single HNSW graph, so
+the scale paths here are LSH bucketing and IVF partitioning — both turn the
+kNN into *bucket equi-joins + per-query top-k*, the shape Spark executes
+well at 100 TB:
+
+* ``lsh_match``: random-hyperplane signatures, ``num_tables`` independent
+  tables; candidates = signature-bucket equi-join (hash shuffle on short
+  keys), exact distance only on candidates, per-query top-k window.
+  Recall/cost dial: more tables/fewer planes → higher recall/more
+  candidates.
+* ``ivf_match``: deterministic coarse quantizer — centroids are a hash-
+  sampled subset of the corpus; every vector is assigned to its nearest
+  centroid (one broadcast of the small centroid set); queries probe the
+  ``n_probe`` nearest cells. All joins are equi-joins on ``cell``.
+
+Exact brute force (``operators/match.py``) stays the baseline; these trade
+recall for candidate-set size. Recall is measured in tests against the
+exact operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from docarray_spark.functions.distance import (
+    cosine_distance_col,
+    sqeuclidean_distance_col,
+)
+
+_PAIR_DIST = {
+    "cosine": cosine_distance_col,
+    "sqeuclidean": sqeuclidean_distance_col,
+    "euclidean": lambda a, b: F.sqrt(sqeuclidean_distance_col(a, b)),
+}
+
+
+def _signatures_udf(dim: int, num_tables: int, num_planes: int, seed: int):
+    rng = np.random.RandomState(seed)
+    proj = rng.randn(num_tables, num_planes, dim).reshape(-1, dim).T.copy()
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def signatures(embs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in embs])
+        bits = (mat @ proj) > 0
+        sigs = bits.reshape(len(mat), num_tables, num_planes) @ weights
+        return pd.Series(list(sigs))
+
+    return signatures
+
+
+def lsh_match(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    corpus_id_col: str = "id",
+    query_id_col: str = "id",
+    emb_col: str = "embedding",
+    num_planes: int = 10,
+    num_tables: int = 8,
+    seed: int = 42,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH candidate join + exact re-rank.
+    → (query_id, match_id, rank, score, metric_name); rank has no gaps but
+    a query may return < k rows if its buckets are sparse."""
+    dim = len(corpus.select(emb_col).first()[0])
+    sig = _signatures_udf(dim, num_tables, num_planes, seed)
+    emb_d = F.expr(f"transform({emb_col}, x -> cast(x as double))")
+
+    c = corpus.select(
+        F.col(corpus_id_col).alias("match_id"), emb_d.alias("_cv")
+    ).withColumn("_sig", sig("_cv"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), emb_d.alias("_qv")
+    ).withColumn("_sig", sig("_qv"))
+
+    c_b = c.select("match_id", "_cv", F.posexplode("_sig").alias("table", "sig"))
+    q_b = q.select("query_id", "_qv", F.posexplode("_sig").alias("table", "sig"))
+
+    cand = (
+        q_b.join(c_b, ["table", "sig"])
+        .dropDuplicates(["query_id", "match_id"])
+    )
+    dist = _PAIR_DIST[metric](F.col("_qv"), F.col("_cv"))
+    scored = cand.select(
+        "query_id", "match_id", dist.alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("match_id").asc())
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    score = F.round("score", round_scores) if round_scores is not None else F.col("score")
+    return out.select(
+        "query_id", "match_id", "rank", score.alias("score"),
+        F.lit(metric).alias("metric_name"),
+    )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_cells: int,
+    corpus_id_col: str = "id",
+    emb_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF coarse quantizer: centroids = the ``n_cells``
+    corpus vectors with the smallest md5(id) (a uniform hash-sample —
+    engine-portable, no iterative kmeans); assignment = argmin sqeuclidean
+    against the broadcast centroid set.
+
+    → (centroids(cell, centroid), assigned(cell, id, embedding)). At scale
+    the assignment is one broadcast-join + per-row argmin, no shuffle of
+    the corpus; ``assigned`` is typically written out partitioned/bucketed
+    BY cell so probes prune files."""
+    emb_d = F.expr(f"transform({emb_col}, x -> cast(x as double))")
+    base = corpus.select(F.col(corpus_id_col).alias("id"), emb_d.alias("v"))
+    cent = (
+        base.withColumn("_h", F.md5(F.col("id").cast("string")))
+        .orderBy("_h")
+        .limit(n_cells)
+        .drop("_h")
+        .withColumn("cell", F.row_number().over(Window.orderBy("id")) - 1)
+        .select("cell", F.col("v").alias("centroid"))
+    )
+    joined = base.crossJoin(F.broadcast(cent))
+    d = sqeuclidean_distance_col(F.col("v"), F.col("centroid"))
+    w = Window.partitionBy("id").orderBy(d.asc(), F.col("cell").asc())
+    assigned = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cell", "id", "v")
+    )
+    return cent, assigned
+
+
+def ivf_match(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    metric: str = "cosine",
+    corpus_id_col: str = "id",
+    query_id_col: str = "id",
+    emb_col: str = "embedding",
+    round_scores: int | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: assign corpus to cells, probe the ``n_probe``
+    closest cells per query, exact distance inside probed cells only.
+    Fully deterministic (hash-sampled centroids) — SQL-oracle-able."""
+    cent, assigned = ivf_index(corpus, n_cells, corpus_id_col, emb_col)
+    emb_d = F.expr(f"transform({emb_col}, x -> cast(x as double))")
+    q = queries.select(F.col(query_id_col).alias("query_id"), emb_d.alias("qv"))
+
+    qc = q.crossJoin(F.broadcast(cent))
+    dcell = sqeuclidean_distance_col(F.col("qv"), F.col("centroid"))
+    wq = Window.partitionBy("query_id").orderBy(dcell.asc(), F.col("cell").asc())
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+
+    cand = probes.join(assigned, "cell")
+    dist = _PAIR_DIST[metric](F.col("qv"), F.col("v"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("match_id").asc())
+    out = (
+        cand.select("query_id", F.col("id").alias("match_id"), dist.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    score = F.round("score", round_scores) if round_scores is not None else F.col("score")
+    return out.select(
+        "query_id", "match_id", "rank", score.alias("score"),
+        F.lit(metric).alias("metric_name"),
+    )

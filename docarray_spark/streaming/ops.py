@@ -1,0 +1,157 @@
+"""Structured Streaming extensions (SURVEY.md §2.12).
+
+The reference has no streaming runtime — its closest analogues are lazy
+generator ingest (``/root/reference/docarray/document/generators.py``) and
+streamed binary deserialization (``array/mixins/io/binary.py:92-142``).
+These operators are the engine extensions the BASELINE north star names:
+streaming ingest → the SAME compiled QL filters (stateless ops are
+identical between batch and stream) → watermarked dedup / windowed
+aggregation → kNN against a static corpus.
+
+Scale notes:
+
+* Stateless stages (filter/project/QL) run identically at any rate — no
+  state store.
+* ``streaming_dedup`` uses ``dropDuplicatesWithinWatermark`` so the state
+  store evicts fingerprints older than the watermark — bounded memory at
+  unbounded input, unlike a global ``dropDuplicates``.
+* ``stream_static_match`` runs the batch ``match`` operator per micro-batch
+  via ``foreachBatch``: the corpus side is a static DataFrame (broadcast
+  inside ``match`` when small), so each batch is one map-side kNN + a
+  per-query top-k — the stream side never shuffles against itself.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from docarray_spark.operators.dedup import fingerprint_expr
+from docarray_spark.queryset import compile_filter
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+    **options: Any,
+) -> DataFrame:
+    """Streaming ingest from a landing directory (files appearing over time
+    — the streaming counterpart of ``from_files``/``from_ndjson``)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def streaming_find(sdf: DataFrame, query: dict) -> DataFrame:
+    """Mongo-QL filter on a stream — the exact batch compiler
+    (``queryset/compiler.py``); stateless, so semantics are identical."""
+    return sdf.filter(compile_filter(sdf, query))
+
+
+def streaming_dedup(
+    sdf: DataFrame,
+    cols: list,
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: fingerprint the content columns, keep the
+    first arrival within the watermark horizon. State is evicted past the
+    watermark — bounded memory at 100 TB/day rates."""
+    fp = sdf.withColumn("_fp", fingerprint_expr(cols)).withWatermark(ts_col, watermark)
+    return fp.dropDuplicatesWithinWatermark(["_fp"]).drop("_fp")
+
+
+def windowed_counts(
+    sdf: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    window_duration: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation over event time —
+    late rows beyond the watermark are dropped, state is bounded."""
+    w = F.window(F.col(ts_col), window_duration, slide or window_duration)
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("window"), *[F.col(c) for c in group_cols])
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *group_cols,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stream_static_match(
+    stream_queries: DataFrame,
+    corpus: DataFrame,
+    sink_table: str,
+    k: int = 10,
+    metric: str = "cosine",
+    corpus_id_col: str = "id",
+    query_id_col: str = "id",
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+    **match_kwargs: Any,
+):
+    """Streaming kNN: each micro-batch of query vectors is matched against
+    the STATIC corpus with the batch ``match`` operator (per-batch window
+    functions are legal inside ``foreachBatch``). Results append to the
+    ``sink_table`` memory/Delta sink. Returns the StreamingQuery."""
+    from docarray_spark.operators.match import match
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = match(
+            corpus,
+            batch_df.select(F.col(query_id_col).alias("id"), "embedding"),
+            k=k,
+            metric=metric,
+            corpus_id_col=corpus_id_col,
+            **match_kwargs,
+        )
+        res.withColumn("batch_id", F.lit(batch_id)).write.mode("append").saveAsTable(
+            sink_table
+        )
+
+    writer = stream_queries.writeStream.foreachBatch(_process).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_to_memory_sink(
+    sdf: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    timeout_sec: int = 120,
+) -> None:
+    """Drain a (finite) stream into an in-memory sink table named
+    ``query_name`` using availableNow, blocking until complete — the test
+    harness path."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    q.stop()

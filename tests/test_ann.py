@@ -1,0 +1,84 @@
+"""ANN operator tests: recall of LSH/IVF approximate top-k measured against
+the exact brute-force match operator."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from docarray_spark.operators.ann import ivf_index, ivf_match, lsh_match
+from docarray_spark.operators.match import match
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter("id < 8")
+
+
+@pytest.fixture(scope="module")
+def exact(emb, queries):
+    got = match(emb, queries, k=10, metric="cosine", corpus_id_col="id", eps=0.0)
+    return {(r["query_id"], r["match_id"]) for r in got.collect()}
+
+
+def _recall(approx_rows, exact_pairs):
+    hits = sum(1 for r in approx_rows if (r["query_id"], r["match_id"]) in exact_pairs)
+    return hits / len(exact_pairs)
+
+
+def test_lsh_match_recall_and_shape(emb, queries, exact):
+    # random test embeddings are near-orthogonal (theta ~70deg), so the
+    # S-curve needs few planes / many tables for usable recall
+    got = lsh_match(
+        emb, queries, k=10, metric="cosine", corpus_id_col="id",
+        num_planes=4, num_tables=16,
+    ).collect()
+    # per-query ranks are 1..n without gaps, scores ascending
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores)
+    assert _recall(got, exact) > 0.5
+
+
+def test_lsh_self_is_top1(emb, queries):
+    got = lsh_match(emb, queries, k=1, metric="cosine", corpus_id_col="id",
+                    num_planes=8, num_tables=8)
+    for r in got.collect():
+        # a vector always collides with itself in every table
+        assert r["query_id"] == r["match_id"] and r["score"] < 1e-9
+
+
+def test_ivf_index_partitions_corpus(emb):
+    cent, assigned = ivf_index(emb, n_cells=8, corpus_id_col="id")
+    assert cent.count() == 8
+    assert assigned.count() == emb.count()
+    assert assigned.select("cell").distinct().count() <= 8
+    # deterministic across invocations
+    a1 = sorted((r["id"], r["cell"]) for r in assigned.collect())
+    _, assigned2 = ivf_index(emb, n_cells=8, corpus_id_col="id")
+    a2 = sorted((r["id"], r["cell"]) for r in assigned2.collect())
+    assert a1 == a2
+
+
+def test_ivf_match_recall(emb, queries, exact):
+    got = ivf_match(
+        emb, queries, k=10, n_cells=8, n_probe=4, metric="cosine",
+        corpus_id_col="id",
+    ).collect()
+    assert _recall(got, exact) > 0.5
+    # probing all cells = exact
+    full = ivf_match(
+        emb, queries, k=10, n_cells=8, n_probe=8, metric="cosine",
+        corpus_id_col="id",
+    ).collect()
+    assert _recall(full, exact) == 1.0

@@ -1,0 +1,102 @@
+"""Multimodal plumbing tests: schema, Arrow batch shape, chunk encoding
+(reference: document/mixins/image.py, audio.py, video.py). Decode is the
+deterministic fake; every post-decode op is real numpy."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from docarray_spark.operators.multimodal import (
+    decode_audio,
+    decode_images,
+    fake_decode_image,
+    image_sliding_windows,
+    normalize_images,
+    resize_images,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [(str(i), bytes(range(10 + i * 7))) for i in range(6)] + [("null", None)]
+    return spark.createDataFrame(rows, "id string, blob binary")
+
+
+def test_decode_images_schema_and_determinism(spark, media):
+    out = decode_images(media)
+    assert [f.name for f in out.schema.fields] == [
+        "id", "blob", "height", "width", "channels", "pixels"
+    ]
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows["null"]["pixels"] is None
+    r0 = rows["0"]
+    expect = fake_decode_image(bytes(range(10)))
+    assert (r0["height"], r0["width"], r0["channels"]) == expect.shape
+    np.testing.assert_allclose(np.array(r0["pixels"]), expect.ravel())
+    # stable across runs
+    again = {r["id"]: r for r in decode_images(media).collect()}
+    assert again["3"]["pixels"] == rows["3"]["pixels"]
+
+
+def test_decode_raise_mode(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        decode_images(media.filter("blob is not null"), decode_fn="raise").collect()
+
+
+def test_resize_and_normalize(spark, media):
+    dec = decode_images(media.filter("blob is not null"))
+    res = resize_images(dec, 5, 4)
+    for r in res.collect():
+        assert (r["height"], r["width"]) == (5, 4)
+        assert len(r["pixels"]) == 5 * 4 * r["channels"]
+    norm = normalize_images(res)
+    px = np.array(norm.filter("id = '0'").collect()[0]["pixels"])
+    raw = np.array(res.filter("id = '0'").collect()[0]["pixels"]).reshape(-1, 3) / 255.0
+    np.testing.assert_allclose(
+        px.reshape(-1, 3),
+        (raw - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225]),
+        rtol=1e-5,
+    )
+
+
+def test_sliding_windows_chunk_encoding(spark):
+    # one 6x6x1 image with pixel value = row*6+col
+    t = np.arange(36, dtype=np.float32)
+    df = spark.createDataFrame(
+        [("img", 6, 6, 1, t.tolist())],
+        "id string, height int, width int, channels int, pixels array<float>",
+    )
+    chunks = image_sliding_windows(df, window=3, stride=3)
+    rows = sorted(chunks.collect(), key=lambda r: r["offset"])
+    assert len(rows) == 4
+    assert all(r["parent_id"] == "img" and r["granularity"] == 1 for r in rows)
+    assert rows[0]["id"] == "img.0" and rows[3]["offset"] == 3
+    np.testing.assert_allclose(
+        np.array(rows[0]["pixels"]), t.reshape(6, 6)[:3, :3].ravel()
+    )
+    np.testing.assert_allclose(
+        np.array(rows[3]["pixels"]), t.reshape(6, 6)[3:, 3:].ravel()
+    )
+
+
+def test_decode_audio_stats(spark):
+    wav = (np.sin(np.linspace(0, 8 * np.pi, 256)) * 20000).astype("<i2")
+    df = spark.createDataFrame([("a", wav.tobytes())], "id string, blob binary")
+    out = decode_audio(df).collect()[0]
+    assert out["n_samples"] == 256
+    ref = wav.astype(np.float32) / 32768.0
+    assert out["rms"] == pytest.approx(float(np.sqrt(np.mean(ref**2))), rel=1e-6)
+    assert out["amax"] == pytest.approx(float(np.abs(ref).max()), rel=1e-6)
+
+
+def test_sample_frames(spark):
+    frames = np.stack([np.full((2, 2, 1), i, np.float32) for i in range(10)])
+    df = spark.createDataFrame(
+        [("v", 2, 2, 1, frames.ravel().tolist())],
+        "id string, height int, width int, channels int, frames array<float>",
+    )
+    out = sorted(sample_frames(df, every_k=4).collect(), key=lambda r: r["offset"])
+    assert [r["offset"] for r in out] == [0, 1, 2]
+    assert [r["pixels"][0] for r in out] == [0.0, 4.0, 8.0]
+    assert all(r["parent_id"] == "v" for r in out)
