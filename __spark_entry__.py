@@ -251,12 +251,12 @@ def _docs_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs: 3-word shingles → 16 banded minhashes →
-    bucket join → exact Jaccard ≥ 0.4."""
+    """MinHash+LSH near-dup pairs: 3-word shingles → (b=16, r=2) banded
+    minhashes → bucket join → exact Jaccard ≥ 0.4."""
     base = _docs_with_neardups(spark, sf_dir)
     return minhash_dedup_pairs(
         base, id_col="id", text_col="text", shingle_n=3, num_bands=16,
-        threshold=0.4, round_to=6,
+        threshold=0.4, round_to=6, num_rows=2,
     )
 
 
@@ -807,11 +807,22 @@ def oracle_sql() -> dict[str, str]:
                 ELSE [array_to_string(toks, ' ')] END) AS shingles
               FROM (SELECT id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM base)
             ),
+            hs AS (
+              SELECT id, shingles,
+                     list_transform(shingles,
+                       s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hv
+              FROM sh
+            ),
             bands AS (
               SELECT id, b.band,
-                     list_min(list_transform(shingles,
-                       s -> md5(b.band::VARCHAR || ':' || s))) AS mh
-              FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS band) b
+                     concat(
+                       list_min(list_transform(hv,
+                         h -> (h * (2 * (2 * b.band) + 1) + (2 * b.band)) % 2147483647))::VARCHAR,
+                       '_',
+                       list_min(list_transform(hv,
+                         h -> (h * (2 * (2 * b.band + 1) + 1) + (2 * b.band + 1)) % 2147483647))::VARCHAR
+                     ) AS mh
+              FROM hs CROSS JOIN (SELECT unnest(range(0, 16)) AS band) b
             ),
             cand AS (
               SELECT DISTINCT l.id AS id_a, r.id AS id_b

@@ -27,7 +27,12 @@ from docarray_spark.operators.text import tokens_col
 def _ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Spread CPU-heavy per-row work across the cluster when the source has
     fewer partitions than cores (e.g. one small parquet file). At real scale
-    the input already has thousands of partitions and this no-ops."""
+    the input already has thousands of partitions and this no-ops.
+
+    Call this on the RAW input, BEFORE the expensive projection: Spark puts
+    the repartition exchange ABOVE existing projections, so
+    ``_ensure_parallelism(df.select(expensive))`` would still evaluate the
+    expensive expression in the source's (possibly single) partitions."""
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -90,14 +95,20 @@ def jaccard_col(a: Column, b: Column) -> Column:
 # ------------------------------------------------------------- MinHash LSH
 
 
+_MERSENNE_P = 2147483647  # 2^31 - 1; md5-int < 2^32, so h*(2b+1)+b < 2^38 — no overflow
+
+
 def minhash_bands_col(shingles: Column, num_bands: int) -> Column:
     """num_bands minhash values (r=1 bands): band b = min over shingles of
-    md5(b ':' shingle). With one hash per band, P(band collision) = Jaccard,
-    so P(candidate) = 1-(1-J)^bands — the standard LSH S-curve."""
+    an affine re-mix of ONE md5-derived integer per shingle (universal
+    hashing: h_b(s) = (h(s)·(2b+1) + b) mod (2^31-1)). With one hash per
+    band, P(band collision) = Jaccard, so P(candidate) = 1-(1-J)^bands —
+    the standard LSH S-curve — at 1/num_bands of the md5 cost."""
+    h = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_bands - 1)),
         lambda b: F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(b.cast("string"), F.lit(":"), s)))
+            F.transform(shingles, lambda s: (h(s) * (b * 2 + 1) + b) % _MERSENNE_P)
         ),
     )
 
@@ -110,36 +121,57 @@ def minhash_dedup_pairs(
     num_bands: int = 8,
     threshold: float = 0.5,
     round_to: int | None = None,
+    persist: bool = True,
+    num_rows: int = 1,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: shingle → banded minhash → bucket
     equi-join → exact Jaccard verify ≥ threshold.
+
+    ``num_rows`` = minhashes per band (the classic (b, r) scheme):
+    P(candidate) = 1-(1-J^r)^b. r=1 maximizes recall but admits weakly-
+    similar pairs as candidates (J=0.1 → 81% at b=16), flooding the
+    verify join; r=2 keeps ~94% recall at J≥0.4 while candidates drop to
+    ~real near-dups only — the right default when thresholds are ≥0.4.
 
     → (id_a, id_b, jaccard) with id_a < id_b. The N×N space is never
     touched: the only joins are hash-partitioned equi-joins on (band,
     minhash) bucket keys plus a broadcast of the shingle arrays for
     verification.
 
-    Physical shape: shingles and bands are *exploded to rows* so the md5
-    kernel runs as a whole-stage-codegen scalar expression (nested
-    higher-order functions would fall back to interpreted eval); the
-    per-(doc, band) min folds map-side in a partial aggregation, so the
-    shuffle carries one row per (doc, band)."""
-    base = _ensure_parallelism(
-        df.select(
-            F.col(id_col).alias("_id"),
-            word_shingles_col(text_col, shingle_n).alias("_sh"),
-        )
+    Physical shape: shingles are *exploded to rows* and hashed ONCE with a
+    codegen'd md5 scalar expression; the per-band minhashes are affine
+    re-mixes of that single hash (``minhash_bands_col`` family), folded
+    map-side as ``num_bands`` partial-agg mins — the shuffle carries ONE
+    row per doc (num_bands columns), and md5 cost is 1/num_bands of the
+    naive per-(band, shingle) scheme. The shingle table feeds BOTH candidate
+    generation and verification, so it's persisted (memory-and-disk) by
+    default — at petabyte scale pass ``persist=False`` and materialize it to
+    storage yourself instead."""
+    base = _ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        word_shingles_col(text_col, shingle_n).alias("_sh"),
     )
-    buckets = (
-        base.select("_id", F.explode("_sh").alias("s"))
-        .select("_id", "s", F.explode(F.sequence(F.lit(0), F.lit(num_bands - 1))).alias("band"))
-        .select(
-            "_id",
-            "band",
-            F.md5(F.concat(F.col("band").cast("string"), F.lit(":"), F.col("s"))).alias("h"),
+    if persist:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    h = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+    hashed = base.select("_id", F.explode("_sh").alias("s")).select("_id", h.alias("h"))
+    n_hashes = num_bands * num_rows
+    mins = hashed.groupBy("_id").agg(
+        *[
+            F.min((F.col("h") * (i * 2 + 1) + i) % _MERSENNE_P).alias(f"_m{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    band_keys = [
+        F.concat_ws(
+            "_", *[F.col(f"_m{b * num_rows + j}").cast("string") for j in range(num_rows)]
         )
-        .groupBy("_id", "band")
-        .agg(F.min("h").alias("mh"))
+        for b in range(num_bands)
+    ]
+    buckets = mins.select(
+        "_id", F.posexplode(F.array(*band_keys)).alias("band", "mh")
     )
     left = buckets.select(F.col("_id").alias("id_a"), "band", "mh")
     right = buckets.select(F.col("_id").alias("id_b"), "band", "mh")
@@ -213,8 +245,8 @@ def simhash_table(
     the scale-friendly way — tokens exploded to rows so the md5→int hash is
     a codegen'd scalar expression, then ``bits`` conditional sums folded
     map-side in one partial aggregation (shuffle = one row per doc)."""
-    toks = _ensure_parallelism(df.select(F.col(id_col).alias("_id"), tokens_col(text_col).alias("_t"))).select(
-        "_id", F.explode("_t").alias("t")
+    toks = _ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"), F.explode(tokens_col(text_col)).alias("t")
     )
     h = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
     toks = toks.select("_id", h.alias("h"))
@@ -290,7 +322,7 @@ def embedding_dup_pairs(
     method='exact': full self-join (only for small frames / oracle checks).
     """
     emb_d = F.transform(F.col(emb_col), lambda x: x.cast("double"))
-    base = df.select(F.col(id_col).alias("_id"), emb_d.alias("_v")).filter(
+    base = _ensure_parallelism(df).select(F.col(id_col).alias("_id"), emb_d.alias("_v")).filter(
         F.col("_v").isNotNull() & (F.size("_v") > 0)
     )
     if method == "exact":
@@ -314,7 +346,6 @@ def embedding_dup_pairs(
             sigs = bits.reshape(len(mat), num_tables, num_planes) @ weights
             return pd.Series(list(sigs))
 
-        base = _ensure_parallelism(base)
         sigs = base.select(
             "_id", "_v", F.posexplode(signatures("_v")).alias("table", "sig")
         )
