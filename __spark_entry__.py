@@ -15,6 +15,9 @@ from pyspark.sql import functions as F
 
 from docarray_spark.operators import (
     dup_groups,
+    embed,
+    set_along_path,
+    text_search,
     embedding_dup_pairs,
     group_counts,
     hash_sample,
@@ -213,6 +216,36 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return lang_id(docs).select(
         "doc_id", "lang", "lang_pred", F.round("lang_pred_score", 6).alias("lang_pred_score")
+    )
+
+
+def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text search (reference find(str), Elasticsearch-only —
+    storage/elastic/find.py:74-114) as pure DataFrame algebra; top-20 via
+    distributed TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_search(
+        docs, "key value scan table", id_col="doc_id", k=20, round_to=6
+    )
+
+
+def q_nested_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested bulk set along a traversal path da['@c[:1]', 'text'] = 'X'
+    (setitem.py:61-244): only first-chunks change, all other nodes pass
+    through untouched."""
+    nodes = _doc_nodes(spark, sf_dir)
+    out = set_along_path(nodes, "c[:1]", text=F.lit("X"))
+    return out.select("id", "parent_id", "granularity", "text")
+
+
+def q_embed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-inference plumbing (array/mixins/embed.py:17-167): Arrow-
+    batched mapInPandas with a per-worker model instance. Fake encoder →
+    rows-only driver check; determinism + norm checked in tests."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = embed(docs, input_col="text", dim=16, batch_size=64)
+    return out.select(
+        "doc_id", F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x), 4).alias("emb_sum")
     )
 
 
@@ -504,6 +537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "vocabulary": q_vocabulary,
+        "text_search_bm25": q_text_search_bm25,
+        "nested_set": q_nested_set,
+        "embed_batch": q_embed_batch,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -782,6 +818,53 @@ def oracle_sql() -> dict[str, str]:
                    (row_number() OVER (ORDER BY count(*) DESC, token ASC) + 1)::INT AS token_id
             FROM w WHERE token <> ''
             GROUP BY token HAVING count(*) >= 5
+        """,
+        "text_search_bm25": """
+            WITH b2 AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+                     len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl
+              FROM documents
+            ),
+            stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM b2),
+            toks AS (SELECT doc_id, dl, unnest(toks) AS t FROM b2),
+            tf AS (
+              SELECT doc_id, dl, t, count(*) AS tf FROM toks
+              WHERE t IN ('key', 'value', 'scan', 'table')
+              GROUP BY doc_id, dl, t
+            ),
+            dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                         * (tf.tf * (1.2 + 1))
+                         / (tf.tf + 1.2 * ((1 - 0.75) + (0.75 * tf.dl) / s.avgdl))) AS score
+              FROM tf JOIN dfreq d ON tf.t = d.t CROSS JOIN stats s
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(score, 6) AS score,
+                   (row_number() OVER (ORDER BY score DESC, doc_id ASC))::INT AS rank
+            FROM scored ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        "nested_set": """
+            WITH roots AS (SELECT doc_id::VARCHAR AS id, text FROM documents),
+            chunks AS (
+              SELECT id || '.0' AS id, id AS parent_id, 1 AS granularity, 0 AS off,
+                     substr(text, 1, length(text) // 2) AS text FROM roots
+              UNION ALL
+              SELECT id || '.1', id, 1, 1, substr(text, length(text) // 2 + 1) FROM roots
+            ),
+            grand AS (
+              SELECT id || '.0' AS id, id AS parent_id, 2 AS granularity, 0 AS off,
+                     substr(text, 1, length(text) // 2) AS text FROM chunks
+              UNION ALL
+              SELECT id || '.1', id, 2, 1, substr(text, length(text) // 2 + 1) FROM chunks
+            )
+            SELECT id, '' AS parent_id, 0 AS granularity, text FROM roots
+            UNION ALL
+            SELECT id, parent_id, granularity,
+                   CASE WHEN off = 0 THEN 'X' ELSE text END AS text FROM chunks
+            UNION ALL
+            SELECT id, parent_id, granularity, text FROM grand
         """,
         "dedup_exact": """
             WITH t AS (

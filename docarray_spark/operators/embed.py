@@ -1,0 +1,78 @@
+"""Batch DNN-inference plumbing: ``DocumentArray.embed(model)``.
+
+Re-expresses ``/root/reference/docarray/array/mixins/embed.py:17-167``
+(collect batch → model forward → write ``embedding``; framework dispatch at
+``embed.py:170-208``) as Arrow-batched ``mapInPandas``: the executor holds
+the model, batches arrive as pandas frames (Arrow zero-copy), the forward
+pass is one vectorized call per batch — the ``predict_batch_udf`` pattern.
+
+No DL framework ships in this container, so the default ``model_fn`` is a
+deterministic fake (md5-seeded pseudo-encoder) that exercises the real
+plumbing: batch slicing, model-per-executor instantiation, schema, output
+alignment. Pass a real ``model_loader`` (e.g. returning a torch module's
+``__call__``) in production.
+
+Scale notes: inference is embarrassingly parallel and partition-preserving
+(no shuffle). ``batch_size`` maps to
+``spark.sql.execution.arrow.maxRecordsPerBatch`` semantics — the iterator
+re-chunks so the model always sees ≤ batch_size rows regardless of Arrow's
+batch sizing. For GPU executors, set one task per GPU via resource profiles
+and load the model once per worker inside ``model_loader`` (lazy global).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def fake_text_encoder(dim: int = 32):
+    """DETERMINISTIC FAKE encoder: md5 of the text seeds a unit-norm
+    pseudo-embedding. Stands in for a real model; stable across runs."""
+
+    def _encode(texts: list[str]) -> np.ndarray:
+        out = np.empty((len(texts), dim), dtype=np.float32)
+        for i, t in enumerate(texts):
+            seed = int.from_bytes(hashlib.md5((t or "").encode()).digest()[:4], "big")
+            rng = np.random.RandomState(seed)
+            v = rng.randn(dim).astype(np.float32)
+            out[i] = v / (np.linalg.norm(v) + 1e-9)
+        return out
+
+    return _encode
+
+
+def embed(
+    df: DataFrame,
+    input_col: str = "text",
+    out_col: str = "embedding",
+    model_loader: Callable[[], Callable] | None = None,
+    dim: int = 32,
+    batch_size: int = 256,
+) -> DataFrame:
+    """Append ``out_col`` = model(``input_col``) in executor-side batches.
+
+    ``model_loader`` is called ONCE per python worker (lazy init — the model
+    never crosses the driver/executor boundary serialized); it returns the
+    forward function ``list[str] | np.ndarray -> np.ndarray (B, dim)``."""
+    loader = model_loader or (lambda: fake_text_encoder(dim))
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema += f", {out_col} array<float>"
+
+    def _infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = loader()  # once per worker/task, not per batch
+        for pdf in batches:
+            embs: list = []
+            vals = pdf[input_col].tolist()
+            for lo in range(0, len(vals), batch_size):
+                chunk = vals[lo : lo + batch_size]
+                embs.extend(list(model(chunk)))
+            pdf = pdf.copy()
+            pdf[out_col] = embs
+            yield pdf
+
+    return df.mapInPandas(_infer, schema=out_schema)

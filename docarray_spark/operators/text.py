@@ -153,6 +153,69 @@ def text_to_tensor(
     return df.join(seq, id_col, "left")
 
 
+def text_search(
+    df: DataFrame,
+    query: str,
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Full-text search with BM25 ranking — the reference's ``find(str)``
+    exists only on the Elasticsearch backend
+    (``/root/reference/docarray/array/mixins/find.py:147-156``,
+    ``storage/elastic/find.py:74-114``); here it's pure DataFrame algebra,
+    no search server:
+
+      score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)),
+      idf(t) = ln(1 + (N-df+0.5)/(df+0.5))
+
+    → (id, score, rank), rank 1 = best, ties broken by id.
+
+    Scale shape: corpus stats (N, avgdl) come from a 1-row aggregate
+    cross-joined in (no driver collect); document frequencies are a
+    per-term aggregate over only the query's terms (the filter prunes the
+    token explosion before any shuffle); everything else is map-side."""
+    qterms = sorted({t for t in query.lower().split() if t})
+    base = df.select(
+        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+    toks = base.select("_id", "_dl", F.explode("_toks").alias("t")).filter(
+        F.col("t").isin(qterms)
+    )
+    tf = toks.groupBy("_id", "_dl", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf", F.log(F.lit(1.0) + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))),
+        )
+        .groupBy("_id")
+        .agg(F.sum("_s").alias("score"))
+    )
+    # orderBy().limit() compiles to TakeOrderedAndProject — a distributed
+    # per-partition top-k + driver merge, NOT a single-partition sort (which
+    # a global row_number window would force); rank is then assigned on the
+    # k surviving rows only.
+    top = scored.orderBy(F.col("score").desc(), F.col("_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("_id").asc())
+    out = top.withColumn("rank", F.row_number().over(w))
+    score = F.round("score", round_to) if round_to is not None else F.col("score")
+    return out.select(F.col("_id").alias(id_col), score.alias("score"), "rank")
+
+
 def fingerprint_col(text: Column | str) -> Column:
     """Document fingerprint: md5 over the whitespace-normalized, lowercased
     text. Engine-portable (md5 everywhere)."""

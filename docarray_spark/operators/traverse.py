@@ -136,3 +136,37 @@ def flatten(nodes: DataFrame, id_col: str = "id") -> DataFrame:
     """``da[...]`` / ``flatten()`` (``traverse.py:197-228``): every node at
     every depth, deduplicated by id. The adjacency model already IS flat."""
     return nodes.dropDuplicates([id_col])
+
+
+def set_along_path(
+    nodes: DataFrame,
+    path: str,
+    matches: DataFrame | None = None,
+    id_col: str = "id",
+    **values,
+) -> DataFrame:
+    """Nested bulk set ``da['@c', 'text'] = [...]``
+    (``/root/reference/docarray/array/mixins/setitem.py:61-244``): update
+    the given columns for exactly the nodes a traversal path reaches,
+    leaving every other node untouched.
+
+    Relational shape: traverse → distinct reached-id set → semi-join flag →
+    conditional projection. One equi-join against the (usually small)
+    reached set; no second shuffle of the nodes table."""
+    reached = traverse(nodes, path, matches=matches, id_col=id_col).select(
+        F.col(id_col).alias("_rid")
+    ).distinct()
+    flagged = nodes.join(
+        reached.withColumn("_hit", F.lit(True)),
+        nodes[id_col] == F.col("_rid"),
+        "left",
+    )
+    updated = {}
+    for name, v in values.items():
+        from pyspark.sql import Column
+
+        v = v if isinstance(v, Column) else F.lit(v)
+        updated[name] = (
+            F.when(F.col("_hit").isNotNull(), v).otherwise(F.col(name)).alias(name)
+        )
+    return flagged.withColumns(updated).drop("_rid", "_hit")

@@ -1,0 +1,118 @@
+"""Sinks: CSV/JSON/parquet writers + array constructors.
+
+Re-expresses ``/root/reference/docarray/array/mixins/io/csv.py:35-109``
+(save_csv with ``tags`` flattened to ``tag__k`` columns),
+``io/json.py:12-99`` (save_json), and ``document/generators.py:26-53``
+(``from_ndarray``). The reference's custom length-prefixed binary format
+(``io/binary.py``) is replaced by parquet — columnar, compressed,
+splittable — per SURVEY.md §4.2.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def flatten_tags(df: DataFrame, tags_col: str = "tags", prefix: str = "tag__") -> DataFrame:
+    """``save_csv(flatten_tags=True)`` (``io/csv.py:59-75``): lift every key
+    of the tags map into its own ``tag__k`` column.
+
+    The key set is discovered with one distinct-keys aggregation (small
+    result: the set of tag NAMES, not values), then each key becomes a
+    ``element_at`` projection — map-side, no shuffle of the data itself."""
+    keys = sorted(
+        r[0]
+        for r in df.select(F.explode(F.map_keys(F.col(tags_col))).alias("k"))
+        .distinct()
+        .collect()
+    )
+    cols = [c for c in df.columns if c != tags_col]
+    return df.select(
+        *cols,
+        *[F.element_at(F.col(tags_col), k).alias(f"{prefix}{k}") for k in keys],
+    )
+
+
+def save_csv(
+    df: DataFrame,
+    path: str,
+    flatten_tags_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """``save_csv`` (``io/csv.py:35-109``): complex columns are not
+    CSV-representable — arrays/structs/maps (other than a flattened tags
+    map) are serialized as JSON strings, mirroring the reference's
+    ``protocol='jsonschema'`` per-field behavior."""
+    out = flatten_tags(df, flatten_tags_col) if flatten_tags_col else df
+    for f in out.schema.fields:
+        if f.dataType.typeName() in ("array", "struct", "map"):
+            out = out.withColumn(f.name, F.to_json(F.col(f.name)))
+        elif f.dataType.typeName() == "binary":
+            out = out.withColumn(f.name, F.base64(F.col(f.name)))
+    out.write.mode(mode).option("header", True).csv(path)
+
+
+def save_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """``save_json`` / ``to_json`` (``io/json.py:12-99``) as ndjson lines —
+    the splittable JSON layout (a single JSON array is not parallelizable)."""
+    df.write.mode(mode).json(path)
+
+
+def save_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
+    table_name: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """The engine's native store (replaces ``save_binary``,
+    ``io/binary.py:40-170``). ``partition_by`` gives partition pruning on
+    the listed columns; ``bucket_by=(n, cols)`` (requires ``table_name``)
+    pre-shuffles into n buckets so later joins/aggs on those columns are
+    exchange-free."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        if not table_name:
+            raise ValueError("bucketBy requires a table_name (saveAsTable)")
+        w.bucketBy(n, *cols).sortBy(*cols).option("path", path).saveAsTable(table_name)
+        return
+    w.parquet(path)
+
+
+def from_ndarray(
+    spark: SparkSession,
+    mat,
+    id_offset: int = 0,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """``from_ndarray`` (``document/generators.py:26-53``): matrix rows →
+    rows with (id, embedding). Arrow-backed createDataFrame."""
+    import pandas as pd
+
+    mat = np.asarray(mat)
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(id_offset, id_offset + len(mat), dtype=np.int64),
+            emb_col: [row.astype(np.float32) for row in mat],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def from_lines(
+    spark: SparkSession,
+    lines: Iterable[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """``from_lines`` (``document/generators.py:237-309``) for an in-memory
+    iterable; file-shaped inputs should use ``read_ndjson``/``read_csv_documents``."""
+    rows = [(i, ln) for i, ln in enumerate(lines)]
+    return spark.createDataFrame(rows, f"id bigint, {text_col} string")
