@@ -464,15 +464,22 @@ def q_mm_image_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------- structured streaming
 
+_LANDING_CACHE: dict[str, str] = {}
+
+
 def _events_stream(spark: SparkSession, sf_dir: str):
-    """events → a temp landing dir → file-source stream (availableNow)."""
+    """events → a temp landing dir → file-source stream (availableNow).
+    The landing copy is written once per (process, sf_dir)."""
+    import os
     import tempfile
 
     from docarray_spark.streaming import read_stream
 
-    landing = tempfile.mkdtemp(prefix="sg_stream_")
-    ev = _t(spark, sf_dir, "events")
-    ev.repartition(4).write.mode("overwrite").parquet(landing)
+    landing = _LANDING_CACHE.get(sf_dir)
+    if landing is None or not os.path.isdir(landing):
+        landing = tempfile.mkdtemp(prefix="sg_stream_")
+        _t(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(landing)
+        _LANDING_CACHE[sf_dir] = landing
     return read_stream(spark, landing, spark.read.parquet(landing).schema)
 
 

@@ -1,0 +1,23 @@
+from docarray_spark.plans.audit import (
+    audit,
+    broadcast_join_count,
+    codegen_span_count,
+    explain_str,
+    has_cartesian,
+    has_take_ordered,
+    pushed_filters,
+    read_schemas,
+    shuffle_count,
+)
+
+__all__ = [
+    "audit",
+    "broadcast_join_count",
+    "codegen_span_count",
+    "explain_str",
+    "has_cartesian",
+    "has_take_ordered",
+    "pushed_filters",
+    "read_schemas",
+    "shuffle_count",
+]

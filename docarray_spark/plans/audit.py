@@ -1,0 +1,81 @@
+"""Physical-plan audit helpers.
+
+The engine's scale story rests on plan PROPERTIES, not code intent: filters
+must reach the parquet scan, small sides must broadcast, kNN must never
+cartesian-product, top-k must compile to TakeOrderedAndProject rather than
+a single-partition sort. These helpers extract those properties from the
+executed plan so tests can pin them (see ``tests/test_plans.py``) — a
+regression in Catalyst usage fails CI, not a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The explain output as a string (what ``df.explain(mode)`` prints)."""
+    try:
+        qe = df._jdf.queryExecution()
+        jvm = df.sparkSession._jvm
+        return jvm.PythonSQLUtils.explainString(qe, mode)
+    except Exception:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain(mode=mode)
+        return buf.getvalue()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Every ``PushedFilters: [...]`` entry across the plan's file scans."""
+    out = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", explain_str(df)):
+        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """``ReadSchema`` of each file scan — the column-pruning evidence."""
+    return re.findall(r"ReadSchema: (\S+)", explain_str(df))
+
+
+def has_cartesian(df: DataFrame) -> bool:
+    s = explain_str(df)
+    return "CartesianProduct" in s or "BroadcastNestedLoopJoin" in s
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return explain_str(df).count("BroadcastHashJoin")
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of Exchange operators (each is one shuffle boundary)."""
+    return len(re.findall(r"\bExchange\b", explain_str(df)))
+
+
+def codegen_span_count(df: DataFrame) -> int:
+    """WholeStageCodegen regions — wider/fewer is better for scalar work."""
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", explain_str(df))))
+
+
+def has_take_ordered(df: DataFrame) -> bool:
+    """True when a global top-k compiles to TakeOrderedAndProject (the
+    distributed per-partition top-k + merge) instead of a full sort."""
+    return "TakeOrderedAndProject" in explain_str(df)
+
+
+def audit(df: DataFrame) -> dict:
+    """One-call summary used by tests and by hand during tuning."""
+    return {
+        "pushed_filters": pushed_filters(df),
+        "read_schemas": read_schemas(df),
+        "cartesian": has_cartesian(df),
+        "broadcast_joins": broadcast_join_count(df),
+        "shuffles": shuffle_count(df),
+        "codegen_spans": codegen_span_count(df),
+        "take_ordered": has_take_ordered(df),
+    }

@@ -1,0 +1,86 @@
+"""Physical-plan regression tests: the properties that make the operators
+scale are pinned here — a Catalyst-usage regression fails CI, not a 100 TB
+run. (SURVEY.md §4; the plan shapes the operators were designed for.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from docarray_spark.operators.indexing import update_by_id
+from docarray_spark.operators.match import match
+from docarray_spark.operators.text import text_search
+from docarray_spark.plans import (
+    audit,
+    explain_str,
+    has_cartesian,
+    has_take_ordered,
+    pushed_filters,
+    read_schemas,
+    shuffle_count,
+)
+from docarray_spark.queryset import find
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+
+
+def test_ql_filter_pushes_to_scan(docs):
+    q = find(docs, {"lang": "en", "n_chars": {"$gte": 100, "$lt": 400}})
+    pf = pushed_filters(q)
+    assert any("lang" in f for f in pf), pf
+    assert any("n_chars" in f for f in pf), pf
+
+
+def test_projection_prunes_scan(docs):
+    q = find(docs, {"lang": "en"}).select("doc_id", "lang")
+    schemas = read_schemas(q)
+    assert schemas and all("text" not in s for s in schemas), schemas
+
+
+def test_match_no_cartesian_one_shuffle(emb):
+    queries = emb.filter("id < 4")
+    res = match(emb, queries, k=5, corpus_id_col="id", eps=0.0)
+    assert not has_cartesian(res)
+    # one hash shuffle on query_id for the rank window; AQE may stage it
+    assert shuffle_count(res) <= 2, explain_str(res)
+
+
+def test_match_prefilter_pushes_below_knn(emb, spark, sf_dir):
+    full = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = full.filter("vec_id < 4").select(F.col("vec_id").alias("id"), "embedding")
+    res = match(
+        full, queries, k=5, corpus_id_col="vec_id",
+        filter={"label": {"$in": [0, 1]}}, eps=0.0,
+    )
+    pf = pushed_filters(res)
+    assert any("label" in f for f in pf), pf
+
+
+def test_bm25_topk_is_take_ordered(docs):
+    q = text_search(docs, "key value scan", id_col="doc_id", k=10)
+    assert has_take_ordered(q), explain_str(q)
+
+
+def test_update_by_id_broadcasts(spark, docs):
+    updates = docs.limit(5).select(F.col("doc_id").alias("id"), F.lit("U").alias("text"))
+    base = docs.select(F.col("doc_id").alias("id"), "text")
+    out = update_by_id(base, updates)
+    assert audit(out)["broadcast_joins"] >= 1
+
+
+def test_minhash_no_cartesian(spark, docs):
+    from docarray_spark.operators.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(
+        docs.select(F.col("doc_id").alias("id"), "text"),
+        num_bands=4, num_rows=2, persist=False,
+    )
+    assert not has_cartesian(pairs)
