@@ -45,9 +45,63 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "baseline_anchors": _baseline_anchors(spark),
             }
         )
     )
+
+
+def _baseline_anchors(spark) -> dict:
+    """BASELINE.md's published workload, reproduced at full size: 1M docs,
+    128-d embeddings (reference memory store: create 0.6 s, exact kNN k=10
+    ~1.43 s/query, 1-tag filter ~5 s). Corpus is generated deterministically
+    JVM-side (sin-hash), persisted, then timed."""
+    import time
+
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from docarray_spark.operators.match import match
+    from docarray_spark.queryset import find
+
+    n, dim, n_q = 1_000_000, 128, 10
+    t0 = time.perf_counter()
+    corpus = (
+        spark.range(n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("id"),
+            (F.col("id") % 1000).alias("tag_i"),
+            F.expr(f"transform(sequence(0, {dim - 1}), j -> cast(sin(id * {dim} + j) as float))").alias(
+                "embedding"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    corpus.count()
+    create_s = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    find(corpus, {"tag_i": {"$eq": 77}}).write.format("noop").mode("overwrite").save()
+    filter_s = round(time.perf_counter() - t0, 3)
+
+    queries = corpus.filter(F.col("id") < n_q).select("id", "embedding")
+    t0 = time.perf_counter()
+    match(corpus, queries, k=10, metric="cosine", corpus_id_col="id", eps=0.0).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    knn_s = round(time.perf_counter() - t0, 3)
+    corpus.unpersist()
+
+    return {
+        "workload": "1M docs x 128-d (BASELINE.md memory store)",
+        "create_1m_sec": create_s,
+        "filter_1m_sec": filter_s,
+        "filter_baseline_sec": 5.0,
+        "knn_1m_k10_q10_sec": knn_s,
+        "knn_per_query_sec": round(knn_s / n_q, 4),
+        "knn_baseline_per_query_sec": 1.43,
+    }
 
 
 if __name__ == "__main__":
