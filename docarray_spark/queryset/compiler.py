@@ -136,6 +136,76 @@ def _rhs(df: DataFrame, value: Any) -> Any:
     return value
 
 
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def _coerce_numeric(col: Column, dtype: T.DataType | None, v: Any) -> Column:
+    """Dynamic-tags typing (SURVEY.md §7 hard part): the reference's tags
+    hold floats/strings and its interpreter compares them as Python values
+    (``test_filter.py:36-38``); a ``map<string,string>`` tags column must
+    therefore compare NUMERICALLY when the literal is numeric. try_cast
+    keeps unparseable values NULL (row filtered) instead of erroring under
+    ANSI mode."""
+    is_num = isinstance(v, (int, float)) and not isinstance(v, bool)
+    if is_num and (dtype is None or isinstance(dtype, T.StringType)):
+        return col.try_cast("double")
+    return col
+
+
+def _cmp_expr(op: str, col: Column, dtype: T.DataType | None, v: Any) -> Column:
+    """One comparison with the reference interpreter's mixed-type semantics.
+
+    A string literal against a numeric column cannot error (ANSI would):
+    if it parses as a number, compare numerically; if not, the reference's
+    Python semantics are 'mismatched types are never equal' — ``$eq``/
+    ordering → False, ``$neq`` → True for every row where the field is set
+    (``lookup.py:68-103``)."""
+    if isinstance(v, str) and isinstance(dtype, _NUMERIC_TYPES):
+        try:
+            v = float(v)
+        except ValueError:
+            if op in ("$neq", "$ne"):
+                return col.isNotNull()
+            return F.lit(False)
+    return _COMPARISONS[op](_coerce_numeric(col, dtype, v), v)
+
+
+def _in_expr(col: Column, dtype: T.DataType | None, values) -> Column:
+    """Membership with mixed-type literals. Against a numeric column,
+    string elements participate only if they parse as numbers (an
+    unparseable string can never equal a number — reference Python
+    semantics); against a string/unknown column, any numeric element
+    switches the compare to numeric (tags typing)."""
+    vals = list(values)
+    if isinstance(dtype, _NUMERIC_TYPES):
+        kept = []
+        for x in vals:
+            if isinstance(x, str):
+                try:
+                    kept.append(float(x))
+                except ValueError:
+                    pass
+            else:
+                kept.append(x)
+        if not kept:
+            return F.lit(False)
+        return col.isin(kept)
+    if any(isinstance(x, (int, float)) and not isinstance(x, bool) for x in vals) and (
+        dtype is None or isinstance(dtype, T.StringType)
+    ):
+        num = col.try_cast("double")
+        nums = [x for x in vals if isinstance(x, (int, float)) and not isinstance(x, bool)]
+        strs = [x for x in vals if isinstance(x, str)]
+        expr = num.isin([float(x) for x in nums])
+        if strs:
+            expr = expr | col.isin(strs)
+        return expr
+    return col.isin(vals)
+
+
 class _Compiler:
     def __init__(self, df: DataFrame):
         self.df = df
@@ -174,17 +244,18 @@ class _Compiler:
         col, dtype = resolve_field(self.df, path)
         if not isinstance(spec, dict):
             # bare value → $eq (parser.py:60-63)
-            return self._leaf(col == _rhs(self.df, spec), negated)
+            v = _rhs(self.df, spec)
+            return self._leaf(_cmp_expr("$eq", col, dtype, v), negated)
         parts = []
         for op, raw in spec.items():
             v = _rhs(self.df, raw)
             if op in _COMPARISONS:
-                parts.append(self._leaf(_COMPARISONS[op](col, v), negated))
+                parts.append(self._leaf(_cmp_expr(op, col, dtype, v), negated))
             elif op == "$in":
-                parts.append(self._leaf(col.isin(list(raw)), negated))
+                parts.append(self._leaf(_in_expr(col, dtype, raw), negated))
             elif op == "$nin":
                 # reference: True also when field is missing (two-valued NOT)
-                parts.append(self._leaf(col.isin(list(raw)), not negated, invert=True))
+                parts.append(self._leaf(_in_expr(col, dtype, raw), not negated, invert=True))
             elif op == "$regex":
                 parts.append(self._leaf(col.rlike(raw), negated))
             elif op == "$size":
