@@ -421,6 +421,20 @@ def q_knn_inner_product(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------- ANN similarity search
 
+def q_sparse_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector top-k cosine kNN (reference sparse embedding support,
+    math/distance/numpy.py:40-81) via the relational inverted-index join:
+    explode nonzeros, equi-join on dimension, sum products."""
+    from docarray_spark.functions.sparse import sparse_match, to_sparse_col
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("d"),
+    ).withColumn("sparse", to_sparse_col("d", threshold=0.2))
+    queries = emb.filter(F.col("id") < 5)
+    return sparse_match(emb, queries, k=10, sparse_col="sparse", round_scores=6)
+
+
 def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (scale path for ANN): deterministic hash-sampled
     centroids, probe 4/16 cells, exact cosine inside probed cells. Fully
@@ -551,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "sparse_knn_cosine": q_sparse_knn_cosine,
         "ann_ivf_cosine": q_ann_ivf_cosine,
         "ann_lsh_cosine": q_ann_lsh_cosine,
         "mm_image_chunks": q_mm_image_chunks,
@@ -937,6 +952,36 @@ def oracle_sql() -> dict[str, str]:
               'sum') AS BIGINT) AS simhash
             FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
                   FROM documents)
+        """,
+        "sparse_knn_cosine": """
+            WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            e AS (
+              SELECT vec_id,
+                     unnest(list_filter(
+                       list_transform(range(1, len(v) + 1),
+                                      i -> {'ix': i - 1, 'val': v[i]}),
+                       s -> abs(s.val) > 0.2), recursive := true)
+              FROM d
+            ),
+            n AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM e GROUP BY vec_id),
+            dots AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS match_id, sum(q.val * c.val) AS dot
+              FROM e q JOIN e c ON q.ix = c.ix
+              WHERE q.vec_id < 5
+              GROUP BY 1, 2
+            ),
+            s AS (
+              SELECT query_id, match_id,
+                     greatest(0, 1 - dot / (nq.nrm * nc.nrm)) AS score
+              FROM dots
+              JOIN n nq ON nq.vec_id = query_id
+              JOIN n nc ON nc.vec_id = match_id
+            )
+            SELECT query_id, match_id, rnk::INT AS rank, round(score, 6) AS score,
+                   'cosine' AS metric_name
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score, match_id) AS rnk FROM s)
+            WHERE rnk <= 10
         """,
         "ann_ivf_cosine": """
             WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
