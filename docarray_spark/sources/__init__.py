@@ -6,12 +6,15 @@ from docarray_spark.sources.readers import (
     read_table,
 )
 from docarray_spark.sources.writers import (
+    doc_to_json_col,
     flatten_tags,
     from_lines,
     from_ndarray,
+    from_pandas,
     save_csv,
     save_json,
     save_parquet,
+    to_pandas,
 )
 
 __all__ = [
@@ -20,10 +23,13 @@ __all__ = [
     "read_ndjson",
     "read_parquet",
     "read_table",
+    "doc_to_json_col",
     "flatten_tags",
     "from_lines",
     "from_ndarray",
+    "from_pandas",
     "save_csv",
     "save_json",
     "save_parquet",
+    "to_pandas",
 ]

@@ -107,6 +107,24 @@ def from_ndarray(
     return spark.createDataFrame(pdf)
 
 
+def from_pandas(spark: SparkSession, pdf) -> DataFrame:
+    """``from_dataframe`` (``io/dataframe.py:16-43``): pandas → DataFrame
+    over Arrow; NaN becomes NULL (the reference drops NaN fields)."""
+    return spark.createDataFrame(pdf)
+
+
+def to_pandas(df: DataFrame):
+    """``to_dataframe`` (``io/dataframe.py:16-43``) — Arrow-backed collect.
+    Driver-bounded by definition; use writers for anything large."""
+    return df.toPandas()
+
+
+def doc_to_json_col(df: DataFrame) -> "F.Column":
+    """``Document.to_json`` (``document/mixins/porting.py:100-167``) as a
+    scalar expression: one JSON object per row over all columns."""
+    return F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+
+
 def from_lines(
     spark: SparkSession,
     lines: Iterable[str],
