@@ -118,6 +118,32 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 0.5)
 
 
+def q_batch_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """batch(batch_size) (array/mixins/group.py:41-95): batch id assignment
+    over the order column + per-batch sizes."""
+    from docarray_spark.operators import with_batch_id
+
+    docs = _t(spark, sf_dir, "documents").withColumn("offset", F.col("doc_id"))
+    batched = with_batch_id(docs, 64)
+    return batched.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extend (duplicates kept) + del-by-ids + membership semi-join
+    (storage/base/seqlike.py:10-25, delitem.py:19-78)."""
+    from docarray_spark.operators import concat, contains_ids, delete_by_ids
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), "source")
+    both = concat(docs.filter(F.col("id") < 250), docs.filter((F.col("id") >= 200) & (F.col("id") < 450)))
+    pruned = delete_by_ids(both, [i for i in range(0, 500, 10)])
+    keep = docs.filter(F.col("source").isin("src0", "src1")).select("id")
+    return contains_ids(pruned, keep)
+
+
 # ----------------------------------------------------------------- traversal
 
 def _doc_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,6 +574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_counts": q_group_counts,
         "reduce_merge": q_reduce_merge,
         "hash_sample": q_hash_sample,
+        "batch_ids": q_batch_ids,
+        "set_ops": q_set_ops,
         "traverse_paths": q_traverse_paths,
         "slice_project": q_slice_project,
         "crud_update": q_crud_update,
@@ -675,6 +703,22 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT * FROM documents
             WHERE substr(md5(doc_id::VARCHAR), 1, 8) < '80000000'
+        """,
+        "batch_ids": """
+            SELECT doc_id // 64 AS batch_id, count(*) AS n,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM documents GROUP BY 1
+        """,
+        "set_ops": """
+            WITH d AS (SELECT doc_id AS id, source FROM documents),
+            unioned AS (
+              SELECT * FROM d WHERE id < 250
+              UNION ALL
+              SELECT * FROM d WHERE id >= 200 AND id < 450
+            ),
+            pruned AS (SELECT * FROM unioned WHERE id % 10 <> 0 OR id >= 500),
+            keep AS (SELECT id FROM d WHERE source IN ('src0', 'src1'))
+            SELECT p.* FROM pruned p WHERE p.id IN (SELECT id FROM keep)
         """,
         "traverse_paths": """
             WITH roots AS (SELECT doc_id::VARCHAR AS id, text FROM documents),
