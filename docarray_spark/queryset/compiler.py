@@ -82,6 +82,10 @@ def resolve_field(df: DataFrame, path: str) -> tuple[Column, T.DataType | None]:
        (``tags__x`` → ``tags_x``)
     3. nested access: first segment is a column, remaining segments index
        into struct fields / map keys (``scores__cosine__value``)
+    4. ``tags__k`` against a ``tags_json`` JSON-string column
+       (FIXTURES.md dynamic-tags representation; SURVEY §7 milestone-2
+       decision) — ``get_json_object`` extraction, numeric coercion then
+       applies downstream via try_cast
     """
     fields = {f.name: f.dataType for f in df.schema.fields}
     if path in fields:
@@ -90,6 +94,11 @@ def resolve_field(df: DataFrame, path: str) -> tuple[Column, T.DataType | None]:
     flat = "_".join(segs)
     if flat in fields:
         return F.col(flat), fields[flat]
+    if segs[0] not in fields and f"{segs[0]}_json" in fields and len(segs) > 1:
+        return (
+            F.get_json_object(F.col(f"{segs[0]}_json"), "$." + ".".join(segs[1:])),
+            None,
+        )
     if segs[0] in fields:
         col = F.col(segs[0])
         dtype: T.DataType | None = fields[segs[0]]

@@ -100,3 +100,22 @@ def test_errors(docs):
         compile_filter(docs, {"weight": {"$bogus": 1}})
     with pytest.raises(ValueError):
         compile_filter(docs, {"nope__deep": 1})
+
+
+def test_tags_json_dynamic_column(spark):
+    """FIXTURES.md dynamic-tags: tags__k resolves into a tags_json string
+    column via get_json_object, with numeric coercion on compare."""
+    from docarray_spark.queryset import find
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"x": 0.7, "name": "hello"}'),
+            (2, '{"x": 0.1}'),
+            (3, '{"name": "world"}'),
+            (4, None),
+        ],
+        "id int, tags_json string",
+    )
+    assert {r["id"] for r in find(df, {"tags__x": {"$gte": 0.5}}).collect()} == {1}
+    assert {r["id"] for r in find(df, {"tags__name": "hello"}).collect()} == {1}
+    assert {r["id"] for r in find(df, {"$not": {"tags__x": {"$gte": 0.5}}}).collect()} == {2, 3, 4}
