@@ -188,6 +188,32 @@ def q_traverse_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traverse(nodes, "c[:1],cc[-1]").select("id", "parent_id", "granularity", "text")
 
 
+def q_traverse_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'m[:3]' traversal — the MatchArray step (array/match.py): hop from
+    root docs through the matches table (kNN output) back onto nodes,
+    keeping each root's top-3 by rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    nodes = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.lit("").alias("parent_id"),
+        F.lit(0).alias("granularity"),
+        F.col("vec_id").alias("offset"),
+    )
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    matches = match(
+        emb.filter(F.col("vec_id") < 200), queries, k=5, metric="cosine",
+        corpus_id_col="vec_id", exclude_self=True, eps=0.0,
+    ).select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("match_id").cast("string").alias("match_id"),
+        "rank",
+    )
+    out = traverse(nodes, "m[:3]", matches=matches)
+    return out.select("id", "parent_id", "granularity")
+
+
 # ----------------------------------------------------------------- evaluation
 
 def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -577,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_ids": q_batch_ids,
         "set_ops": q_set_ops,
         "traverse_paths": q_traverse_paths,
+        "traverse_matches": q_traverse_matches,
         "slice_project": q_slice_project,
         "crud_update": q_crud_update,
         "update_by_id": q_update_by_id,
@@ -737,6 +764,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, parent_id, granularity, text FROM chunks WHERE off = 0
             UNION ALL
             SELECT id, parent_id, granularity, text FROM grand WHERE off = 1
+        """,
+        "traverse_matches": """
+            WITH q AS (
+              SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20
+            ),
+            d AS (
+              SELECT q.qid AS query_id, e.vec_id AS match_id,
+                     1 - list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS dist
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id < 200 AND e.vec_id <> q.qid
+            ),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY dist, match_id) AS rnk FROM d)
+            SELECT match_id::VARCHAR AS id, query_id::VARCHAR AS parent_id,
+                   0 AS granularity
+            FROM r WHERE rnk <= 3
         """,
         "slice_project": """
             SELECT doc_id, text, n_chars FROM documents
