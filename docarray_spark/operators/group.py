@@ -84,6 +84,20 @@ def map_batch(
     return df.mapInPandas(_runner, output_schema)
 
 
+def apply_grouped(
+    df: DataFrame,
+    keys: list[str],
+    fn: Callable,
+    output_schema,
+) -> DataFrame:
+    """Per-group pandas function (the UDAF/grouped-map surface SURVEY §2.11
+    notes the reference lacks): ``groupBy(keys).applyInPandas`` — each group
+    arrives as one pandas frame on one executor. One hash shuffle on the
+    keys; group size must fit an executor (use salting for hot keys,
+    ``operators/skew.py``)."""
+    return df.groupBy(*keys).applyInPandas(fn, output_schema)
+
+
 def add_offset(df: DataFrame, order_by=None) -> DataFrame:
     """(Re)build the order index — ``offset2ids`` analogue
     (``storage/base/helper.py``). With ``order_by``: a deterministic total

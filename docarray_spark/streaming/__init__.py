@@ -1,4 +1,5 @@
 from docarray_spark.streaming.ops import (
+    stateful_running_agg,
     read_stream,
     run_to_memory_sink,
     stream_static_match,
@@ -8,6 +9,7 @@ from docarray_spark.streaming.ops import (
 )
 
 __all__ = [
+    "stateful_running_agg",
     "read_stream",
     "run_to_memory_sink",
     "stream_static_match",

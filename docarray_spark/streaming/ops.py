@@ -137,6 +137,66 @@ def stream_static_match(
     return writer.start()
 
 
+def stateful_running_agg(
+    sdf: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    ts_col: str,
+    watermark: str = "10 minutes",
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (the survey's §2.12 extension path for semantics windows can't express):
+    a per-key running (count, sum, max) that emits an updated row per key
+    per micro-batch and drops state for keys idle past the timeout —
+    bounded memory at unbounded input.
+
+    → stream of (key…, n, total, peak)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    key_fields = [sdf.schema[k] for k in key_cols]
+    out_schema = StructType(
+        [*key_fields,
+         StructField("n", LongType()),
+         StructField("total", DoubleType()),
+         StructField("peak", DoubleType())]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()),
+         StructField("total", DoubleType()),
+         StructField("peak", DoubleType())]
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total, peak = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            n += len(vals)
+            total += float(vals.sum())
+            if len(vals):
+                peak = max(peak, float(vals.max()))
+        state.update((n, total, peak))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame([[*key, n, total, peak]], columns=[*key_cols, "n", "total", "peak"])
+
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            _update, out_schema, state_schema, "update",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def run_to_memory_sink(
     sdf: DataFrame,
     query_name: str,

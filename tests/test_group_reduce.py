@@ -110,3 +110,33 @@ def test_add_offset(spark, docs):
     assert out.count() == 100
     out2 = add_offset(df)
     assert sorted(r.offset for r in out2.collect()) == list(range(100))
+
+
+def test_apply_grouped(spark, sf_dir):
+    import pandas as pd
+
+    from docarray_spark.operators import apply_grouped
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [[pdf["source"].iloc[0], len(pdf), int(pdf["n_chars"].sum())]],
+            columns=["source", "n", "chars"],
+        )
+
+    got = {
+        r["source"]: r
+        for r in apply_grouped(
+            docs, ["source"], summarize, "source string, n long, chars long"
+        ).collect()
+    }
+    want = {
+        r["source"]: r
+        for r in docs.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["n"] == want[k]["n"] and got[k]["chars"] == want[k]["chars"]

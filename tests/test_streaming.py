@@ -98,3 +98,33 @@ def test_stream_static_match(spark, sf_dir, tmp_path):
     a = {(r["query_id"], r["match_id"], r["rank"]) for r in got.collect()}
     b = {(r["query_id"], r["match_id"], r["rank"]) for r in batch.collect()}
     assert a == b
+
+
+def test_stateful_running_agg(spark, landing):
+    from docarray_spark.streaming import stateful_running_agg
+
+    sdf = read_stream(spark, landing, _schema(spark, landing))
+    out = stateful_running_agg(sdf, ["event_type"], "value", ts_col="ts")
+    run_to_memory_sink(out, "t_state", output_mode="update")
+    got = spark.table("t_state")
+    # last emitted row per key must equal the batch aggregate
+    batch = {
+        r["event_type"]: r
+        for r in spark.read.parquet(landing)
+        .groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("peak"),
+        )
+        .collect()
+    }
+    latest = {
+        r["event_type"]: r
+        for r in got.orderBy("n").collect()  # biggest n per key wins
+    }
+    assert set(latest) == set(batch)
+    for k, r in latest.items():
+        assert r["n"] == batch[k]["n"]
+        assert r["total"] == pytest.approx(batch[k]["total"], rel=1e-9)
+        assert r["peak"] == batch[k]["peak"]
