@@ -271,6 +271,20 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_to_tensor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """convert_text_to_tensor (document/mixins/text.py:38-102): token→id
+    sequence via broadcast vocab join (0=pad, 1=unk, ids from 2), trimmed/
+    padded to length 8; tensor emitted as CSV for exact compare."""
+    from docarray_spark.operators import text_to_tensor
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id"), "text")
+    vocab = vocabulary(docs, min_count=5)
+    out = text_to_tensor(docs, vocab, id_col="doc_id", max_len=8)
+    return out.select(
+        "doc_id", F.concat_ws(",", F.col("tensor")).alias("tensor_csv")
+    )
+
+
 def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 full-text search (reference find(str), Elasticsearch-only —
     storage/elastic/find.py:74-114) as pure DataFrame algebra; top-20 via
@@ -613,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "vocabulary": q_vocabulary,
+        "text_to_tensor": q_text_to_tensor,
         "text_search_bm25": q_text_search_bm25,
         "nested_set": q_nested_set,
         "embed_batch": q_embed_batch,
@@ -927,6 +942,33 @@ def oracle_sql() -> dict[str, str]:
                    (row_number() OVER (ORDER BY count(*) DESC, token ASC) + 1)::INT AS token_id
             FROM w WHERE token <> ''
             GROUP BY token HAVING count(*) >= 5
+        """,
+        "text_to_tensor": """
+            WITH w AS (
+              SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+              FROM documents
+            ),
+            vocab AS (
+              SELECT token,
+                     (row_number() OVER (ORDER BY count(*) DESC, token ASC) + 1)::BIGINT AS token_id
+              FROM w WHERE token <> '' GROUP BY token HAVING count(*) >= 5
+            ),
+            vm AS (SELECT map_from_entries(list(struct_pack(k := token, v := token_id))) AS m
+                   FROM vocab),
+            t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                  FROM documents),
+            seq AS (
+              SELECT doc_id, list_transform(toks, tk -> coalesce(m[tk][1], 1::BIGINT)) AS tensor
+              FROM t CROSS JOIN vm
+            ),
+            padded AS (
+              SELECT doc_id,
+                     list_concat(tensor[1:8],
+                                 list_transform(range(1, greatest(0, 8 - len(tensor)) + 1),
+                                                x -> 0::BIGINT)) AS tensor
+              FROM seq
+            )
+            SELECT doc_id, array_to_string(tensor, ',') AS tensor_csv FROM padded
         """,
         "text_search_bm25": """
             WITH b2 AS (
