@@ -65,6 +65,53 @@ MATCHES_SCHEMA = T.StructType(
 )
 
 
+# --------------------------------------------------- multimodal dataclasses
+
+# Modality → physical column type, mirroring the attribute-type registry at
+# ``docarray/dataclasses/types.py:35-41,113-124`` (PRIMITIVE /
+# ITERABLE_PRIMITIVE / DOCUMENT …). Media modalities are opaque binary +
+# metadata per SURVEY.md §1.1; decoded tensors live in ArrayType columns.
+MODALITY_TYPES: dict[str, T.DataType] = {
+    "text": T.StringType(),
+    "image": T.BinaryType(),
+    "audio": T.BinaryType(),
+    "video": T.BinaryType(),
+    "mesh": T.BinaryType(),
+    "blob": T.BinaryType(),
+    "tabular": T.MapType(T.StringType(), T.StringType()),
+    "json": T.StringType(),
+    "embedding": T.ArrayType(T.FloatType()),
+    "float": T.DoubleType(),
+    "int": T.LongType(),
+    "str": T.StringType(),
+    "bool": T.BooleanType(),
+}
+
+
+def multimodal_schema(fields: dict[str, str], id_field: bool = True) -> T.StructType:
+    """Compile a user-declared multimodal dataclass — ``{field: modality}``,
+    modality from ``MODALITY_TYPES``, ``list[<modality>]`` for repeated
+    fields (``dataclasses/types.py:216-223`` allows one nesting level) —
+    into a flat ``StructType``, the engine analogue of the reference's
+    Document-tree compile (``document/mixins/multimodal.py:21-98``). The
+    modality map itself is the ``multi_modal_schema`` metadata; store it
+    alongside the table (e.g. parquet key-value metadata) for decompile."""
+    out = [T.StructField("id", T.StringType(), False)] if id_field else []
+    for name, modality in fields.items():
+        repeated = modality.startswith("list[") and modality.endswith("]")
+        inner = modality[5:-1] if repeated else modality
+        if inner not in MODALITY_TYPES:
+            raise ValueError(
+                f"unknown modality {inner!r} for field {name!r} "
+                f"(known: {sorted(MODALITY_TYPES)})"
+            )
+        dt: T.DataType = MODALITY_TYPES[inner]
+        if repeated:
+            dt = T.ArrayType(dt)
+        out.append(T.StructField(name, dt))
+    return T.StructType(out)
+
+
 def empty_documents(spark: SparkSession, n: int) -> DataFrame:
     """n default documents — ``DocumentArray.empty`` analogue
     (``docarray/array/mixins/empty.py``). Distributed via ``spark.range``."""

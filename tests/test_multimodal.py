@@ -100,3 +100,25 @@ def test_sample_frames(spark):
     assert [r["offset"] for r in out] == [0, 1, 2]
     assert [r["pixels"][0] for r in out] == [0.0, 4.0, 8.0]
     assert all(r["parent_id"] == "v" for r in out)
+
+
+def test_multimodal_schema_compile(spark):
+    from docarray_spark.schema import multimodal_schema
+
+    schema = multimodal_schema(
+        {"banner": "image", "caption": "text", "frames": "list[image]",
+         "score": "float", "emb": "embedding"}
+    )
+    names = [f.name for f in schema.fields]
+    assert names == ["id", "banner", "caption", "frames", "score", "emb"]
+    assert schema["banner"].dataType.typeName() == "binary"
+    assert schema["frames"].dataType.simpleString() == "array<binary>"
+    assert schema["emb"].dataType.simpleString() == "array<float>"
+    # a frame built against the compiled schema round-trips
+    df = spark.createDataFrame(
+        [("a", b"\x01", "hi", [b"\x02", b"\x03"], 0.5, [1.0, 2.0])], schema
+    )
+    row = df.collect()[0]
+    assert row["frames"] == [b"\x02", b"\x03"]
+    with pytest.raises(ValueError, match="unknown modality"):
+        multimodal_schema({"x": "hologram"})

@@ -84,3 +84,27 @@ def test_minhash_no_cartesian(spark, docs):
         num_bands=4, num_rows=2, persist=False,
     )
     assert not has_cartesian(pairs)
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path_factory):
+    """save_parquet(bucket_by=...) pre-shuffles on the join key: a
+    subsequent self-join on that key must run with NO Exchange on either
+    side -- the co-located-join contract that matters at 100 TB."""
+    import uuid
+
+    from docarray_spark.sources import save_parquet
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    suffix = uuid.uuid4().hex[:8]
+    base = str(tmp_path_factory.mktemp("bucketed"))
+    ta, tb = f"bucket_a_{suffix}", f"bucket_b_{suffix}"
+    save_parquet(docs, f"{base}/a", bucket_by=(4, ["doc_id"]), table_name=ta)
+    save_parquet(docs.select("doc_id", "n_chars"), f"{base}/b",
+                 bucket_by=(4, ["doc_id"]), table_name=tb)
+    try:
+        joined = spark.table(ta).join(spark.table(tb), "doc_id")
+        assert shuffle_count(joined) == 0, explain_str(joined)
+        assert joined.count() == docs.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
