@@ -27,8 +27,10 @@ def main() -> None:
 
     spark = get_spark(app_name="docarray_spark_bench", driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
 
-    # JVM / codegen warm-up on a tiny scan
+    # JVM / codegen warm-up on a tiny scan, plus one tiny mapInPandas so the
+    # Python UDF workers exist before any timed query needs them
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.range(64).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
