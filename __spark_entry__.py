@@ -387,6 +387,21 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- indexing / CRUD / content ops
 
+def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar store round-trip (replaces save_binary, io/binary.py:40-170):
+    write documents partitioned by lang (partition pruning on read), read
+    back — output must equal the source exactly."""
+    import tempfile
+
+    from docarray_spark.sources import save_parquet
+
+    docs = _t(spark, sf_dir, "documents")
+    out_dir = tempfile.mkdtemp(prefix="sg_store_")
+    save_parquet(docs, out_dir, partition_by=["lang"])
+    back = spark.read.parquet(out_dir)
+    return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+
 def q_slice_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Advanced indexing da[100:400:3][:, ('doc_id','text')]: offset-range +
     step slice, then attribute projection (getitem.py:48-107)."""
@@ -618,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "traverse_paths": q_traverse_paths,
         "traverse_matches": q_traverse_matches,
+        "store_roundtrip": q_store_roundtrip,
         "slice_project": q_slice_project,
         "crud_update": q_crud_update,
         "update_by_id": q_update_by_id,
@@ -795,6 +811,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT match_id::VARCHAR AS id, query_id::VARCHAR AS parent_id,
                    0 AS granularity
             FROM r WHERE rnk <= 3
+        """,
+        "store_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         "slice_project": """
             SELECT doc_id, text, n_chars FROM documents
