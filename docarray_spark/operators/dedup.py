@@ -138,31 +138,45 @@ def minhash_dedup_pairs(
     minhash) bucket keys plus a broadcast of the shingle arrays for
     verification.
 
-    Physical shape: shingles are *exploded to rows* and hashed ONCE with a
-    codegen'd md5 scalar expression; the per-band minhashes are affine
-    re-mixes of that single hash (``minhash_bands_col`` family), folded
-    map-side as ``num_bands`` partial-agg mins — the shuffle carries ONE
-    row per doc (num_bands columns), and md5 cost is 1/num_bands of the
-    naive per-(band, shingle) scheme. The shingle table feeds BOTH candidate
-    generation and verification, so it's persisted (memory-and-disk) by
-    default — at petabyte scale pass ``persist=False`` and materialize it to
-    storage yourself instead."""
-    base = _ensure_parallelism(df).select(
-        F.col(id_col).alias("_id"),
-        word_shingles_col(text_col, shingle_n).alias("_sh"),
+    Physical shape: minhashes are pure ARRAY EXPRESSIONS — one md5 per
+    shingle into an ``_hv`` array, then ``num_bands·num_rows`` affine
+    ``array_min`` re-mixes of it (``minhash_bands_col`` family) inside the
+    SAME projection. Zero shuffles before the bucket join (the earlier
+    explode + partial-agg formulation paid a 540k-row shuffle and ran 10×
+    slower at sf0.1). The shingle table feeds BOTH candidate generation and
+    verification, so it's persisted (memory-and-disk) by default — at
+    petabyte scale pass ``persist=False`` and materialize it to storage
+    yourself instead."""
+    base = (
+        _ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            word_shingles_col(text_col, shingle_n).alias("_sh"),
+        )
+        .filter(F.col("_sh").isNotNull())
     )
     if persist:
         from pyspark import StorageLevel
 
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    h = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
-    hashed = base.select("_id", F.explode("_sh").alias("s")).select("_id", h.alias("h"))
+    hv = F.transform(
+        F.col("_sh"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
     n_hashes = num_bands * num_rows
-    mins = hashed.groupBy("_id").agg(
+    hashed = base.withColumn("_hv", hv)
+
+    # NB: the lambda must be UNARY — a binary lambda makes F.transform pass
+    # the array index as the second argument, silently replacing `i`
+    def _affine(i):
+        return lambda x: (x * (i * 2 + 1) + i) % _MERSENNE_P
+
+    mins = hashed.select(
+        "_id",
         *[
-            F.min((F.col("h") * (i * 2 + 1) + i) % _MERSENNE_P).alias(f"_m{i}")
+            F.array_min(F.transform(F.col("_hv"), _affine(i))).alias(f"_m{i}")
             for i in range(n_hashes)
-        ]
+        ],
     )
     band_keys = [
         F.concat_ws(
