@@ -58,8 +58,13 @@ def shuffle_count(df: DataFrame) -> int:
 
 
 def codegen_span_count(df: DataFrame) -> int:
-    """WholeStageCodegen regions — wider/fewer is better for scalar work."""
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", explain_str(df))))
+    """WholeStageCodegen regions — wider/fewer is better for scalar work.
+    Matches both the tree form (``WholeStageCodegen (1)``) and the
+    formatted-mode operator annotation (``[codegen id : 1]``)."""
+    s = explain_str(df)
+    ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", s))
+    ids |= set(re.findall(r"codegen id : (\d+)", s))
+    return len(ids)
 
 
 def has_take_ordered(df: DataFrame) -> bool:
