@@ -168,6 +168,42 @@ def match(
     )
 
 
+def match_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric="cosine",
+    query_id_col: str = "id",
+    block_size: int = 10_000,
+    n_blocks: int | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Exact kNN when the QUERY side is too large to broadcast whole
+    (``match`` collects it): split queries into hash blocks, run the
+    broadcast kernel per block, union the results.
+
+    This is the exact k-NN-graph path (queries = corpus). Each block pass
+    re-scans the corpus, so cost is n_blocks × one-scan — persist the
+    corpus (or use ``ann.ivf_match``, which is fully relational and
+    single-pass, when approximate recall is acceptable). The driver loop
+    is over BLOCK COUNT (bounded, typically ≤ a few hundred), never rows.
+    """
+    if n_blocks is None:
+        n_q = queries.count()
+        n_blocks = max(1, -(-n_q // block_size))
+    out = None
+    qb = queries.withColumn(
+        "_blk", F.pmod(F.hash(F.col(query_id_col)), F.lit(n_blocks))
+    )
+    for b in range(n_blocks):
+        part = match(
+            corpus, qb.filter(F.col("_blk") == b).drop("_blk"),
+            k=k, metric=metric, query_id_col=query_id_col, **kwargs,
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def find_by_vectors(
     corpus: DataFrame,
     vectors,

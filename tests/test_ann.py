@@ -82,3 +82,31 @@ def test_ivf_match_recall(emb, queries, exact):
         corpus_id_col="id",
     ).collect()
     assert _recall(full, exact) == 1.0
+
+
+def test_knn_graph_ivf_full_relational(emb):
+    """k-NN graph (queries = corpus) via the fully relational IVF path:
+    every vector gets neighbours, no driver-side query collection."""
+    got = ivf_match(emb, emb, k=3, n_cells=8, n_probe=8, metric="cosine",
+                    corpus_id_col="id", query_id_col="id")
+    rows = got.collect()
+    n = emb.count()
+    assert len(rows) == n * 3
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == n
+    # self is always rank 1 at distance ~0 (n_probe = n_cells -> exact)
+    for qid, rs in list(by_q.items())[:20]:
+        top = min(rs, key=lambda r: r["rank"])
+        assert top["match_id"] == qid and top["score"] < 1e-9
+
+
+def test_match_blocked_equals_match(emb, queries, exact):
+    from docarray_spark.operators.match import match_blocked
+
+    got = match_blocked(
+        emb, queries, k=10, metric="cosine", corpus_id_col="id",
+        n_blocks=3, eps=0.0,
+    ).collect()
+    assert {(r["query_id"], r["match_id"]) for r in got} == exact
