@@ -381,7 +381,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.unionByName(copies)
     return embedding_dup_pairs(
         base, id_col="id", threshold=0.01, method="lsh",
-        num_planes=12, num_tables=8, seed=42, round_to=6,
+        num_planes=12, num_tables=8, seed=42, round_to=6, dim=64,
     )
 
 
@@ -535,6 +535,7 @@ def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_match(
         emb, queries, k=10, metric="cosine", corpus_id_col="vec_id",
         query_id_col="id", num_planes=4, num_tables=16, round_scores=6,
+        dim=64,
     )
 
 

@@ -69,11 +69,16 @@ def lsh_match(
     num_tables: int = 8,
     seed: int = 42,
     round_scores: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH candidate join + exact re-rank.
     → (query_id, match_id, rank, score, metric_name); rank has no gaps but
-    a query may return < k rows if its buckets are sparse."""
-    dim = len(corpus.select(emb_col).first()[0])
+    a query may return < k rows if its buckets are sparse.
+
+    Pass ``dim`` when known (it usually is) — otherwise one extra Spark
+    job probes the first row for it."""
+    if dim is None:
+        dim = len(corpus.select(emb_col).first()[0])
     sig = _signatures_udf(dim, num_tables, num_planes, seed)
     emb_d = F.expr(f"transform({emb_col}, x -> cast(x as double))")
 

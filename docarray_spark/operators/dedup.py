@@ -326,6 +326,7 @@ def embedding_dup_pairs(
     num_tables: int = 4,
     seed: int = 42,
     round_to: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (id_a, id_b, cosine_dist < threshold).
 
@@ -346,7 +347,8 @@ def embedding_dup_pairs(
     elif method == "lsh":
         from pyspark.sql.functions import pandas_udf
 
-        dim = len(base.select("_v").first()[0])
+        if dim is None:  # one extra job; pass dim when known
+            dim = len(base.select("_v").first()[0])
         rng = np.random.RandomState(seed)
         # (dim, tables*planes) projection matrix; one BLAS matmul per Arrow
         # batch computes every sign bit of every table at once
