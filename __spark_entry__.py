@@ -118,6 +118,24 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 0.5)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (engine extension, SURVEY §2.3 'absent from reference'):
+    each click event matched to the user's latest view event at-or-before
+    it. Union-window implementation — one shuffle, no join explosion."""
+    from docarray_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event")
+    )
+    out = asof_join(clicks, views, time_col="ts", by=["user_id"],
+                    right_cols=["view_event"])
+    return out.select("event_id", "user_id", F.col("view_event_right").alias("view_event"))
+
+
 def q_batch_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """batch(batch_size) (array/mixins/group.py:41-95): batch id assignment
     over the order column + per-batch sizes."""
@@ -630,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_counts": q_group_counts,
         "reduce_merge": q_reduce_merge,
         "hash_sample": q_hash_sample,
+        "asof_join": q_asof_join,
         "batch_ids": q_batch_ids,
         "set_ops": q_set_ops,
         "traverse_paths": q_traverse_paths,
@@ -762,6 +781,19 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT * FROM documents
             WHERE substr(md5(doc_id::VARCHAR), 1, 8) < '80000000'
+        """,
+        "asof_join": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ),
+            views AS (
+              SELECT user_id, ts, event_id AS view_event FROM events
+              WHERE event_type = 'view'
+            )
+            SELECT c.event_id, c.user_id, v.view_event
+            FROM clicks c
+            ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
         """,
         "batch_ids": """
             SELECT doc_id // 64 AS batch_id, count(*) AS n,

@@ -49,12 +49,23 @@ def has_cartesian(df: DataFrame) -> bool:
 
 
 def broadcast_join_count(df: DataFrame) -> int:
-    return explain_str(df).count("BroadcastHashJoin")
+    s = explain_str(df)
+    ids = set(re.findall(r"\((\d+)\) BroadcastHashJoin\b", s))
+    if ids:
+        return len(ids)
+    return s.count("BroadcastHashJoin")
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of Exchange operators (each is one shuffle boundary)."""
-    return len(re.findall(r"\bExchange\b", explain_str(df)))
+    """Number of Exchange operators (each is one shuffle boundary).
+    Formatted mode prints every node twice (tree + detail heading), so
+    count UNIQUE node ids; fall back to line-count/2 heuristics only if
+    the plan carries no node ids."""
+    s = explain_str(df)
+    ids = set(re.findall(r"\((\d+)\) Exchange\b", s))
+    if ids:
+        return len(ids)
+    return len(re.findall(r"\bExchange\b", s))
 
 
 def codegen_span_count(df: DataFrame) -> int:
