@@ -118,6 +118,19 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 0.5)
 
 
+def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (engine extension; absent from the reference per
+    SURVEY §2.4 — free on Spark): event counts and value sums over all
+    (event_type, user-bucket) subtotal combinations."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 4).cast("long")
+    )
+    return (
+        ev.cube("event_type", "user_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (engine extension, SURVEY §2.3 'absent from reference'):
     each click event matched to the user's latest view event at-or-before
@@ -648,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_counts": q_group_counts,
         "reduce_merge": q_reduce_merge,
         "hash_sample": q_hash_sample,
+        "cube_rollup": q_cube_rollup,
         "asof_join": q_asof_join,
         "batch_ids": q_batch_ids,
         "set_ops": q_set_ops,
@@ -781,6 +795,12 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT * FROM documents
             WHERE substr(md5(doc_id::VARCHAR), 1, 8) < '80000000'
+        """,
+        "cube_rollup": """
+            SELECT event_type, user_id % 4 AS user_bucket,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY CUBE (event_type, user_bucket)
         """,
         "asof_join": """
             WITH clicks AS (
