@@ -230,8 +230,12 @@ class _Compiler:
 
     def _entry(self, key: str, value: Any, negated: bool) -> Column:
         if key in ("$and", "$or"):
+            # list form [{...}, {...}] or dict form {f1: spec, f2: spec}
+            # (the reference accepts both, test_filter.py:57-79)
+            if isinstance(value, dict) and value:
+                value = [{k: v} for k, v in value.items()]
             if not isinstance(value, (list, tuple)) or not value:
-                raise ValueError(f"{key} expects a non-empty list")
+                raise ValueError(f"{key} expects a non-empty list or dict")
             subs = [self.compile(v, negated) for v in value]
             out = subs[0]
             for s in subs[1:]:

@@ -119,3 +119,40 @@ def test_tags_json_dynamic_column(spark):
     assert {r["id"] for r in find(df, {"tags__x": {"$gte": 0.5}}).collect()} == {1}
     assert {r["id"] for r in find(df, {"tags__name": "hello"}).collect()} == {1}
     assert {r["id"] for r in find(df, {"$not": {"tags__x": {"$gte": 0.5}}}).collect()} == {2, 3, 4}
+
+
+def test_reference_filter_truth_table(spark):
+    """The reference's 5-doc filter fixture and assertions, ported verbatim
+    (tests/unit/array/mixins/test_filter.py:6-90): text/tags set as there,
+    tags as a string map exercising numeric coercion."""
+    from docarray_spark.queryset import find
+
+    rows = [
+        (0, "hello", None, {"name": "hello"}),
+        (1, "world", None, {"name": "hello"}),
+        (2, None, None, {"x": "0.3", "y": "0.6"}),
+        (3, None, None, {"x": "0.8"}),
+        (4, None, None, {}),
+    ]
+    df = spark.createDataFrame(
+        rows, "idx int, text string, tensor array<float>, tags map<string,string>"
+    )
+
+    def ids(q):
+        return sorted(r["idx"] for r in find(df, q).collect())
+
+    assert ids({}) == [0, 1, 2, 3, 4]                      # empty filter
+    assert ids({"text": {"$eq": "hello"}}) == [0]
+    assert ids({"tags__x": {"$gte": 0.5}}) == [3]
+    assert ids({"tags__name": {"$regex": "^h"}}) == [0, 1]
+    assert ids({"text": {"$regex": "^h"}}) == [0]
+    assert ids({"tags": {"$size": 2}}) == [2]
+    assert ids({"text": {"$exists": True}}) == [0, 1]
+    assert ids({"tensor": {"$exists": True}}) == []
+    # dict-form combinators (test_filter.py:57-79)
+    assert ids({"$or": {"tags__x": {"$gte": 0.1}, "tags__y": {"$gte": 0.5}}}) == [2, 3]
+    assert ids({"tags__x": {"$gte": 0.1, "$lte": 0.5}}) == [2]
+    assert ids({"$and": {"tags__x": {"$gte": 0.1}, "tags__y": {"$gte": 0.5}}}) == [2]
+    assert ids({"$not": {"tags__x": {"$gte": 0.5}}}) == [0, 1, 2, 4]
+    assert ids({"$not": {"tags__x": {"$gte": 0.1}, "tags__y": {"$gte": 0.5}}}) == [0, 1, 3, 4]
+    assert ids({"text": {"$eq": "{tags__name}"}}) == [0]   # placeholder
