@@ -44,7 +44,7 @@ _MINMAX_EPS = 1e-7  # reference math/helper.py:6-37
 def match(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 10,
+    k: int | None = 10,
     metric="cosine",
     on: str = "embedding",
     query_on: str | None = None,
@@ -61,7 +61,10 @@ def match(
 
     Returns a matches DataFrame ``(query_id, match_id, rank, score,
     metric_name)`` ordered within each query by ascending distance with
-    deterministic ``match_id`` tie-break (SURVEY.md §2.3).
+    deterministic ``match_id`` tie-break (SURVEY.md §2.3). ``k=None``
+    returns EVERY corpus row per query, ranked (the reference's
+    ``limit=None``, ``array/mixins/find.py:168-174``) — all candidates
+    then flow through the merge, so use only when that's the intent.
     """
     query_on = query_on or on
     if filter:
@@ -113,7 +116,7 @@ def match(
             with np.errstate(invalid="ignore"):
                 pmin = np.fmin(pmin, np.nanmin(finite, axis=1, initial=np.inf))
                 pmax = np.fmax(pmax, np.nanmax(finite, axis=1, initial=-np.inf))
-            kk = min(k, d.shape[1])
+            kk = d.shape[1] if k is None else min(k, d.shape[1])
             idx = (
                 np.argpartition(d, kth=kk - 1, axis=1)[:, :kk]
                 if kk < d.shape[1]
@@ -125,7 +128,7 @@ def match(
             return
         scores = np.hstack(cand_scores)  # (nq, C)
         mids = np.hstack(cand_ids)
-        kk = min(k, scores.shape[1])
+        kk = scores.shape[1] if k is None else min(k, scores.shape[1])
         if kk < scores.shape[1]:
             idx = np.argpartition(scores, kth=kk - 1, axis=1)[:, :kk]
             scores = np.take_along_axis(scores, idx, axis=1)
@@ -155,7 +158,8 @@ def match(
         norm = (F.lit(b - a) * (F.col("score") - gmin) / (gmax - gmin + F.lit(_MINMAX_EPS))) + F.lit(a)
         lo, hi = (a, b) if a < b else (b, a)
         out = out.withColumn("score", F.greatest(F.lit(float(lo)), F.least(F.lit(float(hi)), norm)))
-    out = out.filter(F.col("rank") <= k)
+    if k is not None:
+        out = out.filter(F.col("rank") <= k)
     score = F.round("score", round_scores) if round_scores is not None else F.col("score")
     if only_id:
         return out.select("query_id", "match_id", "rank")

@@ -134,3 +134,23 @@ def test_k_larger_than_corpus(spark, corpus, queries):
     small = cdf.limit(3)
     res = match(small, qdf, k=10, eps=0.0).toPandas()
     assert len(res) == 5 * 3
+
+
+def test_limit_none_returns_all(spark, sf_dir):
+    """limit=None -> every corpus row per query, ranked
+    (reference find.py:168-174, test_match.py:105-123)."""
+    from pyspark.sql import functions as F
+
+    from docarray_spark.operators.match import match
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    n = emb.count()
+    queries = emb.filter("id < 3")
+    got = match(emb, queries, k=None, metric="sqeuclidean", corpus_id_col="id")
+    counts = {r["query_id"]: r["n"] for r in
+              got.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: n, 1: n, 2: n}
+    ranks = [r["rank"] for r in got.filter("query_id = 0").orderBy("rank").collect()]
+    assert ranks == list(range(1, n + 1))
