@@ -154,3 +154,33 @@ def test_limit_none_returns_all(spark, sf_dir):
     assert counts == {0: n, 1: n, 2: n}
     ranks = [r["rank"] for r in got.filter("query_id = 0").orderBy("rank").collect()]
     assert ranks == list(range(1, n + 1))
+
+
+def test_match_on_chunks_via_traversal(spark):
+    """Chunk-level matching (reference test_match.py:448-459): traverse to
+    the chunk granularity on both sides, then match those frames — operator
+    composition replaces the reference's da['@c'] argument plumbing."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from docarray_spark.operators.match import match
+    from docarray_spark.operators.traverse import traverse
+
+    def mk_nodes(prefix, vecs):
+        rows = [(f"{prefix}", "", 0, 0, None)] + [
+            (f"{prefix}.{i}", prefix, 1, i, [float(x) for x in v])
+            for i, v in enumerate(vecs)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "id string, parent_id string, granularity int, offset long, embedding array<double>",
+        )
+
+    left = mk_nodes("L", [[1, 0], [0, 1]])
+    right = mk_nodes("R", [[1, 0.1], [0.1, 1], [-1, 0]])
+    lc = traverse(left, "c")
+    rc = traverse(right, "c")
+    got = match(rc, lc, k=1, metric="cosine", corpus_id_col="id",
+                query_id_col="id", eps=0.0)
+    best = {r["query_id"]: r["match_id"] for r in got.collect()}
+    assert best == {"L.0": "R.0", "L.1": "R.1"}
