@@ -397,6 +397,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_table(docs, id_col="doc_id", text_col="text", bits=32)
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs: 4 byte-slices of the 32-bit
+    fingerprint (pigeonhole: hamming ≤ 3 ⇒ ≥1 slice collides), bucket
+    join, bit_count(xor) verify ≤ 6."""
+    from docarray_spark.operators import simhash_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dup_pairs(
+        docs, id_col="doc_id", text_col="text", bits=32, max_hamming=6,
+        num_bands=4,
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over embeddings ∪ perturbed copies
     (every 20th vector +0.01 per component). LSH hyperplane bucketing with
@@ -684,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
         "sparse_knn_cosine": q_sparse_knn_cosine,
         "ann_ivf_cosine": q_ann_ivf_cosine,
@@ -1220,6 +1234,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_dedup_keys": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "dedup_simhash_pairs": """
+            WITH fp AS (
+              SELECT doc_id, CAST(list_aggregate(
+                list_transform(range(0, 32), i ->
+                  CASE WHEN list_sum(list_transform(toks, t ->
+                    CASE WHEN (CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                               // CAST(power(2, i) AS BIGINT)) % 2 = 1
+                         THEN 1 ELSE -1 END)) > 0
+                       THEN CAST(power(2, i) AS BIGINT) ELSE 0 END),
+                'sum') AS BIGINT) AS sh
+              FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                    FROM documents)
+            ),
+            slices AS (
+              SELECT doc_id, sh, b.band,
+                     (sh // CAST(power(2, b.band * 8) AS BIGINT)) % 256 AS sliceval
+              FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, l.sh AS sh_a,
+                              r.doc_id AS id_b, r.sh AS sh_b
+              FROM slices l JOIN slices r
+                ON l.band = r.band AND l.sliceval = r.sliceval AND l.doc_id < r.doc_id
+            )
+            SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+            FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
         """,
         "dedup_embedding": """
             WITH base AS (
