@@ -159,28 +159,29 @@ def minhash_dedup_pairs(
         from pyspark import StorageLevel
 
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    hv = F.transform(
-        F.col("_sh"),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
-    )
     n_hashes = num_bands * num_rows
-    hashed = base.withColumn("_hv", hv)
-
-    # NB: the lambda must be UNARY — a binary lambda makes F.transform pass
-    # the array index as the second argument, silently replacing `i`
-    def _affine(i):
-        return lambda x: (x * (i * 2 + 1) + i) % _MERSENNE_P
-
-    mins = hashed.select(
-        "_id",
-        *[
-            F.array_min(F.transform(F.col("_hv"), _affine(i))).alias(f"_m{i}")
-            for i in range(n_hashes)
-        ],
+    # ONE aggregate folds all n_hashes affine minima in a single pass over
+    # the shingle array — md5 runs once per shingle even after Catalyst
+    # collapses projections (separate per-band array_min expressions would
+    # each re-inline — and re-hash — the array)
+    mins_arr = F.expr(
+        f"""
+        aggregate(
+          transform(_sh, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)),
+          array_repeat({_MERSENNE_P}L, {n_hashes}),
+          (acc, h) -> zip_with(acc, sequence(0, {n_hashes - 1}),
+            (m, i) -> least(m, (h * (2 * i + 1) + i) % {_MERSENNE_P}L))
+        )
+        """
     )
+    mins = base.withColumn("_mins", mins_arr)
     band_keys = [
         F.concat_ws(
-            "_", *[F.col(f"_m{b * num_rows + j}").cast("string") for j in range(num_rows)]
+            "_",
+            *[
+                F.element_at(F.col("_mins"), b * num_rows + j + 1).cast("string")
+                for j in range(num_rows)
+            ],
         )
         for b in range(num_bands)
     ]
