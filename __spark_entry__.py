@@ -390,6 +390,20 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard (shingle inverted-index self-join) on
+    the same near-dup corpus as the LSH entry — the ground-truth pair set
+    the LSH path approximates. No banding, no hashing: join volume is
+    Σ df(shingle)² (bounded here; cap with max_df at open-web scale)."""
+    from docarray_spark.operators import ngram_jaccard_exact_pairs
+
+    base = _docs_with_neardups(spark, sf_dir)
+    return ngram_jaccard_exact_pairs(
+        base, id_col="id", text_col="text", shingle_n=3, threshold=0.4,
+        round_to=6,
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint per document (md5-derived token hashes),
     computed via explode + partial-agg (codegen path)."""
@@ -696,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_batch": q_embed_batch,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
@@ -1155,6 +1170,31 @@ def oracle_sql() -> dict[str, str]:
               FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b
             )
             SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4
+        """,
+        "dedup_ngram_jaccard": """
+            WITH base AS (
+              SELECT doc_id AS id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                     array_to_string((regexp_split_to_array(trim(text), '\\s+'))[5:], ' ')
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            sh AS (
+              SELECT id, list_distinct(CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS shingles
+              FROM (SELECT id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM base)
+            ),
+            e AS (SELECT id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                     count(*) AS i
+              FROM e a JOIN e b ON a.s = b.s AND a.id < b.id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b, round(i * 1.0 / (sz_a + sz_b - i), 6) AS jaccard
+            FROM inter WHERE round(i * 1.0 / (sz_a + sz_b - i), 6) >= 0.4
         """,
         "dedup_simhash": """
             SELECT doc_id, CAST(list_aggregate(

@@ -207,6 +207,71 @@ def minhash_dedup_pairs(
     )
 
 
+def ngram_jaccard_exact_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    round_to: int | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard via a shingle inverted index — the
+    ground-truth counterpart to the LSH paths (use it to measure their
+    recall, or directly when the corpus fits the join budget).
+
+    → (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+
+    Scale shape: explode distinct shingles → self-equi-join on the shingle
+    string (hash-partitioned) → count = |A∩B| per pair → Jaccard from the
+    per-doc set sizes carried alongside. N×N is never touched: join volume
+    is Σ df(s)² over shingles. Ultra-common shingles inflate that
+    quadratically, so ``max_df`` drops shingles appearing in more than
+    ``max_df`` docs (the standard prefix-filter); pairs sharing ONLY
+    dropped shingles are then missed AND surviving pairs' Jaccard is
+    computed on the filtered sets — exactness only holds with
+    ``max_df=None``."""
+    base = (
+        _ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            word_shingles_col(text_col, shingle_n).alias("_sh"),
+        )
+        .filter(F.col("_sh").isNotNull())
+    )
+    posting = base.select(
+        "_id", F.size("_sh").alias("_sz"), F.explode("_sh").alias("_s")
+    )
+    if max_df is not None:
+        keep = (
+            posting.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("_s")
+        )
+        posting = posting.join(keep, "_s")
+        sizes = posting.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+        posting = posting.drop("_sz").join(sizes, "_id")
+    a = posting.select(
+        F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"), "_s"
+    )
+    b = posting.select(
+        F.col("_id").alias("id_b"), F.col("_sz").alias("sz_b"), "_s"
+    )
+    inter = (
+        a.join(b, "_s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    j = F.col("_i") / (F.col("sz_a") + F.col("sz_b") - F.col("_i"))
+    if round_to is not None:
+        j = F.round(j, round_to)
+    return inter.select("id_a", "id_b", j.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "id",

@@ -3,6 +3,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from docarray_spark.operators import (
+    ngram_jaccard_exact_pairs,
     dup_groups,
     embedding_dup_pairs,
     exact_dedup,
@@ -59,6 +60,38 @@ def test_minhash_finds_planted_neardups(spark, corpus):
         assert (f"d{i:02d}", f"d{i:02d}x") in found, f"planted near-dup d{i:02d} missed"
     # exact dup also found with jaccard 1.0
     assert ("d00", "dup1") in found
+
+
+def test_ngram_jaccard_exact_pairs(spark, corpus):
+    exact = ngram_jaccard_exact_pairs(corpus, shingle_n=3, threshold=0.5).toPandas()
+    found = {(a, b): j for a, b, j in zip(exact.id_a, exact.id_b, exact.jaccard)}
+    for i in range(0, 60, 10):
+        assert (f"d{i:02d}", f"d{i:02d}x") in found
+    assert found[("d00", "dup1")] == pytest.approx(1.0)
+    # exact is ground truth: every LSH-found pair appears with the same jaccard
+    lsh = minhash_dedup_pairs(corpus, shingle_n=3, num_bands=16, threshold=0.5).toPandas()
+    for a, b, j in zip(lsh.id_a, lsh.id_b, lsh.jaccard):
+        assert found[(a, b)] == pytest.approx(j)
+    # brute-force check one planted pair's value
+    row = corpus.filter(F.col("id").isin("d00", "d00x")).select(
+        word_shingles_col("text", 3).alias("s")
+    ).collect()
+    s1, s2 = set(row[0].s), set(row[1].s)
+    assert found[("d00", "d00x")] == pytest.approx(len(s1 & s2) / len(s1 | s2))
+
+
+def test_ngram_jaccard_max_df_prunes(spark, corpus):
+    # d00's shingles live in {d00, d00x, dup1} → df ≤ 3 unless shared by
+    # chance; max_df=3 drops only chance-shared shingles, so the identical
+    # pair keeps J = 1.0 (intersection and sizes shrink together)
+    pruned = ngram_jaccard_exact_pairs(
+        corpus, shingle_n=3, threshold=0.99, max_df=3
+    ).toPandas()
+    found = {(a, b): j for a, b, j in zip(pruned.id_a, pruned.id_b, pruned.jaccard)}
+    assert found[("d00", "dup1")] == pytest.approx(1.0)
+    # a too-aggressive cap empties the posting list entirely: no pairs, no crash
+    empty = ngram_jaccard_exact_pairs(corpus, shingle_n=3, threshold=0.0, max_df=0)
+    assert empty.count() == 0
 
 
 def test_simhash_value_and_pairs(spark, corpus):
