@@ -413,13 +413,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup pairs: 4 byte-slices of the 32-bit
-    fingerprint (pigeonhole: hamming ≤ 3 ⇒ ≥1 slice collides), bucket
-    join, bit_count(xor) verify ≤ 6."""
+    fingerprint, bucket join, bit_count(xor) verify ≤ 3 — within the
+    pigeonhole bound (hamming ≤ num_bands-1 ⇒ ≥1 slice collides), so the
+    returned pair set is exactly ALL pairs at hamming ≤ 3 (ADVICE r1: the
+    old max_hamming=6 silently missed non-colliding hamming-4..6 pairs)."""
     from docarray_spark.operators import simhash_dup_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return simhash_dup_pairs(
-        docs, id_col="doc_id", text_col="text", bits=32, max_hamming=6,
+        docs, id_col="doc_id", text_col="text", bits=32, max_hamming=3,
         num_bands=4,
     )
 
@@ -586,14 +588,36 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-k (numpy projections — not SQL-
-    reproducible; driver records the rows-only check, recall is asserted
-    against the exact operator in tests/test_ann.py)."""
+    """Hyperplane-LSH approximate top-k. Hyperplanes are md5-derived ±1
+    signs (functions/lsh.py), so the ENTIRE operator — bucketing included —
+    is reproduced by the DuckDB oracle; the bucket join ships ids only
+    (vectors re-joined for the exact re-rank). Recall vs the exact operator
+    is additionally asserted in tests/test_ann.py."""
     emb, queries = _emb_corpus_queries(spark, sf_dir, 8)
     return lsh_match(
         emb, queries, k=10, metric="cosine", corpus_id_col="vec_id",
         query_id_col="id", num_planes=4, num_tables=16, round_scores=6,
         dim=64,
+    )
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs where the ORACLE mirrors the LSH bucketing
+    itself (md5-derived hyperplane signatures as literal ±1 arrays in SQL):
+    the hash gate pins candidate generation, not just the verified output.
+    Complements `dedup_embedding`, whose oracle is the exact all-pairs set."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    copies = emb.filter(F.col("id") % 20 == 0).select(
+        (F.col("id") + 100000).alias("id"),
+        F.expr("transform(embedding, x -> x + 0.01d)").alias("embedding"),
+    )
+    base = emb.unionByName(copies)
+    return embedding_dup_pairs(
+        base, id_col="id", threshold=0.05, method="lsh",
+        num_planes=8, num_tables=4, seed=42, round_to=6, dim=64,
     )
 
 
@@ -717,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_knn_cosine": q_sparse_knn_cosine,
         "ann_ivf_cosine": q_ann_ivf_cosine,
         "ann_lsh_cosine": q_ann_lsh_cosine,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "mm_image_chunks": q_mm_image_chunks,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -724,7 +749,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from docarray_spark.functions.lsh import signatures_sql_expr
+
+    # md5-derived ±1 hyperplanes inlined as literal arrays: the oracle
+    # reproduces the LSH bucketing itself, not just the verified output
+    _sig_ann = signatures_sql_expr(64, 16, 4, 42, "v")      # ann_lsh_cosine
+    _sig_dup = signatures_sql_expr(64, 4, 8, 42, "v")       # dedup_embedding_lsh
     return {
+        "ann_lsh_cosine": f"""
+            WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+            sig AS (SELECT id, {_sig_ann} AS sigs FROM base),
+            cb AS (
+              SELECT s.id AS match_id, t.i AS tbl, s.sigs[t.i + 1] AS sg
+              FROM sig s CROSS JOIN (SELECT unnest(range(0, 16)) AS i) t
+            ),
+            cand AS (
+              SELECT DISTINCT q.match_id AS query_id, c.match_id
+              FROM cb q JOIN cb c ON q.tbl = c.tbl AND q.sg = c.sg
+              WHERE q.match_id < 8
+            ),
+            scored AS (
+              SELECT cand.query_id, cand.match_id,
+                     1 - list_cosine_similarity(bq.v, bc.v) AS score
+              FROM cand JOIN base bq ON bq.id = cand.query_id
+                        JOIN base bc ON bc.id = cand.match_id
+            ),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score, match_id) AS rnk FROM scored)
+            SELECT query_id, match_id, rnk::INT AS rank, round(score, 6) AS score,
+                   'cosine' AS metric_name
+            FROM r WHERE rnk <= 10
+        """,
+        "dedup_embedding_lsh": f"""
+            WITH base AS (
+              SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x + 0.01)
+              FROM embeddings WHERE vec_id % 20 = 0
+            ),
+            sig AS (SELECT id, {_sig_dup} AS sigs FROM base),
+            b AS (
+              SELECT s.id, t.i AS tbl, s.sigs[t.i + 1] AS sg
+              FROM sig s CROSS JOIN (SELECT unnest(range(0, 4)) AS i) t
+            ),
+            cand AS (
+              SELECT DISTINCT l.id AS id_a, r.id AS id_b
+              FROM b l JOIN b r ON l.tbl = r.tbl AND l.sg = r.sg AND l.id < r.id
+            ),
+            pairs AS (
+              SELECT id_a, id_b,
+                     round(1 - list_cosine_similarity(a.v, b2.v), 6) AS cosine_dist
+              FROM cand JOIN base a ON a.id = cand.id_a
+                        JOIN base b2 ON b2.id = cand.id_b
+            )
+            SELECT id_a, id_b, cosine_dist FROM pairs WHERE cosine_dist < 0.05
+        """,
         "ql_filter_range": """
             SELECT * FROM documents
             WHERE lang = 'en' AND n_chars >= 100 AND n_chars < 400
@@ -1300,7 +1379,7 @@ def oracle_sql() -> dict[str, str]:
                 ON l.band = r.band AND l.sliceval = r.sliceval AND l.doc_id < r.doc_id
             )
             SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
-            FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
+            FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
         """,
         "dedup_embedding": """
             WITH base AS (

