@@ -95,6 +95,39 @@ def mask_filter(df: DataFrame, mask: Column) -> DataFrame:
     return df.filter(mask)
 
 
+def get_by_bool_mask(
+    df: DataFrame, mask: Sequence[bool], offset_col: str = "offset"
+) -> DataFrame:
+    """Literal boolean-mask indexing ``da[[True, False, ...]]`` (reference
+    ``getitem.py:48-107`` accepts bool lists / bool ndarrays): keep rows
+    whose offset is a True position. Driver-side masks are inherently
+    small-frame API parity — at scale use :func:`mask_filter` with a Column
+    predicate. The mask must cover the frame (reference semantics: mask
+    length == len(da)); extra False positions are harmless."""
+    positions = [i for i, m in enumerate(mask) if m]
+    return get_by_offsets(df, positions, offset_col=offset_col)
+
+
+def get_by_positions(
+    df: DataFrame, positions: Sequence[int], offset_col: str = "offset"
+) -> DataFrame:
+    """ndarray-style positional indexing ``da[np.array([5, 0, 5])]``
+    (``getitem.py:48-107``): returns rows in the REQUESTED order, duplicates
+    preserved — numpy fancy-indexing semantics, unlike
+    :func:`get_by_offsets`'s set-filter. Positions join in as a broadcast
+    table carrying their selection order."""
+    spark = df.sparkSession
+    pos_df = spark.createDataFrame(
+        [(int(p), i) for i, p in enumerate(positions)],
+        f"{offset_col} long, _sel_order long",
+    )
+    return (
+        df.join(F.broadcast(pos_df), offset_col)
+        .orderBy("_sel_order")
+        .drop("_sel_order")
+    )
+
+
 def set_attrs_where(df: DataFrame, cond: Column, **values: Column | Any) -> DataFrame:
     """Conditional bulk update (``setitem.py:61-244``): for rows matching
     ``cond``, set each column to the given value/Column; others unchanged.
@@ -142,12 +175,12 @@ def delete_where(df: DataFrame, cond: Column) -> DataFrame:
 
 def with_row_offset(df: DataFrame, order_by: Sequence[str], offset_col: str = "offset") -> DataFrame:
     """(Re)build the order index after ops that disturb it — the engine's
-    ``offset2ids`` (``storage/base/helper.py``). Global ``row_number`` is a
-    single-partition bottleneck at scale, so this uses
-    ``zipWithIndex``-free arithmetic: sort-key ranks come from a window
-    ONLY when order_by has real ties; otherwise prefer keeping a stored
-    offset column. Provided for small/medium frames and tests."""
-    from pyspark.sql import Window
+    ``offset2ids`` (``storage/base/helper.py``). Uses the two-phase
+    distributed rank (``group.distributed_row_number``) — no
+    single-partition window over the data."""
+    from docarray_spark.operators.group import distributed_row_number
 
-    w = Window.orderBy(*[F.col(c) for c in order_by])
-    return df.withColumn(offset_col, F.row_number().over(w) - 1)
+    out = distributed_row_number(
+        df, [F.col(c) for c in order_by], out_col=offset_col
+    )
+    return out.withColumn(offset_col, F.col(offset_col) - 1)

@@ -140,3 +140,49 @@ def test_apply_grouped(spark, sf_dir):
     assert set(got) == set(want)
     for k in want:
         assert got[k]["n"] == want[k]["n"] and got[k]["chars"] == want[k]["chars"]
+
+
+def test_map_docs_per_doc(spark, docs):
+    """Per-doc map(func)/apply parity (reference parallel.py:56-115): the
+    row-wise wrapper over the same Arrow-batched mechanism."""
+    from docarray_spark.operators import map_docs
+
+    out = map_docs(
+        docs.select("id", "weight"),
+        lambda row: {"id": row["id"], "w2": row["weight"] * 2.0},
+        "id string, w2 double",
+        batch_size=16,
+    )
+    got = {r.id: r.w2 for r in out.collect()}
+    assert got == {f"d{i}": 2.0 * i for i in range(100)}
+
+
+def test_distributed_row_number_matches_global_window(spark, docs):
+    """Two-phase rank == global-window row_number on a unique sort key."""
+    from pyspark.sql import Window
+
+    from docarray_spark.operators import distributed_row_number
+
+    got = distributed_row_number(
+        docs, [F.col("weight").desc(), F.col("id").asc()], out_col="rn",
+        num_partitions=7,
+    )
+    w = Window.orderBy(F.col("weight").desc(), F.col("id").asc())
+    want = docs.withColumn("rn", F.row_number().over(w))
+    assert {(r.id, r.rn) for r in got.select("id", "rn").collect()} == {
+        (r.id, r.rn) for r in want.select("id", "rn").collect()
+    }
+
+
+def test_map_batch_does_not_mutate_session_conf(spark, docs):
+    before = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    from docarray_spark.operators import map_batch
+
+    sizes = map_batch(
+        docs.select("id"),
+        lambda pdf: pdf.assign(n=len(pdf))[["id", "n"]],
+        "id string, n long",
+        batch_size=8,
+    ).collect()
+    assert max(r.n for r in sizes) <= 8
+    assert spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == before

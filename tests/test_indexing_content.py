@@ -131,3 +131,19 @@ def test_any_hash(spark):
     got = [r[0] for r in df.select(any_hash_col("v")).collect()]
     assert got[0] == 42 and got[1] == -7
     assert isinstance(got[2], int) and got[2] != 0
+
+
+def test_get_by_bool_mask(spark, docs):
+    from docarray_spark.operators import get_by_bool_mask
+
+    mask = [i % 3 == 0 for i in range(100)]
+    out = get_by_bool_mask(docs, mask)
+    assert sorted(r.offset for r in out.collect()) == [i for i in range(100) if i % 3 == 0]
+
+
+def test_get_by_positions_order_and_duplicates(spark, docs):
+    """numpy fancy-indexing semantics: requested order, duplicates kept."""
+    from docarray_spark.operators import get_by_positions
+
+    out = get_by_positions(docs, [5, 0, 5, 42])
+    assert [r.offset for r in out.collect()] == [5, 0, 5, 42]
