@@ -219,6 +219,20 @@ def q_traverse_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traverse(nodes, "c[:1],cc[-1]").select("id", "parent_id", "granularity", "text")
 
 
+def q_traverse_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal attribute selectors '.[banner, paragraphs]'
+    (traverse.py:16-52 grammar, multimodal.py:100-136 resolution): 'banner'
+    is a DOCUMENT attribute at chunk position 0 (the chunk itself);
+    'paragraphs' is ITERABLE at position 1 (that chunk's chunks)."""
+    nodes = _doc_nodes(spark, sf_dir)
+    mm = {
+        "banner": {"position": 0, "iterable": False},
+        "paragraphs": {"position": 1, "iterable": True},
+    }
+    out = traverse(nodes, ".[banner, paragraphs]", mm_schema=mm)
+    return out.select("id", "parent_id", "granularity", "text")
+
+
 def q_traverse_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'m[:3]' traversal — the MatchArray step (array/match.py): hop from
     root docs through the matches table (kNN output) back onto nodes,
@@ -333,6 +347,33 @@ def q_nested_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = _doc_nodes(spark, sf_dir)
     out = set_along_path(nodes, "c[:1]", text=F.lit("X"))
     return out.select("id", "parent_id", "granularity", "text")
+
+
+def q_reduce_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE reduce_all (array/mixins/reduce.py:47-91): merge two chunked
+    corpora tree-by-tree. Left = trees for doc_id<350 (lowercase text,
+    weight set only at roots); right = trees for doc_id>=200 (uppercase
+    text, weight=-1 everywhere). Overlapping trees merge chunk-by-chunk
+    with left priority (left text wins; left's NULL chunk weights take the
+    right value); right-only trees append whole. One merge-by-id over the
+    flat nodes table IS the recursion in the adjacency encoding."""
+    from docarray_spark.operators import reduce_all
+
+    nodes = _doc_nodes(spark, sf_dir).select(
+        "id", "parent_id", "granularity", "text"
+    )
+    rootnum = F.split(F.col("id"), r"\.").getItem(0).cast("int")
+    left = nodes.filter(rootnum < 350).withColumn(
+        "weight",
+        F.when(F.col("granularity") == 0, F.length("text").cast("double")),
+    )
+    right = (
+        nodes.filter(rootnum >= 200)
+        .withColumn("text", F.upper("text"))
+        .withColumn("weight", F.lit(-1.0))
+    )
+    merged, _ = reduce_all(left, right)
+    return merged.select("id", "parent_id", "granularity", "text", "weight")
 
 
 def q_embed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,12 +752,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_inner_product": q_knn_inner_product,
         "group_counts": q_group_counts,
         "reduce_merge": q_reduce_merge,
+        "reduce_nested": q_reduce_nested,
         "hash_sample": q_hash_sample,
         "cube_rollup": q_cube_rollup,
         "asof_join": q_asof_join,
         "batch_ids": q_batch_ids,
         "set_ops": q_set_ops,
         "traverse_paths": q_traverse_paths,
+        "traverse_attrs": q_traverse_attrs,
         "traverse_matches": q_traverse_matches,
         "store_roundtrip": q_store_roundtrip,
         "slice_project": q_slice_project,
@@ -956,6 +999,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, parent_id, granularity, text FROM chunks WHERE off = 0
             UNION ALL
             SELECT id, parent_id, granularity, text FROM grand WHERE off = 1
+        """,
+        "reduce_nested": """
+            WITH roots AS (SELECT doc_id::VARCHAR AS id, doc_id AS num, text FROM documents),
+            chunks AS (
+              SELECT id || '.0' AS id, num, id AS parent_id, 1 AS granularity,
+                     substr(text, 1, length(text) // 2) AS text FROM roots
+              UNION ALL
+              SELECT id || '.1', num, id, 1, substr(text, length(text) // 2 + 1) FROM roots
+            ),
+            grand AS (
+              SELECT id || '.0' AS id, num, id AS parent_id, 2 AS granularity,
+                     substr(text, 1, length(text) // 2) AS text FROM chunks
+              UNION ALL
+              SELECT id || '.1', num, id, 2, substr(text, length(text) // 2 + 1) FROM chunks
+            ),
+            nodes AS (
+              SELECT id, num, '' AS parent_id, 0 AS granularity, text FROM roots
+              UNION ALL SELECT id, num, parent_id, granularity, text FROM chunks
+              UNION ALL SELECT id, num, parent_id, granularity, text FROM grand
+            ),
+            a AS (
+              SELECT id, parent_id, granularity, text,
+                     CASE WHEN granularity = 0 THEN length(text)::DOUBLE END AS weight
+              FROM nodes WHERE num < 350
+            ),
+            b AS (
+              SELECT id, parent_id, granularity, upper(text) AS text,
+                     -1.0 AS weight
+              FROM nodes WHERE num >= 200
+            )
+            SELECT COALESCE(a.id, b.id) AS id,
+                   COALESCE(a.parent_id, b.parent_id) AS parent_id,
+                   COALESCE(a.granularity, b.granularity) AS granularity,
+                   COALESCE(a.text, b.text) AS text,
+                   COALESCE(a.weight, b.weight) AS weight
+            FROM a FULL OUTER JOIN b ON a.id = b.id
+        """,
+        "traverse_attrs": """
+            WITH roots AS (SELECT doc_id::VARCHAR AS id, text FROM documents),
+            chunks AS (
+              SELECT id || '.0' AS id, id AS parent_id, 1 AS granularity, 0 AS off,
+                     substr(text, 1, length(text) // 2) AS text FROM roots
+              UNION ALL
+              SELECT id || '.1', id, 1, 1, substr(text, length(text) // 2 + 1) FROM roots
+            ),
+            grand AS (
+              SELECT id || '.0' AS id, id AS parent_id, 2 AS granularity, 0 AS off,
+                     substr(text, 1, length(text) // 2) AS text FROM chunks
+              UNION ALL
+              SELECT id || '.1', id, 2, 1, substr(text, length(text) // 2 + 1) FROM chunks
+            )
+            -- banner: the position-0 chunk itself (DOCUMENT attribute)
+            SELECT id, parent_id, granularity, text FROM chunks WHERE off = 0
+            UNION ALL
+            -- paragraphs: children of the position-1 chunk (ITERABLE attribute)
+            SELECT g.id, g.parent_id, g.granularity, g.text
+            FROM grand g JOIN chunks c ON g.parent_id = c.id AND c.off = 1
         """,
         "traverse_matches": """
             WITH q AS (

@@ -34,6 +34,62 @@ def reduce_docs(left: DataFrame, right: DataFrame, id_col: str = "id") -> DataFr
     return joined.select(*out)
 
 
+def reduce_matches(
+    left: DataFrame | None,
+    right: DataFrame | None,
+    query_col: str = "query_id",
+    match_col: str = "match_id",
+) -> DataFrame | None:
+    """Merge two matches tables (edge lists): union, dedup on the
+    (query, match) edge with LEFT priority for edge attributes — the
+    MatchArray half of the reference's recursive reduce
+    (``reduce.py:60-66``; its note applies here too: merged matches are not
+    rank-sorted — re-rank downstream if needed)."""
+    if left is None:
+        return right
+    if right is None:
+        return left
+    from pyspark.sql import Window
+
+    l = left.withColumn("_src", F.lit(0))
+    r = right.withColumn("_src", F.lit(1))
+    both = l.unionByName(r, allowMissingColumns=True)
+    w = Window.partitionBy(query_col, match_col).orderBy("_src")
+    return (
+        both.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+
+
+def reduce_all(
+    left_nodes: DataFrame,
+    right_nodes: DataFrame,
+    left_matches: DataFrame | None = None,
+    right_matches: DataFrame | None = None,
+    id_col: str = "id",
+) -> tuple[DataFrame, DataFrame | None]:
+    """RECURSIVE reduce (reference ``reduce.py:47-91``): merge two document
+    TREES, recursing into chunks and matches at every depth.
+
+    In the adjacency-list encoding the recursion collapses into flat
+    relational algebra — chunks at every granularity are rows of the nodes
+    table keyed by their own id, so ONE merge-by-id over the nodes tables
+    reproduces the reference's depth-first walk exactly:
+
+    * node in both trees → field-wise left-priority merge (chunk-level
+      merge at any depth, ``_reduce_doc_props`` at ``reduce.py:7-16``;
+      left's ``parent_id`` wins, matching its set-field exclusion);
+    * node only in the right tree → appended with its whole subtree (its
+      descendants are also right-only rows).
+
+    Matches tables merge via :func:`reduce_matches`. Cost: one hash
+    shuffle per table on id — no per-level iteration, no driver recursion;
+    at 100 TB this is the same plan as the flat reduce, NOT a tree walk."""
+    nodes = reduce_docs(left_nodes, right_nodes, id_col=id_col)
+    return nodes, reduce_matches(left_matches, right_matches)
+
+
 def concat(left: DataFrame, right: DataFrame) -> DataFrame:
     """``extend`` / ``+`` — concatenation, duplicates allowed
     (``storage/base/seqlike.py:10-25``)."""

@@ -30,10 +30,37 @@ import re
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_TOKEN = re.compile(r"(?P<kind>[rcm])(?:\[(?P<slice>-?\d*(?::-?\d*)?)\])?")
+# selector = r|c|m | multimodal attribute list '.[a,b]'
+# (reference grammar: ``ATTRIBUTE = \.\[name(,name)*\]`` at
+# ``array/mixins/traverse.py:16-52``), each optionally followed by a
+# wrapped slice ``[lo:hi]`` / index ``[i]``
+_TOKEN = re.compile(
+    r"(?:(?P<kind>[rcm])"
+    r"|\.\[(?P<attrs>[A-Za-z_][A-Za-z0-9_]*(?:,[A-Za-z_][A-Za-z0-9_]*)*)\])"
+    r"(?:\[(?P<slice>-?\d*(?::-?\d*)?)\])?"
+)
 
 
-def _parse_path(path: str) -> list[tuple[str, tuple[int | None, int | None] | None]]:
+def _split_paths(paths: str) -> list[str]:
+    """Split comma-separated multi-paths, NOT splitting commas inside
+    attribute selectors (``'.[banner,image],c'`` → 2 paths) — the engine
+    analogue of the reference's ``_re_traversal_path_split``."""
+    out, depth, cur = [], 0, []
+    for ch in paths:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [p for p in out if p]
+
+
+def _parse_path(path: str):
     path = path.lstrip("@")
     steps = []
     pos = 0
@@ -50,7 +77,10 @@ def _parse_path(path: str) -> list[tuple[str, tuple[int | None, int | None] | No
             else:
                 i = int(s)
                 sl = (i, i + 1 if i != -1 else None)
-        steps.append((m.group("kind"), sl))
+        if m.group("attrs") is not None:
+            steps.append(("a", (m.group("attrs").split(","), sl)))
+        else:
+            steps.append((m.group("kind"), sl))
         pos = m.end()
     return steps
 
@@ -86,13 +116,22 @@ def traverse(
     parent_col: str = "parent_id",
     granularity_col: str = "granularity",
     order_col: str = "offset",
+    mm_schema: dict | None = None,
 ) -> DataFrame:
     """Select the node rows reached by a traversal path (comma-separated
-    multi-paths union, duplicates kept — ``traverse_flat`` semantics)."""
+    multi-paths union, duplicates kept — ``traverse_flat`` semantics).
+
+    ``mm_schema`` enables multimodal attribute selectors ``.[banner, image]``
+    (reference ``traverse.py:16-52`` grammar + ``document/mixins/
+    multimodal.py:100-136`` resolution): a dict ``{attribute: {"position":
+    int, "iterable": bool}}`` — the engine analogue of the stored
+    ``multi_modal_schema`` metadata. ``position`` is the chunk index under
+    the parent; iterable attributes descend one extra level (the chunk's
+    chunks), exactly ``get_multi_modal_attribute``'s two branches."""
+    path = re.sub(r"\s+", "", path)
     outs = [
-        _traverse_one(nodes, p.strip(), matches, id_col, parent_col, granularity_col, order_col)
-        for p in path.split(",")
-        if p.strip()
+        _traverse_one(nodes, p, matches, id_col, parent_col, granularity_col, order_col, mm_schema)
+        for p in _split_paths(path)
     ]
     res = outs[0]
     for o in outs[1:]:
@@ -100,7 +139,7 @@ def traverse(
     return res
 
 
-def _traverse_one(nodes, path, matches, id_col, parent_col, granularity_col, order_col):
+def _traverse_one(nodes, path, matches, id_col, parent_col, granularity_col, order_col, mm_schema=None):
     steps = _parse_path(path)
     cur = nodes.filter(F.col(granularity_col) == 0)
     for kind, sl in steps:
@@ -112,6 +151,39 @@ def _traverse_one(nodes, path, matches, id_col, parent_col, granularity_col, ord
             cur = nodes.join(frontier, nodes[parent_col] == F.col("_fid"), "inner").drop("_fid")
             if sl is not None:
                 cur = _apply_slice(cur, [parent_col], order_col, sl)
+        elif kind == "a":
+            attrs, attr_sl = sl
+            if mm_schema is None:
+                raise ValueError(
+                    f"path step .[{','.join(attrs)}] needs mm_schema "
+                    "(the multi_modal_schema metadata)"
+                )
+            for name in attrs:
+                if name not in mm_schema:
+                    raise ValueError(f"unknown multimodal attribute {name!r}")
+            frontier = cur.select(F.col(id_col).alias("_fid")).distinct()
+            child = nodes.join(
+                frontier, nodes[parent_col] == F.col("_fid"), "inner"
+            ).drop("_fid")
+            w = Window.partitionBy(parent_col).orderBy(F.col(order_col).asc())
+            child = child.withColumn("_pos", F.row_number().over(w) - 1)
+            per_attr = []
+            for name in attrs:
+                spec = mm_schema[name]
+                sel = child.filter(
+                    F.col("_pos") == int(spec["position"])
+                ).drop("_pos")
+                if spec.get("iterable"):
+                    mid = sel.select(F.col(id_col).alias("_mid")).distinct()
+                    sel = nodes.join(
+                        mid, nodes[parent_col] == F.col("_mid"), "inner"
+                    ).drop("_mid")
+                if attr_sl is not None:
+                    sel = _apply_slice(sel, [parent_col], order_col, attr_sl)
+                per_attr.append(sel)
+            cur = per_attr[0]
+            for o in per_attr[1:]:
+                cur = cur.unionByName(o)
         elif kind == "m":
             if matches is None:
                 raise ValueError("path contains 'm' but no matches DataFrame given")
@@ -143,6 +215,7 @@ def set_along_path(
     path: str,
     matches: DataFrame | None = None,
     id_col: str = "id",
+    mm_schema: dict | None = None,
     **values,
 ) -> DataFrame:
     """Nested bulk set ``da['@c', 'text'] = [...]``
@@ -153,7 +226,9 @@ def set_along_path(
     Relational shape: traverse → distinct reached-id set → semi-join flag →
     conditional projection. One equi-join against the (usually small)
     reached set; no second shuffle of the nodes table."""
-    reached = traverse(nodes, path, matches=matches, id_col=id_col).select(
+    reached = traverse(
+        nodes, path, matches=matches, id_col=id_col, mm_schema=mm_schema
+    ).select(
         F.col(id_col).alias("_rid")
     ).distinct()
     flagged = nodes.join(

@@ -186,3 +186,48 @@ def test_map_batch_does_not_mutate_session_conf(spark, docs):
     ).collect()
     assert max(r.n for r in sizes) <= 8
     assert spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == before
+
+
+def test_reduce_all_recursive_semantics(spark):
+    """Recursive reduce (reference reduce.py:47-91) on two 2-level trees:
+    chunk-level left-priority merge, right-only subtrees appended whole."""
+    from pyspark.sql import Row
+
+    from docarray_spark.operators import reduce_all
+
+    left = spark.createDataFrame([
+        Row(id="a", parent_id="", granularity=0, text="A", w=1.0),
+        Row(id="a.0", parent_id="a", granularity=1, text="Ac", w=None),
+    ])
+    right = spark.createDataFrame([
+        Row(id="a", parent_id="", granularity=0, text="XX", w=9.0),
+        Row(id="a.0", parent_id="a", granularity=1, text="Yc", w=5.0),
+        Row(id="a.1", parent_id="a", granularity=1, text="Zc", w=6.0),
+        Row(id="b", parent_id="", granularity=0, text="B", w=7.0),
+        Row(id="b.0", parent_id="b", granularity=1, text="Bc", w=8.0),
+    ])
+    nodes, _ = reduce_all(left, right)
+    got = {r.id: (r.text, r.w) for r in nodes.collect()}
+    assert got == {
+        "a": ("A", 1.0),      # both: left priority
+        "a.0": ("Ac", 5.0),   # chunk-level merge: left text, right fills null w
+        "a.1": ("Zc", 6.0),   # right-only chunk appended
+        "b": ("B", 7.0),      # right-only tree appended whole
+        "b.0": ("Bc", 8.0),
+    }
+
+
+def test_reduce_matches_left_priority(spark):
+    from pyspark.sql import Row
+
+    from docarray_spark.operators import reduce_matches
+
+    l = spark.createDataFrame([Row(query_id="q", match_id="m1", rank=1, score=0.1)])
+    r = spark.createDataFrame([
+        Row(query_id="q", match_id="m1", rank=9, score=0.9),
+        Row(query_id="q", match_id="m2", rank=2, score=0.2),
+    ])
+    got = {(x.query_id, x.match_id): (x.rank, x.score) for x in reduce_matches(l, r).collect()}
+    assert got == {("q", "m1"): (1, 0.1), ("q", "m2"): (2, 0.2)}
+    assert reduce_matches(None, r).count() == 2
+    assert reduce_matches(l, None).count() == 1

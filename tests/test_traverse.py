@@ -85,3 +85,46 @@ def test_bad_path(spark, nodes):
         traverse(nodes, "x")
     with pytest.raises(ValueError):
         traverse(nodes, "m")  # no matches table
+
+
+def test_attribute_selector_document_and_iterable(spark, nodes):
+    """.[a] / .[a,b] multimodal attribute steps (reference traverse.py:16-52
+    grammar + multimodal.py:117-136 get_multi_modal_attribute): DOCUMENT
+    attr -> the position-th chunk; ITERABLE attr -> that chunk's chunks."""
+    from docarray_spark.operators import traverse
+
+    mm = {
+        "banner": {"position": 0, "iterable": False},
+        "paragraphs": {"position": 1, "iterable": True},
+    }
+    banner = traverse(nodes, ".[banner]", mm_schema=mm)
+    assert {r.id for r in banner.collect()} == {
+        f"root{i:02d}.c0" for i in range(N_ROOTS)
+    }
+    both = traverse(nodes, ".[banner, paragraphs]", mm_schema=mm)
+    want = {f"root{i:02d}.c0" for i in range(N_ROOTS)} | {
+        f"root{i:02d}.c1.c{l}" for i in range(N_ROOTS) for l in range(2)
+    }
+    assert {r.id for r in both.collect()} == want
+
+
+def test_attribute_selector_slice_and_multipath_split(spark, nodes):
+    from docarray_spark.operators import traverse
+
+    mm = {"paragraphs": {"position": 1, "iterable": True}}
+    first = traverse(nodes, ".[paragraphs][:1]", mm_schema=mm)
+    assert {r.id for r in first.collect()} == {
+        f"root{i:02d}.c1.c0" for i in range(N_ROOTS)
+    }
+    # comma inside the selector must not split the multi-path
+    multi = traverse(nodes, ".[paragraphs],r", mm_schema=mm)
+    assert multi.count() == N_ROOTS * 2 + N_ROOTS
+
+
+def test_attribute_selector_requires_schema(spark, nodes):
+    import pytest as _pytest
+
+    from docarray_spark.operators import traverse
+
+    with _pytest.raises(ValueError):
+        traverse(nodes, ".[banner]").collect()
