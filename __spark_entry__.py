@@ -592,6 +592,20 @@ def q_knn_euclidean_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus×corpus k-NN graph, SINGLE pass (no driver query collect,
+    no per-block corpus re-scan): shuffle-based block-nested loop — rows
+    explode to (query_block, corpus_block) task keys, one applyInPandas
+    partial top-k per block pair, one window merge. One corpus scan in the
+    plan (pinned in tests/test_plans.py)."""
+    from docarray_spark.operators import knn_graph
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    return knn_graph(emb, k=10, n_blocks=8, round_scores=6)
+
+
 def q_knn_inner_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max-inner-product search (engine extension; score = -dot)."""
     emb, queries = _emb_corpus_queries(spark, sf_dir, 10)
@@ -750,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_sqeuclidean_filtered": q_knn_sqeuclidean_filtered,
         "knn_euclidean_normalized": q_knn_euclidean_normalized,
         "knn_inner_product": q_knn_inner_product,
+        "knn_graph": q_knn_graph,
         "group_counts": q_group_counts,
         "reduce_merge": q_reduce_merge,
         "reduce_nested": q_reduce_nested,
@@ -999,6 +1014,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, parent_id, granularity, text FROM chunks WHERE off = 0
             UNION ALL
             SELECT id, parent_id, granularity, text FROM grand WHERE off = 1
+        """,
+        "knn_graph": """
+            WITH d AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+                     1 - list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]) AS dist
+              FROM embeddings a CROSS JOIN embeddings b
+              WHERE a.vec_id <> b.vec_id
+            ),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY dist, match_id) AS rnk FROM d)
+            SELECT query_id, match_id, rnk::INT AS rank, round(dist, 6) AS score,
+                   'cosine' AS metric_name
+            FROM r WHERE rnk <= 10
         """,
         "reduce_nested": """
             WITH roots AS (SELECT doc_id::VARCHAR AS id, doc_id AS num, text FROM documents),

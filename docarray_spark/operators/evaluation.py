@@ -73,11 +73,14 @@ def hit_at_k(rel: Column, k: int | None = None, **_) -> Column:
     return (_sum(_headk(rel, k)) > 0).cast("double")
 
 
-def recall_at_k(rel: Column, max_rel: int, k: int | None = None, **_) -> Column:
-    return _sum(_headk(rel, k)) / F.lit(float(max_rel))
+def recall_at_k(rel: Column, max_rel: int | Column, k: int | None = None, **_) -> Column:
+    mr = max_rel if isinstance(max_rel, Column) else F.lit(float(max_rel))
+    return F.when(
+        mr > 0, _sum(_headk(rel, k)) / mr.cast("double")
+    ).otherwise(F.lit(0.0))
 
 
-def f1_score_at_k(rel: Column, max_rel: int, k: int | None = None, **_) -> Column:
+def f1_score_at_k(rel: Column, max_rel: int | Column, k: int | None = None, **_) -> Column:
     p = precision_at_k(rel, k)
     r = recall_at_k(rel, max_rel, k)
     return F.when((p + r) > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
@@ -159,11 +162,30 @@ def evaluate(
     per_query: bool = False,
 ) -> DataFrame:
     """``da.evaluate(groundtruth, metric)`` — per-query metric then corpus
-    mean (``array/mixins/evaluation.py:15-86``)."""
+    mean (``array/mixins/evaluation.py:15-86``).
+
+    ``max_rel=None`` derives it PER QUERY as that query's groundtruth-set
+    size — the reference's default (``evaluation.py:55-57``; ADVICE r1: a
+    single global max_rel mis-scores queries with differently-sized
+    groundtruth sets). Pass an int to force a global bound."""
     if metric not in METRICS:
         raise ValueError(f"unknown metric {metric!r}; choose from {sorted(METRICS)}")
     rel = relevance_arrays(matches, groundtruth)
-    expr = METRICS[metric](F.col("rel"), k=k, max_rel=max_rel, method=method)
+    mr = max_rel
+    if max_rel is None and metric in ("recall_at_k", "f1_score_at_k"):
+        gtc = (
+            groundtruth.select(
+                F.col("query_id").alias("_gq"), F.col("match_id").alias("_gm")
+            )
+            .distinct()
+            .groupBy("_gq")
+            .agg(F.count(F.lit(1)).alias("_max_rel"))
+        )
+        rel = rel.join(
+            F.broadcast(gtc), rel["query_id"] == F.col("_gq"), "left"
+        ).drop("_gq")
+        mr = F.coalesce(F.col("_max_rel"), F.lit(0)).cast("double")
+    expr = METRICS[metric](F.col("rel"), k=k, max_rel=mr, method=method)
     per = rel.select("query_id", expr.alias("value"))
     if per_query:
         return per

@@ -70,8 +70,17 @@ def salted_join(
     """Skew-safe equi-join: left rows get a salt, the right side is
     replicated once per salt value (explode of a literal range — a narrow
     op, no shuffle of right beyond the join's own), and the join key
-    becomes (on…, salt). Output columns match a plain ``left.join(right,
-    on, how)``."""
+    becomes (on…, salt). Output rows match a plain ``left.join(right, on,
+    how)`` for ``how`` in {'inner', 'left', 'left_semi', 'left_anti'} ONLY
+    — replicating the right side would surface unmatched right rows
+    ``n_salts`` times under right/full outer joins (ADVICE r1), so those
+    raise."""
+    allowed = {"inner", "left", "left_outer", "left_semi", "semi", "left_anti", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {sorted(allowed)}; {how!r} would "
+            f"duplicate unmatched right rows {n_salts}x (replicated right side)"
+        )
     ls = with_salt(left, n_salts)
     rs = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

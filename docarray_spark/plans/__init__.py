@@ -8,6 +8,7 @@ from docarray_spark.plans.audit import (
     has_take_ordered,
     pushed_filters,
     read_schemas,
+    scan_count,
     shuffle_count,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "has_take_ordered",
     "pushed_filters",
     "read_schemas",
+    "scan_count",
     "shuffle_count",
 ]

@@ -68,6 +68,16 @@ def shuffle_count(df: DataFrame) -> int:
     return len(re.findall(r"\bExchange\b", s))
 
 
+def scan_count(df: DataFrame) -> int:
+    """Number of file-source scans in the plan — pins 'reads the input
+    once' properties (a per-block driver loop would show n_blocks scans)."""
+    s = explain_str(df)
+    ids = set(re.findall(r"\((\d+)\) Scan \w+", s))
+    if ids:
+        return len(ids)
+    return len(re.findall(r"\bScan (?:parquet|csv|json|text)\b", s))
+
+
 def exchange_blocks(df: DataFrame) -> list[tuple[str, str]]:
     """(partitioning_arguments, input_columns) for every shuffle Exchange
     detail block in the formatted plan — lets tests pin WHAT flows through

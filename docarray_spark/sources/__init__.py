@@ -1,5 +1,6 @@
 from docarray_spark.sources.readers import (
     read_csv_documents,
+    fetch_uris,
     read_files,
     read_ndjson,
     read_parquet,
@@ -19,6 +20,7 @@ from docarray_spark.sources.writers import (
 
 __all__ = [
     "read_csv_documents",
+    "fetch_uris",
     "read_files",
     "read_ndjson",
     "read_parquet",

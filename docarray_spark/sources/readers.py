@@ -78,6 +78,87 @@ def read_ndjson(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.json(path)
 
 
+def fetch_uris(
+    df: DataFrame,
+    uri_col: str = "uri",
+    out_col: str = "blob",
+    as_text: bool = False,
+    encoding: str = "utf-8",
+    timeout: float = 10.0,
+    allow_schemes: tuple[str, ...] = ("file", "data"),
+) -> DataFrame:
+    """``load_uri_to_blob`` / ``load_uri_to_text`` with REMOTE fetch
+    (reference ``document/mixins/blob.py:12-41`` accepts http(s)/data/file
+    URIs; round-1 gap #5 — only file globs were supported).
+
+    Executor-side fetch inside ``mapInPandas``: each Arrow batch resolves
+    its URIs with urllib on the worker, so the driver never touches
+    content and fetches run with full cluster parallelism. Network egress
+    from executors is an EXPLICIT opt-in — pass
+    ``allow_schemes=("file", "data", "http", "https")`` to enable remote
+    schemes; anything outside the allowlist yields an error row, not a
+    fetch. Failures land in ``<out_col>_error`` (null on success) instead
+    of failing the job — at 100 TB some URLs are always dead.
+
+    → input columns + ``out_col`` (binary, or string when ``as_text``) +
+    ``<out_col>_error`` (string)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    # build a fresh StructType — StructType.add mutates in place, and
+    # df.schema hands back the DataFrame's cached schema object
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(out_col, T.StringType() if as_text else T.BinaryType()),
+            T.StructField(f"{out_col}_error", T.StringType()),
+        ]
+    )
+    schemes = tuple(s.lower() for s in allow_schemes)
+
+    def _fetch_one(uri):
+        from urllib.parse import urlparse
+        from urllib.request import urlopen
+
+        if uri is None:
+            return None, "null uri"
+        scheme = (urlparse(str(uri)).scheme or "file").lower()
+        if scheme not in schemes:
+            return None, f"scheme {scheme!r} not in allow_schemes"
+        try:
+            if scheme == "data":
+                head, _, payload = str(uri).partition(",")
+                import base64
+
+                raw = (
+                    base64.b64decode(payload)
+                    if head.endswith(";base64")
+                    else payload.encode(encoding)
+                )
+            elif scheme == "file":
+                path = str(uri)[7:] if str(uri).startswith("file://") else str(uri)
+                with open(path, "rb") as f:
+                    raw = f.read()
+            else:
+                with urlopen(str(uri), timeout=timeout) as r:
+                    raw = r.read()
+            return (raw.decode(encoding) if as_text else raw), None
+        except Exception as e:  # noqa: BLE001 — error-row semantics
+            return None, f"{type(e).__name__}: {e}"
+
+    def _runner(batches):
+        for pdf in batches:
+            fetched = [_fetch_one(u) for u in pdf[uri_col]]
+            out = pdf.copy()
+            out[out_col] = pd.Series([f[0] for f in fetched], index=pdf.index, dtype=object)
+            out[f"{out_col}_error"] = pd.Series(
+                [f[1] for f in fetched], index=pdf.index, dtype=object
+            )
+            yield out
+
+    return df.mapInPandas(_runner, schema)
+
+
 def read_files(spark: SparkSession, glob: str, recursive: bool = True) -> DataFrame:
     """``from_files`` analogue (``document/generators.py:56-124``): glob →
     rows of (path→uri, content→blob, length, modificationTime)."""

@@ -1,0 +1,86 @@
+"""Plan-property pins for EVERY entry query (VERDICT r1, next-round #10):
+per-entry shuffle and scan budgets plus a no-cartesian rule, so refactors
+can't silently regress the physical plans the operators were designed for.
+
+Budgets are UPPER BOUNDS captured from the current plans at sf0.001; a
+failure means a refactor added a shuffle/scan or introduced a cartesian —
+update the table only with a conscious plan-shape decision.
+
+Deliberate cartesians (scalar replicates, VERDICT r1 'acceptable'):
+``text_search_bm25`` crossJoins a broadcast 1-row corpus-stats aggregate;
+``ann_ivf_cosine`` BNL-joins the broadcast 16-row centroid set for probes.
+"""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from docarray_spark.plans import explain_str, has_cartesian, scan_count, shuffle_count
+
+# name: (max_shuffles, max_scans, cartesian_allowed)
+BUDGETS = {
+    "ql_filter_range": (0, 1, False),
+    "ql_filter_logic": (0, 1, False),
+    "ql_filter_regex": (0, 1, False),
+    "ql_filter_size_placeholder": (0, 1, False),
+    "knn_cosine": (1, 1, False),
+    "knn_sqeuclidean_filtered": (1, 1, False),
+    "knn_euclidean_normalized": (1, 1, False),
+    "knn_inner_product": (1, 1, False),
+    "knn_graph": (2, 1, False),
+    "group_counts": (1, 1, False),
+    "reduce_merge": (2, 2, False),
+    "reduce_nested": (2, 14, False),
+    "hash_sample": (0, 1, False),
+    "cube_rollup": (1, 1, False),
+    "asof_join": (1, 2, False),
+    "batch_ids": (1, 1, False),
+    "set_ops": (0, 4, False),
+    "traverse_paths": (5, 23, False),
+    "traverse_attrs": (5, 23, False),
+    "traverse_matches": (2, 3, False),
+    "store_roundtrip": (0, 1, False),
+    "slice_project": (0, 1, False),
+    "crud_update": (0, 1, False),
+    "update_by_id": (0, 2, False),
+    "feature_hash": (2, 2, False),
+    "datauri": (0, 1, False),
+    "eval_metrics": (4, 3, False),
+    "text_stats": (0, 1, False),
+    "lang_id": (0, 1, False),
+    "vocabulary": (7, 2, False),
+    "text_to_tensor": (8, 4, False),
+    "text_search_bm25": (5, 3, True),
+    "nested_set": (3, 15, False),
+    "embed_batch": (0, 1, False),
+    "dedup_exact": (1, 1, False),
+    "dedup_minhash_lsh": (2, 2, False),
+    "dedup_ngram_jaccard": (2, 2, False),
+    "dedup_simhash": (1, 1, False),
+    "dedup_simhash_pairs": (3, 2, False),
+    "dedup_embedding": (5, 8, False),
+    "sparse_knn_cosine": (2, 2, False),
+    "ann_ivf_cosine": (1, 3, True),
+    "ann_lsh_cosine": (2, 4, False),
+    "dedup_embedding_lsh": (5, 8, False),
+    "mm_image_chunks": (0, 1, False),
+    "stream_windowed_counts": (0, 0, False),
+    "stream_dedup_keys": (0, 0, False),
+}
+
+
+def test_every_entry_has_a_budget():
+    assert set(BUDGETS) == set(entry_mod.queries()), (
+        "new entry without a plan budget (or stale budget row)"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_entry_plan_budget(spark, sf_dir, name):
+    max_shuffles, max_scans, cartesian_ok = BUDGETS[name]
+    df = entry_mod.queries()[name](spark, sf_dir)
+    s = shuffle_count(df)
+    assert s <= max_shuffles, f"{name}: {s} shuffles > budget {max_shuffles}\n{explain_str(df)}"
+    c = scan_count(df)
+    assert c <= max_scans, f"{name}: {c} scans > budget {max_scans}\n{explain_str(df)}"
+    if not cartesian_ok:
+        assert not has_cartesian(df), f"{name}: unexpected cartesian\n{explain_str(df)}"

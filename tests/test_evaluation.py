@@ -129,3 +129,27 @@ def test_all_metrics_registered():
         "r_precision", "precision_at_k", "hit_at_k", "average_precision",
         "reciprocal_rank", "recall_at_k", "f1_score_at_k", "dcg_at_k", "ndcg_at_k",
     }
+
+
+def test_evaluate_per_query_max_rel_default(spark):
+    """max_rel=None derives the per-query groundtruth size (reference
+    evaluation.py:55-57): two queries with gt sizes 2 and 4 get different
+    recall denominators."""
+    from pyspark.sql import Row
+
+    from docarray_spark.operators import evaluate
+
+    matches = spark.createDataFrame(
+        [Row(query_id="q1", match_id=m, rank=i + 1) for i, m in enumerate(["a", "b", "x"])]
+        + [Row(query_id="q2", match_id=m, rank=i + 1) for i, m in enumerate(["c", "y", "z"])]
+    )
+    gt = spark.createDataFrame(
+        [Row(query_id="q1", match_id=m) for m in ["a", "b"]]
+        + [Row(query_id="q2", match_id=m) for m in ["c", "d", "e", "f"]]
+    )
+    got = {
+        r.query_id: r.value
+        for r in evaluate(matches, gt, "recall_at_k", k=3, per_query=True).collect()
+    }
+    assert got["q1"] == 2 / 2
+    assert got["q2"] == 1 / 4

@@ -129,3 +129,52 @@ def test_embed_plumbing(spark, sf_dir):
         np.array(one["embedding"]), enc([one["text"]])[0], rtol=1e-6
     )
     assert np.linalg.norm(one["embedding"]) == pytest.approx(1.0, rel=1e-3)
+
+
+def test_fetch_uris_file_data_and_http(spark, tmp_path):
+    """Remote-URI content fetch (reference blob.py:12-41): file://, data:,
+    and http:// (against a local server) with error rows for failures and
+    scheme-allowlist enforcement."""
+    import base64
+    import http.server
+    import threading
+
+    from docarray_spark.sources import fetch_uris
+
+    f = tmp_path / "doc.txt"
+    f.write_text("hello file")
+    data_uri = "data:text/plain;base64," + base64.b64encode(b"hello data").decode()
+
+    srv = http.server.HTTPServer(
+        ("127.0.0.1", 0),
+        lambda *a, **kw: http.server.SimpleHTTPRequestHandler(*a, directory=str(tmp_path), **kw),
+    )
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        df = spark.createDataFrame(
+            [
+                ("a", f"file://{f}"),
+                ("b", data_uri),
+                ("c", f"http://127.0.0.1:{port}/doc.txt"),
+                ("d", f"http://127.0.0.1:{port}/missing.txt"),
+                ("e", "ftp://nope/x"),
+            ],
+            "id string, uri string",
+        )
+        out = fetch_uris(
+            df, as_text=True, out_col="text",
+            allow_schemes=("file", "data", "http"),
+        )
+        got = {r.id: (r.text, r.text_error) for r in out.collect()}
+        assert got["a"] == ("hello file", None)
+        assert got["b"] == ("hello data", None)
+        assert got["c"] == ("hello file", None)
+        assert got["d"][0] is None and "404" in got["d"][1]
+        assert got["e"][0] is None and "allow_schemes" in got["e"][1]
+        # default allowlist blocks http entirely
+        blocked = fetch_uris(df.filter("id = 'c'"), as_text=True, out_col="text")
+        assert "allow_schemes" in blocked.collect()[0].text_error
+    finally:
+        srv.shutdown()

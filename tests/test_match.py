@@ -184,3 +184,28 @@ def test_match_on_chunks_via_traversal(spark):
                 query_id_col="id", eps=0.0)
     best = {r["query_id"]: r["match_id"] for r in got.collect()}
     assert best == {"L.0": "R.0", "L.1": "R.1"}
+
+
+def test_knn_graph_matches_exact(spark, sf_dir):
+    """knn_graph == match(corpus, corpus) on every (query, match, rank)."""
+    from pyspark.sql import functions as F
+
+    from docarray_spark.operators import knn_graph, match
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.col("vec_id").alias("id"), "embedding")
+        .filter("id < 80")
+    )
+    g = {
+        (r.query_id, r.match_id, r.rank, r.score)
+        for r in knn_graph(emb, k=5, n_blocks=4, round_scores=6).collect()
+    }
+    m = {
+        (r.query_id, r.match_id, r.rank, r.score)
+        for r in match(
+            emb, emb, k=5, corpus_id_col="id", exclude_self=True, eps=0.0,
+            round_scores=6,
+        ).collect()
+    }
+    assert g == m

@@ -63,3 +63,17 @@ def test_salted_join_equals_plain(spark, skewed):
         map(tuple, salted_join(skewed, dim, ["k"], n_salts=4, how="left").collect())
     )
     assert left == salted_left
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from docarray_spark.operators import salted_join
+
+    l = spark.createDataFrame([Row(k=1, a="x")])
+    r = spark.createDataFrame([Row(k=1, b="y"), Row(k=2, b="z")])
+    with _pytest.raises(ValueError):
+        salted_join(l, r, ["k"], how="full")
+    with _pytest.raises(ValueError):
+        salted_join(l, r, ["k"], how="right")
