@@ -316,6 +316,55 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021 Table A1): word
+    bounds, mean word length, alpha-word fraction, stopword presence,
+    symbol ratio, bullet/ellipsis lines, duplicate-line and top-bigram
+    repetition + keep verdict — ONE map-only Catalyst projection."""
+    from docarray_spark.operators import gopher_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_quality(docs, id_col="doc_id", text_col="text")
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways — whitespace tokens and a GPT-2-style
+    BPE-ish pre-tokenizer count (RE2-safe regex so the oracle counts the
+    same boundaries). Both are map-only regexp projections, no explode."""
+    from docarray_spark.operators import bpe_token_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != ""))
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        bpe_token_count_col(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) rolling-hash fingerprints: char 5-gram md5 hashes,
+    window-of-4 minima, sorted distinct selection — detects partial overlap
+    that whole-doc hashing misses. Single zero-shuffle projection."""
+    from docarray_spark.operators import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_fingerprints(docs, id_col="doc_id", k=5, w=4).select(
+        "doc_id", F.concat_ws(",", F.col("fingerprint")).alias("fingerprint_csv")
+    )
+
+
+def q_doc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """da.summary() attribute table (reference plot.py:84-104: attribute,
+    dtype, #unique, has-empty) as ONE distributed aggregate instead of a
+    driver-side per-doc loop; exact distinct only because this run is
+    oracle-gated (default is HyperLogLog)."""
+    from docarray_spark.operators import dataset_summary
+
+    docs = _t(spark, sf_dir, "documents")
+    return dataset_summary(docs, exact_distinct=True)
+
+
 def q_text_to_tensor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """convert_text_to_tensor (document/mixins/text.py:38-102): token→id
     sequence via broadcast vocab join (0=pad, 1=unk, ids from 2), trimmed/
@@ -465,6 +514,25 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", text_col="text", bits=32, max_hamming=3,
         num_bands=4,
     )
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster consolidation: simhash pairs → connected components
+    (alternating large-star/small-star, Kiveris SoCC'14 — O(log^2 n) integer
+    shuffles regardless of chain length) → every doc labeled with its
+    cluster's min doc_id + an is_canonical keep flag. The missing last step
+    of every fuzzy-dedup pipeline: pairs alone can't pick survivors when
+    A~B~C but A!~C."""
+    from docarray_spark.operators import dedup_clusters, simhash_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_dup_pairs(
+        docs, id_col="doc_id", text_col="text", bits=32, max_hamming=3,
+        num_bands=4,
+    )
+    return dedup_clusters(
+        docs, pairs, id_col="doc_id", src="id_a", dst="id_b"
+    ).orderBy("doc_id")
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -785,6 +853,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": q_eval_metrics,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
+        "quality_gopher": q_quality_gopher,
+        "token_counts": q_token_counts,
+        "fingerprint_winnow": q_fingerprint_winnow,
+        "doc_summary": q_doc_summary,
         "vocabulary": q_vocabulary,
         "text_to_tensor": q_text_to_tensor,
         "text_search_bm25": q_text_search_bm25,
@@ -795,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_components": q_dedup_components,
         "dedup_embedding": q_dedup_embedding,
         "sparse_knn_cosine": q_sparse_knn_cosine,
         "ann_ivf_cosine": q_ann_ivf_cosine,
@@ -804,6 +877,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_dedup_keys": q_stream_dedup_keys,
     }
+
+
+# SimHash banded near-dup pairs as reusable CTEs (ends in `sh_pairs`):
+# shared by the dedup_simhash_pairs oracle and as the edge list of the
+# dedup_components recursive-CTE oracle.
+_SIMHASH_PAIR_CTES = """fp AS (
+              SELECT doc_id, CAST(list_aggregate(
+                list_transform(range(0, 32), i ->
+                  CASE WHEN list_sum(list_transform(toks, t ->
+                    CASE WHEN (CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                               // CAST(power(2, i) AS BIGINT)) % 2 = 1
+                         THEN 1 ELSE -1 END)) > 0
+                       THEN CAST(power(2, i) AS BIGINT) ELSE 0 END),
+                'sum') AS BIGINT) AS sh
+              FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                    FROM documents)
+            ),
+            slices AS (
+              SELECT doc_id, sh, b.band,
+                     (sh // CAST(power(2, b.band * 8) AS BIGINT)) % 256 AS sliceval
+              FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, l.sh AS sh_a,
+                              r.doc_id AS id_b, r.sh AS sh_b
+              FROM slices l JOIN slices r
+                ON l.band = r.band AND l.sliceval = r.sliceval AND l.doc_id < r.doc_id
+            ),
+            sh_pairs AS (
+              SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+              FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1242,6 +1347,128 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) = 1
         """,
+        "quality_gopher": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '') AS words,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                l -> trim(l)),
+                                 l -> l <> '') AS lines,
+                     len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS symbols
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                len(words) AS n_words,
+                greatest(len(words), 1) AS safe_nw,
+                COALESCE(list_sum(list_transform(words, x -> length(x))), 0) AS char_sum,
+                len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+                len(list_filter(words, x -> list_contains(
+                  ['the','be','to','of','and','that','have','with','a','in'],
+                  lower(x)))) AS stop_hits,
+                symbols,
+                len(lines) AS n_lines,
+                greatest(len(lines), 1) AS safe_nl,
+                len(list_filter(lines, l -> regexp_matches(l, '^[-*•●■]'))) AS bullet_lines,
+                len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)$'))) AS ellipsis_lines,
+                len(list_distinct(lines)) AS uniq_lines,
+                CASE WHEN len(words) >= 2
+                     THEN list_transform(range(1, len(words)),
+                                         i -> words[i] || ' ' || words[i + 1])
+                     ELSE CAST([] AS VARCHAR[]) END AS bigrams
+              FROM w
+            ),
+            sig AS (
+              SELECT doc_id,
+                CAST(n_words AS BIGINT) AS n_words,
+                round(char_sum / safe_nw, 6) AS mean_word_len,
+                round(alpha_words / safe_nw, 6) AS alpha_word_frac,
+                CAST(stop_hits AS BIGINT) AS stopword_hits,
+                round(symbols / safe_nw, 6) AS symbol_word_ratio,
+                round(bullet_lines / safe_nl, 6) AS bullet_line_frac,
+                round(ellipsis_lines / safe_nl, 6) AS ellipsis_line_frac,
+                round((n_lines - uniq_lines) / safe_nl, 6) AS dup_line_frac,
+                CASE WHEN len(bigrams) > 0 THEN
+                  round(list_max(list_transform(bigrams,
+                          b -> len(list_filter(bigrams, x -> x = b))))
+                        / CAST(len(bigrams) AS DOUBLE), 6)
+                ELSE 0.0 END AS top_bigram_frac
+              FROM m
+            )
+            SELECT *,
+              (n_words BETWEEN 50 AND 100000
+               AND mean_word_len BETWEEN 3.0 AND 10.0
+               AND alpha_word_frac >= 0.8
+               AND stopword_hits >= 2
+               AND symbol_word_ratio <= 0.1
+               AND bullet_line_frac <= 0.9
+               AND ellipsis_line_frac <= 0.3
+               AND dup_line_frac <= 0.3
+               AND top_bigram_frac <= 0.2) AS keep
+            FROM sig
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> x <> '')) AS ws_tokens,
+                   len(regexp_extract_all(text,
+                     '''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
+                   )) AS bpe_tokens
+            FROM documents
+        """,
+        "fingerprint_winnow": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id, CASE WHEN length(s) >= 5 THEN
+                  list_transform(range(1, length(s) - 3), i ->
+                    CAST(concat('0x', substr(md5(substr(s, i, 5)), 1, 8)) AS BIGINT))
+                ELSE CAST([] AS BIGINT[]) END AS hs
+              FROM t
+            )
+            SELECT doc_id,
+              array_to_string(list_sort(list_distinct(
+                CASE WHEN len(hs) >= 4
+                     THEN list_transform(range(1, len(hs) - 2), j -> list_min(hs[j:j+3]))
+                     WHEN len(hs) > 0 THEN [list_min(hs)]
+                     ELSE CAST([] AS BIGINT[]) END)), ',') AS fingerprint_csv
+            FROM h
+        """,
+        "doc_summary": """
+            WITH s AS (
+              SELECT count(*) AS rows_,
+                count(doc_id) AS nn_doc_id, count(DISTINCT doc_id) AS nu_doc_id,
+                max(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS he_doc_id,
+                count(text) AS nn_text, count(DISTINCT text) AS nu_text,
+                max(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS he_text,
+                count(lang) AS nn_lang, count(DISTINCT lang) AS nu_lang,
+                max(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END) AS he_lang,
+                count(source) AS nn_source, count(DISTINCT source) AS nu_source,
+                max(CASE WHEN source IS NULL OR source = '' THEN 1 ELSE 0 END) AS he_source,
+                count(n_chars) AS nn_n_chars, count(DISTINCT n_chars) AS nu_n_chars,
+                max(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS he_n_chars
+              FROM documents
+            )
+            SELECT 'doc_id' AS attribute, 'bigint' AS dtype, rows_ AS row_count,
+                   nn_doc_id AS non_null, rows_ - nn_doc_id AS null_count,
+                   nu_doc_id AS n_unique, he_doc_id = 1 AS has_empty FROM s
+            UNION ALL
+            SELECT 'lang', 'string', rows_, nn_lang, rows_ - nn_lang,
+                   nu_lang, he_lang = 1 FROM s
+            UNION ALL
+            SELECT 'n_chars', 'bigint', rows_, nn_n_chars, rows_ - nn_n_chars,
+                   nu_n_chars, he_n_chars = 1 FROM s
+            UNION ALL
+            SELECT 'source', 'string', rows_, nn_source, rows_ - nn_source,
+                   nu_source, he_source = 1 FROM s
+            UNION ALL
+            SELECT 'text', 'string', rows_, nn_text, rows_ - nn_text,
+                   nu_text, he_text = 1 FROM s
+        """,
         "vocabulary": """
             WITH w AS (
               SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
@@ -1483,32 +1710,28 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_keys": """
             SELECT DISTINCT user_id, event_type FROM events
         """,
-        "dedup_simhash_pairs": """
-            WITH fp AS (
-              SELECT doc_id, CAST(list_aggregate(
-                list_transform(range(0, 32), i ->
-                  CASE WHEN list_sum(list_transform(toks, t ->
-                    CASE WHEN (CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
-                               // CAST(power(2, i) AS BIGINT)) % 2 = 1
-                         THEN 1 ELSE -1 END)) > 0
-                       THEN CAST(power(2, i) AS BIGINT) ELSE 0 END),
-                'sum') AS BIGINT) AS sh
-              FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-                    FROM documents)
+        "dedup_simhash_pairs": f"""
+            WITH {_SIMHASH_PAIR_CTES}
+            SELECT id_a, id_b, hamming FROM sh_pairs
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE {_SIMHASH_PAIR_CTES},
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM sh_pairs
+              UNION
+              SELECT id_b, id_a FROM sh_pairs
             ),
-            slices AS (
-              SELECT doc_id, sh, b.band,
-                     (sh // CAST(power(2, b.band * 8) AS BIGINT)) % 256 AS sliceval
-              FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+            reach(node, lbl) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
             ),
-            cand AS (
-              SELECT DISTINCT l.doc_id AS id_a, l.sh AS sh_a,
-                              r.doc_id AS id_b, r.sh AS sh_b
-              FROM slices l JOIN slices r
-                ON l.band = r.band AND l.sliceval = r.sliceval AND l.doc_id < r.doc_id
-            )
-            SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
-            FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+            comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+            SELECT d.doc_id,
+                   COALESCE(c.component, d.doc_id) AS component,
+                   COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+            ORDER BY d.doc_id
         """,
         "dedup_embedding": """
             WITH base AS (

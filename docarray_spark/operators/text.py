@@ -244,3 +244,184 @@ def fingerprint_col(text: Column | str) -> Column:
     text. Engine-portable (md5 everywhere)."""
     t = F.col(text) if isinstance(text, str) else text
     return F.md5(F.regexp_replace(F.lower(F.trim(t)), r"\s+", " "))
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to the RE2-compatible subset
+# (no lookarounds, no backrefs) so Spark's Java regex and DuckDB's RE2 count
+# the same token boundaries: contraction suffixes, space-prefixed letter
+# runs, space-prefixed digit runs, space-prefixed punctuation runs, and
+# residual whitespace runs.
+BPE_TOKEN_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_col(text: Column | str, pattern: str = BPE_TOKEN_PATTERN) -> Column:
+    """BPE-ish token count: the number of pre-tokenizer matches is a cheap,
+    deterministic proxy for the BPE token budget of a document (real BPE
+    merges only split pre-tokens further, never across them). Pure
+    ``regexp_count`` — codegen'd JVM-side, no Python, no explode: counting
+    never materializes the token array, so at 100 TB this is a map-only
+    projection."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(t, F.lit(pattern)).cast("long")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    out_col: str = "fingerprint",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the MOSS local fingerprinting algorithm): hash every character
+    ``k``-gram of the whitespace-normalized lowercased text with a rolling
+    window of ``w`` consecutive hashes, keep each window's minimum, and
+    return the sorted distinct selection. Guarantees any shared substring of
+    length ≥ k + w - 1 yields at least one shared fingerprint hash, so
+    fingerprint overlap detects partial/contained duplication that
+    whole-document hashing (:func:`fingerprint_col`) misses.
+
+    All array algebra in one Catalyst projection (``transform`` +
+    ``sequence`` + ``slice`` + ``array_min``) — zero shuffles, zero Python;
+    hashes are md5-derived 32-bit ints so a SQL oracle reproduces them
+    bit-for-bit. Docs shorter than ``k`` chars (no k-gram) get an empty
+    fingerprint; docs with fewer than ``w`` k-grams select the single
+    global minimum.
+
+    → input columns + ``out_col`` (sorted ``array<long>``)."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    s = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    n = F.length(s)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.substring(s, i, F.lit(k)),
+    )
+    hashes = F.when(
+        n >= k,
+        F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")),
+    ).otherwise(F.array().cast("array<bigint>"))
+    m = F.size(hashes)
+    sel = (
+        F.when(
+            m >= w,
+            F.transform(
+                F.sequence(F.lit(1), m - F.lit(w - 1)),
+                lambda j: F.array_min(F.slice(hashes, j, w)),
+            ),
+        )
+        .when(m > 0, F.array(F.array_min(hashes)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return df.withColumn(out_col, F.array_sort(F.array_distinct(sel)))
+
+
+# Gopher rule-based quality filter (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", Table A1) — the standard pre-training corpus filter.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with", "a", "in"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+) -> DataFrame:
+    """Gopher-style document quality signals + keep/drop verdict.
+
+    Computes the Rae et al. 2021 rule set (word count bounds, mean word
+    length bounds, alphabetic-word fraction, stopword presence,
+    symbol-to-word ratio, bullet/ellipsis line fractions, duplicate-line
+    fraction, most-frequent-bigram fraction — the last simplified to
+    occurrence fraction rather than character mass) as ONE Catalyst
+    projection: all array algebra, no Python, no explode, no shuffle — at
+    100 TB this is a map-only pass fused into the scan. The top-bigram scan
+    is O(W²) per doc in array ops (fine for the ≤100k-word docs the rule set
+    itself bounds); every expression has a direct ANSI/DuckDB equivalent so
+    the verdict is oracle-checkable bit-for-bit.
+
+    → ``(id_col, n_words, mean_word_len, alpha_word_frac, stopword_hits,
+    symbol_word_ratio, bullet_line_frac, ellipsis_line_frac, dup_line_frac,
+    top_bigram_frac, keep)``
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
+    nw = F.size(words)
+    safe_nw = F.greatest(nw, F.lit(1)).cast("double")
+    char_sum = F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+    mean_wl = F.round(char_sum / safe_nw, 6)
+    alpha_frac = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / safe_nw, 6
+    )
+    stop_hits = F.size(
+        F.filter(words, lambda w: F.lower(w).isin(GOPHER_STOPWORDS))
+    ).cast("long")
+    symbols = F.regexp_count(t, F.lit(r"#|\.\.\.|…")).cast("double")
+    sym_ratio = F.round(symbols / safe_nw, 6)
+
+    lines = F.filter(
+        F.transform(F.split(t, r"\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    nl = F.size(lines)
+    safe_nl = F.greatest(nl, F.lit(1)).cast("double")
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•●■]"))) / safe_nl, 6
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))) / safe_nl, 6
+    )
+    dup_line_frac = F.round((nl - F.size(F.array_distinct(lines))) / safe_nl, 6)
+
+    bigrams = F.when(
+        nw >= 2,
+        F.zip_with(
+            F.slice(words, 1, F.greatest(nw - 1, F.lit(1))),
+            F.slice(words, 2, F.greatest(nw - 1, F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bigrams)
+    top_bigram = F.when(
+        nb > 0,
+        F.array_max(
+            F.transform(bigrams, lambda b: F.size(F.filter(bigrams, lambda x: x == b)))
+        )
+        / nb.cast("double"),
+    ).otherwise(F.lit(0.0))
+    top_bigram = F.round(top_bigram, 6)
+
+    out = df.select(
+        id_col,
+        nw.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        dup_line_frac.alias("dup_line_frac"),
+        top_bigram.alias("top_bigram_frac"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+    )
+    return out.withColumn("keep", keep)

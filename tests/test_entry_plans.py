@@ -47,6 +47,10 @@ BUDGETS = {
     "eval_metrics": (4, 3, False),
     "text_stats": (0, 1, False),
     "lang_id": (0, 1, False),
+    "quality_gopher": (0, 1, False),
+    "token_counts": (0, 1, False),
+    "fingerprint_winnow": (0, 1, False),
+    "doc_summary": (2, 1, False),
     "vocabulary": (7, 2, False),
     "text_to_tensor": (8, 4, False),
     "text_search_bm25": (5, 3, True),
@@ -57,6 +61,9 @@ BUDGETS = {
     "dedup_ngram_jaccard": (2, 2, False),
     "dedup_simhash": (1, 1, False),
     "dedup_simhash_pairs": (3, 2, False),
+    # CC iterations run eagerly on checkpointed integer edges; the final plan
+    # is labels∪roots (distinct) + corpus left join + order
+    "dedup_components": (4, 3, False),
     "dedup_embedding": (5, 8, False),
     "sparse_knn_cosine": (2, 2, False),
     "ann_ivf_cosine": (1, 3, True),
