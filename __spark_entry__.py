@@ -342,6 +342,79 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal over documents: 8-token blocks that
+    appear in ≥2 distinct docs (the corpus' planted duplicates) are dropped
+    from every doc, order preserved. Frequent-block set is tiny → broadcast
+    tag; 2 hash exchanges total (block doc-frequency agg + doc rebuild)."""
+    from docarray_spark.operators import remove_frequent_units, token_blocks_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_frequent_units(
+        docs.withColumn("units", token_blocks_col("text", 8)),
+        id_col="doc_id", units="units", min_df=2,
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events log (15-min idle gap) +
+    per-session rollup. One hash exchange on user_id: the lag/running-sum
+    window and the (user, session_idx) rollup share the same partitioning,
+    so Catalyst reuses the exchange. Timestamps as epoch-micros longs."""
+    from docarray_spark.operators import session_summary
+
+    ev = _t(spark, sf_dir, "events")
+    return session_summary(
+        ev, user_col="user_id", ts_col="ts", gap_seconds=900,
+        value_col="value",
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministically injected emails /
+    phone numbers / IPv4 addresses (the synthetic corpus has none, so the
+    entry plants them: every 7th doc an email, every 5th a phone, every
+    11th an IP). Counts + typed-token redaction are ONE map-only regexp
+    projection fused into the scan."""
+    from docarray_spark.operators import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0,
+               F.concat(F.lit(" contact user"), did.cast("string"),
+                        F.lit("@example.com now"))).otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" call 555-"),
+                        F.lpad((did % 1000).cast("string"), 3, "0"),
+                        F.lit("-4567"))).otherwise(F.lit("")),
+        F.when(did % 11 == 0,
+               F.concat(F.lit(" from 192.168."), (did % 256).cast("string"),
+                        F.lit("."), (did % 100).cast("string"))
+               ).otherwise(F.lit("")),
+    )
+    return pii_scrub(
+        docs.withColumn("text", injected), id_col="doc_id", text_col="text"
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (GPT-3 appendix C style): flag corpus docs
+    sharing word 8-grams with a benchmark set (here every 10th doc stands
+    in as the eval set). Eval grams are md5-hashed and BROADCAST — the
+    corpus side is a map-side semi-probe, no shuffle of corpus text; the
+    only exchange is the tiny per-doc hit count aggregation."""
+    from docarray_spark.operators import decontaminate_report
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 10 == 7)
+    return decontaminate_report(
+        docs, eval_set, id_col="doc_id", text_col="text", ngram_n=8,
+        min_hits=3,
+    ).orderBy("doc_id")
+
+
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) rolling-hash fingerprints: char 5-gram md5 hashes,
     window-of-4 minima, sorted distinct selection — detects partial overlap
@@ -855,6 +928,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_gopher": q_quality_gopher,
         "token_counts": q_token_counts,
+        "boilerplate_removal": q_boilerplate_removal,
+        "sessionize": q_sessionize,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
         "fingerprint_winnow": q_fingerprint_winnow,
         "doc_summary": q_doc_summary,
         "vocabulary": q_vocabulary,
@@ -1416,6 +1493,118 @@ def oracle_sql() -> dict[str, str]:
                      '''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
                    )) AS bpe_tokens
             FROM documents
+        """,
+        "boilerplate_removal": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            u AS (
+              SELECT doc_id, list_transform(
+                range(1, greatest(CAST(ceil(len(toks) / 8.0) AS INT), 1) + 1),
+                i -> array_to_string(toks[(i-1)*8+1:(i-1)*8+8], ' ')) AS units
+              FROM t
+            ),
+            freq AS (
+              SELECT unit FROM (
+                SELECT unit, count(*) AS df
+                FROM (SELECT doc_id, unnest(list_distinct(units)) AS unit FROM u)
+                GROUP BY unit
+              ) WHERE df >= 2
+            ),
+            ex AS (
+              SELECT doc_id, unnest(units) AS unit,
+                     generate_subscripts(units, 1) AS pos
+              FROM u
+            ),
+            tagged AS (
+              SELECT e.doc_id, e.pos, e.unit, f.unit IS NOT NULL AS bad
+              FROM ex e LEFT JOIN freq f ON e.unit = f.unit
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(unit, ' ' ORDER BY pos)
+                            FILTER (WHERE NOT bad), '') AS clean_text,
+                   count(*) AS units_total,
+                   CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+                     AS units_removed
+            FROM tagged GROUP BY doc_id
+        """,
+        "sessionize": """
+            WITH e AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 900 * 1000000
+                          THEN 1 ELSE 0 END AS flag
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT user_id, ts, value,
+                     CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts)
+                          AS BIGINT) AS session_idx
+              FROM e
+            )
+            SELECT user_id, session_idx,
+                   epoch_us(min(ts)) AS start_us,
+                   epoch_us(max(ts)) AS end_us,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "pii_scrub": """
+            WITH inj AS (
+              SELECT doc_id, text ||
+                CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || doc_id || '@example.com now'
+                     ELSE '' END ||
+                CASE WHEN doc_id % 5 = 0
+                     THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-4567'
+                     ELSE '' END ||
+                CASE WHEN doc_id % 11 = 0
+                     THEN ' from 192.168.' || (doc_id % 256) || '.' || (doc_id % 100)
+                     ELSE '' END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+              len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS email_found,
+              len(regexp_extract_all(text,
+                  '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS phone_found,
+              len(regexp_extract_all(text,
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS ipv4_found,
+              (len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0
+               OR len(regexp_extract_all(text,
+                  '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) > 0
+               OR len(regexp_extract_all(text,
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) > 0) AS has_pii,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g')
+                AS redacted_text
+            FROM inj
+        """,
+        "decontaminate": """
+            WITH sh AS (
+              SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 8
+                THEN list_transform(range(1, len(toks) - 6),
+                                    i -> array_to_string(toks[i:i+7], ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS grams
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                    FROM documents)
+            ),
+            ev AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 10 = 7),
+            cg AS (SELECT doc_id, unnest(grams) AS g FROM sh)
+            SELECT doc_id, count(*) AS eval_ngram_hits,
+                   count(*) >= 3 AS contaminated
+            FROM cg JOIN ev USING (g)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "fingerprint_winnow": """
             WITH t AS (

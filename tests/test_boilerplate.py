@@ -1,0 +1,55 @@
+"""Boilerplate removal: unit splitting, doc-frequency thresholding, order
+preservation, pure-boilerplate docs, and the 2-exchange broadcast plan."""
+
+from pyspark.sql import functions as F
+
+from docarray_spark.operators import lines_col, remove_frequent_units, token_blocks_col
+from docarray_spark.plans import broadcast_join_count, shuffle_count
+
+
+def test_token_blocks(spark):
+    df = spark.createDataFrame([("a b c d e",)], "text string")
+    got = df.select(token_blocks_col("text", 2).alias("u")).head()["u"]
+    assert got == ["a b", "c d", "e"]
+
+
+def test_lines_col(spark):
+    df = spark.createDataFrame([("  x\n\n y y \nz",)], "text string")
+    assert df.select(lines_col("text").alias("u")).head()["u"] == ["x", "y y", "z"]
+
+
+def _docs(spark):
+    rows = [
+        # "cookie banner" line appears in 3 docs (and twice inside doc 0 —
+        # within-doc repeats count once toward doc-frequency)
+        (0, "cookie banner\nreal content zero\ncookie banner"),
+        (1, "cookie banner\nreal content one"),
+        (2, "real content two\ncookie banner"),
+        (3, "unique content three\nmore unique text"),
+        (4, "cookie banner"),  # pure boilerplate -> empty clean_text
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_remove_frequent_lines(spark):
+    df = _docs(spark).withColumn("units", lines_col("text"))
+    out = remove_frequent_units(df, id_col="id", units="units", min_df=3, joiner="\n")
+    got = {r["id"]: r.asDict() for r in out.collect()}
+    assert got[0]["clean_text"] == "real content zero"
+    assert got[0]["units_total"] == 3 and got[0]["units_removed"] == 2
+    assert got[1]["clean_text"] == "real content one"
+    assert got[2]["clean_text"] == "real content two"
+    # below threshold: doc 3 untouched, order preserved
+    assert got[3]["clean_text"] == "unique content three\nmore unique text"
+    assert got[3]["units_removed"] == 0
+    # pure boilerplate doc still present, emptied
+    assert got[4]["clean_text"] == "" and got[4]["units_removed"] == 1
+
+
+def test_two_exchanges_and_broadcast(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "units", token_blocks_col("text", 8)
+    )
+    out = remove_frequent_units(docs, id_col="doc_id", units="units", min_df=2)
+    assert shuffle_count(out) == 2
+    assert broadcast_join_count(out) >= 1

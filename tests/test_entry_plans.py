@@ -50,6 +50,14 @@ BUDGETS = {
     "quality_gopher": (0, 1, False),
     "token_counts": (0, 1, False),
     "fingerprint_winnow": (0, 1, False),
+    "pii_scrub": (0, 1, False),
+    # block doc-frequency agg + doc rebuild agg; frequent set joins broadcast
+    "boilerplate_removal": (2, 2, False),
+    # one exchange on user_id, reused by both the lag window and the rollup
+    "sessionize": (1, 1, False),
+    # eval-gram distinct (tiny side) + per-doc hit count + output orderBy;
+    # the corpus gram explosion itself never shuffles (broadcast probe)
+    "decontaminate": (3, 2, False),
     "doc_summary": (2, 1, False),
     "vocabulary": (7, 2, False),
     "text_to_tensor": (8, 4, False),
@@ -79,6 +87,18 @@ def test_every_entry_has_a_budget():
     assert set(BUDGETS) == set(entry_mod.queries()), (
         "new entry without a plan budget (or stale budget row)"
     )
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_cache(spark):
+    """Plan budgets measure the DESIGNED plan. If an earlier test already
+    executed an entry whose operator persists an intermediate (e.g. the
+    minhash shingle table), the CacheManager substitutes the cached plan
+    into this suite's builds and the formatted explain then also prints the
+    exchanges INSIDE the InMemoryRelation subtree — inflating shuffle_count
+    with shuffles that never re-execute. Start from a cold cache."""
+    spark.catalog.clearCache()
+    yield
 
 
 @pytest.mark.parametrize("name", sorted(BUDGETS))

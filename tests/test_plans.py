@@ -20,6 +20,16 @@ from docarray_spark.plans import (
 from docarray_spark.queryset import find
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_cache(spark):
+    """Plan assertions measure the designed plan; a cache entry left by an
+    earlier test (operators that persist intermediates, e.g. minhash's
+    shingle table) would splice an InMemoryRelation — and its internal
+    exchanges — into the explain output. Start cold."""
+    spark.catalog.clearCache()
+    yield
+
+
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
