@@ -6,6 +6,7 @@ from docarray_spark.functions.distance import (
     l2_norm_col,
     sqeuclidean_distance_col,
 )
+from docarray_spark.functions.wire import docs_from_bytes, docs_to_bytes
 from docarray_spark.functions.content import (
     any_hash_col,
     blob_to_tensor_udf,
@@ -24,6 +25,8 @@ __all__ = [
     "euclidean_distance_col",
     "l2_norm_col",
     "sqeuclidean_distance_col",
+    "docs_from_bytes",
+    "docs_to_bytes",
     "any_hash_col",
     "blob_to_tensor_udf",
     "content_type_col",

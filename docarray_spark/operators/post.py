@@ -1,0 +1,105 @@
+"""``DocumentArray.post(host)`` re-expressed as a distributed HTTP map.
+
+The reference posts the whole array to a remote Flow endpoint in
+driver-side batches and swaps in the returned documents
+(``/root/reference/docarray/array/mixins/post.py:44-140``: parse host,
+batch, send to ``on`` endpoint, collect the modified array). That shape —
+one client streaming every document through one socket — is exactly what
+breaks at 100 TB, so here the *executors* do the posting: ``mapInPandas``
+slices each Arrow batch into ``batch_size`` chunks, POSTs them as the Flow
+HTTP gateway's JSON envelope (``{"data": [...], "parameters": {...}}``,
+``execEndpoint`` = the parsed ``on`` path), and yields the documents the
+service returns. Every partition talks to the service concurrently; the
+driver never sees a document.
+
+Only ``http``/``https`` hosts are supported — grpc/websocket/jinahub
+transports need client libs that are out of scope (SURVEY §7). Failures
+follow ``fetch_uris`` error-row semantics: the original row is passed
+through with ``post_error`` set, because at scale a flaky endpoint must
+not kill the job.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame
+
+
+def parse_host(host: str):
+    """``_parse_host`` (``post.py:12-42``): split a host string into
+    (endpoint path ``on``, base url, scheme)."""
+    r = urlparse(host)
+    on = r.path or "/"
+    base = f"{r.scheme}://{r.netloc}"
+    return on, base, r.scheme
+
+
+def post(
+    df: DataFrame,
+    host: str,
+    batch_size: int | None = None,
+    parameters: dict | None = None,
+    doc_cols: list[str] | None = None,
+    timeout: float = 30.0,
+) -> DataFrame:
+    """POST documents to ``host`` and return the documents the service
+    sends back (``post.py:47-140``). ``batch_size`` is docs per request
+    (reference default: the whole array; here default 128 per Arrow slice —
+    unbounded requests are a driver-era assumption). ``doc_cols`` limits the
+    fields serialized into each request doc (wire cost control).
+
+    → the service's returned docs with the input schema, plus
+    ``post_error`` (string, null on success)."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    on, base, scheme = parse_host(host)
+    if scheme not in ("http", "https"):
+        raise ValueError(
+            f"post supports http(s) hosts only, got scheme {scheme!r} "
+            "(grpc/ws/jinahub transports are out of scope, SURVEY §7)"
+        )
+    url = base + on
+    bs = batch_size or 128
+    cols = doc_cols  # None → all input columns
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("post_error", T.StringType())]
+    )
+    field_names = [f.name for f in df.schema.fields]
+
+    def _post_chunk(chunk: "pd.DataFrame") -> "pd.DataFrame":
+        from urllib.request import Request, urlopen
+
+        docs = chunk[cols] if cols else chunk
+        payload = json.dumps(
+            {
+                "data": json.loads(docs.to_json(orient="records")),
+                "parameters": parameters or {},
+                "execEndpoint": on,
+            }
+        ).encode("utf-8")
+        try:
+            req = Request(url, data=payload, headers={"Content-Type": "application/json"})
+            with urlopen(req, timeout=timeout) as resp:
+                body = json.loads(resp.read().decode("utf-8"))
+            returned = pd.DataFrame(body["data"])
+            out = pd.DataFrame(index=range(len(returned)))
+            for name in field_names:
+                out[name] = returned[name] if name in returned else chunk[name].reset_index(drop=True)
+            out["post_error"] = None
+            return out
+        except Exception as e:  # noqa: BLE001 — error-row semantics
+            out = chunk.copy()
+            out["post_error"] = f"{type(e).__name__}: {e}"
+            return out
+
+    def _runner(batches):
+        for pdf in batches:
+            for start in range(0, len(pdf), bs):
+                yield _post_chunk(pdf.iloc[start : start + bs].reset_index(drop=True))
+
+    return df.mapInPandas(_runner, schema)

@@ -173,3 +173,108 @@ def read_files(spark: SparkSession, glob: str, recursive: bool = True) -> DataFr
             F.col("modificationTime").alias("modification_time"),
         )
     )
+
+
+def from_huggingface_datasets(
+    spark: SparkSession,
+    dataset_path: str,
+    field_resolver: dict[str, str] | None = None,
+    size: int | None = None,
+    sampling_rate: float | None = None,
+    filter_fields: bool = False,
+    split: str | None = None,
+) -> DataFrame:
+    """``from_huggingface_datasets`` analogue
+    (``document/generators.py:179-235``, ``io/from_gen.py:134-171``) for a
+    dataset saved locally with ``datasets.save_to_disk`` (Arrow IPC files +
+    ``state.json``) or exported as parquet. The reference's hub download is
+    network plumbing out of scope here (SURVEY §7); the on-disk layouts ARE
+    the public interchange format and this reads them Spark-native:
+
+    - a ``DatasetDict`` directory (``dataset_dict.json``) without ``split``
+      raises the reference's own "Please provide a split" error listing the
+      available splits (``generators.py:214-221``);
+    - ``filter_fields=True`` keeps only ``field_resolver`` keys, mirroring
+      ``data.set_format(columns=...)`` (``generators.py:224-231``);
+    - ``size`` / ``sampling_rate`` subsample like ``_subsample``
+      (``generators.py:_subsample``), with a seeded Bernoulli sample instead
+      of ``random.random()`` so plans replay deterministically.
+
+    Each ``.arrow`` shard is read with ``pyarrow.ipc`` inside
+    ``mapInPandas`` — one task per shard, no driver materialization — so a
+    many-shard dataset loads with full cluster parallelism."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    import pyarrow as pa
+
+    if _os.path.isfile(_os.path.join(dataset_path, "dataset_dict.json")):
+        with open(_os.path.join(dataset_path, "dataset_dict.json")) as f:
+            splits = _json.load(f).get("splits", [])
+        if split is None:
+            raise ValueError(
+                "Please provide a split for dataset using \"split\" argument. "
+                f"The following splits are available for this dataset: {splits}"
+            )
+        dataset_path = _os.path.join(dataset_path, split)
+
+    state_path = _os.path.join(dataset_path, "state.json")
+    if _os.path.isfile(state_path):
+        with open(state_path) as f:
+            files = [
+                _os.path.join(dataset_path, d["filename"])
+                for d in _json.load(f).get("_data_files", [])
+            ]
+    else:
+        files = sorted(_glob.glob(_os.path.join(dataset_path, "*.arrow")))
+    if not files:
+        pq_files = sorted(_glob.glob(_os.path.join(dataset_path, "*.parquet")))
+        if pq_files:
+            df = spark.read.parquet(*pq_files)
+        else:
+            raise FileNotFoundError(
+                f"no HF dataset (state.json/*.arrow/*.parquet) under {dataset_path!r}"
+            )
+    else:
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        def _open(path):
+            try:
+                return pa.ipc.open_stream(path)
+            except pa.ArrowInvalid:
+                return pa.ipc.open_file(path)
+
+        with _open(files[0]) as r0:
+            arrow_schema = r0.schema
+        spark_schema = from_arrow_schema(arrow_schema)
+
+        def _read_shards(batches):
+            for pdf in batches:
+                for path in pdf["path"]:
+                    reader = _open(path)
+                    table = (
+                        reader.read_all()
+                        if hasattr(reader, "read_all")
+                        else pa.Table.from_batches(list(reader))
+                    )
+                    yield table.to_pandas()
+
+        paths = spark.createDataFrame([(p,) for p in files], "path string").repartition(
+            len(files)
+        )
+        df = paths.mapInPandas(_read_shards, spark_schema)
+
+    if filter_fields:
+        if not field_resolver:
+            raise ValueError(
+                'Filter fields option requires "field_resolver" to be provided.'
+            )
+        df = df.select(*field_resolver.keys())
+    if field_resolver:
+        df = df.withColumnsRenamed(field_resolver)
+    if sampling_rate is not None:
+        df = df.sample(fraction=sampling_rate, seed=42)
+    if size is not None:
+        df = df.limit(size)
+    return df

@@ -1,0 +1,229 @@
+"""Round-2 IO parity: push/pull registry, HF datasets reader, post(host),
+per-doc wire codec. Reference behaviors:
+``array/mixins/io/pushpull.py:52-215``, ``document/generators.py:179-235``,
+``array/mixins/post.py:44-140``, ``document/mixins/porting.py:85-130``."""
+
+import json
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from docarray_spark.functions import docs_from_bytes, docs_to_bytes
+from docarray_spark.operators import post
+from docarray_spark.sources import (
+    delete_artifact,
+    from_huggingface_datasets,
+    list_artifacts,
+    pull,
+    push,
+)
+
+
+# ---------------------------------------------------------------- registry
+
+def test_push_pull_roundtrip_and_overwrite(spark, tmp_path):
+    reg = str(tmp_path / "registry")
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") * 2).alias("v"), F.lit("a").alias("tag")
+    )
+    manifest = push(df, "clip", registry=reg)
+    assert manifest["num_docs"] == 10
+    back = pull(spark, "clip", registry=reg)
+    assert back.count() == 10
+    assert set(back.columns) == {"id", "v", "tag"}
+    assert back.agg(F.sum("v")).first()[0] == 90
+
+    # push with the same name overwrites (pushpull.py:54-58)
+    push(spark.range(3).select(F.col("id"), F.lit(0).alias("v"), F.lit("b").alias("tag")), "clip", registry=reg)
+    assert pull(spark, "clip", registry=reg).count() == 3
+
+    names = [m["name"] for m in list_artifacts(registry=reg)]
+    assert names == ["clip"]
+    assert delete_artifact("clip", registry=reg)
+    with pytest.raises(FileNotFoundError):
+        pull(spark, "clip", registry=reg)
+
+
+def test_push_rejects_path_traversal_names(spark, tmp_path):
+    df = spark.range(1)
+    for bad in ("", "a/b", "../x", ".hidden"):
+        with pytest.raises(ValueError):
+            push(df, bad, registry=str(tmp_path))
+
+
+# ---------------------------------------------------------- HF datasets dir
+
+def _write_hf_dir(path, n_shards=2, rows_per=5, fmt="stream"):
+    """Fake ``datasets.save_to_disk`` output: Arrow IPC shards + state.json."""
+    import pyarrow as pa
+
+    path.mkdir(parents=True, exist_ok=True)
+    files = []
+    k = 0
+    for s in range(n_shards):
+        name = f"data-{s:05d}-of-{n_shards:05d}.arrow"
+        tbl = pa.table(
+            {
+                "text": [f"doc {k + i}" for i in range(rows_per)],
+                "label": list(range(k, k + rows_per)),
+            }
+        )
+        k += rows_per
+        sink = str(path / name)
+        if fmt == "stream":
+            with pa.ipc.new_stream(sink, tbl.schema) as w:
+                w.write_table(tbl)
+        else:
+            with pa.ipc.new_file(sink, tbl.schema) as w:
+                w.write_table(tbl)
+        files.append({"filename": name})
+    (path / "state.json").write_text(json.dumps({"_data_files": files}))
+
+
+def test_hf_save_to_disk_layout(spark, tmp_path):
+    _write_hf_dir(tmp_path / "ds")
+    df = from_huggingface_datasets(spark, str(tmp_path / "ds"))
+    assert df.count() == 10
+    assert set(df.columns) == {"text", "label"}
+    assert df.agg(F.sum("label")).first()[0] == sum(range(10))
+
+
+def test_hf_dataset_dict_requires_split(spark, tmp_path):
+    root = tmp_path / "dd"
+    root.mkdir()
+    (root / "dataset_dict.json").write_text(json.dumps({"splits": ["train", "test"]}))
+    _write_hf_dir(root / "train", n_shards=1, rows_per=4)
+    with pytest.raises(ValueError, match="train"):
+        from_huggingface_datasets(spark, str(root))
+    df = from_huggingface_datasets(spark, str(root), split="train")
+    assert df.count() == 4
+
+
+def test_hf_field_resolver_filter_size(spark, tmp_path):
+    _write_hf_dir(tmp_path / "ds2", n_shards=1, rows_per=8)
+    df = from_huggingface_datasets(
+        spark,
+        str(tmp_path / "ds2"),
+        field_resolver={"text": "content"},
+        filter_fields=True,
+        size=3,
+    )
+    assert df.columns == ["content"]
+    assert df.count() == 3
+    with pytest.raises(ValueError, match="field_resolver"):
+        from_huggingface_datasets(spark, str(tmp_path / "ds2"), filter_fields=True)
+
+
+def test_hf_parquet_layout(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "pq"
+    d.mkdir()
+    pq.write_table(pa.table({"text": ["a", "b"], "label": [1, 2]}), str(d / "part-0.parquet"))
+    df = from_huggingface_datasets(spark, str(d))
+    assert df.count() == 2
+
+
+# ----------------------------------------------------------------- post()
+
+def _serve(handler_cls):
+    import http.server
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), handler_cls)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, srv.server_address[1]
+
+
+class _UpperHandler:
+    """Flow-gateway-ish endpoint: uppercases every doc's text."""
+
+    def __new__(cls, *a, **kw):
+        import http.server
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+                for d in body["data"]:
+                    d["text"] = d["text"].upper()
+                    d["n"] = d["n"] + body["parameters"].get("delta", 0)
+                out = json.dumps({"data": body["data"]}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
+
+            def log_message(self, *a):
+                pass
+
+        return H(*a, **kw)
+
+
+def test_post_roundtrip_with_parameters(spark):
+    srv, port = _serve(_UpperHandler)
+    try:
+        df = spark.createDataFrame(
+            [("d1", "hello", 1), ("d2", "world", 2)], "id string, text string, n int"
+        )
+        out = post(
+            df, f"http://127.0.0.1:{port}/exec", parameters={"delta": 10}, batch_size=1
+        ).orderBy("id")
+        rows = out.collect()
+        assert [r.text for r in rows] == ["HELLO", "WORLD"]
+        assert [r.n for r in rows] == [11, 12]
+        assert all(r.post_error is None for r in rows)
+    finally:
+        srv.shutdown()
+
+
+def test_post_error_rows_on_dead_endpoint(spark):
+    df = spark.createDataFrame([("d1", "x", 1)], "id string, text string, n int")
+    rows = post(df, "http://127.0.0.1:9/nope", timeout=0.5).collect()
+    assert len(rows) == 1
+    assert rows[0].post_error is not None
+    assert rows[0].text == "x"  # original row passed through
+
+
+def test_post_rejects_non_http(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="http"):
+        post(df, "grpc://host:1234/endpoint")
+
+
+# -------------------------------------------------------------- wire codec
+
+def test_pickle_wire_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("a", "hello", [1.0, 2.0]), ("b", "world", [3.0, 4.0])],
+        "id string, text string, embedding array<double>",
+    )
+    ser = docs_to_bytes(df, protocol="pickle", compress="gzip")
+    assert dict(ser.dtypes)["serialized"] == "binary"
+    back = docs_from_bytes(
+        ser, "id string, text string, embedding array<double>",
+        protocol="pickle", compress="gzip",
+    ).orderBy("id")
+    rows = back.collect()
+    assert [r.id for r in rows] == ["a", "b"]
+    assert list(rows[0].embedding) == [1.0, 2.0]
+
+
+def test_json_wire_roundtrip_and_frame_portability(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "id string, n bigint")
+    ser = docs_to_bytes(df, protocol="json")
+    # frames are plain JSON readable by anything (porting.py jsonschema form)
+    frame = json.loads(bytes(ser.orderBy("id").first().serialized).decode())
+    assert frame == {"id": "a", "n": 1}
+    back = docs_from_bytes(ser, "id string, n bigint", protocol="json").orderBy("id")
+    assert [(r.id, r.n) for r in back.collect()] == [("a", 1), ("b", 2)]
+
+
+def test_wire_codec_rejects_unknown(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="protocol"):
+        docs_to_bytes(df, protocol="protobuf")
+    with pytest.raises(ValueError, match="lz4"):
+        docs_to_bytes(df, compress="lz4")
