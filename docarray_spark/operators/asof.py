@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from docarray_spark.functions.timeutil import epoch_us_expr
+
 
 def asof_join(
     left: DataFrame,
@@ -67,9 +69,11 @@ def asof_join(
     ).filter(F.col("_s") == 1)
 
     if tolerance_seconds is not None:
+        # NTZ-safe: numeric casts reject TIMESTAMP_NTZ (timeutil module doc)
+        tdt = dict(left.dtypes).get(time_col, "")
         stale = (
-            F.col(time_col).cast("double") - F.col("_rtime").cast("double")
-        ) > tolerance_seconds
+            epoch_us_expr(F.col(time_col), tdt) - epoch_us_expr(F.col("_rtime"), tdt)
+        ) > tolerance_seconds * 1_000_000
         out = out.select(
             *[c for c in lt.columns if c != "_side"],
             *[
@@ -106,17 +110,15 @@ def range_join(
     if bucket_width is None:
         joined = left.join(right, by) if by else left.crossJoin(right)
         return joined.filter(cond)
-    lb = left.withColumn(
-        "_bucket", F.floor(F.col(left_point).cast("double") / bucket_width)
-    )
+    # NTZ-safe: bucket on epoch-us (numeric cols scale identically, so the
+    # ratio floor(us / (width*1e6)) == floor(value / width) either way)
+    bw_us = bucket_width * 1_000_000
+    l_us = epoch_us_expr(F.col(left_point), dict(left.dtypes).get(left_point, ""))
+    rs_us = epoch_us_expr(F.col(right_start), dict(right.dtypes).get(right_start, ""))
+    re_us = epoch_us_expr(F.col(right_end), dict(right.dtypes).get(right_end, ""))
+    lb = left.withColumn("_bucket", F.floor(l_us / bw_us))
     # an interval shorter than bucket_width overlaps at most 2 buckets
     rb = right.withColumn(
-        "_bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(right_start).cast("double") / bucket_width),
-                F.floor(F.col(right_end).cast("double") / bucket_width),
-            )
-        ),
+        "_bucket", F.explode(F.sequence(F.floor(rs_us / bw_us), F.floor(re_us / bw_us)))
     )
     return lb.join(rb, [*by, "_bucket"]).filter(cond).drop("_bucket")

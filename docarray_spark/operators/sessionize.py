@@ -10,14 +10,19 @@ Catalyst reuses the exchange (no second shuffle). Per-user data is bounded
 by per-user activity, not corpus size; a pathological power-user key is the
 usual skew story (AQE or pre-filtering).
 
-Timestamps compare as integer epoch-microseconds (`unix_micros`) — exact,
-engine-portable, and immune to ns/us parquet representation drift.
+Timestamps compare as integer epoch-microseconds — exact, engine-portable,
+immune to ns/us parquet representation drift, and NTZ-safe (parquet
+timestamps load as TIMESTAMP_NTZ in Spark 4; see functions/timeutil.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from docarray_spark.functions.timeutil import epoch_us_col
+
+_US = "_ts_us"
 
 
 def sessionize(
@@ -28,13 +33,14 @@ def sessionize(
 ) -> DataFrame:
     """Events + a 1-based ``session_idx`` column per user (new session when
     the gap from the previous event exceeds ``gap_seconds``)."""
-    w = Window.partitionBy(user_col).orderBy(ts_col)
-    us = F.unix_micros(F.col(ts_col))
-    prev_us = F.unix_micros(F.lag(ts_col).over(w))
+    us_df = df.withColumn(_US, epoch_us_col(df, ts_col))
+    w = Window.partitionBy(user_col).orderBy(_US)
+    us = F.col(_US)
+    prev_us = F.lag(_US).over(w)
     flag = F.when(
         prev_us.isNull() | (us - prev_us > gap_seconds * 1_000_000), 1
     ).otherwise(0)
-    return df.withColumn("session_idx", F.sum(flag).over(w).cast("long"))
+    return us_df.withColumn("session_idx", F.sum(flag).over(w).cast("long")).drop(_US)
 
 
 def session_summary(
@@ -47,9 +53,10 @@ def session_summary(
     """Per-session rollup: ``(user, session_idx, start_us, end_us,
     duration_us, n_events[, sum_value])``."""
     s = sessionize(df, user_col, ts_col, gap_seconds)
+    us = epoch_us_col(df, ts_col)
     aggs = [
-        F.min(F.unix_micros(F.col(ts_col))).alias("start_us"),
-        F.max(F.unix_micros(F.col(ts_col))).alias("end_us"),
+        F.min(us).alias("start_us"),
+        F.max(us).alias("end_us"),
         F.count(F.lit(1)).alias("n_events"),
     ]
     if value_col is not None:

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from docarray_spark.functions.timeutil import with_utc_timestamp
 from docarray_spark.operators.dedup import fingerprint_expr
 from docarray_spark.queryset import compile_filter
 
@@ -67,6 +68,7 @@ def streaming_dedup(
     """Streaming exact dedup: fingerprint the content columns, keep the
     first arrival within the watermark horizon. State is evicted past the
     watermark — bounded memory at 100 TB/day rates."""
+    sdf = with_utc_timestamp(sdf, ts_col)
     fp = sdf.withColumn("_fp", fingerprint_expr(cols)).withWatermark(ts_col, watermark)
     return fp.dropDuplicatesWithinWatermark(["_fp"]).drop("_fp")
 
@@ -81,6 +83,7 @@ def windowed_counts(
 ) -> DataFrame:
     """Watermarked tumbling/sliding window aggregation over event time —
     late rows beyond the watermark are dropped, state is bounded."""
+    sdf = with_utc_timestamp(sdf, ts_col)
     w = F.window(F.col(ts_col), window_duration, slide or window_duration)
     return (
         sdf.withWatermark(ts_col, watermark)
@@ -188,7 +191,8 @@ def stateful_running_agg(
         yield pd.DataFrame([[*key, n, total, peak]], columns=[*key_cols, "n", "total", "peak"])
 
     return (
-        sdf.withWatermark(ts_col, watermark)
+        with_utc_timestamp(sdf, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(*key_cols)
         .applyInPandasWithState(
             _update, out_schema, state_schema, "update",
