@@ -836,6 +836,106 @@ def q_mm_image_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ------------------------------------------- round-2 pipeline extensions
+
+
+def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc wire codec roundtrip (``Document.to_bytes``/``from_bytes``,
+    reference ``document/mixins/porting.py:85-130``): every doc serialized
+    to a gzip'd JSON frame (Arrow-batched pandas_udf) then decoded back via
+    mapInPandas — identity on the doc fields, fully distributed."""
+    from docarray_spark.functions import docs_from_bytes, docs_to_bytes
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    ser = docs_to_bytes(docs, protocol="json", compress="gzip")
+    return docs_from_bytes(
+        ser, "doc_id bigint, text string, lang string",
+        protocol="json", compress="gzip",
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (per-source groups, 256-token
+    bins): one hash exchange on the group key; the cumsum window and the
+    per-bin rollup share it. Per-bin doc counts + started-token totals."""
+    from docarray_spark.operators import pack_summary
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
+        ).alias("n_tokens"),
+    )
+    return pack_summary(
+        docs, capacity=256, token_col="n_tokens",
+        group_col="source", order_col="doc_id",
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-source keep fractions (corpus
+    mixing weights), md5-threshold so it is engine-portable and
+    reproducible across partitionings. Map-only — fuses into the scan."""
+    from docarray_spark.operators import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return stratified_hash_sample(
+        docs, "source", {"src0": 0.8, "src1": 0.25, "src2": 0.5},
+        id_col="doc_id", default_fraction=0.1,
+    )
+
+
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-level (6-token-block 'paragraph') corpus dedup keeping the
+    FIRST occurrence (RefinedWeb-style), rebuilding each document from its
+    surviving units. Complements boilerplate_removal (which drops ALL
+    copies of frequent units)."""
+    from docarray_spark.operators import dedup_units_first, token_blocks_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_units_first(
+        docs.withColumn("units", token_blocks_col("text", 6)),
+        id_col="doc_id", units="units",
+    )
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embeddings (k=8, 2 iterations):
+    deterministic md5 hash-sample init, zero-shuffle literal-fold argmin
+    assignment, map-side-combinable per-dimension centroid means. Output:
+    cluster sizes + rounded centroid norms; oracle = the same iterations
+    unrolled as SQL CTEs."""
+    from docarray_spark.operators import kmeans_summary
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_summary(emb, k=8, n_iter=2, id_col="vec_id", emb_col="embedding")
+
+
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts, top 50 (count desc, gram asc): ONE
+    map-side-combinable hash aggregation; the top-k compiles to
+    TakeOrderedAndProject."""
+    from docarray_spark.operators import ngram_counts
+
+    return ngram_counts(_t(spark, sf_dir, "documents"), "text", n=2, top=50)
+
+
+
+
+def q_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF triples over the documents corpus (exact-vocabulary
+    sparse embeddings; sf-bounded slice so the gate compares a stable
+    subset). tf/df aggregations are map-side combinable; vocab ids use the
+    two-phase distributed rank; N replicates as a broadcast 1-row agg."""
+    from docarray_spark.operators import tfidf_vectors
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_vectors(docs, id_col="doc_id", text_col="text")
+    return out.filter(F.col("doc_id") < 100)
+
+
 # --------------------------------------------------- structured streaming
 
 _LANDING_CACHE: dict[str, str] = {}
@@ -887,6 +987,30 @@ def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"t_dedup_{uuid.uuid4().hex[:8]}"
     run_to_memory_sink(out, name)
     return spark.table(name).select("user_id", "event_type")
+
+
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-based sessionization (``session_window``, 15-min gap)
+    drained availableNow in complete mode — equals batch sessionization
+    with a >=-gap boundary and end = last event + gap, so the batch window
+    SQL below is an exact oracle."""
+    import uuid
+
+    from docarray_spark.streaming import run_to_memory_sink, session_windows
+
+    sdf = _events_stream(spark, sf_dir)
+    out = session_windows(sdf, "ts", ["user_id"], gap="900 seconds",
+                          watermark="3650 days", value_col="value")
+    name = f"t_sess_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(out, name, output_mode="complete")
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+        "sum_value",
+    )
+
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -953,6 +1077,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_chunks": q_mm_image_chunks,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_dedup_keys": q_stream_dedup_keys,
+        "wire_roundtrip": q_wire_roundtrip,
+        "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "kmeans_clusters": q_kmeans_clusters,
+        "ngram_counts": q_ngram_counts,
+        "tfidf_vectors": q_tfidf_vectors,
+        "stream_session_windows": q_stream_session_windows,
     }
 
 
@@ -1898,6 +2030,136 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_dedup_keys": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "tfidf_vectors": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(trim(lower(text)), '\\s+'),
+                x -> x <> '')) AS token
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            st AS (SELECT token, count(*) AS dfreq, sum(tf) AS total
+                   FROM tf GROUP BY token),
+            ids AS (SELECT token, dfreq,
+                           CAST(row_number() OVER (ORDER BY total DESC, token ASC)
+                                + 1 AS INT) AS token_id
+                    FROM st),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT tf.doc_id, tf.token, i.token_id,
+                   round(tf.tf * (ln((n.n_docs + 1.0) / (i.dfreq + 1.0)) + 1.0), 6)
+                     AS weight
+            FROM tf JOIN ids i USING (token) CROSS JOIN n
+            WHERE tf.doc_id < 100
+        """,
+        "wire_roundtrip": """
+            SELECT doc_id, text, lang FROM documents
+        """,
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                     x -> x <> '')) AS n_tokens
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id, source, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                       - n_tokens AS start
+              FROM t
+            )
+            SELECT source, CAST(floor(start / 256) AS BIGINT) AS bin_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS tokens_started,
+                   min(doc_id) AS first_doc
+            FROM p GROUP BY source, bin_id ORDER BY source, bin_id
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source, lang FROM documents
+            WHERE substring(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < CASE source
+                      WHEN 'src0' THEN 'cccccccc'
+                      WHEN 'src1' THEN '40000000'
+                      WHEN 'src2' THEN '80000000'
+                      ELSE '19999999' END
+        """,
+        "dedup_paragraphs": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            u AS (
+              SELECT doc_id, list_transform(
+                range(1, greatest(CAST(ceil(len(toks) / 6.0) AS INT), 1) + 1),
+                i -> array_to_string(toks[(i-1)*6+1:(i-1)*6+6], ' ')) AS units
+              FROM t
+            ),
+            ex AS (
+              SELECT doc_id, unnest(units) AS unit,
+                     generate_subscripts(units, 1) AS pos
+              FROM u
+            ),
+            r AS (
+              SELECT doc_id, pos, unit,
+                     row_number() OVER (PARTITION BY unit ORDER BY doc_id, pos) AS rn
+              FROM ex
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(unit, ' ' ORDER BY pos)
+                            FILTER (WHERE rn = 1), '') AS clean_text,
+                   count(*) AS units_total,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS units_removed
+            FROM r GROUP BY doc_id
+        """,
+        "kmeans_clusters": """WITH base AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+            cand AS (SELECT id, v FROM base ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 8),
+            c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cell, list_transform(v, x -> round(x, 6)) AS centroid FROM cand),
+            a1 AS (SELECT id, v, cell FROM (SELECT b.id, b.v, c.cell, row_number() OVER (PARTITION BY b.id ORDER BY list_distance(b.v, c.centroid), c.cell) AS rn FROM base b CROSS JOIN c0 c) WHERE rn = 1),
+            c1 AS (SELECT cell, list(m ORDER BY dim) AS centroid FROM (SELECT cell, dim, round(avg(x), 6) AS m FROM (SELECT cell, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM a1) GROUP BY cell, dim) GROUP BY cell),
+            a2 AS (SELECT id, v, cell FROM (SELECT b.id, b.v, c.cell, row_number() OVER (PARTITION BY b.id ORDER BY list_distance(b.v, c.centroid), c.cell) AS rn FROM base b CROSS JOIN c1 c) WHERE rn = 1),
+            c2 AS (SELECT cell, list(m ORDER BY dim) AS centroid FROM (SELECT cell, dim, round(avg(x), 6) AS m FROM (SELECT cell, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM a2) GROUP BY cell, dim) GROUP BY cell),
+            afinal AS (SELECT id, cell FROM (SELECT b.id, c.cell, row_number() OVER (PARTITION BY b.id ORDER BY list_distance(b.v, c.centroid), c.cell) AS rn FROM base b CROSS JOIN c2 c) WHERE rn = 1)
+            SELECT s.cell, s.n_points, round(sqrt(list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')), 4) AS centroid_norm
+            FROM (SELECT cell, count(*) AS n_points FROM afinal GROUP BY cell) s JOIN c2 c USING (cell) ORDER BY cell""",
+        "ngram_counts": """
+            WITH t AS (
+              SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT unnest(list_transform(range(1, len(toks)),
+                                           i -> toks[i] || ' ' || toks[i+1])) AS gram
+              FROM t WHERE len(toks) >= 2
+            )
+            SELECT gram, count(*) AS n_occurrences
+            FROM g GROUP BY gram
+            ORDER BY n_occurrences DESC, gram ASC LIMIT 50
+        """,
+        "stream_session_windows": """
+            WITH e AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               >= 900 * 1000000
+                          THEN 1 ELSE 0 END AS flag
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT user_id, ts, value,
+                     sum(flag) OVER (PARTITION BY user_id ORDER BY ts) AS session_idx
+              FROM e
+            )
+            SELECT user_id,
+                   epoch_us(min(ts)) AS start_us,
+                   epoch_us(max(ts)) + 900 * 1000000 AS end_us,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM s GROUP BY user_id, session_idx
         """,
         "dedup_simhash_pairs": f"""
             WITH {_SIMHASH_PAIR_CTES}

@@ -19,7 +19,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -85,4 +85,45 @@ def remove_frequent_units(
         F.sum(F.coalesce(F.col("_bad"), F.lit(0))).cast("long").alias(
             "units_removed"
         ),
+    )
+
+
+def dedup_units_first(
+    df: DataFrame,
+    id_col: str = "id",
+    units: Column | str = "units",
+    joiner: str = " ",
+) -> DataFrame:
+    """Corpus-wide unit-level dedup keeping the FIRST occurrence
+    (RefinedWeb-style exact substring dedup) — the complement of
+    :func:`remove_frequent_units`, which drops *every* copy of a frequent
+    unit; here exactly one copy survives, in the document with the smallest
+    ``(id, position)`` that contains it. Later repeats (across documents or
+    within one) are removed.
+
+    Plan: posexplode → ``row_number`` over a hash exchange keyed on
+    ``md5(unit)`` → one per-document aggregate rebuilds the text (2 shuffles
+    total, no join-back — totals ride along in the aggregate). Both
+    exchanges carry the unit strings (the rebuild needs them), so shuffle
+    volume ≈ corpus text size — the floor for any exact dedup that
+    reconstructs documents; hashing only the partition KEY just keeps the
+    key fixed-width. Per-unit window state is that unit's occurrence list,
+    bounded by the duplication factor, not corpus size.
+
+    → ``(id_col, clean_text, units_total, units_removed)``, one row per
+    input document (docs whose every unit is a repeat yield empty text).
+    """
+    u = F.col(units) if isinstance(units, str) else units
+    exploded = df.select(F.col(id_col), F.posexplode(u).alias("_pos", "_unit"))
+    w = Window.partitionBy(F.md5("_unit")).orderBy(F.col(id_col), F.col("_pos"))
+    tagged = exploded.withColumn("_rn", F.row_number().over(w))
+    parts = F.array_sort(
+        F.collect_list(F.when(F.col("_rn") == 1, F.struct("_pos", "_unit")))
+    )
+    return tagged.groupBy(id_col).agg(
+        F.concat_ws(joiner, F.transform(parts, lambda s: s["_unit"])).alias(
+            "clean_text"
+        ),
+        F.count(F.lit(1)).cast("long").alias("units_total"),
+        F.sum((F.col("_rn") > 1).cast("long")).alias("units_removed"),
     )

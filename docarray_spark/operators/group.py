@@ -48,15 +48,53 @@ def shuffle(df: DataFrame, seed: int | None = None) -> DataFrame:
     return df.orderBy(F.rand(seed))
 
 
+def _frac_threshold(fraction: float) -> str:
+    """8-hex-digit keep threshold for md5-prefix sampling. fraction >= 1.0
+    returns 'g' (sorts above every hex string) — format()ing 16**8 would
+    yield the 9-char '100000000', which sorts BELOW most 8-char hashes
+    lexicographically and silently kept ~6% instead of all."""
+    if fraction >= 1.0:
+        return "g"
+    return format(max(int(fraction * 16**8), 0), "08x")
+
+
 def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
     """Deterministic, engine-portable sample (extension): keep rows whose
     md5(id) falls below the fraction threshold. Unlike rand(), reproducible
     across engines/runs/partitionings — the property that matters for a
     100 TB pipeline you re-run incrementally."""
-    threshold = format(int(fraction * 16**8), "08x")
     return df.filter(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8) < F.lit(threshold)
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+        < F.lit(_frac_threshold(fraction))
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling (extension; the training-pipeline
+    version of ``sample``): per-stratum keep-fractions, e.g. up-weight rare
+    sources / down-weight crawl dumps when mixing a corpus. Same md5
+    threshold trick as :func:`hash_sample`, so it is reproducible across
+    engines, runs, and partitionings, and composes with it (the hash is
+    salted with the stratum so strata sample independently).
+
+    Map-only — the predicate fuses into the scan; no shuffle at any scale.
+    Strata absent from ``fractions`` keep ``default_fraction`` of rows.
+    """
+    key = F.substring(
+        F.md5(F.concat_ws("|", F.col(strata_col), F.col(id_col).cast("string"))), 1, 8
+    )
+    thr = F.lit(_frac_threshold(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(_frac_threshold(frac))
+        ).otherwise(thr)
+    return df.filter(key < thr)
 
 
 def with_batch_id(df: DataFrame, batch_size: int, offset_col: str = "offset") -> DataFrame:

@@ -1,0 +1,138 @@
+"""Sequence packing — batching documents into fixed-capacity token bins for
+LLM training (engine extension; the reference's ``batch(batch_size)``
+`array/mixins/group.py:41-95` batches by COUNT, training pipelines pack by
+TOKEN BUDGET so every sequence is near-full).
+
+Two packers, two cost/quality points:
+
+- :func:`pack_sequences` — *concat-and-chunk* (the GPT/C4 pretraining
+  recipe): documents in a deterministic order are laid end-to-end and cut
+  every ``capacity`` tokens; a doc's bin is where its first token lands.
+  Pure window cumsum → one hash exchange on the pack-group key, whole-stage
+  codegen, and exactly expressible in ANSI SQL (oracle-gated). Groups are
+  independent, so at 100 TB you pack per shard key and each group's window
+  sorts only its own rows — no global sort.
+
+- :func:`first_fit_pack` — classic first-fit-decreasing bin packing inside
+  each group via ``applyInPandas`` (stateful per-group loop, inherently
+  sequential). Tighter bins (no doc spans a boundary, fewer pad tokens) at
+  Arrow-batch Python cost; per-group rows must fit one executor — true by
+  construction when groups are hash shards sized like shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    token_col: str = "n_tokens",
+    group_col: str | None = None,
+    order_col: str = "id",
+) -> DataFrame:
+    """Concat-and-chunk packing: within each ``group_col`` (None = one global
+    group — fine at test scale, pass a shard key at real scale), order docs
+    by ``order_col``, lay tokens end-to-end, cut every ``capacity``.
+
+    Adds: ``bin_id`` (bin containing the doc's FIRST token), ``bin_offset``
+    (token offset within that bin), ``spans_boundary`` (doc crosses a cut).
+    """
+    gcols = [group_col] if group_col else []
+    w = (
+        Window.partitionBy(*gcols).orderBy(order_col)
+        if gcols
+        else Window.partitionBy().orderBy(order_col)
+    )
+    start = (F.sum(token_col).over(w) - F.col(token_col)).cast("long")
+    return (
+        df.withColumn("_start", start)
+        .withColumn("bin_id", F.floor(F.col("_start") / capacity).cast("long"))
+        .withColumn("bin_offset", (F.col("_start") % capacity).cast("long"))
+        .withColumn(
+            "spans_boundary",
+            (F.col("bin_offset") + F.col(token_col) > capacity),
+        )
+        .drop("_start")
+    )
+
+
+def pack_summary(
+    df: DataFrame,
+    capacity: int,
+    token_col: str = "n_tokens",
+    group_col: str | None = None,
+    order_col: str = "id",
+) -> DataFrame:
+    """Per-bin rollup of :func:`pack_sequences`: (group?, bin_id, n_docs,
+    first tokens per bin, fill ratio of non-final bins = 1.0 by
+    construction)."""
+    gcols = [group_col] if group_col else []
+    packed = pack_sequences(df, capacity, token_col, group_col, order_col)
+    return (
+        packed.groupBy(*gcols, "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_col).cast("long").alias("tokens_started"),
+            F.min(order_col).alias("first_doc"),
+        )
+        .orderBy(*gcols, "bin_id")
+    )
+
+
+def first_fit_pack(
+    df: DataFrame,
+    capacity: int,
+    token_col: str = "n_tokens",
+    group_col: str = "_pack_group",
+    id_col: str = "id",
+    decreasing: bool = True,
+    n_groups: int | None = None,
+) -> DataFrame:
+    """First-fit(-decreasing) bin packing per group. Docs longer than
+    ``capacity`` get a bin of their own (truncation is the tokenizer's
+    job, not the packer's). If ``group_col`` is absent it is derived as
+    ``pmod(hash(id), n_groups)`` — n_groups defaults to
+    ``spark.sql.shuffle.partitions`` so each group is one task's worth.
+
+    → input columns + ``bin_id`` (long, unique per group), no row loss.
+    """
+    if group_col not in df.columns:
+        ng = n_groups or int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        df = df.withColumn(
+            group_col, F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(ng))
+        )
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("bin_id", T.LongType())]
+    )
+    cap = capacity
+    tcol, icol = token_col, id_col
+
+    def _pack(pdf):
+        order = (
+            pdf.sort_values([tcol, icol], ascending=[False, True])
+            if decreasing
+            else pdf.sort_values(icol)
+        )
+        remaining: list[int] = []  # free space per bin
+        bins = []
+        for t in order[tcol]:
+            t = int(t)
+            for b, free in enumerate(remaining):
+                if free >= t:
+                    remaining[b] = free - t
+                    bins.append(b)
+                    break
+            else:
+                remaining.append(max(cap - t, 0))
+                bins.append(len(remaining) - 1)
+        order = order.assign(bin_id=bins)
+        return order
+
+    return df.groupBy(group_col).applyInPandas(_pack, schema)

@@ -425,3 +425,99 @@ def gopher_quality(
         & (F.col("top_bigram_frac") <= max_top_bigram_frac)
     )
     return out.withColumn("keep", keep)
+
+
+def word_ngrams_col(text: Column | str, n: int = 2) -> Column:
+    """ALL word n-grams of the lowercased text in order (repeats kept —
+    the counting companion to ``dedup.word_shingles_col``, which
+    deduplicates for set-similarity). Texts shorter than ``n`` words yield
+    an empty array."""
+    toks = tokens_col(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    top: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-wide n-gram language-model counts (extension — the classic
+    corpus-statistics pass: LM smoothing tables, contamination grams,
+    collocation mining). ONE map-side-combinable hash aggregation: the
+    explode never shuffles raw grams per occurrence beyond partial counts,
+    and ``top`` compiles to TakeOrderedAndProject (no global sort at scale).
+
+    → ``(gram, n_occurrences)``; deterministic order (count desc, gram asc)
+    when ``top`` is set."""
+    counts = (
+        df.select(F.explode(word_ngrams_col(text_col, n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    if top is not None:
+        counts = counts.orderBy(
+            F.col("n_occurrences").desc(), F.col("gram").asc()
+        ).limit(top)
+    return counts
+
+
+def tfidf_vectors(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    min_df: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Sparse TF-IDF document vectors as ``(id, token, token_id, weight)``
+    triples — the sparse-embedding producer whose output feeds the
+    inverted-index kNN in ``functions/sparse.py`` (extension; the
+    reference's ``embed_feature_hashing`` is the hashed cousin, this is the
+    exact-vocabulary one). ``tf`` = in-doc term count; smooth
+    ``idf = ln((N+1)/(df+1)) + 1``; ``weight = round(tf·idf, round_to)``.
+
+    Token ids reuse :func:`vocabulary`'s convention (frequency rank + 2,
+    0 = pad / 1 = unk) via the same two-phase distributed rank — no global
+    single-partition window. Plan: one (id, token) tf aggregation, one
+    token-stats aggregation riding off it (both map-side combinable), the
+    rank exchanges over the VOCAB (not the corpus), a broadcast join back
+    onto tf, and a broadcast 1-row N replicate (the BM25 pattern,
+    plan-pinned there)."""
+    from docarray_spark.operators.group import distributed_row_number
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    st = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("dfreq"), F.sum("tf").alias("total")
+    )
+    if min_df > 1:
+        st = st.filter(F.col("dfreq") >= min_df)
+    ids = distributed_row_number(
+        st,
+        [F.col("total").desc(), F.col("token").asc()],
+        out_col="_rank",
+    ).select(
+        "token", "dfreq", (F.col("_rank") + 1).cast("int").alias("token_id")
+    )
+    n = df.groupBy().agg(F.count(F.lit(1)).alias("_n_docs"))
+    idf = F.log((F.col("_n_docs") + F.lit(1.0)) / (F.col("dfreq") + F.lit(1.0))) + 1.0
+    return (
+        tf.join(F.broadcast(ids), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "token",
+            "token_id",
+            F.round(F.col("tf") * idf, round_to).alias("weight"),
+        )
+    )

@@ -6,6 +6,7 @@ from docarray_spark.streaming.ops import (
     streaming_dedup,
     streaming_find,
     windowed_counts,
+    session_windows,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "streaming_dedup",
     "streaming_find",
     "windowed_counts",
+    "session_windows",
 ]

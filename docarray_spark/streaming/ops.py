@@ -99,6 +99,43 @@ def windowed_counts(
     )
 
 
+def session_windows(
+    sdf: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Streaming gap-based sessionization via ``session_window`` — the
+    stream twin of ``operators.sessionize.session_summary``: a session
+    extends while the next event arrives within ``gap`` of the last; state
+    for sessions older than the watermark is finalized and evicted.
+
+    Boundary note: ``session_window`` starts a new session at a gap of
+    EXACTLY ``gap`` (window interval is half-open), the batch operator at
+    strictly greater — identical on real-valued event times.
+
+    → one row per closed session: (key…, start, end, n_events[, sum_value]).
+    """
+    sdf = with_utc_timestamp(sdf, ts_col)
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 6).alias("sum_value"))
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("session"), *key_cols)
+        .agg(*aggs)
+        .select(
+            *key_cols,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+            *(["sum_value"] if value_col else []),
+        )
+    )
+
+
 def stream_static_match(
     stream_queries: DataFrame,
     corpus: DataFrame,

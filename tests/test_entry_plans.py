@@ -80,6 +80,20 @@ BUDGETS = {
     "mm_image_chunks": (0, 1, False),
     "stream_windowed_counts": (0, 0, False),
     "stream_dedup_keys": (0, 0, False),
+    # round-2 pipeline extensions
+    "wire_roundtrip": (0, 1, False),          # codec is map-only
+    "stratified_sample": (0, 1, False),       # predicate fused into scan
+    # cumsum window exchange (reused by the rollup) + output sort
+    "pack_sequences": (2, 1, False),
+    # unit window exchange (reused by the doc rebuild) + output agg
+    "dedup_paragraphs": (2, 1, False),
+    # sizes agg + output sort; assignment itself is a zero-shuffle map
+    "kmeans_clusters": (2, 2, False),
+    "ngram_counts": (1, 1, False),            # one map-side-combinable agg
+    # tf agg + vocab-rank exchanges (over the VOCAB, not the corpus) +
+    # broadcast joins; cartesian = broadcast 1-row N replicate (BM25 stance)
+    "tfidf_vectors": (11, 4, True),
+    "stream_session_windows": (0, 0, False),  # memory-sink table read
 }
 
 

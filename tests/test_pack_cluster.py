@@ -1,0 +1,185 @@
+"""Round-2 pipeline extensions: sequence packing, stratified sampling,
+first-occurrence unit dedup, k-means, n-gram counts. Oracle-gated ends live
+in __spark_entry__; these pin the operator semantics on hand-built cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from docarray_spark.operators import (
+    dedup_units_first,
+    first_fit_pack,
+    kmeans,
+    kmeans_summary,
+    ngram_counts,
+    pack_sequences,
+    stratified_hash_sample,
+)
+
+
+# ------------------------------------------------------------------ packing
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "id long, grp string, n_tokens long")
+
+
+def test_pack_sequences_concat_chunk(spark):
+    # tokens: 100, 100, 100 → bins at capacity 250: starts 0,100,200 → bins 0,0,0
+    # doc 3 starts at 300 → bin 1; doc 2 spans the 250 boundary
+    df = _docs(spark, [(1, "a", 100), (2, "a", 100), (3, "a", 100), (4, "a", 50)])
+    out = pack_sequences(df, 250, group_col="grp", order_col="id").orderBy("id")
+    rows = out.collect()
+    assert [r.bin_id for r in rows] == [0, 0, 0, 1]
+    assert [r.bin_offset for r in rows] == [0, 100, 200, 50]
+    assert [r.spans_boundary for r in rows] == [False, False, True, False]
+
+
+def test_pack_sequences_groups_independent(spark):
+    df = _docs(spark, [(1, "a", 200), (2, "b", 200), (3, "a", 200), (4, "b", 200)])
+    out = pack_sequences(df, 250, group_col="grp", order_col="id")
+    by_id = {r.id: r for r in out.collect()}
+    # each group restarts at bin 0
+    assert by_id[1].bin_id == 0 and by_id[2].bin_id == 0
+    assert by_id[3].bin_id == 0 and by_id[4].bin_id == 0
+    assert by_id[3].bin_offset == 200 and by_id[3].spans_boundary
+
+
+def test_first_fit_pack_respects_capacity(spark):
+    rows = [(i, "g", 30 + (i * 37) % 170) for i in range(60)]
+    df = _docs(spark, rows).withColumn("_pack_group", F.lit(0))
+    out = first_fit_pack(df, 256, group_col="_pack_group").collect()
+    assert len(out) == 60  # no row loss
+    fills = {}
+    for r in out:
+        fills[r.bin_id] = fills.get(r.bin_id, 0) + r.n_tokens
+    assert all(v <= 256 for v in fills.values())
+    # FFD should not be wildly worse than the lower bound
+    lower = -(-sum(t for _, _, t in rows) // 256)
+    assert len(fills) <= lower + 3
+
+
+def test_first_fit_pack_oversized_doc_own_bin(spark):
+    df = _docs(spark, [(1, "g", 500), (2, "g", 10)]).withColumn(
+        "_pack_group", F.lit(0)
+    )
+    out = {r.id: r for r in first_fit_pack(df, 256, group_col="_pack_group").collect()}
+    assert out[1].bin_id != out[2].bin_id
+
+
+# ----------------------------------------------------------------- sampling
+
+def test_stratified_hash_sample_fractions_and_determinism(spark):
+    df = spark.range(4000).select(
+        F.col("id"), (F.col("id") % 2 == 0).cast("string").alias("s")
+    )
+    out = stratified_hash_sample(df, "s", {"true": 0.5, "false": 0.1}, id_col="id")
+    counts = {r.s: r.c for r in out.groupBy("s").agg(F.count("*").alias("c")).collect()}
+    assert abs(counts["true"] / 2000 - 0.5) < 0.07
+    assert abs(counts["false"] / 2000 - 0.1) < 0.05
+    again = stratified_hash_sample(df, "s", {"true": 0.5, "false": 0.1}, id_col="id")
+    assert sorted(r.id for r in out.collect()) == sorted(r.id for r in again.collect())
+
+
+def test_stratified_default_fraction_zero_drops_unlisted(spark):
+    df = spark.range(100).select(
+        F.col("id"), F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("s")
+    )
+    out = stratified_hash_sample(df, "s", {"s0": 1.0}, id_col="id")
+    assert set(r.s for r in out.collect()) == {"s0"}
+    assert out.count() == 25  # fraction 1.0 keeps every row of the stratum
+
+
+# --------------------------------------------------------------- unit dedup
+
+def test_dedup_units_first_keeps_first_occurrence(spark):
+    df = spark.createDataFrame(
+        [(1, ["aa", "bb"]), (2, ["bb", "cc"]), (3, ["cc", "aa", "dd"])],
+        "id long, units array<string>",
+    )
+    out = {r.id: r for r in dedup_units_first(df, "id", "units").collect()}
+    assert out[1].clean_text == "aa bb" and out[1].units_removed == 0
+    assert out[2].clean_text == "cc" and out[2].units_removed == 1
+    assert out[3].clean_text == "dd" and out[3].units_removed == 2
+    # within-doc repeat: only the first survives
+    df2 = spark.createDataFrame([(1, ["x", "x", "y"])], "id long, units array<string>")
+    r = dedup_units_first(df2, "id", "units").first()
+    assert r.clean_text == "x y" and r.units_removed == 1
+
+
+def test_dedup_units_first_keeps_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, ["zz"]), (2, ["zz"])], "id long, units array<string>"
+    )
+    out = {r.id: r for r in dedup_units_first(df, "id", "units").collect()}
+    assert out[2].clean_text == "" and out[2].units_total == 1
+
+
+# ------------------------------------------------------------------ k-means
+
+@pytest.fixture(scope="module")
+def blob_df(spark):
+    # two well-separated blobs in 4-d
+    rows = [(i, [10.0 + (i % 5) * 0.01, 10.0, 0.0, 0.0]) for i in range(40)]
+    rows += [(100 + i, [-10.0, -10.0 - (i % 5) * 0.01, 0.0, 0.0]) for i in range(40)]
+    return spark.createDataFrame(rows, "id long, embedding array<float>")
+
+
+def test_kmeans_separates_blobs(blob_df):
+    cent, assigned = kmeans(blob_df, k=2, n_iter=3, id_col="id")
+    labels = {r.id: r.cell for r in assigned.collect()}
+    blob_a = {labels[i] for i in range(40)}
+    blob_b = {labels[100 + i] for i in range(40)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    cents = {r.cell: r.centroid for r in cent.collect()}
+    a_cell = blob_a.pop()
+    assert cents[a_cell][0] == pytest.approx(10.02, abs=0.05)
+
+
+def test_kmeans_deterministic(blob_df):
+    s1 = kmeans_summary(blob_df, k=2, n_iter=2, id_col="id").collect()
+    s2 = kmeans_summary(blob_df, k=2, n_iter=2, id_col="id").collect()
+    assert [tuple(r) for r in s1] == [tuple(r) for r in s2]
+
+
+# ------------------------------------------------------------------- ngrams
+
+def test_ngram_counts_hand_case(spark):
+    df = spark.createDataFrame(
+        [("a b a b",), ("b a b c",), ("x",)], "text string"
+    )
+    out = {r.gram: r.n_occurrences for r in ngram_counts(df, "text", n=2).collect()}
+    # 'a b' x3 ('a b a b' has 2, 'b a b c' has 1), 'b a' x2, 'b c' x1;
+    # the single-word doc contributes no bigrams
+    assert out == {"a b": 3, "b a": 2, "b c": 1}
+
+
+def test_ngram_counts_top_ordering(spark):
+    df = spark.createDataFrame([("a b a b c b",)], "text string")
+    rows = ngram_counts(df, "text", n=2, top=2).collect()
+    assert (rows[0].gram, rows[0].n_occurrences) == ("a b", 2)
+    assert rows[1].n_occurrences == 1  # tie broken by gram asc
+    assert rows[1].gram == "b a"
+
+
+# ------------------------------------------------------------------- tfidf
+
+def test_tfidf_vectors_hand_case(spark):
+    import math
+
+    from docarray_spark.operators import tfidf_vectors
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "d")], "id long, text string"
+    )
+    out = {(r.id, r.token): r for r in tfidf_vectors(df).collect()}
+    # df: a→2 docs, b/c/d→1; N=3; idf = ln((N+1)/(df+1)) + 1
+    idf_a = math.log(4 / 3) + 1
+    idf_1 = math.log(4 / 2) + 1
+    assert out[(1, "a")].weight == pytest.approx(2 * idf_a, abs=1e-6)
+    assert out[(1, "b")].weight == pytest.approx(idf_1, abs=1e-6)
+    assert out[(2, "c")].weight == pytest.approx(idf_1, abs=1e-6)
+    # token ids: 'a' has highest total count (3) → id 2; b/c/d tie on
+    # total=1, broken by token asc → b=3, c=4, d=5
+    assert out[(1, "a")].token_id == 2
+    assert out[(1, "b")].token_id == 3
+    assert out[(2, "c")].token_id == 4
+    assert out[(3, "d")].token_id == 5
