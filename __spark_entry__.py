@@ -936,6 +936,34 @@ def q_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("doc_id") < 100)
 
 
+
+
+def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the C4/RefinedWeb "at most N docs per
+    domain" rebalancing): keep the 15 smallest-md5 docs of each source.
+    One exchange on the group key."""
+    from docarray_spark.operators import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return cap_per_group(docs, "source", 15, id_col="doc_id")
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split labels (98/1/1) + per-split
+    counts; md5-interval assignment, map-only before the rollup."""
+    from docarray_spark.operators import with_split
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = with_split(
+        docs, {"train": 0.98, "val": 0.01, "test": 0.01}, id_col="doc_id"
+    )
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 # --------------------------------------------------- structured streaming
 
 _LANDING_CACHE: dict[str, str] = {}
@@ -1084,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "ngram_counts": q_ngram_counts,
         "tfidf_vectors": q_tfidf_vectors,
+        "cap_per_group": q_cap_per_group,
+        "train_split": q_train_split,
         "stream_session_windows": q_stream_session_windows,
     }
 
@@ -2030,6 +2060,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_dedup_keys": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "cap_per_group": """
+            SELECT doc_id, source, lang FROM (
+              SELECT doc_id, source, lang,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 15
+        """,
+        "train_split": """
+            WITH labeled AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                            < '028f5c28' THEN 'test'
+                       WHEN substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                            < 'fd70a3d7' THEN 'train'
+                       ELSE 'val' END AS split
+              FROM documents
+            )
+            SELECT split, count(*) AS n, min(doc_id) AS min_id,
+                   max(doc_id) AS max_id
+            FROM labeled GROUP BY split
         """,
         "tfidf_vectors": """
             WITH toks AS (

@@ -97,6 +97,62 @@ def stratified_hash_sample(
     return df.filter(key < thr)
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "id",
+) -> DataFrame:
+    """Deterministic per-group cap (extension — the C4/RefinedWeb "at most
+    N documents per domain" rebalancing step): keep the ``k`` rows of each
+    group with the smallest ``md5(id)``. Hash order makes the survivor set
+    a uniform, engine-portable sample of the group, stable across runs and
+    partitionings (``ORDER BY md5`` has no ties for distinct ids).
+
+    ONE hash exchange on the group key; the rank is a plain row_number
+    window. Per-group window state is the group's rows — the usual skew
+    caveat for a pathological mega-group applies (AQE or pre-salting)."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def with_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "id",
+    split_col: str = "split",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split labels (extension): each row gets
+    the label whose cumulative md5-hash interval contains it — e.g.
+    ``{"train": 0.98, "val": 0.01, "test": 0.01}``. Map-only (fuses into
+    the scan), reproducible across engines/runs/partitionings, and
+    independent of :func:`hash_sample`'s hash through the ``salt``.
+    Fractions must sum to ~1 (validated); rows land in exactly one split."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    key = F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+    )
+    expr = None
+    acc = 0.0
+    items = sorted(fractions.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        cond = key < F.lit(_frac_threshold(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
 def with_batch_id(df: DataFrame, batch_size: int, offset_col: str = "offset") -> DataFrame:
     """``batch(batch_size)`` (``group.py:41-95``) as a column: batch_id =
     floor(offset / b). ceil(N/b) batches, last one partial."""

@@ -292,29 +292,44 @@ def winnow_fingerprints(
     → input columns + ``out_col`` (sorted ``array<long>``)."""
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+
+    # Staged through EXPLICIT projection boundaries so each step references
+    # the previous step's materialized column, not its expression subtree.
+    # Building this as one nested expression re-evaluates the referenced
+    # subtree PER LAMBDA ELEMENT in interpreted eval (higher-order functions
+    # are CodegenFallback): the md5-hash array was recomputed once per
+    # window position — O(n²) regex+md5 per document (a single sf0.1 task
+    # burned 15+ min). CollapseProject leaves the boundaries alone because
+    # the aliased expressions are non-cheap and multiply-referenced.
     s = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    n = F.length(s)
+    staged = df.withColumn("_wn_s", s)
+    n = F.length(F.col("_wn_s"))
     grams = F.transform(
         F.sequence(F.lit(1), n - F.lit(k - 1)),
-        lambda i: F.substring(s, i, F.lit(k)),
+        lambda i: F.substring(F.col("_wn_s"), i, F.lit(k)),
     )
     hashes = F.when(
         n >= k,
         F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")),
     ).otherwise(F.array().cast("array<bigint>"))
-    m = F.size(hashes)
+    staged = staged.withColumn("_wn_h", hashes)
+    h = F.col("_wn_h")
+    m = F.size(h)
     sel = (
         F.when(
             m >= w,
             F.transform(
                 F.sequence(F.lit(1), m - F.lit(w - 1)),
-                lambda j: F.array_min(F.slice(hashes, j, w)),
+                lambda j: F.array_min(F.slice(h, j, w)),
             ),
         )
-        .when(m > 0, F.array(F.array_min(hashes)))
+        .when(m > 0, F.array(F.array_min(h)))
         .otherwise(F.array().cast("array<bigint>"))
     )
-    return df.withColumn(out_col, F.array_sort(F.array_distinct(sel)))
+    return (
+        staged.withColumn(out_col, F.array_sort(F.array_distinct(sel)))
+        .drop("_wn_s", "_wn_h")
+    )
 
 
 # Gopher rule-based quality filter (Rae et al. 2021, "Scaling Language

@@ -93,6 +93,8 @@ BUDGETS = {
     # tf agg + vocab-rank exchanges (over the VOCAB, not the corpus) +
     # broadcast joins; cartesian = broadcast 1-row N replicate (BM25 stance)
     "tfidf_vectors": (11, 4, True),
+    "cap_per_group": (1, 1, False),           # one group-key exchange
+    "train_split": (1, 1, False),             # map-only label + rollup
     "stream_session_windows": (0, 0, False),  # memory-sink table read
 }
 

@@ -183,3 +183,42 @@ def test_tfidf_vectors_hand_case(spark):
     assert out[(1, "b")].token_id == 3
     assert out[(2, "c")].token_id == 4
     assert out[(3, "d")].token_id == 5
+
+
+# ------------------------------------------------------- cap / train split
+
+def test_cap_per_group(spark):
+    from docarray_spark.operators import cap_per_group
+
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("g")
+    )
+    out = cap_per_group(df, "g", 10, id_col="id")
+    counts = {r.g: r.c for r in out.groupBy("g").agg(F.count("*").alias("c")).collect()}
+    assert counts == {"0": 10, "1": 10, "2": 10, "3": 10}
+    # deterministic survivor set
+    again = cap_per_group(df, "g", 10, id_col="id")
+    assert sorted(r.id for r in out.collect()) == sorted(r.id for r in again.collect())
+    # groups smaller than k pass through whole
+    small = cap_per_group(df.filter(F.col("id") < 6), "g", 10, id_col="id")
+    assert small.count() == 6
+
+
+def test_with_split_partitions_rows(spark):
+    import pytest as _pt
+
+    from docarray_spark.operators import with_split
+
+    df = spark.range(5000)
+    out = with_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="id")
+    counts = {r.split: r.c for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert sum(counts.values()) == 5000  # exactly one label per row
+    assert abs(counts["train"] / 5000 - 0.8) < 0.05
+    assert abs(counts["val"] / 5000 - 0.1) < 0.03
+    assert abs(counts["test"] / 5000 - 0.1) < 0.03
+    with _pt.raises(ValueError, match="sum to 1"):
+        with_split(df, {"a": 0.5, "b": 0.4})
+    # label assignment independent of hash_sample's hash (salted)
+    out2 = with_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="id", salt="other")
+    diff = out.select("id", "split").subtract(out2.select("id", "split")).count()
+    assert diff > 0
