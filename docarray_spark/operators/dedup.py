@@ -71,15 +71,26 @@ def dup_groups(df: DataFrame, cols: list, id_col: str = "id") -> DataFrame:
 
 
 def word_shingles_col(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the lowercased text."""
+    """Distinct word n-gram shingles of the lowercased text.
+
+    Built as a ``zip_with`` chain over n SHIFTED slices of the token array
+    instead of slicing inside a per-gram lambda: higher-order functions are
+    CodegenFallback and interpreted eval re-computes a lambda-referenced
+    subtree per element, so the lambda form re-split the text once per gram
+    — O(W²) (the winnow_fingerprints bug class). Shifted slices evaluate
+    once each: O(n·W)."""
     toks = tokens_col(text)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    m = F.size(toks) - F.lit(n - 1)
+    grams = F.slice(toks, 1, F.greatest(m, F.lit(1)))
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, 1 + j, F.greatest(m, F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    grams = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
     return F.array_distinct(grams)
 
 

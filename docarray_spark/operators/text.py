@@ -371,7 +371,33 @@ def gopher_quality(
     top_bigram_frac, keep)``
     """
     t = F.col(text_col)
-    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
+    # words / lines / bigrams are STAGED as materialized columns: the
+    # top-bigram scan references the bigram array inside a transform lambda,
+    # and higher-order functions are CodegenFallback — interpreted eval
+    # re-computes a referenced expression SUBTREE per lambda element, which
+    # turned the O(W²) count into an O(W²) array-REBUILD (same bug class as
+    # winnow_fingerprints; see its docstring). Attribute references are
+    # evaluated once per row.
+    staged = df.withColumn(
+        "_gq_words", F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
+    ).withColumn(
+        "_gq_lines",
+        F.filter(F.transform(F.split(t, r"\n"), lambda l: F.trim(l)), lambda l: l != ""),
+    )
+    words0 = F.col("_gq_words")
+    nw0 = F.size(words0)
+    staged = staged.withColumn(
+        "_gq_bigrams",
+        F.when(
+            nw0 >= 2,
+            F.zip_with(
+                F.slice(words0, 1, F.greatest(nw0 - 1, F.lit(1))),
+                F.slice(words0, 2, F.greatest(nw0 - 1, F.lit(1))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    words = F.col("_gq_words")
     nw = F.size(words)
     safe_nw = F.greatest(nw, F.lit(1)).cast("double")
     char_sum = F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
@@ -385,9 +411,7 @@ def gopher_quality(
     symbols = F.regexp_count(t, F.lit(r"#|\.\.\.|…")).cast("double")
     sym_ratio = F.round(symbols / safe_nw, 6)
 
-    lines = F.filter(
-        F.transform(F.split(t, r"\n"), lambda l: F.trim(l)), lambda l: l != ""
-    )
+    lines = F.col("_gq_lines")
     nl = F.size(lines)
     safe_nl = F.greatest(nl, F.lit(1)).cast("double")
     bullet_frac = F.round(
@@ -398,14 +422,7 @@ def gopher_quality(
     )
     dup_line_frac = F.round((nl - F.size(F.array_distinct(lines))) / safe_nl, 6)
 
-    bigrams = F.when(
-        nw >= 2,
-        F.zip_with(
-            F.slice(words, 1, F.greatest(nw - 1, F.lit(1))),
-            F.slice(words, 2, F.greatest(nw - 1, F.lit(1))),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = F.col("_gq_bigrams")
     nb = F.size(bigrams)
     top_bigram = F.when(
         nb > 0,
@@ -416,7 +433,7 @@ def gopher_quality(
     ).otherwise(F.lit(0.0))
     top_bigram = F.round(top_bigram, 6)
 
-    out = df.select(
+    out = staged.select(
         id_col,
         nw.cast("long").alias("n_words"),
         mean_wl.alias("mean_word_len"),
@@ -447,14 +464,21 @@ def word_ngrams_col(text: Column | str, n: int = 2) -> Column:
     the counting companion to ``dedup.word_shingles_col``, which
     deduplicates for set-similarity). Texts shorter than ``n`` words yield
     an empty array."""
+    # zip_with chain over shifted slices — each slice evaluates ONCE, vs a
+    # per-gram lambda re-evaluating the token split per element (O(W²), the
+    # winnow_fingerprints bug class; see word_shingles_col)
     toks = tokens_col(text)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.size(toks) - F.lit(n - 1)
+    grams = F.slice(toks, 1, F.greatest(m, F.lit(1)))
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, 1 + j, F.greatest(m, F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def ngram_counts(
