@@ -964,6 +964,34 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a 'new crawl' against ingested history: docs
+    >= 250 plus synthesized near-dups (first 4 words dropped) probed
+    against docs < 250. Exact = fingerprint anti-probe; near = shared
+    r=1 MinHash band buckets. History ships only fixed-width keys."""
+    from docarray_spark.operators.dedup import dedup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") < 250).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    fresh = docs.filter(F.col("doc_id") >= 250).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    mutated = (
+        docs.filter((F.col("doc_id") < 250) & (F.col("doc_id") % 10 == 0))
+        .select(
+            (F.col("doc_id") + 100000).alias("id"),
+            F.array_join(
+                F.slice(F.split(F.trim("text"), r"\s+"), 5, 1_000_000), " "
+            ).alias("text"),
+        )
+    )
+    return dedup_against(fresh.unionByName(mutated), seen, id_col="id")
+
+
 # --------------------------------------------------- structured streaming
 
 _LANDING_CACHE: dict[str, str] = {}
@@ -1114,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_vectors": q_tfidf_vectors,
         "cap_per_group": q_cap_per_group,
         "train_split": q_train_split,
+        "dedup_incremental": q_dedup_incremental,
         "stream_session_windows": q_stream_session_windows,
     }
 
@@ -2060,6 +2089,62 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_dedup_keys": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "dedup_incremental": """
+            WITH seen AS (
+              SELECT doc_id AS id, text FROM documents WHERE doc_id < 250
+            ),
+            newd AS (
+              SELECT doc_id AS id, text FROM documents WHERE doc_id >= 250
+              UNION ALL
+              SELECT doc_id + 100000,
+                     array_to_string((regexp_split_to_array(trim(text), '\\s+'))[5:], ' ')
+              FROM documents WHERE doc_id < 250 AND doc_id % 10 = 0
+            ),
+            sfp AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM seen),
+            nfp AS (SELECT id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM newd),
+            ssh AS (
+              SELECT id, list_distinct(CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS shingles
+              FROM (SELECT id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM seen)
+            ),
+            nsh AS (
+              SELECT id, list_distinct(CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS shingles
+              FROM (SELECT id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM newd)
+            ),
+            shv AS (SELECT id, list_transform(shingles,
+                      s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hv FROM ssh),
+            nhv AS (SELECT id, list_transform(shingles,
+                      s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hv FROM nsh),
+            sbands AS (
+              SELECT DISTINCT b.band,
+                     list_min(list_transform(hv,
+                       h -> (h * (2 * b.band + 1) + b.band) % 2147483647)) AS mh
+              FROM shv CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
+            ),
+            nbands AS (
+              SELECT id, b.band,
+                     list_min(list_transform(hv,
+                       h -> (h * (2 * b.band + 1) + b.band) % 2147483647)) AS mh
+              FROM nhv CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
+            ),
+            hits AS (
+              SELECT n.id, count(*) AS n_band_hits
+              FROM nbands n JOIN sbands s ON n.band = s.band AND n.mh = s.mh
+              GROUP BY n.id
+            )
+            SELECT nfp.id,
+                   (sfp.fp IS NOT NULL) AS is_exact_dup,
+                   coalesce(h.n_band_hits, 0) AS n_band_hits,
+                   coalesce(h.n_band_hits, 0) >= 1 AS is_near_dup
+            FROM nfp
+            LEFT JOIN sfp ON nfp.fp = sfp.fp
+            LEFT JOIN hits h ON h.id = nfp.id
         """,
         "cap_per_group": """
             SELECT doc_id, source, lang FROM (

@@ -485,3 +485,91 @@ def embedding_dup_pairs(
         pairs.select("id_a", "id_b", dist.alias("cosine_dist"))
         .filter(F.col("cosine_dist") < threshold)
     )
+
+
+# ------------------------------------------------------- incremental dedup
+
+
+def dedup_against(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_bands: int = 8,
+    min_band_hits: int = 1,
+) -> DataFrame:
+    """Incremental (cross-corpus) dedup: flag rows of ``new_df`` that
+    duplicate the already-ingested ``seen_df`` — the "dedup this crawl
+    against all previous crawls" operator a continuously-growing corpus
+    needs (within-batch dedup alone re-admits anything history already
+    contains). No reference counterpart; first-class extension beside the
+    within-corpus passes above.
+
+    Two probes, both equi-joins on fixed-width keys (history never ships
+    text through a shuffle — it reduces to md5 fingerprints and per-band
+    minhash minima, which AQE broadcasts when they fit):
+
+    - exact: whitespace-normalized text fingerprint present in history;
+    - near:  ``n_band_hits`` = how many of the document's ``num_bands``
+      r=1 MinHash band values collide with ANY history document's same
+      band (P(single-band collision) = Jaccard). ``is_near_dup`` when
+      ≥ ``min_band_hits`` — raise it to trade recall for precision.
+
+    → every ``new_df`` row: ``(id_col, is_exact_dup, n_band_hits,
+    is_near_dup)``.
+    """
+    from docarray_spark.operators.text import fingerprint_col
+
+    def _fps(df):
+        return df.select(fingerprint_col(text_col).alias("_fp"))
+
+    def _bands(df, keep_id: bool):
+        # stage shingles → one md5 int per shingle → per-band affine minima
+        # (attribute references only — the interpreted-HOF re-eval trap)
+        sh = df.select(
+            *([F.col(id_col)] if keep_id else []),
+            word_shingles_col(text_col, shingle_n).alias("_sh"),
+        )
+        hv = sh.withColumn(
+            "_hv",
+            F.transform(
+                "_sh",
+                lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+            ),
+        )
+        bands = F.transform(
+            F.sequence(F.lit(0), F.lit(num_bands - 1)),
+            lambda b: F.array_min(
+                F.transform(F.col("_hv"), lambda h: (h * (b * 2 + 1) + b) % _MERSENNE_P)
+            ),
+        )
+        return hv.select(
+            *([F.col(id_col)] if keep_id else []),
+            F.posexplode(bands).alias("_band", "_mh"),
+        )
+
+    exact = (
+        new_df.select(F.col(id_col), fingerprint_col(text_col).alias("_fp"))
+        .join(
+            _fps(seen_df).distinct().withColumn("_e", F.lit(True)), "_fp", "left"
+        )
+        .select(id_col, F.coalesce("_e", F.lit(False)).alias("is_exact_dup"))
+    )
+    hits = (
+        _bands(new_df, keep_id=True)
+        .join(_bands(seen_df, keep_id=False).distinct(), ["_band", "_mh"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_band_hits"))
+    )
+    return (
+        exact.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "is_exact_dup",
+            F.coalesce("n_band_hits", F.lit(0)).alias("n_band_hits"),
+            (F.coalesce("n_band_hits", F.lit(0)) >= min_band_hits).alias(
+                "is_near_dup"
+            ),
+        )
+    )

@@ -95,6 +95,9 @@ BUDGETS = {
     "tfidf_vectors": (11, 4, True),
     "cap_per_group": (1, 1, False),           # one group-key exchange
     "train_split": (1, 1, False),             # map-only label + rollup
+    # fingerprint probe + band-bucket probe + per-id hit count; history
+    # reduces to fixed-width keys before any join
+    "dedup_incremental": (3, 6, False),
     "stream_session_windows": (0, 0, False),  # memory-sink table read
 }
 

@@ -222,3 +222,36 @@ def test_with_split_partitions_rows(spark):
     out2 = with_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="id", salt="other")
     diff = out.select("id", "split").subtract(out2.select("id", "split")).count()
     assert diff > 0
+
+
+# -------------------------------------------------------- incremental dedup
+
+def test_dedup_against_flags(spark):
+    from docarray_spark.operators.dedup import dedup_against
+
+    seen = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+         (11, "alpha beta gamma delta epsilon eta"),    # near dup of 1
+         (12, "completely different words entirely here now")],
+        "id long, text string",
+    )
+    out = {r.id: r for r in dedup_against(new, seen, min_band_hits=2).collect()}
+    assert out[10].is_exact_dup and out[10].is_near_dup
+    assert not out[11].is_exact_dup
+    assert out[11].n_band_hits >= 2 and out[11].is_near_dup
+    assert not out[12].is_exact_dup and out[12].n_band_hits == 0
+    assert not out[12].is_near_dup
+    assert len(out) == 3  # one row per new doc, no loss
+
+
+def test_dedup_against_whitespace_normalized_exact(spark):
+    from docarray_spark.operators.dedup import dedup_against
+
+    seen = spark.createDataFrame([(1, "a  b   c")], "id long, text string")
+    new = spark.createDataFrame([(2, " a b  c ")], "id long, text string")
+    assert dedup_against(new, seen).first().is_exact_dup
