@@ -992,6 +992,22 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against(fresh.unionByName(mutated), seen, id_col="id")
 
 
+
+
+def q_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pool member embeddings per label group (the reference's
+    parent-from-chunks embedding aggregation): map-side-combinable per-dim
+    hash agg — the exchange carries groups*dims partials, not vectors.
+    Emitted as per-dim rows for a scalar-exact oracle."""
+    from docarray_spark.operators import pool_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pooled = pool_embeddings(emb, "label", how="mean", round_to=6)
+    return pooled.select(
+        "label", "n_members", F.posexplode("pooled").alias("dim", "value")
+    ).select("label", "n_members", F.col("dim").cast("long").alias("dim"), "value")
+
+
 # --------------------------------------------------- structured streaming
 
 _LANDING_CACHE: dict[str, str] = {}
@@ -1065,6 +1081,35 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("session_end").alias("end_us"),
         "n_events",
         "sum_value",
+    )
+
+
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join (views preceding each click
+    by <=10 min, per user): watermarked both sides + time-bounded condition
+    so state stays finite; inner-join matches emit eagerly under
+    availableNow. Equals the batch interval join, hence an exact oracle."""
+    import uuid
+
+    from docarray_spark.streaming import run_to_memory_sink, stream_interval_join
+
+    clicks = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select("user_id", "ts", F.col("event_id").alias("click_event"))
+    views = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    ).select(
+        "user_id", F.col("ts").alias("rts"), F.col("event_id").alias("view_event")
+    )
+    out = stream_interval_join(
+        clicks, views, ["user_id"], max_lag_seconds=600, watermark="3650 days"
+    )
+    name = f"t_sij_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(out, name)
+    return spark.table(name).select(
+        "user_id", "click_event", "view_event",
+        F.unix_micros("ts").alias("click_us"),
+        F.unix_micros("rts").alias("view_us"),
     )
 
 
@@ -1143,6 +1188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_group": q_cap_per_group,
         "train_split": q_train_split,
         "dedup_incremental": q_dedup_incremental,
+        "embed_pool": q_embed_pool,
+        "stream_interval_join": q_stream_interval_join,
         "stream_session_windows": q_stream_session_windows,
     }
 
@@ -2089,6 +2136,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_dedup_keys": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "embed_pool": """
+            WITH per AS (
+              SELECT label,
+                     generate_subscripts(embedding, 1) - 1 AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings
+            )
+            SELECT label, count(*) AS n_members, dim, round(avg(x), 6) AS value
+            FROM per GROUP BY label, dim
+        """,
+        "stream_interval_join": """
+            WITH c AS (
+              SELECT user_id, ts, event_id AS click_event
+              FROM events WHERE event_type = 'click'
+            ),
+            v AS (
+              SELECT user_id, ts AS rts, event_id AS view_event
+              FROM events WHERE event_type = 'view'
+            )
+            SELECT c.user_id, c.click_event, v.view_event,
+                   epoch_us(c.ts) AS click_us, epoch_us(v.rts) AS view_us
+            FROM c JOIN v
+              ON c.user_id = v.user_id
+             AND v.rts >= c.ts - INTERVAL 600 SECOND
+             AND v.rts <= c.ts
         """,
         "dedup_incremental": """
             WITH seen AS (

@@ -28,6 +28,7 @@ from collections.abc import Callable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def fake_text_encoder(dim: int = 32):
@@ -76,3 +77,53 @@ def embed(
             yield pdf
 
     return df.mapInPandas(_infer, schema=out_schema)
+
+
+def pool_embeddings(
+    df: "DataFrame",
+    group_col: str,
+    emb_col: str = "embedding",
+    how: str = "mean",
+    round_to: int | None = None,
+) -> "DataFrame":
+    """Aggregate member embeddings into one vector per group — the
+    reference's parent-from-chunks embedding pattern
+    (``da['@c'].embeddings`` then mean/max-pool back onto the parent,
+    ``array/mixins/content.py`` embeddings property + numpy pooling).
+
+    Spark shape: ``posexplode`` the dimensions → ``groupBy(group, dim)``
+    with mean/max/min/sum → re-collect the array sorted by dim. The hash
+    aggregation is map-side combinable, so the exchange carries
+    groups×dims partial aggregates per partition, NOT member vectors —
+    the same scale argument as cluster.py's centroid update, which this
+    generalizes.
+
+    → ``(group_col, n_members, pooled)``; ``pooled`` is array<double>.
+    """
+    aggs = {"mean": F.avg, "max": F.max, "min": F.min, "sum": F.sum}
+    if how not in aggs:
+        raise ValueError(f"how must be one of {sorted(aggs)}, got {how!r}")
+    agg_fn = aggs[how]
+    val = agg_fn("_x")
+    if round_to is not None:
+        val = F.round(val, round_to)
+    per_dim = (
+        df.select(
+            F.col(group_col),
+            F.posexplode(
+                F.expr(f"transform({emb_col}, x -> cast(x as double))")
+            ).alias("_dim", "_x"),
+        )
+        .groupBy(group_col, "_dim")
+        .agg(val.alias("_v"), F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        per_dim.groupBy(group_col)
+        .agg(
+            F.max("_n").cast("long").alias("n_members"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_dim", "_v"))),
+                lambda s: s["_v"],
+            ).alias("pooled"),
+        )
+    )

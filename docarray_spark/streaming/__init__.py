@@ -7,6 +7,7 @@ from docarray_spark.streaming.ops import (
     streaming_find,
     windowed_counts,
     session_windows,
+    stream_interval_join,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "streaming_find",
     "windowed_counts",
     "session_windows",
+    "stream_interval_join",
 ]

@@ -136,6 +136,41 @@ def session_windows(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "rts",
+    max_lag_seconds: int = 600,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join within an event-time interval: each left
+    row pairs with right rows of the same key where
+    ``left_ts - max_lag_seconds <= right_ts <= left_ts`` (the
+    "view that preceded this click" shape). Both sides carry watermarks and
+    the join condition bounds event-time skew, so the state store holds only
+    ``max(watermark, max_lag)`` of either stream — the REQUIRED shape for an
+    unbounded stream-stream join (without the time bound Spark rejects the
+    plan / state grows forever). Column names must be disjoint apart from
+    ``keys`` (rename the right side's before calling).
+
+    Result equals the batch inner interval join of the same frames — an
+    exact SQL oracle exists.
+    """
+    l = with_utc_timestamp(left, left_ts).withWatermark(left_ts, watermark)
+    r = with_utc_timestamp(right, right_ts).withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {max_lag_seconds} SECONDS"))
+        & (F.col(right_ts) <= F.col(left_ts))
+    )
+    for k in keys:
+        cond = cond & (l[k] == r[k])
+    joined = l.join(r, cond, "inner")
+    # drop the duplicated key columns from the right side
+    return joined.drop(*[r[k] for k in keys])
+
+
 def stream_static_match(
     stream_queries: DataFrame,
     corpus: DataFrame,

@@ -98,6 +98,9 @@ BUDGETS = {
     # fingerprint probe + band-bucket probe + per-id hit count; history
     # reduces to fixed-width keys before any join
     "dedup_incremental": (3, 6, False),
+    # per-dim combinable agg + array re-collect; exchange ships partials
+    "embed_pool": (2, 1, False),
+    "stream_interval_join": (0, 0, False),    # memory-sink table read
     "stream_session_windows": (0, 0, False),  # memory-sink table read
 }
 

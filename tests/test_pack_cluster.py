@@ -255,3 +255,22 @@ def test_dedup_against_whitespace_normalized_exact(spark):
     seen = spark.createDataFrame([(1, "a  b   c")], "id long, text string")
     new = spark.createDataFrame([(2, " a b  c ")], "id long, text string")
     assert dedup_against(new, seen).first().is_exact_dup
+
+
+# ---------------------------------------------------------------- pooling
+
+def test_pool_embeddings_modes(spark):
+    from docarray_spark.operators import pool_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 10.0]), (1, [3.0, 20.0]), (2, [5.0, 5.0])],
+        "g int, embedding array<float>",
+    )
+    mean = {r.g: r for r in pool_embeddings(df, "g", round_to=6).collect()}
+    assert list(mean[1].pooled) == [2.0, 15.0] and mean[1].n_members == 2
+    assert list(mean[2].pooled) == [5.0, 5.0]
+    mx = {r.g: list(r.pooled) for r in pool_embeddings(df, "g", how="max").collect()}
+    assert mx[1] == [3.0, 20.0]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="how"):
+        pool_embeddings(df, "g", how="median")
