@@ -260,3 +260,27 @@ def add_offset(df: DataFrame, order_by=None) -> DataFrame:
     spark = df.sparkSession
     schema = df.schema.add("offset", "long")
     return spark.createDataFrame(rdd.map(lambda t: (*t[0], t[1])), schema)
+
+
+def dataloader(df: DataFrame, batch_size: int = 256, prefetch: bool = True):
+    """``DocumentArray.dataloader`` analogue
+    (``array/mixins/dataloader/__init__.py:10-59``): yield pandas batches of
+    ``batch_size`` rows to a DRIVER-side consumer (a training loop) without
+    materializing the dataset — ``toLocalIterator`` streams one partition at
+    a time, so peak driver memory is one partition + one batch.
+
+    This is deliberately the only operator that moves rows to the driver in
+    bulk: it IS the engine→trainer boundary. Everything upstream (dedup,
+    packing, filtering) should run distributed first; at 100 TB you'd point
+    the trainer at parquet written by ``save_parquet`` instead, sharded per
+    worker — this covers the single-consumer convenience path."""
+    import pandas as pd
+
+    buf: list[dict] = []
+    for row in df.toLocalIterator(prefetchPartitions=prefetch):
+        buf.append(row.asDict(recursive=True))
+        if len(buf) >= batch_size:
+            yield pd.DataFrame(buf)
+            buf = []
+    if buf:
+        yield pd.DataFrame(buf)

@@ -274,3 +274,17 @@ def test_pool_embeddings_modes(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="how"):
         pool_embeddings(df, "g", how="median")
+
+
+# --------------------------------------------------------------- dataloader
+
+def test_dataloader_batches(spark):
+    from docarray_spark.operators import dataloader
+
+    df = spark.range(103).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    batches = list(dataloader(df.repartition(4), batch_size=25))
+    assert [len(b) for b in batches[:-1]] == [25, 25, 25, 25]
+    assert sum(len(b) for b in batches) == 103
+    seen = sorted(x for b in batches for x in b["id"])
+    assert seen == list(range(103))
+    assert all((b["v"] == b["id"] * 2).all() for b in batches)
