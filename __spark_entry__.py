@@ -1008,6 +1008,21 @@ def q_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("label", "n_members", F.col("dim").cast("long").alias("dim"), "value")
 
 
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted resampling: each doc kept with probability equal to
+    its (deterministic) quality weight — here length-derived,
+    least(1, n_chars/300). Map-only md5-uniform draw, fused into the scan."""
+    from docarray_spark.operators import weighted_hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.least(F.lit(1.0), F.col("n_chars") / 300.0).alias("weight"),
+    )
+    return weighted_hash_sample(docs, "weight", id_col="doc_id")
+
+
 # --------------------------------------------------- structured streaming
 
 _LANDING_CACHE: dict[str, str] = {}
@@ -1189,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": q_train_split,
         "dedup_incremental": q_dedup_incremental,
         "embed_pool": q_embed_pool,
+        "weighted_sample": q_weighted_sample,
         "stream_interval_join": q_stream_interval_join,
         "stream_session_windows": q_stream_session_windows,
     }
@@ -2136,6 +2152,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_dedup_keys": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "weighted_sample": """
+            SELECT doc_id, source, least(1.0, n_chars / 300.0) AS weight
+            FROM documents
+            WHERE CAST(concat('0x', substr(md5('weight|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  / 4294967296.0
+                  < least(1.0, n_chars / 300.0)
         """,
         "embed_pool": """
             WITH per AS (

@@ -97,6 +97,31 @@ def stratified_hash_sample(
     return df.filter(key < thr)
 
 
+def weighted_hash_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "id",
+    salt: str = "weight",
+) -> DataFrame:
+    """Per-ROW keep-probability sampling (extension — quality-weighted
+    corpus resampling: keep each doc with probability equal to its quality
+    weight in [0, 1], the standard way to downsample low-quality text
+    without a hard cutoff). Deterministic: u(id) = md5-uniform in [0, 1),
+    keep iff u < weight — reproducible across engines/runs/partitionings,
+    salted independently of the other hash samplers. Map-only."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / float(16**8)
+    )
+    return df.filter(u < F.col(weight_col).cast("double"))
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

@@ -101,6 +101,7 @@ BUDGETS = {
     # per-dim combinable agg + array re-collect; exchange ships partials
     "embed_pool": (2, 1, False),
     "stream_interval_join": (0, 0, False),    # memory-sink table read
+    "weighted_sample": (0, 1, False),         # map-only probability draw
     "stream_session_windows": (0, 0, False),  # memory-sink table read
 }
 

@@ -288,3 +288,21 @@ def test_dataloader_batches(spark):
     seen = sorted(x for b in batches for x in b["id"])
     assert seen == list(range(103))
     assert all((b["v"] == b["id"] * 2).all() for b in batches)
+
+
+def test_weighted_hash_sample_proportions(spark):
+    from docarray_spark.operators import weighted_hash_sample
+
+    df = spark.range(6000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, 0.9).otherwise(0.1).alias("w"),
+    )
+    out = weighted_hash_sample(df, "w", id_col="id")
+    counts = {bool(r.k): r.c for r in out.groupBy((F.col("id") % 2 == 0).alias("k"))
+              .agg(F.count("*").alias("c")).collect()}
+    assert abs(counts[True] / 3000 - 0.9) < 0.05
+    assert abs(counts[False] / 3000 - 0.1) < 0.04
+    # weight 0 drops, weight 1 keeps everything
+    zero = weighted_hash_sample(df.withColumn("w", F.lit(0.0)), "w", id_col="id")
+    one = weighted_hash_sample(df.withColumn("w", F.lit(1.0)), "w", id_col="id")
+    assert zero.count() == 0 and one.count() == 6000
