@@ -1023,6 +1023,50 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_hash_sample(docs, "weight", id_col="doc_id")
 
 
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join, bucketized: events matched to their
+    user's first-active-hour window [min_ts, min_ts + 1h). The bucket trick
+    turns the range predicate into an equi-join on (user, bucket) plus the
+    range residual — no O(N·M) nested loop."""
+    from docarray_spark.functions.timeutil import epoch_us_col
+    from docarray_spark.operators.asof import range_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    pts = ev.withColumn("t_us", epoch_us_col(ev, "ts")).select(
+        "event_id", "user_id", (F.col("t_us") / 1e6).alias("t_s")
+    )
+    win = (
+        pts.groupBy("user_id")
+        .agg(F.min("t_s").alias("win_start"))
+        .withColumn("win_end", F.col("win_start") + 3600.0)
+    )
+    out = range_join(
+        pts, win, left_point="t_s", right_start="win_start",
+        right_end="win_end", by=["user_id"], bucket_width=600.0,
+    )
+    return out.select("event_id", "user_id").orderBy("event_id")
+
+
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation over a deliberately hot key space
+    (event_type has ~4 values over the whole log): phase 1 splits each hot
+    key across 16 salted reducers, phase 2 merges partials — result is
+    bit-identical to the plain GROUP BY, which is the oracle."""
+    from docarray_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev, ["event_type"],
+        {"n": ("event_id", "count"), "max_val": ("value", "max"),
+         "min_event": ("event_id", "min")},
+        n_salts=16,
+    )
+    return out.select("event_type", "n", F.round("max_val", 6).alias("max_val"),
+                      "min_event")
+
+
 # --------------------------------------------------- structured streaming
 
 _LANDING_CACHE: dict[str, str] = {}
@@ -1205,6 +1249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "embed_pool": q_embed_pool,
         "weighted_sample": q_weighted_sample,
+        "range_join": q_range_join,
+        "skew_salted_agg": q_skew_salted_agg,
         "stream_interval_join": q_stream_interval_join,
         "stream_session_windows": q_stream_session_windows,
     }
@@ -2152,6 +2198,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_dedup_keys": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "range_join": """
+            WITH pts AS (
+              SELECT event_id, user_id, epoch_us(ts) / 1000000.0 AS t_s
+              FROM events
+            ),
+            win AS (
+              SELECT user_id, min(t_s) AS win_start, min(t_s) + 3600.0 AS win_end
+              FROM pts GROUP BY user_id
+            )
+            SELECT p.event_id, p.user_id
+            FROM pts p JOIN win w
+              ON p.user_id = w.user_id
+             AND p.t_s >= w.win_start AND p.t_s < w.win_end
+            ORDER BY p.event_id
+        """,
+        "skew_salted_agg": """
+            SELECT event_type, count(event_id) AS n,
+                   round(max(value), 6) AS max_val,
+                   min(event_id) AS min_event
+            FROM events GROUP BY event_type
         """,
         "weighted_sample": """
             SELECT doc_id, source, least(1.0, n_chars / 300.0) AS weight

@@ -102,6 +102,9 @@ BUDGETS = {
     "embed_pool": (2, 1, False),
     "stream_interval_join": (0, 0, False),    # memory-sink table read
     "weighted_sample": (0, 1, False),         # map-only probability draw
+    # window agg + bucketized equi-join (no nested loop); 2 scans (pts, win)
+    "range_join": (2, 2, False),
+    "skew_salted_agg": (2, 1, False),         # the two phases, by design
     "stream_session_windows": (0, 0, False),  # memory-sink table read
 }
 
