@@ -124,3 +124,60 @@ def kmeans_summary(
         .select("cell", "n_points", norm.alias("centroid_norm"))
         .orderBy("cell")
     )
+
+
+def diversity_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Greedy farthest-point (k-center) selection of ``k`` maximally-spread
+    rows per group — the curation complement of random/hash sampling: pick
+    diverse exemplars per domain/cluster rather than uniform draws (dedup
+    keeps one of each NEAR-duplicate set; this keeps a SPREAD of what
+    remains). Deterministic: the seed exemplar is the group's smallest
+    ``md5(id)`` row, each step adds the point with the largest min-distance
+    to the selected set (ties → smaller md5).
+
+    One hash exchange on the group key, then numpy O(k·n·d) per group
+    inside ``applyInPandas`` (Arrow batches) — the same per-group
+    bounded-state contract as ``pack.first_fit_pack``. Iterative greedy
+    selection has no reasonable SQL form, so this operator is pytest-gated
+    rather than oracle-gated (the determinism makes results reproducible
+    across runs/partitionings regardless)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    out_fields = df.select(id_col, group_col).schema.fields
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(list(out_fields) + [T.StructField("pick_order", T.IntegerType())])
+
+    def _select(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        ids = pdf[id_col].astype(str).to_numpy()
+        order_key = np.array(
+            [hashlib.md5(x.encode()).hexdigest() for x in ids]
+        )
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[emb_col]])
+        kk = min(k, n)
+        seed = int(np.argmin(order_key))
+        chosen = [seed]
+        d2 = ((mat - mat[seed]) ** 2).sum(axis=1)
+        d2[seed] = -np.inf  # chosen points can never be re-picked, even
+        for _ in range(1, kk):  # when duplicates leave every distance at 0
+            # farthest point; tie → smallest md5 (lexicographic)
+            far = int(np.lexsort((order_key, -d2))[0])
+            chosen.append(far)
+            d2 = np.minimum(d2, ((mat - mat[far]) ** 2).sum(axis=1))
+            d2[far] = -np.inf
+        sel = pdf.iloc[chosen][[id_col, group_col]].reset_index(drop=True)
+        sel["pick_order"] = range(len(chosen))
+        return sel
+
+    return df.groupBy(group_col).applyInPandas(_select, schema)

@@ -14,6 +14,8 @@ and the same logic is expressible in ANSI SQL for cross-engine oracles.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -560,3 +562,30 @@ def tfidf_vectors(
             F.round(F.col("tf") * idf, round_to).alias("weight"),
         )
     )
+
+
+def compression_ratio_col(text: Column | str, level: int = 6) -> Column:
+    """zlib compression ratio (compressed/raw bytes) per document — the
+    classic cheap repetition detector (highly-repetitive boilerplate or
+    template spam compresses far below ~0.4; natural prose sits ~0.5-0.8).
+    Used alongside :func:`gopher_quality`'s rule set in production corpus
+    filters.
+
+    Python-side by necessity (no zlib in Catalyst), but Arrow-batched via
+    ``pandas_udf`` — embarrassingly parallel, no shuffle, ~bytes/sec bound.
+    Empty/null texts → null."""
+    import zlib as _zlib
+
+    t = F.col(text) if isinstance(text, str) else text
+
+    @F.pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None or len(x) == 0:
+                return None
+            raw = x.encode("utf-8")
+            return len(_zlib.compress(raw, level)) / len(raw)
+
+        return s.map(one)
+
+    return _ratio(t)

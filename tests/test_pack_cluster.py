@@ -306,3 +306,40 @@ def test_weighted_hash_sample_proportions(spark):
     zero = weighted_hash_sample(df.withColumn("w", F.lit(0.0)), "w", id_col="id")
     one = weighted_hash_sample(df.withColumn("w", F.lit(1.0)), "w", id_col="id")
     assert zero.count() == 0 and one.count() == 6000
+
+
+def test_diversity_sample_spreads_across_blobs(spark, blob_df):
+    from docarray_spark.operators import diversity_sample
+
+    grouped = blob_df.withColumn("g", F.lit("all"))
+    picks = diversity_sample(grouped, "g", k=2, id_col="id").collect()
+    assert len(picks) == 2
+    ids = sorted(r.id for r in picks)
+    # one exemplar from each well-separated blob (ids <100 vs >=100)
+    assert ids[0] < 100 <= ids[1]
+    # deterministic across runs
+    again = sorted(r.id for r in diversity_sample(grouped, "g", k=2, id_col="id").collect())
+    assert ids == again
+
+
+def test_diversity_sample_caps_at_group_size(spark):
+    from docarray_spark.operators import diversity_sample
+
+    df = spark.createDataFrame(
+        [(1, "a", [0.0, 0.0]), (2, "a", [1.0, 0.0])],
+        "id long, g string, embedding array<float>",
+    )
+    out = diversity_sample(df, "g", k=5, id_col="id").collect()
+    assert sorted(r.id for r in out) == [1, 2]
+    assert sorted(r.pick_order for r in out) == [0, 1]
+
+
+def test_diversity_sample_no_repicks_on_duplicate_vectors(spark):
+    from docarray_spark.operators import diversity_sample
+
+    df = spark.createDataFrame(
+        [(i, "g", [1.0, 1.0]) for i in range(4)],
+        "id long, g string, embedding array<float>",
+    )
+    out = diversity_sample(df, "g", k=3, id_col="id").collect()
+    assert len({r.id for r in out}) == 3  # distinct rows despite 0 distances

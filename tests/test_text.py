@@ -67,3 +67,22 @@ def test_fingerprint_normalization(spark):
     fps = {r.id: r.fp for r in df.select("id", fingerprint_col("text").alias("fp")).collect()}
     assert fps["a"] == fps["b"]
     assert fps["a"] != fps["c"]
+
+
+def test_compression_ratio_detects_repetition(spark):
+    from docarray_spark.operators.text import compression_ratio_col
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "spam " * 200),
+         (2, "the quick brown fox jumps over the lazy dog and keeps on "
+             "running through fields of completely varied unrepeated text "
+             "with ever changing vocabulary items appearing once only"),
+         (3, ""), (4, None)],
+        "id long, text string",
+    )
+    out = {r.id: r.ratio for r in df.select(
+        "id", compression_ratio_col("text").alias("ratio")).collect()}
+    assert out[1] < 0.1           # pure repetition compresses away
+    assert out[2] > 0.5           # varied prose doesn't
+    assert out[3] is None and out[4] is None
