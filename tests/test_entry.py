@@ -66,6 +66,23 @@ def test_query_vs_oracle(spark, sf_dir, ddb, name):
         assert not bad, f"{name}.{col}: {len(bad)} mismatched cells, first: {av[bad[0]]!r} != {bv[bad[0]]!r}"
 
 
+def test_registry_fits_driver_verification_window():
+    """The driver's correctness gate verifies only the FIRST 50 registry
+    entries (VERDICT r2 #1: 22 of 72 entries silently had no oracle row).
+    Pin the registry size so the gap class can't recur; merge entries
+    (part-tagged unions) instead of growing past the window."""
+    names = list(entry_mod.queries())
+    assert len(names) <= 50, (
+        f"{len(names)} queries() entries exceed the driver's 50-entry "
+        "verification window — merge entries instead"
+    )
+    # every entry is either oracle-gated or a documented rows-only check
+    no_oracle_by_design = {"mm_image_chunks"}
+    oracles = entry_mod.oracle_sql()
+    missing = [n for n in names if n not in oracles and n not in no_oracle_by_design]
+    assert not missing, f"entries without an oracle: {missing}"
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0

@@ -18,94 +18,82 @@ from docarray_spark.plans import explain_str, has_cartesian, scan_count, shuffle
 
 # name: (max_shuffles, max_scans, cartesian_allowed)
 BUDGETS = {
-    "ql_filter_range": (0, 1, False),
+    # --- round-3 first block (previously outside the r2 oracle window)
+    "ann_ivf_cosine": (1, 3, True),
+    "ann_lsh_cosine": (2, 4, False),
+    # sizes agg + output sort; assignment itself is a zero-shuffle map
+    "kmeans_clusters": (2, 2, False),
+    # cumsum window exchange (reused by the rollup) + output sort
+    "pack_sequences": (2, 1, False),
+    # hash/stratified/weighted/split parts are map-only scan-fused
+    # predicates; cap contributes the single group-key exchange
+    "sampling_suite": (1, 5, False),
+    # unit window exchange (reused by the doc rebuild) + output agg
+    "dedup_paragraphs": (2, 1, False),
+    # fingerprint probe + band-bucket probe + per-id hit count; history
+    # reduces to fixed-width keys before any join
+    "dedup_incremental": (3, 6, False),
+    # tf agg + vocab-rank exchanges (over the VOCAB, not the corpus) +
+    # broadcast joins; cartesian = broadcast 1-row N replicate (BM25 stance)
+    "tfidf_vectors": (11, 4, True),
+    # vocabulary two-phase rank (7) + the one bigram-count agg
+    "vocab_ngrams": (8, 3, False),
+    # per-dim combinable agg + array re-collect; exchange ships partials
+    "embed_pool": (2, 1, False),
+    # asof union-window exchange + range window agg + bucketized equi-join
+    "temporal_joins": (3, 4, False),
+    "skew_salted_agg": (2, 1, False),         # the two phases, by design
+    # three map-only codec round-trips, one scan each
+    "roundtrip_codecs": (0, 3, False),
+    # exact-gate + bucket-gate LSH paths (5 shuffles / 8 scans each)
+    "dedup_embedding": (10, 16, False),
+    "embed_batch": (0, 1, False),             # mapInPandas, scan-fused
+    "mm_image_chunks": (0, 1, False),
+    "stream_windowed_counts": (0, 0, False),
+    "stream_dedup_keys": (0, 0, False),
+    "stream_session_windows": (0, 0, False),  # memory-sink table read
+    "stream_interval_join": (0, 0, False),    # memory-sink table read
+    # --- round-2-green block
+    "ql_filter_docs": (0, 2, False),
     "ql_filter_logic": (0, 1, False),
-    "ql_filter_regex": (0, 1, False),
     "ql_filter_size_placeholder": (0, 1, False),
-    "knn_cosine": (1, 1, False),
-    "knn_sqeuclidean_filtered": (1, 1, False),
-    "knn_euclidean_normalized": (1, 1, False),
-    "knn_inner_product": (1, 1, False),
+    # four bounded-query exact kNN parts, one window merge each
+    "knn_suite": (4, 4, False),
     "knn_graph": (2, 1, False),
-    "group_counts": (1, 1, False),
-    "reduce_merge": (2, 2, False),
-    "reduce_nested": (2, 14, False),
-    "hash_sample": (0, 1, False),
+    "sparse_knn_cosine": (2, 2, False),
+    "group_batch_counts": (2, 2, False),
+    "reduce_suite": (4, 16, False),
     "cube_rollup": (1, 1, False),
-    "asof_join": (1, 2, False),
-    "batch_ids": (1, 1, False),
     "set_ops": (0, 4, False),
-    "traverse_paths": (5, 23, False),
-    "traverse_attrs": (5, 23, False),
-    "traverse_matches": (2, 3, False),
-    "store_roundtrip": (0, 1, False),
-    "slice_project": (0, 1, False),
-    "crud_update": (0, 1, False),
-    "update_by_id": (0, 2, False),
-    "feature_hash": (2, 2, False),
-    "datauri": (0, 1, False),
+    "traverse_suite": (12, 49, False),
+    # slice/set/pop/delete fuse into the scan; MERGE joins broadcast updates
+    "slice_crud": (0, 2, False),
+    # feature-hash two-level agg + text_to_tensor vocab rank; datauri fused
+    "content_codecs": (10, 7, False),
     "eval_metrics": (4, 3, False),
-    "text_stats": (0, 1, False),
-    "lang_id": (0, 1, False),
+    # stats/lang-id/token counts CHAIN into one map-only projection
+    "text_profile": (0, 1, False),
     "quality_gopher": (0, 1, False),
-    "token_counts": (0, 1, False),
-    "fingerprint_winnow": (0, 1, False),
-    "pii_scrub": (0, 1, False),
-    # block doc-frequency agg + doc rebuild agg; frequent set joins broadcast
+    # block doc-frequency agg + doc rebuild; frequent set joins broadcast
     "boilerplate_removal": (2, 2, False),
     # one exchange on user_id, reused by both the lag window and the rollup
     "sessionize": (1, 1, False),
+    "pii_scrub": (0, 1, False),
     # eval-gram distinct (tiny side) + per-doc hit count + output orderBy;
     # the corpus gram explosion itself never shuffles (broadcast probe)
     "decontaminate": (3, 2, False),
+    "fingerprint_winnow": (0, 1, False),
     "doc_summary": (2, 1, False),
-    "vocabulary": (7, 2, False),
-    "text_to_tensor": (8, 4, False),
     "text_search_bm25": (5, 3, True),
     "nested_set": (3, 15, False),
-    "embed_batch": (0, 1, False),
     "dedup_exact": (1, 1, False),
-    "dedup_minhash_lsh": (2, 2, False),
-    "dedup_ngram_jaccard": (2, 2, False),
+    # minhash LSH path + the exact inverted-index ground-truth path
+    "dedup_text_pairs": (4, 4, False),
     "dedup_simhash": (1, 1, False),
     "dedup_simhash_pairs": (3, 2, False),
     # CC iterations run eagerly on checkpointed integer edges; the final plan
     # is labels∪roots (distinct) + corpus left join + order
     "dedup_components": (4, 3, False),
-    "dedup_embedding": (5, 8, False),
-    "sparse_knn_cosine": (2, 2, False),
-    "ann_ivf_cosine": (1, 3, True),
-    "ann_lsh_cosine": (2, 4, False),
-    "dedup_embedding_lsh": (5, 8, False),
-    "mm_image_chunks": (0, 1, False),
-    "stream_windowed_counts": (0, 0, False),
-    "stream_dedup_keys": (0, 0, False),
-    # round-2 pipeline extensions
-    "wire_roundtrip": (0, 1, False),          # codec is map-only
-    "stratified_sample": (0, 1, False),       # predicate fused into scan
-    # cumsum window exchange (reused by the rollup) + output sort
-    "pack_sequences": (2, 1, False),
-    # unit window exchange (reused by the doc rebuild) + output agg
-    "dedup_paragraphs": (2, 1, False),
-    # sizes agg + output sort; assignment itself is a zero-shuffle map
-    "kmeans_clusters": (2, 2, False),
-    "ngram_counts": (1, 1, False),            # one map-side-combinable agg
-    # tf agg + vocab-rank exchanges (over the VOCAB, not the corpus) +
-    # broadcast joins; cartesian = broadcast 1-row N replicate (BM25 stance)
-    "tfidf_vectors": (11, 4, True),
-    "cap_per_group": (1, 1, False),           # one group-key exchange
-    "train_split": (1, 1, False),             # map-only label + rollup
-    # fingerprint probe + band-bucket probe + per-id hit count; history
-    # reduces to fixed-width keys before any join
-    "dedup_incremental": (3, 6, False),
-    # per-dim combinable agg + array re-collect; exchange ships partials
-    "embed_pool": (2, 1, False),
-    "stream_interval_join": (0, 0, False),    # memory-sink table read
-    "weighted_sample": (0, 1, False),         # map-only probability draw
-    # window agg + bucketized equi-join (no nested loop); 2 scans (pts, win)
-    "range_join": (2, 2, False),
-    "skew_salted_agg": (2, 1, False),         # the two phases, by design
-    "stream_session_windows": (0, 0, False),  # memory-sink table read
 }
 
 

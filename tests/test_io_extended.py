@@ -224,6 +224,77 @@ def test_json_wire_roundtrip_and_frame_portability(spark):
 def test_wire_codec_rejects_unknown(spark):
     df = spark.range(1)
     with pytest.raises(ValueError, match="protocol"):
-        docs_to_bytes(df, protocol="protobuf")
+        docs_to_bytes(df, protocol="msgpack")
     with pytest.raises(ValueError, match="lz4"):
         docs_to_bytes(df, compress="lz4")
+
+
+# ------------------------------------------------- protobuf wire format
+
+def test_proto_encode_matches_handbuilt_frames():
+    """Byte-exact against hand-assembled protobuf wire frames (spec:
+    varint keys, fixed64 doubles, length-delimited strings)."""
+    from docarray_spark.functions.wire import proto_decode, proto_encode
+
+    # field 1 varint 7 -> key 0x08 payload 0x07; field 2 string "hi" ->
+    # key 0x12 len 0x02 bytes
+    assert proto_encode({"doc_id": 7, "text": "hi"}, {"doc_id": 1, "text": 2}) == (
+        b"\x08\x07\x12\x02hi"
+    )
+    # negative int64: two's complement -> 10-byte varint
+    assert proto_encode({"n": -1}, {"n": 1}) == b"\x08" + b"\xff" * 9 + b"\x01"
+    # double 1.5 -> fixed64 little-endian
+    import struct
+
+    assert proto_encode({"w": 1.5}, {"w": 3}) == b"\x19" + struct.pack("<d", 1.5)
+    # multi-byte varint boundary: 300 = 0xAC 0x02
+    assert proto_encode({"n": 300}, {"n": 1}) == b"\x08\xac\x02"
+    # None omitted (proto3 absence); decode restores None
+    assert proto_encode({"a": None, "b": 5}, {"a": 1, "b": 2}) == b"\x10\x05"
+    rec = proto_decode(b"\x10\x05", {"a": 1, "b": 2}, {"a": "str", "b": "int"})
+    assert rec == {"a": None, "b": 5}
+    # signed round-trip through the unsigned wire
+    rec = proto_decode(
+        proto_encode({"n": -42}, {"n": 1}), {"n": 1}, {"n": "int"}
+    )
+    assert rec == {"n": -42}
+
+
+def test_frame_stream_reference_layout():
+    """Array stream framing == the reference byte layout
+    (io/binary.py:401-404): \\x01 + uint64(count) + uint32(len) frames."""
+    from docarray_spark.functions.wire import frame_stream, unframe_stream
+
+    frames = [b"abc", b"", b"\x00\x01"]
+    data = frame_stream(frames)
+    assert data[0] == 1
+    assert int.from_bytes(data[1:9], "big") == 3
+    assert int.from_bytes(data[9:13], "big") == 3 and data[13:16] == b"abc"
+    assert unframe_stream(data) == frames
+    with pytest.raises(ValueError, match="version"):
+        unframe_stream(b"\x02" + data[1:])
+
+
+def test_protobuf_wire_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "hello", "en", 2.5), (2, None, "de", -0.5)],
+        "doc_id bigint, text string, lang string, weight double",
+    )
+    ser = docs_to_bytes(df, protocol="protobuf", compress="zlib")
+    back = docs_from_bytes(
+        ser, "doc_id bigint, text string, lang string, weight double",
+        protocol="protobuf", compress="zlib",
+    ).orderBy("doc_id")
+    rows = back.collect()
+    assert [(r.doc_id, r.text, r.lang, r.weight) for r in rows] == [
+        (1, "hello", "en", 2.5), (2, None, "de", -0.5)
+    ]
+
+
+def test_protobuf_rejects_complex_fields(spark):
+    from docarray_spark.functions.wire import docs_from_bytes as _fb
+
+    df = spark.createDataFrame([(1, [1.0])], "id bigint, emb array<double>")
+    ser = docs_to_bytes(df.select("id"), protocol="protobuf")
+    with pytest.raises(ValueError, match="scalar"):
+        _fb(ser, "id bigint, emb array<double>", protocol="protobuf")
