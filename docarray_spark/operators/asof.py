@@ -69,10 +69,15 @@ def asof_join(
     ).filter(F.col("_s") == 1)
 
     if tolerance_seconds is not None:
-        # NTZ-safe: numeric casts reject TIMESTAMP_NTZ (timeutil module doc)
-        tdt = dict(left.dtypes).get(time_col, "")
+        # NTZ-safe: numeric casts reject TIMESTAMP_NTZ (timeutil module doc).
+        # Dtypes come from the UNIONED frame, not the left side (ADVICE r2
+        # #2): unionByName coerces both time columns to a common type, so
+        # left.dtypes would dispatch the wrong epoch branch when the sides'
+        # time types differ (timestamp vs ntz vs numeric).
+        odt = dict(out.dtypes)
         stale = (
-            epoch_us_expr(F.col(time_col), tdt) - epoch_us_expr(F.col("_rtime"), tdt)
+            epoch_us_expr(F.col(time_col), odt[time_col])
+            - epoch_us_expr(F.col("_rtime"), odt["_rtime"])
         ) > tolerance_seconds * 1_000_000
         out = out.select(
             *[c for c in lt.columns if c != "_side"],

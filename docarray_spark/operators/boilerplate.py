@@ -111,19 +111,31 @@ def dedup_units_first(
     bounded by the duplication factor, not corpus size.
 
     → ``(id_col, clean_text, units_total, units_removed)``, one row per
-    input document (docs whose every unit is a repeat yield empty text).
+    input document — docs whose every unit is a repeat yield empty text,
+    and docs with NULL/empty ``units`` survive with ``units_total`` 0 and
+    empty text (ADVICE r2 #4: posexplode would drop them entirely; the
+    outer explode keeps a null-unit row per such doc, salted across window
+    partitions by doc id so empty docs never pile onto one task).
     """
     u = F.col(units) if isinstance(units, str) else units
-    exploded = df.select(F.col(id_col), F.posexplode(u).alias("_pos", "_unit"))
-    w = Window.partitionBy(F.md5("_unit")).orderBy(F.col(id_col), F.col("_pos"))
+    exploded = df.select(
+        F.col(id_col), F.posexplode_outer(u).alias("_pos", "_unit")
+    )
+    # null-unit rows get a per-doc key in a namespace no md5 hex can
+    # collide with, so they never interleave with a real unit's window
+    pkey = F.when(F.col("_unit").isNotNull(), F.md5("_unit")).otherwise(
+        F.concat(F.lit("_empty_"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(pkey).orderBy(F.col(id_col), F.col("_pos"))
     tagged = exploded.withColumn("_rn", F.row_number().over(w))
+    real = F.col("_unit").isNotNull()
     parts = F.array_sort(
-        F.collect_list(F.when(F.col("_rn") == 1, F.struct("_pos", "_unit")))
+        F.collect_list(F.when((F.col("_rn") == 1) & real, F.struct("_pos", "_unit")))
     )
     return tagged.groupBy(id_col).agg(
         F.concat_ws(joiner, F.transform(parts, lambda s: s["_unit"])).alias(
             "clean_text"
         ),
-        F.count(F.lit(1)).cast("long").alias("units_total"),
-        F.sum((F.col("_rn") > 1).cast("long")).alias("units_removed"),
+        F.count("_unit").cast("long").alias("units_total"),
+        F.sum(((F.col("_rn") > 1) & real).cast("long")).alias("units_removed"),
     )

@@ -87,6 +87,15 @@ def post(
             with urlopen(req, timeout=timeout) as resp:
                 body = json.loads(resp.read().decode("utf-8"))
             returned = pd.DataFrame(body["data"])
+            if len(returned) != len(chunk):
+                # ADVICE r2 #3: a misbehaving endpoint returning a
+                # different doc count would silently truncate/NaN-fill via
+                # index alignment; raise into the error-row path instead so
+                # the rows survive untouched with post_error set.
+                raise ValueError(
+                    f"endpoint returned {len(returned)} docs for a "
+                    f"{len(chunk)}-doc request"
+                )
             out = pd.DataFrame(index=range(len(returned)))
             for name in field_names:
                 out[name] = returned[name] if name in returned else chunk[name].reset_index(drop=True)

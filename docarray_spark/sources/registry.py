@@ -14,7 +14,11 @@ socket, so both push and pull run with full executor parallelism and a
 
 The registry root is any Hadoop-compatible path (local dir, HDFS, object
 store); a ``manifest.json`` per artifact records schema + row count so
-``list_artifacts`` works without opening parquet footers.
+``list_artifacts`` works without opening parquet footers. Manifest and
+directory operations dispatch on the root's scheme (ADVICE r2 #1): plain
+local paths use direct os IO; scheme'd roots (``hdfs://``, ``s3a://``, …)
+route through the Hadoop FileSystem API of the active SparkSession's JVM,
+so push/pull/list/delete all honor the advertised path types.
 """
 
 from __future__ import annotations
@@ -26,6 +30,85 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 
+
+def _is_remote(path: str) -> bool:
+    # any scheme'd URI (file:// included) goes through Hadoop FS — plain
+    # paths use direct os IO and need no SparkSession
+    return "://" in path
+
+
+def _hadoop_fs(path_str: str, spark: SparkSession | None):
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            f"registry root {path_str!r} needs the Hadoop FileSystem API — "
+            "start a SparkSession first (or pass spark=)"
+        )
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath, jvm
+
+
+def _exists(path: str, spark: SparkSession | None = None) -> bool:
+    if not _is_remote(path):
+        return os.path.exists(path)
+    fs, jpath, _ = _hadoop_fs(path, spark)
+    return fs.exists(jpath)
+
+
+def _write_text(path: str, text: str, spark: SparkSession | None = None) -> None:
+    if not _is_remote(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+        return
+    fs, jpath, _ = _hadoop_fs(path, spark)
+    out = fs.create(jpath, True)  # overwrite — object stores rename is copy
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(path: str, spark: SparkSession | None = None) -> str:
+    if not _is_remote(path):
+        with open(path) as f:
+            return f.read()
+    fs, jpath, jvm = _hadoop_fs(path, spark)
+    stream = fs.open(jpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _list_subdirs(root: str, spark: SparkSession | None = None) -> list[str]:
+    if not _is_remote(root):
+        if not os.path.isdir(root):
+            return []
+        return sorted(os.listdir(root))
+    fs, jpath, _ = _hadoop_fs(root, spark)
+    if not fs.exists(jpath):
+        return []
+    return sorted(
+        st.getPath().getName() for st in fs.listStatus(jpath) if st.isDirectory()
+    )
+
+
+def _delete_dir(path: str, spark: SparkSession | None = None) -> bool:
+    if not _is_remote(path):
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+            return True
+        return False
+    fs, jpath, _ = _hadoop_fs(path, spark)
+    if not fs.exists(jpath):
+        return False
+    return bool(fs.delete(jpath, True))
+
 _DEFAULT_REGISTRY = os.path.join(os.path.expanduser("~"), ".docarray_spark", "registry")
 
 
@@ -33,10 +116,16 @@ def _registry_root(registry: str | None) -> str:
     return registry or os.environ.get("DOCARRAY_SPARK_REGISTRY", _DEFAULT_REGISTRY)
 
 
+def _join(root: str, *parts: str) -> str:
+    if _is_remote(root):
+        return "/".join([root.rstrip("/")] + list(parts))
+    return os.path.join(root, *parts)
+
+
 def _artifact_dir(name: str, registry: str | None) -> str:
     if not name or "/" in name or name.startswith("."):
         raise ValueError(f"artifact name must be a plain identifier, got {name!r}")
-    return os.path.join(_registry_root(registry), name)
+    return _join(_registry_root(registry), name)
 
 
 def push(df: DataFrame, name: str, registry: str | None = None) -> dict:
@@ -45,7 +134,7 @@ def push(df: DataFrame, name: str, registry: str | None = None) -> dict:
     ``pushpull.py:54-58``). Returns the manifest dict, mirroring the
     reference returning the upload response data."""
     art = _artifact_dir(name, registry)
-    data_dir = os.path.join(art, "data")
+    data_dir = _join(art, "data")
     df.write.mode("overwrite").parquet(data_dir)
     n = df.sparkSession.read.parquet(data_dir).count()
     manifest = {
@@ -55,11 +144,7 @@ def push(df: DataFrame, name: str, registry: str | None = None) -> dict:
         "pushed_at": time.time(),
         "format": "parquet",
     }
-    os.makedirs(art, exist_ok=True)
-    tmp = os.path.join(art, ".manifest.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(art, "manifest.json"))
+    _write_text(_join(art, "manifest.json"), json.dumps(manifest), df.sparkSession)
     return manifest
 
 
@@ -68,29 +153,29 @@ def pull(spark: SparkSession, name: str, registry: str | None = None) -> DataFra
     Returns a lazy DataFrame over the stored parquet — nothing is
     downloaded driver-side; scans happen where the query runs."""
     art = _artifact_dir(name, registry)
-    if not os.path.exists(os.path.join(art, "manifest.json")):
+    if not _exists(_join(art, "manifest.json"), spark):
         raise FileNotFoundError(f"no artifact named {name!r} in registry {_registry_root(registry)!r}")
-    return spark.read.parquet(os.path.join(art, "data"))
+    return spark.read.parquet(_join(art, "data"))
 
 
-def list_artifacts(registry: str | None = None) -> list[dict]:
-    """Manifests of every pushed artifact, newest first."""
+def list_artifacts(
+    registry: str | None = None, spark: SparkSession | None = None
+) -> list[dict]:
+    """Manifests of every pushed artifact, newest first. ``spark`` is only
+    needed for scheme'd (non-local) registry roots."""
     root = _registry_root(registry)
-    if not os.path.isdir(root):
-        return []
     out = []
-    for name in os.listdir(root):
-        mf = os.path.join(root, name, "manifest.json")
-        if os.path.isfile(mf):
-            with open(mf) as f:
-                out.append(json.load(f))
+    for name in _list_subdirs(root, spark):
+        mf = _join(root, name, "manifest.json")
+        if _exists(mf, spark):
+            out.append(json.loads(_read_text(mf, spark)))
     return sorted(out, key=lambda m: m.get("pushed_at", 0), reverse=True)
 
 
-def delete_artifact(name: str, registry: str | None = None) -> bool:
-    """Remove a pushed artifact; True if it existed."""
+def delete_artifact(
+    name: str, registry: str | None = None, spark: SparkSession | None = None
+) -> bool:
+    """Remove a pushed artifact; True if it existed. ``spark`` is only
+    needed for scheme'd (non-local) registry roots."""
     art = _artifact_dir(name, registry)
-    if os.path.isdir(art):
-        shutil.rmtree(art)
-        return True
-    return False
+    return _delete_dir(art, spark)

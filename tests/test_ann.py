@@ -47,7 +47,21 @@ def test_lsh_match_recall_and_shape(emb, queries, exact):
         assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
         scores = [r["score"] for r in rows]
         assert scores == sorted(scores)
-    assert _recall(got, exact) > 0.5
+    # VERDICT r2 #6: pinned recall floor at the ENTRY's parameters so a
+    # parameter/implementation refactor can't silently degrade quality.
+    # Measured 0.825 at sf0.001 / 0.9125 at sf0.01 (uniform random
+    # embeddings are the adversarial case for hyperplane LSH).
+    assert _recall(got, exact) >= 0.78
+
+
+def test_lsh_match_high_recall_config(emb, queries, exact):
+    """Recall dial works: 2 planes × 32 tables reaches ~1.0 on the same
+    corpus (measured 1.0 at sf0.001; floor leaves refactor margin)."""
+    got = lsh_match(
+        emb, queries, k=10, metric="cosine", corpus_id_col="id",
+        num_planes=2, num_tables=32,
+    ).collect()
+    assert _recall(got, exact) >= 0.95
 
 
 def test_lsh_self_is_top1(emb, queries):
@@ -71,11 +85,14 @@ def test_ivf_index_partitions_corpus(emb):
 
 
 def test_ivf_match_recall(emb, queries, exact):
+    # On uniform random embeddings (no cluster structure) IVF recall tracks
+    # the probed corpus fraction — 4/8 cells floors at ~0.55; pinned so an
+    # assignment/probe refactor can't silently degrade it (VERDICT r2 #6).
     got = ivf_match(
         emb, queries, k=10, n_cells=8, n_probe=4, metric="cosine",
         corpus_id_col="id",
     ).collect()
-    assert _recall(got, exact) > 0.5
+    assert _recall(got, exact) >= 0.5
     # probing all cells = exact
     full = ivf_match(
         emb, queries, k=10, n_cells=8, n_probe=8, metric="cosine",

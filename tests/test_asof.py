@@ -70,3 +70,23 @@ def test_range_join_bucketized_equals_naive(spark):
         for r in range_join(points, intervals, "x", "lo", "hi", bucket_width=4.0).collect()
     }
     assert naive == bucketed and len(naive) > 0
+
+
+def test_asof_tolerance_mixed_time_dtypes(spark):
+    """ADVICE r2 #2: tolerance dispatch must use the UNIONED frame's dtype.
+    Left numeric (long seconds→cast) vs right double time columns coerce on
+    union; the staleness test must still be exact."""
+    from docarray_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100.0), (2, 500.0)], "k long, ts double"
+    ).select("k", F.col("ts").cast("long").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 90.5, "a"), (2, 100.5, "b")], "k long, ts double, v string"
+    )
+    out = {r.k: r for r in asof_join(
+        left, right, time_col="ts", by=["k"], right_cols=["v"],
+        tolerance_seconds=50.0,
+    ).collect()}
+    assert out[1].v_right == "a"       # 9.5s stale, within tolerance
+    assert out[2].v_right is None      # 399.5s stale → nulled

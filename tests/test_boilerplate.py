@@ -53,3 +53,21 @@ def test_two_exchanges_and_broadcast(spark, sf_dir):
     out = remove_frequent_units(docs, id_col="doc_id", units="units", min_df=2)
     assert shuffle_count(out) == 2
     assert broadcast_join_count(out) >= 1
+
+
+def test_dedup_units_first_null_and_empty_units_survive(spark):
+    """ADVICE r2 #4: docs with NULL or empty units arrays must not vanish —
+    they yield one row with units_total 0 and empty clean_text."""
+    from docarray_spark.operators import dedup_units_first
+
+    df = spark.createDataFrame(
+        [(1, ["aa", "bb"]), (2, []), (3, None), (4, ["aa"])],
+        "id long, units array<string>",
+    )
+    out = {r.id: r for r in dedup_units_first(df, "id", "units").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for empty_id in (2, 3):
+        r = out[empty_id]
+        assert r.clean_text == "" and r.units_total == 0 and r.units_removed == 0
+    assert out[1].clean_text == "aa bb"
+    assert out[4].clean_text == "" and out[4].units_removed == 1

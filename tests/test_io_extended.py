@@ -298,3 +298,69 @@ def test_protobuf_rejects_complex_fields(spark):
     ser = docs_to_bytes(df.select("id"), protocol="protobuf")
     with pytest.raises(ValueError, match="scalar"):
         _fb(ser, "id bigint, emb array<double>", protocol="protobuf")
+
+
+def test_registry_hadoop_fs_scheme_root(spark, tmp_path):
+    """ADVICE r2 #1: a scheme'd registry root (file:// here — the same
+    Hadoop FileSystem code path as hdfs:// or s3a://) must support the
+    full push/pull/list/delete surface, manifests included."""
+    from docarray_spark.sources.registry import (
+        delete_artifact,
+        list_artifacts,
+        pull,
+        push,
+    )
+
+    reg = f"file://{tmp_path}/registry"
+    df = spark.range(5).select(F.col("id"), F.lit("x").alias("tag"))
+    manifest = push(df, "remote_clip", registry=reg)
+    assert manifest["num_docs"] == 5
+    assert pull(spark, "remote_clip", registry=reg).count() == 5
+    names = [m["name"] for m in list_artifacts(registry=reg, spark=spark)]
+    assert names == ["remote_clip"]
+    assert delete_artifact("remote_clip", registry=reg, spark=spark)
+    assert list_artifacts(registry=reg, spark=spark) == []
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        pull(spark, "remote_clip", registry=reg)
+
+
+def test_post_row_count_mismatch_is_error_row(spark):
+    """ADVICE r2 #3: an endpoint returning a different number of docs must
+    surface as post_error rows with the originals intact, not silently
+    truncate/NaN-fill via index alignment."""
+
+    class _DropOneHandler:
+        def __new__(cls, *a, **kw):
+            import http.server
+
+            class H(http.server.BaseHTTPRequestHandler):
+                def do_POST(self):
+                    body = json.loads(
+                        self.rfile.read(int(self.headers["Content-Length"]))
+                    )
+                    out = json.dumps({"data": body["data"][:-1]}).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(out)))
+                    self.end_headers()
+                    self.wfile.write(out)
+
+                def log_message(self, *a):
+                    pass
+
+            return H(*a, **kw)
+
+    srv, port = _serve(_DropOneHandler)
+    try:
+        df = spark.createDataFrame(
+            [("d1", "hello", 1), ("d2", "world", 2)],
+            "id string, text string, n int",
+        ).coalesce(1)
+        rows = post(df, f"http://127.0.0.1:{port}/exec", batch_size=2).collect()
+        assert len(rows) == 2
+        assert all(r.post_error and "2-doc" in r.post_error for r in rows)
+        assert sorted(r.text for r in rows) == ["hello", "world"]
+    finally:
+        srv.shutdown()

@@ -209,3 +209,25 @@ def test_knn_graph_matches_exact(spark, sf_dir):
         ).collect()
     }
     assert g == m
+
+
+def test_match_query_side_budget_guard(spark):
+    """VERDICT r2 #4: match() driver-collects the query side (bounded-batch
+    reference semantics) — an oversized query side must raise with a
+    pointer to knn_graph, not silently collect."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from docarray_spark.operators.match import match as _match
+
+    df = spark.range(40).select(
+        F.col("id"),
+        F.expr("transform(sequence(0, 3), j -> cast(id + j as float))").alias(
+            "embedding"
+        ),
+    )
+    with _pytest.raises(ValueError, match="knn_graph"):
+        _match(df, df, k=2, max_query_rows=10)
+    # raising the budget explicitly restores the old behavior
+    out = _match(df, df.limit(12), k=2, max_query_rows=12)
+    assert out.count() == 24

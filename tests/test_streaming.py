@@ -128,3 +128,95 @@ def test_stateful_running_agg(spark, landing):
         assert r["n"] == batch[k]["n"]
         assert r["total"] == pytest.approx(batch[k]["total"], rel=1e-9)
         assert r["peak"] == batch[k]["peak"]
+
+
+# ------------------------------------------------------- late-data semantics
+
+def _ts_rows(spark, rows, extra="value double"):
+    cols = "user_id long, t long, " + extra
+    df = spark.createDataFrame(rows, cols)
+    return df.select(
+        "user_id", F.timestamp_seconds("t").alias("ts"),
+        *[c.split()[0] for c in extra.split(", ")],
+    )
+
+
+def test_session_windows_drop_late_rows(spark, tmp_path):
+    """VERDICT r2 #9: a row arriving BEHIND the watermark must be dropped —
+    the already-advanced session state cannot resurrect. Two micro-batches
+    (maxFilesPerTrigger=1): batch 1 carries user 1's session plus a far-
+    future event that advances the watermark; batch 2 carries a late event
+    inside user 1's session horizon, which must NOT extend it."""
+    import time as _time
+
+    from docarray_spark.streaming import session_windows
+
+    d = str(tmp_path / "late_sess")
+    _ts_rows(spark, [(1, 1000, 1.0), (1, 1010, 1.0), (99, 10000, 0.0)]) \
+        .coalesce(1).write.mode("append").parquet(d)
+    _time.sleep(1.2)  # distinct mtime → deterministic batch order
+    # Spark filters late rows with the PREVIOUS batch's watermark
+    # (StateStoreSave carries a late-events wm one batch behind the
+    # eviction wm), so an intermediate batch must carry the advanced
+    # watermark before the late row arrives.
+    _ts_rows(spark, [(98, 10001, 0.0)]).coalesce(1).write.mode("append").parquet(d)
+    _time.sleep(1.2)
+    _ts_rows(spark, [(1, 1020, 1.0)]).coalesce(1).write.mode("append").parquet(d)
+
+    sdf = read_stream(
+        spark, d, "user_id long, ts timestamp, value double",
+        max_files_per_trigger=1, latestFirst="false",
+    )
+    out = session_windows(
+        sdf, "ts", ["user_id"], gap="30 seconds", watermark="100 seconds",
+        value_col="value",
+    )
+    run_to_memory_sink(out, "t_late_sess")
+    rows = spark.table("t_late_sess").collect()
+    u1 = [r for r in rows if r.user_id == 1]
+    # one finalized session of exactly the two on-time events; had the
+    # late 1020 row been accepted it would have extended it to n_events=3
+    assert len(u1) == 1
+    assert u1[0].n_events == 2 and u1[0].sum_value == 2.0
+
+
+def test_stream_interval_join_drops_late_rows(spark, tmp_path):
+    """VERDICT r2 #9: a right-side row behind the global watermark produces
+    no join output even though it satisfies the interval condition."""
+    import time as _time
+
+    from docarray_spark.streaming import stream_interval_join
+
+    cdir, vdir = str(tmp_path / "clicks"), str(tmp_path / "views")
+    _ts_rows(spark, [(1, 1000, 0.0), (99, 10000, 0.0)]).select(
+        "user_id", "ts", F.lit("c").alias("click_event")
+    ).coalesce(1).write.mode("append").parquet(cdir)
+    _ts_rows(spark, [(1, 950, 0.0), (99, 9950, 0.0)]).select(
+        "user_id", F.col("ts").alias("rts"), F.lit("v").alias("view_event")
+    ).coalesce(1).write.mode("append").parquet(vdir)
+    _time.sleep(1.2)
+    # intermediate batch: late filtering uses the previous batch's wm
+    _ts_rows(spark, [(98, 9960, 0.0)]).select(
+        "user_id", F.col("ts").alias("rts"), F.lit("v_mid").alias("view_event")
+    ).coalesce(1).write.mode("append").parquet(vdir)
+    _time.sleep(1.2)
+    # late view for user 1: inside the click's interval, behind the watermark
+    _ts_rows(spark, [(1, 960, 0.0)]).select(
+        "user_id", F.col("ts").alias("rts"), F.lit("v_late").alias("view_event")
+    ).coalesce(1).write.mode("append").parquet(vdir)
+
+    clicks = read_stream(
+        spark, cdir, "user_id long, ts timestamp, click_event string",
+        max_files_per_trigger=1, latestFirst="false",
+    )
+    views = read_stream(
+        spark, vdir, "user_id long, rts timestamp, view_event string",
+        max_files_per_trigger=1, latestFirst="false",
+    )
+    out = stream_interval_join(
+        clicks, views, ["user_id"], max_lag_seconds=600,
+        watermark="100 seconds",
+    )
+    run_to_memory_sink(out, "t_late_sij")
+    got = {(r.user_id, r.view_event) for r in spark.table("t_late_sij").collect()}
+    assert got == {(1, "v"), (99, "v")}  # the late view joined nothing
