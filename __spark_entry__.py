@@ -1433,6 +1433,60 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 corpus-statistics suite (operators/mix.py) as (part, key,
+    value) rows — four pretraining-pipeline operators, all oracle-exact:
+
+    - 'lm' / 'lm_n': per-doc average bigram log-likelihood under the
+      corpus's own add-one-smoothed bigram LM (CCNet/KenLM-style
+      perplexity filtering without an external model artifact).
+    - 'mix' / 'mix_n': temperature-based source mixing weights
+      (w_s ∝ n_s^0.7, the multilingual up-weighting recipe).
+    - 'shuffle': deterministic global training-order rank by md5(seed|id)
+      via the two-phase distributed row number — no global window.
+    - 'pctl': exact per-source n_chars percentiles (linear interpolation,
+      bit-identical between Spark percentile and DuckDB quantile_cont).
+    """
+    from docarray_spark.operators import (
+        bigram_lm_score,
+        global_shuffle_rank,
+        percentile_stats,
+        temperature_mix_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    key_id = F.col("doc_id").cast("string").alias("key")
+    lm = bigram_lm_score(docs, id_col="doc_id")
+    parts = [
+        lm.select(F.lit("lm").alias("part"), key_id, F.col("lm_score").alias("value")),
+        lm.select(
+            F.lit("lm_n").alias("part"), key_id,
+            F.col("n_bigrams").cast("double").alias("value"),
+        ),
+        temperature_mix_weights(docs, "source", alpha=0.7).select(
+            F.lit("mix").alias("part"), F.col("source").alias("key"),
+            F.col("weight").alias("value"),
+        ),
+        temperature_mix_weights(docs, "source", alpha=0.7).select(
+            F.lit("mix_n").alias("part"), F.col("source").alias("key"),
+            F.col("n_docs").cast("double").alias("value"),
+        ),
+        global_shuffle_rank(docs.select("doc_id"), id_col="doc_id").select(
+            F.lit("shuffle").alias("part"), key_id,
+            F.col("rank").cast("double").alias("value"),
+        ),
+        percentile_stats(docs, "source", "n_chars", [0.25, 0.5, 0.75]).select(
+            F.lit("pctl").alias("part"),
+            F.concat("source", F.lit("|"), F.col("q").cast("string")).alias("key"),
+            "value",
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact top-k cosine similarity join (the reference's
     signature ``match`` operator) on sf0.001."""
@@ -1467,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_keys": q_stream_dedup_keys,
         "stream_session_windows": q_stream_session_windows,
         "stream_interval_join": q_stream_interval_join,
+        "corpus_stats": q_corpus_stats,
         # --- hash-green in CORRECTNESS_r02
         "ql_filter_docs": q_ql_filter_docs,
         "ql_filter_logic": q_ql_filter_logic,
@@ -2840,6 +2895,58 @@ def oracle_sql() -> dict[str, str]:
             FROM st JOIN pred p USING (doc_id)
         """,
     }
+
+    s["corpus_stats"] = """
+        WITH t AS (
+          SELECT doc_id, source, n_chars,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        b AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                        i -> {'w1': toks[i], 'w2': toks[i+1]}),
+                        recursive := true)
+          FROM t WHERE len(toks) >= 2
+        ),
+        uni AS (
+          SELECT w1, count(*) AS c1
+          FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1
+        ),
+        vn AS (SELECT count(*) AS v FROM uni),
+        pair AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY w1, w2),
+        lm AS (
+          SELECT b.doc_id, count(*) AS n,
+                 round(avg(ln((c2 + 1.0) / (c1 + v))), 6) AS s
+          FROM b JOIN pair USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vn
+          GROUP BY b.doc_id
+        ),
+        cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        z AS (SELECT sum(pow(n, 0.7)) AS z FROM cnt)
+        SELECT 'lm' AS part, d.doc_id::VARCHAR AS key, lm.s AS value
+        FROM documents d LEFT JOIN lm ON lm.doc_id = d.doc_id
+        UNION ALL
+        SELECT 'lm_n', d.doc_id::VARCHAR, coalesce(lm.n, 0)::DOUBLE
+        FROM documents d LEFT JOIN lm ON lm.doc_id = d.doc_id
+        UNION ALL
+        SELECT 'mix', source, round(pow(n, 0.7) / z, 6) FROM cnt CROSS JOIN z
+        UNION ALL
+        SELECT 'mix_n', source, n::DOUBLE FROM cnt
+        UNION ALL
+        SELECT 'shuffle', doc_id::VARCHAR,
+               (row_number() OVER (
+                  ORDER BY md5('shuffle|' || doc_id::VARCHAR), doc_id))::DOUBLE
+        FROM documents
+        UNION ALL
+        SELECT 'pctl', source || '|' || CAST(q::DOUBLE AS VARCHAR), round(v, 6)
+        FROM (
+          SELECT source,
+                 unnest([0.25, 0.5, 0.75]) AS q,
+                 unnest(quantile_cont(n_chars, [0.25, 0.5, 0.75])) AS v
+          FROM documents GROUP BY source
+        )
+    """
 
     # ---- round-3 merged oracles: part-tagged unions of the per-op SQL ----
     u = _tag_union

@@ -53,6 +53,11 @@ BUDGETS = {
     "stream_dedup_keys": (0, 0, False),
     "stream_session_windows": (0, 0, False),  # memory-sink table read
     "stream_interval_join": (0, 0, False),    # memory-sink table read
+    # lm count tables + scoring joins + shuffle-rank two-phase + pctl agg;
+    # cartesian = broadcast 1-row normalizers (vocab size, mix total Z) —
+    # the BM25 stance; the only single-partition window runs over ~32
+    # partition-count rows (distributed_row_number offsets)
+    "corpus_stats": (20, 17, True),
     # --- round-2-green block
     "ql_filter_docs": (0, 2, False),
     "ql_filter_logic": (0, 1, False),
