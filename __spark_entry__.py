@@ -821,7 +821,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.unionByName(copies)
     return embedding_dup_pairs(
         base, id_col="id", threshold=0.05, method="lsh",
-        num_planes=8, num_tables=4, seed=42, round_to=6, dim=64,
+        num_planes=12, num_tables=4, seed=42, round_to=6, dim=64,
     )
 
 
@@ -1310,8 +1310,10 @@ def q_dedup_embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged r3: embedding-cosine near-dup pairs, both gates — the
     'exact_gate' part (thr 0.01, 12 planes × 8 tables) is oracle-checked
     against the exact all-pairs set (pins recall ≈ 1); the 'bucket_gate'
-    part (thr 0.05, 8 planes × 4 tables) is checked against an oracle that
-    mirrors the LSH bucketing itself (pins candidate generation)."""
+    part (thr 0.05, 12 planes × 4 tables) is checked against an oracle
+    that mirrors the LSH bucketing itself (pins candidate generation —
+    r3 raised it from 8 planes: 8 put ~200 ids in every bucket at sf0.1,
+    a 21M-pair verify join for no extra gate strength)."""
     a = q_dedup_embedding(spark, sf_dir).select(F.lit("exact_gate").alias("part"), "*")
     b = q_dedup_embedding_lsh(spark, sf_dir).select(F.lit("bucket_gate").alias("part"), "*")
     return a.unionByName(b)
@@ -1601,7 +1603,7 @@ def oracle_sql() -> dict[str, str]:
     # md5-derived ±1 hyperplanes inlined as literal arrays: the oracle
     # reproduces the LSH bucketing itself, not just the verified output
     _sig_ann = signatures_sql_expr(64, 16, 4, 42, "v")      # ann_lsh_cosine
-    _sig_dup = signatures_sql_expr(64, 4, 8, 42, "v")       # dedup_embedding_lsh
+    _sig_dup = signatures_sql_expr(64, 4, 12, 42, "v")      # dedup_embedding_lsh
     s = {
         "ann_lsh_cosine": f"""
             WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -46,6 +46,10 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         warm[name] = round(time.perf_counter() - t0, 4)
+        # operators that persist intermediates (minhash shingles, CC edges)
+        # would otherwise accumulate cached blocks across the 2x50 runs,
+        # building GC pressure that skews later entries' timings
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     anchors = _baseline_anchors(spark)

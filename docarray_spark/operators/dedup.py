@@ -317,9 +317,9 @@ def simhash_col(text_col: str, bits: int = 16) -> Column:
                 t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)
               ),
               0L,
-              (a, h) -> a + IF((h div cast(pow(2, i) as bigint)) % 2 = 1, 1, -1)
+              (a, h) -> a + IF((h >> i) % 2 = 1, 1, -1)
             ) > 0,
-            cast(pow(2, i) as bigint),
+            shiftleft(1L, i),
             0L
           )
         )
@@ -344,14 +344,17 @@ def simhash_table(
     # ONE aggregate builds the per-bit signed counts, so md5 runs exactly
     # once per token even after Catalyst collapses projections (per-bit
     # aggregate expressions would each re-inline — and re-hash — the
-    # token array)
+    # token array). Bit extraction is shiftright+mask: HOFs evaluate
+    # interpreted (CodegenFallback), and the earlier double-pow cost two
+    # transcendental calls per token-bit — ~30% of the whole fingerprint
+    # at sf0.1 (r3 measurement; same lesson as NOTES #13).
     counts = F.expr(
         f"""
         aggregate(
           transform(_t, t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)),
           array_repeat(0L, {bits}),
           (acc, x) -> zip_with(acc, sequence(0, {bits - 1}),
-            (a, i) -> a + IF((x div cast(pow(2, i) as bigint)) % 2 = 1, 1L, -1L))
+            (a, i) -> a + IF((x >> i) % 2 = 1, 1L, -1L))
         )
         """
     )
@@ -359,7 +362,7 @@ def simhash_table(
         f"""
         aggregate(
           zip_with(_cnt, sequence(0, {bits - 1}),
-                   (c, i) -> IF(c > 0, cast(pow(2, i) as bigint), 0L)),
+                   (c, i) -> IF(c > 0, shiftleft(1L, i), 0L)),
           0L, (a, v) -> a + v
         )
         """
@@ -399,11 +402,16 @@ def simhash_dup_pairs(
     base = simhash_table(df, id_col, text_col, bits).select(
         F.col(id_col).alias("_id"), F.col("simhash").alias("sh")
     )
+    # both join sides derive from the fingerprint table; persist it so the
+    # per-token hashing runs ONCE, not once per side (the projections
+    # differ, so exchange reuse alone never kicks in — halves the
+    # operator's wall clock at sf0.1)
+    base = base.persist()
     slices = base.selectExpr(
         "_id",
         "sh",
         f"posexplode(transform(sequence(0, {num_bands - 1}), "
-        f"b -> (sh div cast(pow(2, b * {width}) as bigint)) % cast(pow(2, {width}) as bigint))) "
+        f"b -> (sh >> (b * {width})) % {1 << width}L)) "
         "as (band, sliceval)",
     )
     left = slices.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "sliceval")
@@ -460,11 +468,16 @@ def embedding_dup_pairs(
         if dim is None:  # one extra job; pass dim when known
             dim = len(base.select("_v").first()[0])
         sig = signatures_udf(dim, num_tables, num_planes, seed)
+        # base feeds four subtrees (both bucket sides + both verify
+        # re-joins) and sigs feeds two — persist both so the scan and the
+        # signature UDF run once, not per reference (same lesson as
+        # simhash_dup_pairs; bench clears cache between entries)
+        base = base.persist()
         # ids-only buckets: the projection consumes the vector, emits
         # (id, table, sig) and nothing else
         sigs = base.select(
             "_id", F.posexplode(sig("_v")).alias("table", "sig")
-        )
+        ).persist()
         left = sigs.select(F.col("_id").alias("id_a"), "table", "sig")
         right = sigs.select(F.col("_id").alias("id_b"), "table", "sig")
         cand = (

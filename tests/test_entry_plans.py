@@ -108,14 +108,17 @@ def test_every_entry_has_a_budget():
     )
 
 
-@pytest.fixture(scope="module", autouse=True)
+@pytest.fixture(autouse=True)
 def _fresh_cache(spark):
     """Plan budgets measure the DESIGNED plan. If an earlier test already
     executed an entry whose operator persists an intermediate (e.g. the
-    minhash shingle table), the CacheManager substitutes the cached plan
-    into this suite's builds and the formatted explain then also prints the
-    exchanges INSIDE the InMemoryRelation subtree — inflating shuffle_count
-    with shuffles that never re-execute. Start from a cold cache."""
+    minhash shingle table or the simhash fingerprint base), the
+    CacheManager substitutes the cached plan into this suite's builds and
+    the formatted explain then also prints the exchanges INSIDE the
+    InMemoryRelation subtree — inflating shuffle_count with shuffles that
+    never re-execute. Per-test (not per-module): entries like
+    dedup_components execute eagerly at BUILD time and register fresh
+    persists mid-suite."""
     spark.catalog.clearCache()
     yield
 
