@@ -1435,6 +1435,62 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_counts_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r3: streaming watermarked 1-hour windowed aggregation +
+    streaming exact key-dedup (dropDuplicatesWithinWatermark), as
+    (part, key, n, sum_value) rows — both drained availableNow and equal
+    to their batch twins, so the oracle is exact."""
+    w = q_stream_windowed_counts(spark, sf_dir).select(
+        F.lit("window").alias("part"),
+        F.concat(
+            F.unix_micros("window_start").cast("string"), F.lit("|"), "event_type"
+        ).alias("key"),
+        "n",
+        F.col("sum_value"),
+    )
+    d = q_stream_dedup_keys(spark, sf_dir).select(
+        F.lit("dedup").alias("part"),
+        F.concat(F.col("user_id").cast("string"), F.lit("|"), "event_type").alias("key"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    return w.unionByName(d)
+
+
+def q_stream_neardup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup ingest gate (streaming/ops.py:
+    streaming_fingerprint_dedup): documents stream in with a synthetic
+    event time, each is SimHash-fingerprinted with the batch passes' exact
+    expression, and only first arrivals per fingerprint survive. The
+    surviving key set equals batch SELECT DISTINCT simhash — exact oracle
+    (the same fp CTE the dedup_simhash_pairs oracle uses)."""
+    import os
+    import tempfile
+    import uuid
+
+    from docarray_spark.streaming import (
+        read_stream,
+        run_to_memory_sink,
+        streaming_fingerprint_dedup,
+    )
+
+    key = "docs:" + sf_dir
+    landing = _LANDING_CACHE.get(key)
+    if landing is None or not os.path.isdir(landing):
+        landing = tempfile.mkdtemp(prefix="sg_docstream_")
+        # +1: epoch 0 equals the operator's INITIAL watermark and would be
+        # filtered as late (doc 0 silently vanished without it)
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", "text", F.timestamp_seconds(F.col("doc_id") + 1).alias("ts")
+        ).repartition(4).write.mode("overwrite").parquet(landing)
+        _LANDING_CACHE[key] = landing
+    sdf = read_stream(spark, landing, spark.read.parquet(landing).schema)
+    out = streaming_fingerprint_dedup(sdf, "text", "ts", watermark="3650 days")
+    name = f"t_neardup_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(out, name)
+    return spark.table(name).select("simhash")
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-3 corpus-statistics suite (operators/mix.py) as (part, key,
     value) rows — four pretraining-pipeline operators, all oracle-exact:
@@ -1519,8 +1575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding_suite,
         "embed_batch": q_embed_batch,
         "mm_image_chunks": q_mm_image_chunks,
-        "stream_windowed_counts": q_stream_windowed_counts,
-        "stream_dedup_keys": q_stream_dedup_keys,
+        "stream_counts_dedup": q_stream_counts_dedup,
+        "stream_neardup_keys": q_stream_neardup_keys,
         "stream_session_windows": q_stream_session_windows,
         "stream_interval_join": q_stream_interval_join,
         "corpus_stats": q_corpus_stats,
@@ -2948,6 +3004,25 @@ def oracle_sql() -> dict[str, str]:
                  unnest(quantile_cont(n_chars, [0.25, 0.5, 0.75])) AS v
           FROM documents GROUP BY source
         )
+    """
+
+    s["stream_counts_dedup"] = """
+        SELECT 'window' AS part,
+               epoch_us(window_start)::VARCHAR || '|' || event_type AS key,
+               n, sum_value
+        FROM (
+          SELECT date_trunc('hour', ts) AS window_start, event_type,
+                 count(*) AS n, round(sum(value), 4) AS sum_value
+          FROM events GROUP BY 1, 2
+        )
+        UNION ALL
+        SELECT 'dedup', user_id::VARCHAR || '|' || event_type,
+               CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+        FROM (SELECT DISTINCT user_id, event_type FROM events)
+    """
+    s["stream_neardup_keys"] = f"""
+        WITH {_SIMHASH_PAIR_CTES}
+        SELECT DISTINCT sh AS simhash FROM fp
     """
 
     # ---- round-3 merged oracles: part-tagged unions of the per-op SQL ----

@@ -4,6 +4,7 @@ from docarray_spark.streaming.ops import (
     run_to_memory_sink,
     stream_static_match,
     streaming_dedup,
+    streaming_fingerprint_dedup,
     streaming_find,
     windowed_counts,
     session_windows,
@@ -16,6 +17,7 @@ __all__ = [
     "run_to_memory_sink",
     "stream_static_match",
     "streaming_dedup",
+    "streaming_fingerprint_dedup",
     "streaming_find",
     "windowed_counts",
     "session_windows",

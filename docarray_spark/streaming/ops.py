@@ -73,6 +73,34 @@ def streaming_dedup(
     return fp.dropDuplicatesWithinWatermark(["_fp"]).drop("_fp")
 
 
+def streaming_fingerprint_dedup(
+    sdf: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    bits: int = 32,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """Streaming NEAR-dup ingest gate: fingerprint each document with the
+    same ``bits``-bit SimHash the batch dedup passes use
+    (``operators/dedup.py:simhash_col``) and keep only the first arrival
+    per fingerprint within the watermark horizon. Token-level-identical
+    (and simhash-colliding near-identical) re-crawls never enter the
+    corpus; the banded hamming-ball pass stays a batch job (cross-key OR
+    logic — "drop if ANY band was seen" — is not a keyed-dedup shape).
+
+    Surviving key set == batch ``SELECT DISTINCT simhash`` — an exact SQL
+    oracle. State = one row per distinct fingerprint inside the watermark,
+    evicted past it — bounded at ingest rates."""
+    from docarray_spark.operators.dedup import simhash_col
+
+    sdf = with_utc_timestamp(sdf, ts_col)
+    fp = sdf.withColumn(out_col, simhash_col(text_col, bits)).withWatermark(
+        ts_col, watermark
+    )
+    return fp.dropDuplicatesWithinWatermark([out_col])
+
+
 def windowed_counts(
     sdf: DataFrame,
     ts_col: str,

@@ -49,8 +49,8 @@ BUDGETS = {
     "dedup_embedding": (10, 16, False),
     "embed_batch": (0, 1, False),             # mapInPandas, scan-fused
     "mm_image_chunks": (0, 1, False),
-    "stream_windowed_counts": (0, 0, False),
-    "stream_dedup_keys": (0, 0, False),
+    "stream_counts_dedup": (0, 0, False),   # memory-sink table reads
+    "stream_neardup_keys": (0, 0, False),   # memory-sink table read
     "stream_session_windows": (0, 0, False),  # memory-sink table read
     "stream_interval_join": (0, 0, False),    # memory-sink table read
     # lm count tables + scoring joins + shuffle-rank two-phase + pctl agg;

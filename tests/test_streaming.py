@@ -220,3 +220,30 @@ def test_stream_interval_join_drops_late_rows(spark, tmp_path):
     run_to_memory_sink(out, "t_late_sij")
     got = {(r.user_id, r.view_event) for r in spark.table("t_late_sij").collect()}
     assert got == {(1, "v"), (99, "v")}  # the late view joined nothing
+
+
+def test_streaming_fingerprint_dedup_drops_repeats(spark, tmp_path):
+    """Streaming near-dup ingest gate: token-identical re-crawls (same
+    SimHash) are dropped at ingest; distinct content survives."""
+    from docarray_spark.streaming import streaming_fingerprint_dedup
+
+    d = str(tmp_path / "nd")
+    rows = [
+        (1, "alpha beta gamma"), (2, "alpha beta gamma"),   # exact repeat
+        (3, "ALPHA  beta   gamma"),                          # normalizes equal
+        (4, "totally different text"),
+    ]
+    df = spark.createDataFrame(rows, "doc long, text string").select(
+        "doc", "text", F.timestamp_seconds(F.col("doc") + 1).alias("ts")
+    )
+    df.coalesce(1).write.parquet(d)
+    sdf = read_stream(spark, d, "doc long, text string, ts timestamp")
+    out = streaming_fingerprint_dedup(sdf, "text", "ts", watermark="1 hour")
+    run_to_memory_sink(out, "t_fpdedup")
+    got = spark.table("t_fpdedup").collect()
+    assert len(got) == 2  # one survivor per fingerprint
+    assert {r.simhash for r in got} == {
+        r.simhash for r in spark.table("t_fpdedup").select("simhash").distinct().collect()
+    }
+    survivors = {r.doc for r in got}
+    assert 4 in survivors and len(survivors & {1, 2, 3}) == 1
