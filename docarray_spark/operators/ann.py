@@ -111,6 +111,7 @@ def ivf_index(
     n_cells: int,
     corpus_id_col: str = "id",
     emb_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic IVF coarse quantizer: centroids = the ``n_cells``
     corpus vectors with the smallest md5(id) (a uniform hash-sample —
@@ -136,16 +137,24 @@ def ivf_index(
 
     emb_d = F.expr(f"transform({emb_col}, x -> cast(x as double))")
     base = corpus.select(F.col(corpus_id_col).alias("id"), emb_d.alias("v"))
-    cent_rows = (
-        base.withColumn("_h", F.md5(F.col("id").cast("string")))
-        .orderBy("_h")
-        .limit(n_cells)
-        .drop("_h")
-        .orderBy("id")  # n_cells rows: cell numbering sorts on the driver
-        .collect()
-    )
+    if centroids is None:
+        cent_rows = (
+            base.withColumn("_h", F.md5(F.col("id").cast("string")))
+            .orderBy("_h")
+            .limit(n_cells)
+            .drop("_h")
+            .orderBy("id")  # n_cells rows: cell numbering sorts on the driver
+            .collect()
+        )
+        cents = [(i, [float(x) for x in r.v]) for i, r in enumerate(cent_rows)]
+    else:
+        # caller-trained quantizer — typically cluster.kmeans centroids
+        # (classic IVF): clustered cells concentrate true neighbours, so
+        # the same n_probe fraction yields far higher recall on structured
+        # corpora than the hash-sampled default (which stays the
+        # SQL-oracle-able choice for the gated entries)
+        cents = sorted((int(c), [float(x) for x in v]) for c, v in centroids)
     spark = corpus.sparkSession
-    cents = [(i, [float(x) for x in r.v]) for i, r in enumerate(cent_rows)]
     cent = spark.createDataFrame(cents, "cell int, centroid array<double>")
     assigned = assign_cells(base, cents)
     return cent, assigned
@@ -162,11 +171,14 @@ def ivf_match(
     query_id_col: str = "id",
     emb_col: str = "embedding",
     round_scores: int | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: assign corpus to cells, probe the ``n_probe``
     closest cells per query, exact distance inside probed cells only.
-    Fully deterministic (hash-sampled centroids) — SQL-oracle-able."""
-    cent, assigned = ivf_index(corpus, n_cells, corpus_id_col, emb_col)
+    Default quantizer is the deterministic hash-sample (SQL-oracle-able);
+    pass ``centroids`` (e.g. from ``cluster.kmeans``) for classic
+    kmeans-IVF — higher recall per probed fraction on clustered data."""
+    cent, assigned = ivf_index(corpus, n_cells, corpus_id_col, emb_col, centroids)
     emb_d = F.expr(f"transform({emb_col}, x -> cast(x as double))")
     q = queries.select(F.col(query_id_col).alias("query_id"), emb_d.alias("qv"))
 

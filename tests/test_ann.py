@@ -127,3 +127,42 @@ def test_match_blocked_equals_match(emb, queries, exact):
         n_blocks=3, eps=0.0,
     ).collect()
     assert {(r["query_id"], r["match_id"]) for r in got} == exact
+
+
+def test_kmeans_ivf_full_recall_at_minimal_probe(spark):
+    """Classic kmeans-IVF: on clustered corpora the trained quantizer maps
+    every blob onto exactly one cell, so probing a SINGLE cell (12.5% of
+    the corpus) already reaches recall 1.0. (Hash-sampled centroids can
+    coincidentally tie here when merged blobs travel together — the
+    guarantee, not the comparison, is the pinned property.)"""
+    import math
+
+    from docarray_spark.operators.cluster import kmeans
+
+    # 8 well-separated blobs of 50 vectors in 8-d
+    rows = []
+    for b in range(8):
+        center = [10.0 * math.sin(b * 5 + j) for j in range(8)]
+        for i in range(50):
+            rows.append(
+                (b * 50 + i, [center[j] + 0.01 * ((i * 7 + j) % 5) for j in range(8)])
+            )
+    corpus = spark.createDataFrame(rows, "id long, embedding array<double>")
+    queries = corpus.filter("id % 50 = 0")  # one per blob
+    exact = {
+        (r["query_id"], r["match_id"])
+        for r in match(
+            corpus, queries, k=10, metric="cosine", corpus_id_col="id", eps=0.0
+        ).collect()
+    }
+
+    def recall(rows_):
+        return sum(1 for r in rows_ if (r["query_id"], r["match_id"]) in exact) / len(exact)
+
+    cent, _ = kmeans(corpus, k=8, n_iter=3, id_col="id")
+    trained = [(r.cell, list(r.centroid)) for r in cent.collect()]
+    km = ivf_match(
+        corpus, queries, k=10, n_cells=8, n_probe=1, metric="cosine",
+        corpus_id_col="id", centroids=trained,
+    ).collect()
+    assert recall(km) == 1.0          # every blob maps onto one trained cell
