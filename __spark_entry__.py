@@ -209,7 +209,11 @@ def _doc_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     chunks = halves(roots)
     grand = halves(chunks)
-    return roots.unionByName(chunks).unionByName(grand)
+    # traversal/reduce/set entries reference the tree several times per
+    # query (per-path joins; suite parts); persist so the substring tree
+    # builds once per execution instead of per reference (bench clears
+    # cache between entries)
+    return roots.unionByName(chunks).unionByName(grand).persist()
 
 
 def q_traverse_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
