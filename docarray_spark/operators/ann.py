@@ -53,6 +53,7 @@ def lsh_match(
     seed: int = 42,
     round_scores: int | None = None,
     dim: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH candidate join + exact re-rank.
     → (query_id, match_id, rank, score, metric_name); rank has no gaps but
@@ -69,7 +70,12 @@ def lsh_match(
     as ``minhash_dedup_pairs``'s shingle re-join).
 
     Pass ``dim`` when known (it usually is) — otherwise one extra Spark
-    job probes the first row for it."""
+    job probes the first row for it.
+
+    ``max_bucket``: drop corpus signature buckets larger than this before
+    the candidate join — a degenerate hot bucket (constant embeddings,
+    mass duplicates) makes the join quadratic in its size and carries no
+    discrimination. Off by default (gated entries stay exact)."""
     if dim is None:
         dim = len(corpus.select(emb_col).first()[0])
     sig = signatures_udf(dim, num_tables, num_planes, seed)
@@ -82,6 +88,14 @@ def lsh_match(
     # nothing but (id, table, sig)
     c_b = c.select("match_id", F.posexplode(sig("_cv")).alias("table", "sig"))
     q_b = q.select("query_id", F.posexplode(sig("_qv")).alias("table", "sig"))
+    if max_bucket is not None:
+        ok = (
+            c_b.groupBy("table", "sig")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket)
+            .select("table", "sig")
+        )
+        c_b = c_b.join(F.broadcast(ok), ["table", "sig"])
 
     cand = (
         q_b.join(c_b, ["table", "sig"])

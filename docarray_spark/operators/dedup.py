@@ -440,6 +440,7 @@ def embedding_dup_pairs(
     seed: int = 42,
     round_to: int | None = None,
     dim: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (id_a, id_b, cosine_dist < threshold).
 
@@ -453,6 +454,13 @@ def embedding_dup_pairs(
     replicated num_tables× through the shuffle — round-1 verdict flaw #2).
 
     method='exact': full self-join (only for small frames / oracle checks).
+
+    ``max_bucket`` (LSH only): drop signature buckets holding more than
+    this many ids before the candidate join. A degenerate hot bucket (all
+    near-zero vectors, a constant-embedding bug, a mass-duplicated shard)
+    makes the bucket join quadratic in that bucket's size at 100 TB; an
+    over-full bucket also carries no discrimination (standard LSH
+    practice). Off by default — the oracle-gated entries stay exact.
     """
     emb_d = F.transform(F.col(emb_col), lambda x: x.cast("double"))
     base = _ensure_parallelism(df).select(F.col(id_col).alias("_id"), emb_d.alias("_v")).filter(
@@ -478,6 +486,15 @@ def embedding_dup_pairs(
         sigs = base.select(
             "_id", F.posexplode(sig("_v")).alias("table", "sig")
         ).persist()
+        if max_bucket is not None:
+            ok = (
+                sigs.groupBy("table", "sig")
+                .agg(F.count(F.lit(1)).alias("_bn"))
+                .filter(F.col("_bn") <= max_bucket)
+                .select("table", "sig")
+            )
+            # bucket-key table is tiny (distinct signatures) → broadcast
+            sigs = sigs.join(F.broadcast(ok), ["table", "sig"])
         left = sigs.select(F.col("_id").alias("id_a"), "table", "sig")
         right = sigs.select(F.col("_id").alias("id_b"), "table", "sig")
         cand = (

@@ -166,3 +166,18 @@ def test_kmeans_ivf_full_recall_at_minimal_probe(spark):
         corpus_id_col="id", centroids=trained,
     ).collect()
     assert recall(km) == 1.0          # every blob maps onto one trained cell
+
+
+def test_lsh_match_max_bucket_guard(spark):
+    """Corpus hot bucket excluded from candidates; normal neighbours kept."""
+    rows = [(i, [1.0, 1.0, 0.0, 0.0]) for i in range(30)]          # degenerate
+    rows += [(100 + i, [float(i), 1.0, 3.0, -2.0]) for i in range(10)]
+    corpus = spark.createDataFrame(rows, "id long, embedding array<double>")
+    queries = corpus.filter("id = 105")
+    got = lsh_match(
+        corpus, queries, k=5, metric="cosine", corpus_id_col="id",
+        num_planes=4, num_tables=8, dim=4, max_bucket=15,
+    ).collect()
+    ids = {r["match_id"] for r in got}
+    assert 105 in ids                      # self from a small bucket
+    assert all(m >= 100 for m in ids)      # degenerate block never joined

@@ -132,3 +132,26 @@ def test_embedding_dups_lsh_recall(spark, vectors):
     l = {(a, b) for a, b in zip(lsh.id_a, lsh.id_b)}
     assert l <= e  # no false positives (verified)
     assert len(l) >= 0.8 * len(e)  # recall of the S-curve at theta≈0.05
+
+
+def test_embedding_dup_pairs_max_bucket_drops_hot_buckets(spark):
+    """Hot-bucket guard: 40 identical vectors share every signature bucket
+    (a degenerate O(n²) join at scale); with max_bucket they're dropped
+    while a normal near-dup pair elsewhere is still found."""
+    from docarray_spark.operators.dedup import embedding_dup_pairs
+
+    rows = [(i, [0.0, 0.0, 1.0, 1.0]) for i in range(40)]          # hot bucket
+    rows += [(100, [5.0, -3.0, 2.0, 0.5]), (101, [5.0, -3.0, 2.0, 0.501])]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    capped = embedding_dup_pairs(
+        df, threshold=0.01, method="lsh", num_planes=6, num_tables=8,
+        dim=4, max_bucket=10,
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in capped}
+    assert (100, 101) in got
+    assert not any(a < 40 and b < 40 for a, b in got)  # hot bucket dropped
+    # without the cap the degenerate pairs flood back (40*39/2 of them)
+    full = embedding_dup_pairs(
+        df, threshold=0.01, method="lsh", num_planes=6, num_tables=8, dim=4,
+    ).count()
+    assert full == 40 * 39 // 2 + 1
