@@ -1084,6 +1084,28 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LANDING_CACHE: dict[str, str] = {}
 
 
+def _stream_partitions(spark: SparkSession, n: str = "8"):
+    """Scoped shuffle-partition override for the streaming drains: each
+    stateful operator materializes one state-store instance PER shuffle
+    partition at query start, which dominates wall clock when the keyed
+    state is small (interval join at 32 partitions: 7.4 s warm; at 8:
+    2.7 s — r3 measurement). Size state partitions to key cardinality, not
+    the batch shuffle default; a 100 TB deployment raises it back via the
+    same knob. Restores the session conf on exit."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _scope():
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return _scope()
+
+
 def _events_stream(spark: SparkSession, sf_dir: str):
     """events → a temp landing dir → file-source stream (availableNow).
     The landing copy is written once per (process, sf_dir)."""
@@ -1111,7 +1133,8 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = _events_stream(spark, sf_dir)
     out = windowed_counts(sdf, "ts", ["event_type"], window_duration="1 hour")
     name = f"t_win_{uuid.uuid4().hex[:8]}"
-    run_to_memory_sink(out, name, output_mode="complete")
+    with _stream_partitions(spark):
+        run_to_memory_sink(out, name, output_mode="complete")
     return spark.table(name).select(
         "window_start", "event_type", "n", F.round("sum_value", 4).alias("sum_value")
     )
@@ -1128,7 +1151,8 @@ def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = streaming_dedup(sdf, ["user_id", "event_type"], ts_col="ts",
                           watermark="3650 days")
     name = f"t_dedup_{uuid.uuid4().hex[:8]}"
-    run_to_memory_sink(out, name)
+    with _stream_partitions(spark):
+        run_to_memory_sink(out, name)
     return spark.table(name).select("user_id", "event_type")
 
 
@@ -1145,7 +1169,8 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = session_windows(sdf, "ts", ["user_id"], gap="900 seconds",
                           watermark="3650 days", value_col="value")
     name = f"t_sess_{uuid.uuid4().hex[:8]}"
-    run_to_memory_sink(out, name, output_mode="complete")
+    with _stream_partitions(spark):
+        run_to_memory_sink(out, name, output_mode="complete")
     return spark.table(name).select(
         "user_id",
         F.unix_micros("session_start").alias("start_us"),
@@ -1176,7 +1201,8 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, views, ["user_id"], max_lag_seconds=600, watermark="3650 days"
     )
     name = f"t_sij_{uuid.uuid4().hex[:8]}"
-    run_to_memory_sink(out, name)
+    with _stream_partitions(spark):
+        run_to_memory_sink(out, name)
     return spark.table(name).select(
         "user_id", "click_event", "view_event",
         F.unix_micros("ts").alias("click_us"),
@@ -1491,7 +1517,8 @@ def q_stream_neardup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = read_stream(spark, landing, spark.read.parquet(landing).schema)
     out = streaming_fingerprint_dedup(sdf, "text", "ts", watermark="3650 days")
     name = f"t_neardup_{uuid.uuid4().hex[:8]}"
-    run_to_memory_sink(out, name)
+    with _stream_partitions(spark):
+        run_to_memory_sink(out, name)
     return spark.table(name).select("simhash")
 
 
