@@ -364,3 +364,64 @@ def test_post_row_count_mismatch_is_error_row(spark):
         assert sorted(r.text for r in rows) == ["hello", "world"]
     finally:
         srv.shutdown()
+
+
+# ----------------------------------------- wire codec property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_field_vals = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.floats(allow_nan=False, allow_infinity=True, width=64),
+    st.text(max_size=80),
+    st.binary(max_size=80),
+    st.booleans(),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.dictionaries(
+    st.text(alphabet="abcdefgh_", min_size=1, max_size=8),
+    _field_vals, min_size=1, max_size=6,
+))
+def test_proto_wire_roundtrip_property(rec):
+    """Arbitrary scalar records survive the protobuf wire format
+    bit-exactly (None = absent; type map derived from the value)."""
+    from docarray_spark.functions.wire import proto_decode, proto_encode
+
+    fids = {k: i + 1 for i, k in enumerate(sorted(rec))}
+    types = {}
+    for k, v in rec.items():
+        types[k] = (
+            "bool" if isinstance(v, bool)
+            else "int" if isinstance(v, int)
+            else "float" if isinstance(v, float)
+            else "str" if isinstance(v, str)
+            else "bytes" if isinstance(v, (bytes, bytearray))
+            else "str"  # None: any type decodes absent -> None
+        )
+    back = proto_decode(proto_encode(rec, fids), fids, types)
+    for k, v in rec.items():
+        if isinstance(v, float) and v != v:
+            assert back[k] != back[k]
+        else:
+            assert back[k] == v, k
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.binary(max_size=200), max_size=30))
+def test_frame_stream_roundtrip_property(frames):
+    from docarray_spark.functions.wire import frame_stream, unframe_stream
+
+    assert unframe_stream(frame_stream(frames)) == frames
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**64 - 1))
+def test_varint_roundtrip_property(n):
+    from docarray_spark.functions.wire import varint_decode, varint_encode
+
+    v, pos = varint_decode(varint_encode(n))
+    assert v == (n & (2**64 - 1)) and pos == len(varint_encode(n))
