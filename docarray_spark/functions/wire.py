@@ -62,8 +62,25 @@ def _codec(compress: str | None):
 # Field numbers come from a column→field-number map so any doc schema can be
 # framed; the reference's fixed schema uses docarray.proto:63-126 numbers.
 
-_WT_VARINT, _WT_FIXED64, _WT_LEN = 0, 1, 2
+_WT_VARINT, _WT_FIXED64, _WT_LEN, _WT_FIXED32 = 0, 1, 2, 5
 _U64 = (1 << 64) - 1
+
+# The reference Document's scalar fields with their DocumentProto numbers
+# and wire types (docarray.proto:63-126): frames built with these maps
+# parse byte-for-byte under the reference's generated classes for every
+# scalar field (nested/repeated fields — tensors, chunks, tags — are the
+# columnar engine's job, not the per-doc frame's).
+DOCARRAY_PROTO_FIELDS = {
+    "id": 1, "blob": 2, "text": 4, "granularity": 5, "adjacency": 6,
+    "parent_id": 7, "weight": 8, "uri": 9, "modality": 10,
+    "mime_type": 11, "offset": 12,
+}
+DOCARRAY_PROTO_TYPES = {
+    "id": "str", "blob": "bytes", "text": "str", "granularity": "int",
+    "adjacency": "int", "parent_id": "str", "weight": "float32",
+    "uri": "str", "modality": "str", "mime_type": "str",
+    "offset": "float32",  # proto `float` fields are wiretype-5 fixed32
+}
 
 
 def varint_encode(n: int) -> bytes:
@@ -97,11 +114,16 @@ def varint_decode(buf: bytes, pos: int = 0) -> tuple[int, int]:
             raise ValueError("varint too long")
 
 
-def proto_encode(rec: dict, field_ids: dict[str, int]) -> bytes:
+def proto_encode(
+    rec: dict, field_ids: dict[str, int], types: dict[str, str] | None = None
+) -> bytes:
     """One document → protobuf wire bytes. ``None`` values are omitted
-    (proto3 default-absence). Types map: int/bool→varint, float→fixed64
-    double, str→UTF-8 length-delimited, bytes→length-delimited. Fields are
-    emitted in ascending field-number order (deterministic frames)."""
+    (proto3 default-absence). Default type map: int/bool→varint,
+    float→fixed64 double, str→UTF-8 length-delimited, bytes→
+    length-delimited. Pass ``types`` with ``'float32'`` for proto
+    ``float`` fields (wiretype-5 fixed32 — what DocumentProto's
+    weight/offset use). Fields emit in ascending field-number order
+    (deterministic frames)."""
     import struct as _struct
 
     out = bytearray()
@@ -109,7 +131,9 @@ def proto_encode(rec: dict, field_ids: dict[str, int]) -> bytes:
         v = rec.get(name)
         if v is None or (isinstance(v, float) and v != v):
             continue
-        if isinstance(v, bool):
+        if types is not None and types.get(name) == "float32":
+            out += varint_encode((fid << 3) | _WT_FIXED32) + _struct.pack("<f", float(v))
+        elif isinstance(v, bool):
             out += varint_encode((fid << 3) | _WT_VARINT) + varint_encode(int(v))
         elif isinstance(v, int):
             out += varint_encode((fid << 3) | _WT_VARINT) + varint_encode(v)
@@ -141,6 +165,8 @@ def proto_parse(buf: bytes) -> dict[int, tuple[int, object]]:
         elif wt == _WT_LEN:
             n, pos = varint_decode(buf, pos)
             v, pos = buf[pos : pos + n], pos + n
+        elif wt == _WT_FIXED32:
+            v, pos = buf[pos : pos + 4], pos + 4
         else:
             raise ValueError(f"unsupported wiretype {wt} (field {fid})")
         out[fid] = (wt, v)
@@ -167,6 +193,8 @@ def proto_decode(buf: bytes, field_ids: dict[str, int], types: dict[str, str]) -
             v = bool(raw)
         elif t == "float":
             v = _struct.unpack("<d", raw)[0] if wt == _WT_FIXED64 else float(raw)
+        elif t == "float32":
+            v = _struct.unpack("<f", raw)[0] if wt == _WT_FIXED32 else float(raw)
         elif t == "str":
             v = raw.decode("utf-8")
         elif t == "bytes":
@@ -230,6 +258,7 @@ def docs_to_bytes(
     out_col: str = "serialized",
     doc_cols: list[str] | None = None,
     proto_fields: dict[str, int] | None = None,
+    proto_types: dict[str, str] | None = None,
 ) -> DataFrame:
     """``to_bytes`` per document (``porting.py:85-108``): adds ``out_col``
     (binary) holding each row's serialized frame. ``doc_cols`` restricts
@@ -266,9 +295,10 @@ def docs_to_bytes(
 
     elif protocol == "protobuf":
         fids = proto_fields or {c: i + 1 for i, c in enumerate(cols)}
+        ptypes = proto_types  # e.g. DOCARRAY_PROTO_TYPES for float32 fields
 
         def _ser(d: dict) -> bytes:
-            return comp(proto_encode(d, fids))
+            return comp(proto_encode(d, fids, ptypes))
 
     else:
         raise ValueError(f"protocol={protocol!r} is not supported (pickle|json|protobuf)")
@@ -288,6 +318,7 @@ def docs_from_bytes(
     compress: str | None = None,
     in_col: str = "serialized",
     proto_fields: dict[str, int] | None = None,
+    proto_types: dict[str, str] | None = None,
 ) -> DataFrame:
     """``from_bytes`` per document (``porting.py:110-130``): decode the
     binary frames in ``in_col`` back into typed columns. ``schema`` declares
@@ -311,7 +342,7 @@ def docs_from_bytes(
 
     elif protocol == "protobuf":
         fids = proto_fields or {f.name: i + 1 for i, f in enumerate(schema.fields)}
-        ptypes = _schema_proto_types(schema)
+        ptypes = {**_schema_proto_types(schema), **(proto_types or {})}
 
         def _de(b: bytes) -> dict:
             return proto_decode(decomp(bytes(b)), fids, ptypes)

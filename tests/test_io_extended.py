@@ -425,3 +425,33 @@ def test_varint_roundtrip_property(n):
 
     v, pos = varint_decode(varint_encode(n))
     assert v == (n & (2**64 - 1)) and pos == len(varint_encode(n))
+
+
+def test_docarray_proto_field_numbering_byte_layout():
+    """Frames built with DOCARRAY_PROTO_FIELDS/TYPES follow DocumentProto's
+    field numbers and wire types exactly (docarray.proto:63-126): id=1
+    length-delimited, text=4, granularity=5 varint, weight=8 fixed32
+    float — parseable by the reference's generated classes for every
+    scalar field."""
+    import struct
+
+    from docarray_spark.functions.wire import (
+        DOCARRAY_PROTO_FIELDS,
+        DOCARRAY_PROTO_TYPES,
+        proto_decode,
+        proto_encode,
+    )
+
+    doc = {"id": "abc", "text": "hi", "granularity": 2, "weight": 1.5}
+    frame = proto_encode(doc, DOCARRAY_PROTO_FIELDS, DOCARRAY_PROTO_TYPES)
+    expected = (
+        b"\x0a\x03abc"            # field 1 (id), len-delimited
+        + b"\x22\x02hi"           # field 4 (text)
+        + b"\x28\x02"             # field 5 (granularity), varint
+        + b"\x45" + struct.pack("<f", 1.5)  # field 8 (weight), fixed32
+    )
+    assert frame == expected
+    back = proto_decode(frame, DOCARRAY_PROTO_FIELDS, DOCARRAY_PROTO_TYPES)
+    assert back["id"] == "abc" and back["text"] == "hi"
+    assert back["granularity"] == 2 and back["weight"] == 1.5
+    assert back["uri"] is None  # absent scalar -> None
