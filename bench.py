@@ -32,6 +32,13 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     spark.range(64).mapInPandas(lambda it: it, "id long").count()
 
+    # Baseline anchors run FIRST, on a fresh heap: after 2x50 entry
+    # executions the JVM's heap history (cached-block churn, GC debt)
+    # added up to 10x jitter to the 1M-row anchor timings (r3 measurement)
+    anchors = _baseline_anchors(spark)
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+
     # cold = first execution (includes janino codegen compile + any
     # Python-worker spin-up for that query's UDFs — per-process one-time
     # costs that amortize away on a real cluster, NOTES #6); warm = second
@@ -48,11 +55,18 @@ def main() -> None:
         warm[name] = round(time.perf_counter() - t0, 4)
         # operators that persist intermediates (minhash shingles, CC edges)
         # would otherwise accumulate cached blocks across the 2x50 runs,
-        # building GC pressure that skews later entries' timings
+        # building GC pressure that skews later entries' timings; streaming
+        # entries additionally register uuid-named memory-sink tables that
+        # pin full result sets. Drop both and nudge the JVM between
+        # entries — without this, late entries measured 2-4x slower from
+        # accumulated heap debt, not their plans.
         spark.catalog.clearCache()
+        for t in spark.catalog.listTables():
+            if t.name.startswith("t_"):
+                spark.catalog.dropTempView(t.name)
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
-    anchors = _baseline_anchors(spark)
 
     # Full cold+warm per-query detail goes to a repo file (the driver's
     # stdout capture keeps only the LAST 2000 BYTES — r02's line overflowed
@@ -105,6 +119,18 @@ def _baseline_anchors(spark) -> dict:
     from docarray_spark.queryset import find
 
     n, dim, n_q = 1_000_000, 128, 10
+
+    # untimed small-corpus pass: the very first persist+count in a fresh
+    # JVM pays codegen/JIT/allocator warmup that measured 16.8 s vs the
+    # ~3 s steady create — warm those paths before timing the real build
+    warmup = (
+        spark.range(50_000)
+        .select(F.expr(f"transform(sequence(0, {dim - 1}), j -> cast(sin(id + j) as float))").alias("e"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    warmup.count()
+    warmup.unpersist()
+
     t0 = time.perf_counter()
     corpus = (
         spark.range(n)
@@ -121,16 +147,25 @@ def _baseline_anchors(spark) -> dict:
     corpus.count()
     create_s = round(time.perf_counter() - t0, 3)
 
-    t0 = time.perf_counter()
-    find(corpus, {"tag_i": {"$eq": 77}}).write.format("noop").mode("overwrite").save()
-    filter_s = round(time.perf_counter() - t0, 3)
+    # steady-state timing: best of 4 runs, matching the reference
+    # benchmark's repeated-single-query methodology. Convergence is slow —
+    # the Arrow path (python workers + cached-corpus serialization + JIT)
+    # measured 44 → 27 → 5.8 → 1.2 s across reps in a fresh JVM — so two
+    # runs under-report steady state by 5x.
+    def _steady(build):
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    filter_s = _steady(lambda: find(corpus, {"tag_i": {"$eq": 77}}))
 
     queries = corpus.filter(F.col("id") < n_q).select("id", "embedding")
-    t0 = time.perf_counter()
-    match(corpus, queries, k=10, metric="cosine", corpus_id_col="id", eps=0.0).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    knn_s = round(time.perf_counter() - t0, 3)
+    knn_s = _steady(
+        lambda: match(corpus, queries, k=10, metric="cosine", corpus_id_col="id", eps=0.0)
+    )
     corpus.unpersist()
 
     return {
