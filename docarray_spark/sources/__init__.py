@@ -24,8 +24,23 @@ from docarray_spark.sources.writers import (
     save_parquet,
     to_pandas,
 )
+from docarray_spark.sources.jdbc_store import (
+    delete_by_id_jdbc,
+    derby_url,
+    jdbc_execute,
+    load_jdbc,
+    save_jdbc,
+    update_field_by_id_jdbc,
+)
+
 
 __all__ = [
+    "save_jdbc",
+    "load_jdbc",
+    "jdbc_execute",
+    "derby_url",
+    "delete_by_id_jdbc",
+    "update_field_by_id_jdbc",
     "read_csv_documents",
     "fetch_uris",
     "read_files",

@@ -1,0 +1,144 @@
+"""JDBC document store — the reference's SQLite backend re-expressed.
+
+The reference persists a DocumentArray in an embedded SQL database
+(``/root/reference/docarray/array/storage/sqlite/backend.py:30-120``: one
+table, rows addressed by doc id, point INSERT/UPDATE/DELETE in
+``storage/sqlite/getsetdel.py``). Spark's JDBC data source replaces the
+hand-written CRUD: bulk reads/writes run with full executor parallelism and
+predicate pushdown (filters land in the remote ``WHERE`` clause —
+``PushedFilters`` on a JDBCRelation scan), while point CRUD goes through a
+driver-side JDBC statement, exactly the single-row access pattern the
+reference's backend serves.
+
+Works against any JDBC URL; tests use Apache Derby embedded (ships in
+Spark's jars — the same role SQLite plays for the reference: a zero-server
+local SQL store). Typed columns replace the reference's serialized-blob
+rows, so the stored table is queryable by ANY SQL client, not just this
+engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_url(path: str, create: bool = True) -> str:
+    """Embedded-Derby URL for a local database directory."""
+    return f"jdbc:derby:{path}" + (";create=true" if create else "")
+
+
+def save_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    driver: str | None = DERBY_DRIVER,
+    string_type: str | None = "VARCHAR(32000)",
+    **options: str,
+) -> None:
+    """Bulk store (the backend's ``extend``): executors write partitions in
+    parallel over JDBC. ``mode='overwrite'`` replaces the table — the
+    reference's list-replacement semantics; ``'append'`` adds rows.
+
+    ``string_type``: DDL type used for string columns at table creation.
+    Spark's Derby dialect defaults strings to CLOB, which Derby refuses to
+    compare — breaking every pushed equality filter — so VARCHAR is forced
+    unless the caller overrides (None keeps the dialect default)."""
+    w = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        w = w.option("driver", driver)
+    if string_type and "createTableColumnTypes" not in options:
+        scols = [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
+        if scols:
+            w = w.option(
+                "createTableColumnTypes",
+                ", ".join(f"{c} {string_type}" for c in scols),
+            )
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.mode(mode).save()
+
+
+def load_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str | None = DERBY_DRIVER,
+    partition_column: str | None = None,
+    num_partitions: int | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    **options: str,
+) -> DataFrame:
+    """Lazy DataFrame over the stored table. Catalyst pushes filters and
+    projections into the remote query (verified in tests), so
+    ``find(load_jdbc(...), {...})`` reads only matching rows — the
+    reference's backend-side filter pushdown (SURVEY §3.1 step 4), for
+    free. Pass ``partition_column``/bounds to parallelize the read across
+    executors instead of one JDBC cursor."""
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        r = r.option("driver", driver)
+    if partition_column is not None:
+        r = (
+            r.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions or 8)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def jdbc_execute(
+    spark: SparkSession, url: str, sql: str, driver: str | None = DERBY_DRIVER
+) -> int:
+    """Driver-side JDBC statement for point CRUD / DDL — the single-row
+    UPDATE/DELETE-by-id path of the reference backend
+    (``storage/sqlite/getsetdel.py``); bulk mutations belong in
+    ``save_jdbc``. → update count."""
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        try:
+            return stmt.executeUpdate(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
+def delete_by_id_jdbc(
+    spark: SparkSession, url: str, table: str, id_col: str, doc_id,
+    driver: str | None = DERBY_DRIVER,
+) -> int:
+    """``del da[id]`` against the store (delitem.py:19-78 semantics).
+    Column identifiers are quoted — Spark's JDBC writer creates
+    case-sensitive quoted column names."""
+    lit = f"'{doc_id}'" if isinstance(doc_id, str) else str(doc_id)
+    return jdbc_execute(
+        spark, url, f'DELETE FROM {table} WHERE "{id_col}" = {lit}', driver
+    )
+
+
+def update_field_by_id_jdbc(
+    spark: SparkSession, url: str, table: str, id_col: str, doc_id,
+    field: str, value,
+    driver: str | None = DERBY_DRIVER,
+) -> int:
+    """``da[id, field] = value`` against the store (setitem by id)."""
+    idlit = f"'{doc_id}'" if isinstance(doc_id, str) else str(doc_id)
+    vlit = "NULL" if value is None else (
+        "'" + str(value).replace("'", "''") + "'" if isinstance(value, str) else str(value)
+    )
+    return jdbc_execute(
+        spark, url,
+        f'UPDATE {table} SET "{field}" = {vlit} WHERE "{id_col}" = {idlit}',
+        driver,
+    )
