@@ -69,13 +69,16 @@ def save_parquet(
     bucket_by: tuple[int, list[str]] | None = None,
     table_name: str | None = None,
     mode: str = "overwrite",
+    fmt: str = "parquet",
 ) -> None:
     """The engine's native store (replaces ``save_binary``,
     ``io/binary.py:40-170``). ``partition_by`` gives partition pruning on
     the listed columns; ``bucket_by=(n, cols)`` (requires ``table_name``)
     pre-shuffles into n buckets so later joins/aggs on those columns are
-    exchange-free."""
-    w = df.write.mode(mode)
+    exchange-free. ``fmt`` accepts any columnar file source available in
+    the session (``parquet`` default; ``orc`` ships in Spark's jars) —
+    same pruning/pushdown machinery either way."""
+    w = df.write.mode(mode).format(fmt)
     if partition_by:
         w = w.partitionBy(*partition_by)
     if bucket_by:
@@ -84,7 +87,7 @@ def save_parquet(
             raise ValueError("bucketBy requires a table_name (saveAsTable)")
         w.bucketBy(n, *cols).sortBy(*cols).option("path", path).saveAsTable(table_name)
         return
-    w.parquet(path)
+    w.save(path)
 
 
 def from_ndarray(

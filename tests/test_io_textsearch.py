@@ -178,3 +178,18 @@ def test_fetch_uris_file_data_and_http(spark, tmp_path):
         assert "allow_schemes" in blocked.collect()[0].text_error
     finally:
         srv.shutdown()
+
+
+def test_save_orc_roundtrip_with_partition_pruning(spark, sf_dir, tmp_path):
+    """ORC store path: same pruning machinery as parquet (orc-core ships
+    in Spark's jars)."""
+    from docarray_spark.sources import save_parquet
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = str(tmp_path / "orc_store")
+    save_parquet(docs, d, partition_by=["lang"], fmt="orc")
+    back = spark.read.orc(d)
+    assert back.count() == docs.count()
+    en = back.filter("lang = 'en'")
+    plan = en._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan
