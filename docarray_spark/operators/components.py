@@ -59,11 +59,34 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _union_find_labels(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Driver-side union-find with min-id labels — identical output to the
+    distributed fixpoint (min node id per component)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN id so the root IS the canonical label
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    return [(n, find(n)) for n in parent]
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    driver_edge_budget: int = 1_000_000,
 ) -> DataFrame:
     """Resolve the connected components of an undirected edge list.
 
@@ -71,6 +94,13 @@ def connected_components(
     edge; ``component`` is the minimum node id of the component (so it's a
     stable canonical representative). Isolated nodes don't appear — callers
     with a node table left-join and coalesce (see :func:`dedup_clusters`).
+
+    Dispatch: an edge list within ``driver_edge_budget`` is collected and
+    resolved with driver-side union-find (ONE job instead of ~5 rounds ×
+    2 shuffles + checkpoint — near-dup edge sets are usually tiny relative
+    to the corpus); larger graphs run the distributed star contraction.
+    Both paths produce the identical min-id labeling — pinned equal in
+    tests. Set the budget to 0 to force the distributed path.
 
     Deterministic: the fixpoint is unique (min-id star forest), so Spark and
     any SQL oracle agree bit-for-bit. Raises if ``max_iter`` rounds don't
@@ -84,6 +114,14 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    if driver_edge_budget > 0:
+        probe = e.limit(driver_edge_budget + 1).collect()
+        if len(probe) <= driver_edge_budget:
+            labels = _union_find_labels([(r.u, r.v) for r in probe])
+            spark = edges.sparkSession
+            return spark.createDataFrame(
+                labels or [], "node long, component long"
+            )
     prev = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()
@@ -114,6 +152,7 @@ def dedup_clusters(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_edge_budget: int = 1_000_000,
 ) -> DataFrame:
     """Duplicate-cluster assignment for a full corpus: run
     :func:`connected_components` over the near-dup ``pairs`` and label every
@@ -127,7 +166,10 @@ def dedup_clusters(
     to the corpus — only docs that belong to a duplicate pair), which AQE
     broadcasts in the common case.
     """
-    labels = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    labels = connected_components(
+        pairs, src=src, dst=dst, max_iter=max_iter,
+        driver_edge_budget=driver_edge_budget,
+    )
     out = (
         df.select(id_col)
         .join(labels.withColumnRenamed("node", id_col), id_col, "left")

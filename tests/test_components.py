@@ -78,3 +78,25 @@ def test_gopher_dup_lines(spark):
     )
     row = gopher_quality(df).collect()[0]
     assert row.dup_line_frac == 0.5
+
+
+def test_union_find_path_equals_distributed(spark):
+    """Both CC paths — driver union-find (within budget) and the
+    distributed star contraction (budget 0) — produce the identical
+    min-id labeling."""
+    from docarray_spark.operators.components import connected_components
+
+    # chain 1-2-3-4, triangle 10-11-12, pair (20,21), self-contained 30
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3), (10, 11), (11, 12), (12, 10), (20, 21),
+         (30, 30)],
+        "src long, dst long",
+    )
+    uf = {(r.node, r.component)
+          for r in connected_components(edges).collect()}
+    dist = {(r.node, r.component)
+            for r in connected_components(edges, driver_edge_budget=0).collect()}
+    assert uf == dist
+    comp = dict(uf)
+    assert comp[4] == 1 and comp[12] == 10 and comp[21] == 20
+    assert 30 not in comp  # self-loop filtered; isolated nodes absent
