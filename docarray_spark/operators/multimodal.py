@@ -281,3 +281,80 @@ def sample_frames(
             )
 
     return df.mapInPandas(_sample, schema=out_schema)
+
+
+# ------------------------------------------------- multimodal dataclass model
+
+def multimodal_schema(fields: list[tuple[str, bool]]) -> dict:
+    """Compile an ordered multimodal field declaration into the position map
+    the traversal attribute selectors consume (``traverse(nodes,
+    '.[banner, paragraphs]', mm_schema=...)``).
+
+    Mirrors the reference's dataclass compiler: a ``@dataclass`` with
+    Image/Text/... fields becomes a Document whose chunk at position *i*
+    holds field *i*, with the layout stored as ``multi_modal_schema``
+    metadata (``dataclasses/types.py:142-229``,
+    ``document/mixins/multimodal.py:21-98``). ``fields`` is
+    ``[(name, iterable)]`` in declaration order — ``iterable=True`` is the
+    reference's ITERABLE_DOCUMENT attribute type (``types.py:35-41``): the
+    position chunk is a container whose own chunks are the list elements.
+    """
+    return {
+        name: {"position": i, "iterable": bool(it)}
+        for i, (name, it) in enumerate(fields)
+    }
+
+
+def to_multimodal_nodes(
+    df,
+    fields: list[tuple[str, bool]],
+    id_col: str = "id",
+    text_cols: dict[str, str] | None = None,
+) -> tuple["DataFrame", dict]:
+    """Document-tree compiler for multimodal rows: one input row with one
+    column per modality field → the adjacency-list nodes table the
+    traversal/indexing operators run on, plus the position map.
+
+    Scalar fields (``iterable=False``) read from column ``name`` (string
+    content); iterable fields read from column ``name`` as
+    ``array<string>``, producing a position-chunk container plus one
+    grand-chunk per element. → ``(nodes(id, parent_id, granularity,
+    offset, text), mm_schema)``; non-text modalities store their payload
+    reference in ``text`` (uri/datauri) per the reference's content-field
+    overloading.
+    """
+    text_cols = text_cols or {}
+    sid = F.col(id_col).cast("string")
+    parts = [
+        df.select(
+            sid.alias("id"), F.lit("").alias("parent_id"),
+            F.lit(0).alias("granularity"), F.lit(0).cast("long").alias("offset"),
+            F.lit(None).cast("string").alias("text"),
+        )
+    ]
+    for pos, (name, iterable) in enumerate(fields):
+        col = text_cols.get(name, name)
+        chunk_id = F.concat(sid, F.lit(f".{pos}"))
+        parts.append(
+            df.select(
+                chunk_id.alias("id"), sid.alias("parent_id"),
+                F.lit(1).alias("granularity"),
+                F.lit(pos).cast("long").alias("offset"),
+                (F.lit(None).cast("string") if iterable else F.col(col).cast("string")).alias("text"),
+            )
+        )
+        if iterable:
+            ex = df.select(sid.alias("_rid"), F.posexplode(col).alias("_i", "_v"))
+            parts.append(
+                ex.select(
+                    F.concat("_rid", F.lit(f".{pos}."), F.col("_i")).alias("id"),
+                    F.concat("_rid", F.lit(f".{pos}")).alias("parent_id"),
+                    F.lit(2).alias("granularity"),
+                    F.col("_i").cast("long").alias("offset"),
+                    F.col("_v").cast("string").alias("text"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out, multimodal_schema(fields)

@@ -122,3 +122,31 @@ def test_multimodal_schema_compile(spark):
     assert row["frames"] == [b"\x02", b"\x03"]
     with pytest.raises(ValueError, match="unknown modality"):
         multimodal_schema({"x": "hologram"})
+
+
+def test_multimodal_dataclass_tree_and_attribute_access(spark):
+    """Dataclass-style multimodal rows compile to the adjacency tree and
+    the attribute selectors resolve fields by position (reference
+    dataclasses/types.py:142-229 semantics)."""
+    from docarray_spark.operators.multimodal import to_multimodal_nodes
+    from docarray_spark.operators import traverse
+
+    df = spark.createDataFrame(
+        [(1, "Title A", ["p1", "p2"]), (2, "Title B", ["q1"])],
+        "id long, banner string, paragraphs array<string>",
+    )
+    nodes, mm = to_multimodal_nodes(
+        df, [("banner", False), ("paragraphs", True)]
+    )
+    assert mm == {
+        "banner": {"position": 0, "iterable": False},
+        "paragraphs": {"position": 1, "iterable": True},
+    }
+    # tree shape: 2 roots + 2x2 position chunks + 3 paragraph elements
+    assert nodes.count() == 2 + 4 + 3
+    banners = traverse(nodes, ".[banner]", mm_schema=mm)
+    assert sorted(r.text for r in banners.collect()) == ["Title A", "Title B"]
+    paras = traverse(nodes, ".[paragraphs]", mm_schema=mm)
+    assert sorted(r.text for r in paras.collect()) == ["p1", "p2", "q1"]
+    both = traverse(nodes, ".[banner, paragraphs]", mm_schema=mm)
+    assert both.count() == 5
