@@ -109,3 +109,20 @@ def contains_ids(df: DataFrame, ids, id_col: str = "id") -> DataFrame:
     if isinstance(ids, DataFrame):
         return df.join(ids, df[id_col] == ids[ids.columns[0]], "left_semi")
     return df.filter(F.col(id_col).isin(list(ids)))
+
+
+def intersect_ids(left: DataFrame, right: DataFrame, id_col: str = "id") -> DataFrame:
+    """Set intersection by document id (engine extension — SURVEY §2.7
+    notes the reference has no intersect/except; Spark gives them free).
+    Keeps the LEFT side's rows (left-priority, like ``reduce``)."""
+    return left.join(
+        right.select(id_col).distinct(), id_col, "left_semi"
+    )
+
+
+def except_ids(left: DataFrame, right: DataFrame, id_col: str = "id") -> DataFrame:
+    """Set difference by document id: left docs whose id is absent from
+    right — the relational form of ``del da[other_ids]``."""
+    return left.join(
+        right.select(id_col).distinct(), id_col, "left_anti"
+    )

@@ -231,3 +231,16 @@ def test_reduce_matches_left_priority(spark):
     assert got == {("q", "m1"): (1, 0.1), ("q", "m2"): (2, 0.2)}
     assert reduce_matches(None, r).count() == 2
     assert reduce_matches(l, None).count() == 1
+
+
+def test_intersect_and_except_ids(spark):
+    from docarray_spark.operators import except_ids, intersect_ids
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    right = spark.createDataFrame([(2, "x"), (3, "y"), (4, "z")], "id long, v string")
+    inter = intersect_ids(left, right)
+    assert sorted((r.id, r.v) for r in inter.collect()) == [(2, "b"), (3, "c")]
+    diff = except_ids(left, right)
+    assert [(r.id, r.v) for r in diff.collect()] == [(1, "a")]
