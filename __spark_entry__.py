@@ -1522,6 +1522,108 @@ def q_stream_neardup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("simhash")
 
 
+def q_dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r3b: the SimHash fingerprint table and its banded near-dup
+    pairs as (part, a, b, v) rows — 'fingerprints' carries (doc_id, NULL,
+    simhash), 'pairs' carries (id_a, id_b, hamming); every original column
+    keeps its full row-level gate."""
+    fp = q_dedup_simhash(spark, sf_dir).select(
+        F.lit("fingerprints").alias("part"), F.col("doc_id").alias("a"),
+        F.lit(None).cast("long").alias("b"), F.col("simhash").alias("v"),
+    )
+    pr = q_dedup_simhash_pairs(spark, sf_dir).select(
+        F.lit("pairs").alias("part"), F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"), F.col("hamming").cast("long").alias("v"),
+    )
+    return fp.unionByName(pr)
+
+
+def q_relational_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-style relational analytics over the driver's warehouse tables
+    (customer/orders/lineitem/nation/region/supplier — previously unused by
+    the registry) as (part, key, value) rows:
+
+    - 'q1': pricing summary — lineitem scan-filtered on ship date, grouped
+      by (returnflag, linestatus), metrics unpivoted per row. Revenue-class
+      sums accumulate in DECIMAL so the result is EXACT and
+      summation-order-independent on every engine (no float-rounding
+      tolerance needed at 60k-row magnitudes).
+    - 'q3': shipping-priority top-10 — customer(BUILDING) ⋈ orders ⋈
+      lineitem with date predicates pushed to the scans, revenue per order,
+      TakeOrderedAndProject top-k.
+    - 'q5': ASIA nation revenue — region ⋈ nation broadcast into customer ⋈
+      orders ⋈ lineitem ⋈ supplier with the Q5 same-nation constraint.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    sup = _t(spark, sf_dir, "supplier")
+    dec = "decimal(38,6)"
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+
+    q1 = (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(dec)).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(dec)).alias("sum_base"),
+            F.sum(rev).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.concat(F.lit("q1|"), "l_returnflag", F.lit("|"), "l_linestatus").alias("_g"),
+            F.explode(
+                F.create_map(
+                    F.lit("sum_qty"), F.col("sum_qty").cast("double"),
+                    F.lit("sum_base"), F.col("sum_base").cast("double"),
+                    F.lit("sum_disc_price"), F.col("sum_disc_price").cast("double"),
+                    F.lit("count"), F.col("n").cast("double"),
+                )
+            ).alias("m", "value"),
+        )
+        .select(F.lit("q1").alias("part"), F.concat("_g", F.lit("|"), "m").alias("key"), "value")
+    )
+
+    q3 = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.to_date("o_orderdate") < F.lit("1997-06-01").cast("date"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.to_date("l_shipdate") > F.lit("1997-06-01").cast("date"))
+        .groupBy("o_orderkey")
+        .agg(F.sum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            F.lit("q3").alias("part"),
+            F.concat(F.lit("q3|"), F.col("o_orderkey").cast("string")).alias("key"),
+            F.col("revenue").cast("double").alias("value"),
+        )
+    )
+
+    asia = nat.join(
+        F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    q5 = (
+        cust.join(F.broadcast(asia), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(sup, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue"))
+        .select(
+            F.lit("q5").alias("part"),
+            F.concat(F.lit("q5|"), "n_name").alias("key"),
+            F.col("revenue").cast("double").alias("value"),
+        )
+    )
+    return q1.unionByName(q3).unionByName(q5)
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-3 corpus-statistics suite (operators/mix.py) as (part, key,
     value) rows — four pretraining-pipeline operators, all oracle-exact:
@@ -1638,9 +1740,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_set": q_nested_set,
         "dedup_exact": q_dedup_exact,
         "dedup_text_pairs": q_dedup_text_pairs,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_simhash": q_dedup_simhash_suite,
         "dedup_components": q_dedup_components,
+        "relational_suite": q_relational_suite,
     }
 
 
@@ -3037,6 +3139,62 @@ def oracle_sql() -> dict[str, str]:
         )
     """
 
+    s["relational_suite"] = """
+        WITH q1 AS (
+          SELECT l_returnflag AS rf, l_linestatus AS ls,
+                 SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+                 SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base,
+                 SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                   AS sum_disc_price,
+                 COUNT(*) AS n
+          FROM lineitem
+          WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-01'
+          GROUP BY 1, 2
+        ),
+        q1u AS (
+          SELECT 'q1|' || rf || '|' || ls || '|sum_qty' AS key,
+                 sum_qty::DOUBLE AS value FROM q1
+          UNION ALL
+          SELECT 'q1|' || rf || '|' || ls || '|sum_base', sum_base::DOUBLE FROM q1
+          UNION ALL
+          SELECT 'q1|' || rf || '|' || ls || '|sum_disc_price',
+                 sum_disc_price::DOUBLE FROM q1
+          UNION ALL
+          SELECT 'q1|' || rf || '|' || ls || '|count', n::DOUBLE FROM q1
+        ),
+        q3 AS (
+          SELECT o_orderkey,
+                 SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                   AS revenue
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND CAST(o_orderdate AS DATE) < DATE '1997-06-01'
+            AND CAST(l_shipdate AS DATE) > DATE '1997-06-01'
+          GROUP BY o_orderkey
+          ORDER BY revenue DESC, o_orderkey ASC
+          LIMIT 10
+        ),
+        q5 AS (
+          SELECT n_name,
+                 SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                   AS revenue
+          FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+          WHERE r_name = 'ASIA'
+          GROUP BY n_name
+        )
+        SELECT 'q1' AS part, key, value FROM q1u
+        UNION ALL
+        SELECT 'q3', 'q3|' || o_orderkey::VARCHAR, revenue::DOUBLE FROM q3
+        UNION ALL
+        SELECT 'q5', 'q5|' || n_name, revenue::DOUBLE FROM q5
+    """
     s["stream_counts_dedup"] = """
         SELECT 'window' AS part,
                epoch_us(window_start)::VARCHAR || '|' || event_type AS key,
@@ -3152,6 +3310,13 @@ def oracle_sql() -> dict[str, str]:
             f"FROM (\n{s['datauri']}\n)"
         ),
     }
+    merged["dedup_simhash"] = (
+        "SELECT 'fingerprints' AS part, doc_id AS a, CAST(NULL AS BIGINT) AS b, "
+        f"simhash AS v FROM (\n{s['dedup_simhash']}\n)"
+        "\nUNION ALL\n"
+        "SELECT 'pairs', id_a, id_b, hamming::BIGINT "
+        f"FROM (\n{s['dedup_simhash_pairs']}\n)"
+    )
     out = dict(s)
     out.update(merged)
     return out

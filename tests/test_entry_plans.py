@@ -94,11 +94,15 @@ BUDGETS = {
     "dedup_exact": (1, 1, False),
     # minhash LSH path + the exact inverted-index ground-truth path
     "dedup_text_pairs": (4, 4, False),
-    "dedup_simhash": (1, 1, False),
-    "dedup_simhash_pairs": (3, 2, False),
+    # fingerprint table part (1 shuffle-free scan... the repartition) +
+    # banded pairs part (bucket join + dedup)
+    "dedup_simhash": (4, 3, False),
     # CC iterations run eagerly on checkpointed integer edges; the final plan
     # is labels∪roots (distinct) + corpus left join + order
     "dedup_components": (4, 3, False),
+    # q1 agg + q3 join/agg/topk + q5 five-way join/agg; nation/region
+    # broadcast; date filters pushed to the scans
+    "relational_suite": (4, 10, False),
 }
 
 
