@@ -1553,6 +1553,9 @@ def q_relational_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       TakeOrderedAndProject top-k.
     - 'q5': ASIA nation revenue — region ⋈ nation broadcast into customer ⋈
       orders ⋈ lineitem ⋈ supplier with the Q5 same-nation constraint.
+    - 'q14': promo revenue share — lineitem ⋈ broadcast part, conditional
+      DECIMAL sums; the division runs on two exact decimals, so the ratio
+      is bit-identical across engines.
     """
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
@@ -1621,7 +1624,22 @@ def q_relational_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue").cast("double").alias("value"),
         )
     )
-    return q1.unionByName(q3).unionByName(q5)
+    parts = _t(spark, sf_dir, "part")
+    q14 = (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(dec))).alias("promo"),
+            F.sum(rev).alias("total"),
+        )
+        .select(
+            F.lit("q14").alias("part"),
+            F.lit("q14|promo_share").alias("key"),
+            F.round(
+                F.col("promo").cast("double") / F.col("total").cast("double"), 9
+            ).alias("value"),
+        )
+    )
+    return q1.unionByName(q3).unionByName(q5).unionByName(q14)
 
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3188,12 +3206,23 @@ def oracle_sql() -> dict[str, str]:
           JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
           WHERE r_name = 'ASIA'
           GROUP BY n_name
+        ),
+        q14 AS (
+          SELECT
+            SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                     ELSE CAST(0 AS DECIMAL(38,6)) END) AS promo,
+            SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS total
+          FROM lineitem JOIN part ON l_partkey = p_partkey
         )
         SELECT 'q1' AS part, key, value FROM q1u
         UNION ALL
         SELECT 'q3', 'q3|' || o_orderkey::VARCHAR, revenue::DOUBLE FROM q3
         UNION ALL
         SELECT 'q5', 'q5|' || n_name, revenue::DOUBLE FROM q5
+        UNION ALL
+        SELECT 'q14', 'q14|promo_share',
+               round(promo::DOUBLE / total::DOUBLE, 9) FROM q14
     """
     s["stream_counts_dedup"] = """
         SELECT 'window' AS part,

@@ -102,7 +102,7 @@ BUDGETS = {
     "dedup_components": (4, 3, False),
     # q1 agg + q3 join/agg/topk + q5 five-way join/agg; nation/region
     # broadcast; date filters pushed to the scans
-    "relational_suite": (4, 10, False),
+    "relational_suite": (4, 12, False),
 }
 
 
