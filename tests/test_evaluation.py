@@ -153,3 +153,34 @@ def test_evaluate_per_query_max_rel_default(spark):
     }
     assert got["q1"] == 2 / 2
     assert got["q2"] == 1 / 4
+
+
+def test_perfect_and_zero_match_invariants(spark):
+    """Reference parity (test_eval_class.py:33-98): groundtruth identical to
+    the matches → every metric is exactly 1.0; disjoint groundtruth →
+    0.0 (DCG excepted: unbounded above, zero on no relevance)."""
+    m = spark.createDataFrame(
+        [("q", f"m{i}", i + 1) for i in range(5)],
+        "query_id string, match_id string, rank int",
+    )
+    gt_same = m.select("query_id", "match_id")
+    gt_none = spark.createDataFrame(
+        [("q", f"x{i}") for i in range(5)], "query_id string, match_id string"
+    )
+    import pyspark.sql.functions as F
+
+    for gt, want in [(gt_same, 1.0), (gt_none, 0.0)]:
+        rel = relevance_arrays(m, gt)
+        c = F.col("rel")
+        row = rel.select(
+            METRICS["precision_at_k"](c, k=5).alias("p"),
+            METRICS["recall_at_k"](c, k=5, max_rel=5).alias("r"),
+            METRICS["f1_score_at_k"](c, k=5, max_rel=5).alias("f1"),
+            METRICS["hit_at_k"](c, k=5).alias("hit"),
+            METRICS["average_precision"](c).alias("ap"),
+            METRICS["reciprocal_rank"](c).alias("rr"),
+            METRICS["r_precision"](c).alias("rp"),
+            METRICS["ndcg_at_k"](c, k=5, method=0).alias("ndcg"),
+        ).first()
+        for name in ["p", "r", "f1", "hit", "ap", "rr", "rp", "ndcg"]:
+            assert row[name] == pytest.approx(want), (name, want)
