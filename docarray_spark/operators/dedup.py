@@ -132,9 +132,18 @@ def minhash_dedup_pairs(
     round_to: int | None = None,
     persist: bool = True,
     num_rows: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: shingle → banded minhash → bucket
     equi-join → exact Jaccard verify ≥ threshold.
+
+    ``max_bucket``: drop (band, minhash) buckets holding more than this
+    many docs before the candidate join — a mass-duplicated boilerplate
+    page puts its whole cohort in one bucket and the join goes quadratic
+    in that cohort's size; the pairs it would emit are exactly the ones
+    connected-components collapses to one survivor anyway, so cap the
+    bucket and route such cohorts through exact dedup first. Off by
+    default (oracle-gated entries stay exact).
 
     ``num_rows`` = minhashes per band (the classic (b, r) scheme):
     P(candidate) = 1-(1-J^r)^b. r=1 maximizes recall but admits weakly-
@@ -197,6 +206,14 @@ def minhash_dedup_pairs(
     buckets = mins.select(
         "_id", F.posexplode(F.array(*band_keys)).alias("band", "mh")
     )
+    if max_bucket is not None:
+        ok = (
+            buckets.groupBy("band", "mh")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket)
+            .select("band", "mh")
+        )
+        buckets = buckets.join(F.broadcast(ok), ["band", "mh"])
     left = buckets.select(F.col("_id").alias("id_a"), "band", "mh")
     right = buckets.select(F.col("_id").alias("id_b"), "band", "mh")
     pairs = (
@@ -380,6 +397,7 @@ def simhash_dup_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     num_bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the fingerprint into ``num_bands`` bit
     slices; by pigeonhole, any pair within ``max_hamming = num_bands - 1``
@@ -414,6 +432,17 @@ def simhash_dup_pairs(
         f"b -> (sh >> (b * {width})) % {1 << width}L)) "
         "as (band, sliceval)",
     )
+    if max_bucket is not None:
+        # same hot-bucket guard as the minhash/embedding LSH paths: a
+        # mass-duplicated cohort floods one (band, slice) bucket and the
+        # join goes quadratic in cohort size
+        ok = (
+            slices.groupBy("band", "sliceval")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket)
+            .select("band", "sliceval")
+        )
+        slices = slices.join(F.broadcast(ok), ["band", "sliceval"])
     left = slices.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "sliceval")
     right = slices.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "sliceval")
     return (

@@ -155,3 +155,28 @@ def test_embedding_dup_pairs_max_bucket_drops_hot_buckets(spark):
         df, threshold=0.01, method="lsh", num_planes=6, num_tables=8, dim=4,
     ).count()
     assert full == 40 * 39 // 2 + 1
+
+
+def test_text_lsh_max_bucket_guards(spark):
+    """Hot-bucket caps on the TEXT banded joins: a 30-doc identical cohort
+    (one bucket per band) is excluded; a distinct near-dup pair outside
+    the cohort still surfaces."""
+    from docarray_spark.operators.dedup import minhash_dedup_pairs, simhash_dup_pairs
+
+    cohort = [(i, "spam spam wonderful spam lovely spam spam spam same page") for i in range(30)]
+    pair = [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+    ]
+    df = spark.createDataFrame(cohort + pair, "id long, text string")
+    mh = minhash_dedup_pairs(
+        df, shingle_n=2, num_bands=8, threshold=0.4, max_bucket=10
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in mh}
+    assert (100, 101) in got
+    assert not any(a < 30 and b < 30 for a, b in got)
+    sh = simhash_dup_pairs(
+        df, "id", "text", bits=32, max_hamming=3, num_bands=4, max_bucket=10
+    ).collect()
+    got2 = {(r.id_a, r.id_b) for r in sh}
+    assert not any(a < 30 and b < 30 for a, b in got2)
