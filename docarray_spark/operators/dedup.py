@@ -318,10 +318,21 @@ def ngram_jaccard_pairs(
 # ----------------------------------------------------------------- SimHash
 
 
+def _simhash_hex_chars(bits: int) -> int:
+    """Token-hash width for a ``bits``-bit SimHash: the md5 prefix must
+    cover every fingerprint bit (an 8-hex/32-bit prefix makes bits 32+
+    silently constant — r3 scale run), and stays ≤15 hex chars so the
+    base-16 conv fits a signed BIGINT. Practical ceiling: bits ≤ 60."""
+    if bits > 60:
+        raise ValueError(f"simhash supports at most 60 bits (got {bits})")
+    return max(8, (bits + 3) // 4)
+
+
 def simhash_col(text_col: str, bits: int = 16) -> Column:
     """SimHash fingerprint: per-token 32-bit hash from md5 hex; bit i of the
     fingerprint is set iff sum over tokens of (±1 on token-hash bit i) > 0.
     Pure SQL expression (portable: `conv` ↔ `CAST('0x…')`)."""
+    hx = _simhash_hex_chars(bits)
     return F.expr(
         f"""
         aggregate(
@@ -331,7 +342,7 @@ def simhash_col(text_col: str, bits: int = 16) -> Column:
             aggregate(
               transform(
                 split(lower(trim({text_col})), '\\\\s+'),
-                t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)
+                t -> cast(conv(substring(md5(t), 1, {hx}), 16, 10) as bigint)
               ),
               0L,
               (a, h) -> a + IF((h >> i) % 2 = 1, 1, -1)
@@ -365,10 +376,11 @@ def simhash_table(
     # interpreted (CodegenFallback), and the earlier double-pow cost two
     # transcendental calls per token-bit — ~30% of the whole fingerprint
     # at sf0.1 (r3 measurement; same lesson as NOTES #13).
+    hx = _simhash_hex_chars(bits)
     counts = F.expr(
         f"""
         aggregate(
-          transform(_t, t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)),
+          transform(_t, t -> cast(conv(substring(md5(t), 1, {hx}), 16, 10) as bigint)),
           array_repeat(0L, {bits}),
           (acc, x) -> zip_with(acc, sequence(0, {bits - 1}),
             (a, i) -> a + IF((x >> i) % 2 = 1, 1L, -1L))

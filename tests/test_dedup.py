@@ -180,3 +180,24 @@ def test_text_lsh_max_bucket_guards(spark):
     ).collect()
     got2 = {(r.id_a, r.id_b) for r in sh}
     assert not any(a < 30 and b < 30 for a, b in got2)
+
+
+def test_simhash_wide_bits_use_high_bits(spark):
+    """r3 scale run: a 32-bit token-hash prefix made fingerprint bits 32+
+    constant zero, so bits=64 silently degenerated to 256-value band
+    slices (800-doc buckets at 200k docs). Wide fingerprints must populate
+    the high bits and band into wide slices."""
+    from docarray_spark.operators.dedup import simhash_dup_pairs, simhash_table
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 31 + j) % 97}" for j in range(20))) for i in range(200)],
+        "id long, text string",
+    )
+    fp = simhash_table(df, "id", "text", bits=48)
+    high = fp.filter("simhash >= cast(pow(2, 32) as bigint)").count()
+    assert high > 0  # bits 32+ actually vary
+    # banded pairs at 48 bits / 4 bands = 12-bit slices still work
+    pairs = simhash_dup_pairs(df, "id", "text", bits=48, max_hamming=3, num_bands=4)
+    assert pairs.count() >= 0  # executes; bucket keys are 12-bit values
+    with pytest.raises(ValueError, match="60"):
+        simhash_table(df, "id", "text", bits=64).collect()
