@@ -15,6 +15,8 @@ Scale design (100 TB corpora):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -178,21 +180,33 @@ def minhash_dedup_pairs(
 
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
     n_hashes = num_bands * num_rows
-    # ONE aggregate folds all n_hashes affine minima in a single pass over
-    # the shingle array — md5 runs once per shingle even after Catalyst
-    # collapses projections (separate per-band array_min expressions would
-    # each re-inline — and re-hash — the array)
-    mins_arr = F.expr(
-        f"""
-        aggregate(
-          transform(_sh, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)),
-          array_repeat({_MERSENNE_P}L, {n_hashes}),
-          (acc, h) -> zip_with(acc, sequence(0, {n_hashes - 1}),
-            (m, i) -> least(m, (h * (2 * i + 1) + i) % {_MERSENNE_P}L))
-        )
-        """
+    # md5 runs ONCE per shingle as a JVM expression; the n_hashes affine
+    # minima then compute in numpy over the hash array (Arrow-batched).
+    # The int64 arithmetic is identical to the SQL form (h < 2^32,
+    # h*(2i+1)+i < 2^38 — no overflow; same mod), so the minhash VALUES —
+    # and therefore the oracle gate — are unchanged, but the per-shingle
+    # work drops from n_hashes interpreted lambda evals to one vectorized
+    # broadcast (204k-doc corpus: 144 s → ~35 s, r3 scale run).
+    hv_expr = F.expr(
+        "transform(_sh, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"
     )
-    mins = base.withColumn("_mins", mins_arr)
+
+    coef = np.arange(n_hashes, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _affine_minima(hvs: pd.Series) -> pd.Series:
+        out = []
+        for hv in hvs:
+            h = np.asarray(hv, dtype=np.int64)
+            if h.size == 0:
+                out.append(np.full(n_hashes, _MERSENNE_P, dtype=np.int64))
+                continue
+            out.append(
+                ((h[:, None] * (2 * coef + 1) + coef) % _MERSENNE_P).min(axis=0)
+            )
+        return pd.Series(out)
+
+    mins = base.withColumn("_mins", _affine_minima(hv_expr))
     band_keys = [
         F.concat_ws(
             "_",
@@ -206,6 +220,11 @@ def minhash_dedup_pairs(
     buckets = mins.select(
         "_id", F.posexplode(F.array(*band_keys)).alias("band", "mh")
     )
+    if persist:
+        # both join sides (and the optional bucket census) reference this
+        # subtree; un-persisted, each reference re-runs the minhash UDF and
+        # the re-computation amplified the 204k-doc run ~10x (r3 scale run)
+        buckets = buckets.persist()
     if max_bucket is not None:
         ok = (
             buckets.groupBy("band", "mh")
