@@ -297,6 +297,9 @@ def ngram_jaccard_exact_pairs(
         posting = posting.join(keep, "_s")
         sizes = posting.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
         posting = posting.drop("_sz").join(sizes, "_id")
+    # both self-join sides reference the posting list; persist so the
+    # shingle explode runs once, not per side (r3 amplification lesson)
+    posting = posting.persist()
     a = posting.select(
         F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"), "_s"
     )

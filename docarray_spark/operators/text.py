@@ -538,6 +538,12 @@ def tfidf_vectors(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("token")
     ).filter(F.col("token") != "")
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the token-stats aggregation and the final weight join;
+    # persist so the corpus-sized (id, token) aggregation runs once
+    # (r3 amplification lesson — memory-and-disk, corpus-bounded)
+    from pyspark import StorageLevel
+
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     st = tf.groupBy("token").agg(
         F.count(F.lit(1)).alias("dfreq"), F.sum("tf").alias("total")
     )
