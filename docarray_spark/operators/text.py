@@ -213,7 +213,10 @@ def text_search(
     toks = base.select("_id", "_dl", F.explode("_toks").alias("t")).filter(
         F.col("t").isin(qterms)
     )
-    tf = toks.groupBy("_id", "_dl", "t").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is tiny (query-term matches only) but feeds BOTH the df aggregate
+    # and the scoring join — persist so the corpus tokenize+explode behind
+    # it runs once, not per reference (r3 amplification lesson)
+    tf = toks.groupBy("_id", "_dl", "t").agg(F.count(F.lit(1)).alias("tf")).persist()
     dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), "t")
