@@ -59,6 +59,12 @@ def bigram_lm_score(
     """
     toks = df.select(F.col(id_col).alias("_id"), tokens_col(text_col).alias("_t"))
     toks = toks.withColumn("_t", F.filter("_t", lambda x: x != ""))
+    # the token table feeds the unigram counts, the bigram explosion (which
+    # itself feeds pair counts AND the scoring join) — persist so the
+    # tokenize runs once (r3 amplification lesson; memory-and-disk)
+    from pyspark import StorageLevel
+
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     big = toks.select(
         "_id",
         F.explode(
