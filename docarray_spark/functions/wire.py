@@ -361,3 +361,63 @@ def docs_from_bytes(
             yield out
 
     return df.select(in_col).mapInPandas(_runner, schema)
+
+
+def save_binary(
+    df: DataFrame,
+    path: str,
+    protocol: str = "protobuf",
+    compress: str | None = None,
+    doc_cols: list[str] | None = None,
+    proto_fields: dict[str, int] | None = None,
+    proto_types: dict[str, str] | None = None,
+    max_rows: int = 100_000,
+) -> int:
+    """Write the reference's ``save_binary`` stream file
+    (``io/binary.py:216-300`` write side): ``\\x01`` + uint64 count +
+    per-doc length-prefixed frames. With ``protocol='protobuf'`` and the
+    ``DOCARRAY_PROTO_FIELDS/TYPES`` maps, the file is byte-readable by the
+    reference's own ``DocumentArray.load_binary(..., protocol='protobuf')``
+    for every scalar field.
+
+    The stream format is inherently single-file/sequential, so this is a
+    DRIVER-SIDE export for bounded arrays (guarded by ``max_rows`` — raise
+    it explicitly if the driver can hold more); the scale store is parquet
+    (``sources.save_parquet``). → number of docs written."""
+    ser = docs_to_bytes(
+        df, protocol=protocol, compress=compress, doc_cols=doc_cols,
+        proto_fields=proto_fields, proto_types=proto_types,
+    )
+    rows = ser.select("serialized").limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"save_binary is a driver-side export; > {max_rows} rows found "
+            "— use sources.save_parquet for large arrays or raise max_rows"
+        )
+    data = frame_stream([bytes(r.serialized) for r in rows])
+    with open(path, "wb") as f:
+        f.write(data)
+    return len(rows)
+
+
+def load_binary(
+    spark,
+    path: str,
+    schema,
+    protocol: str = "protobuf",
+    compress: str | None = None,
+    proto_fields: dict[str, int] | None = None,
+    proto_types: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read a reference-format binary stream file back into a DataFrame
+    (``io/binary.py:92-142`` read side) — the inverse of
+    :func:`save_binary`."""
+    with open(path, "rb") as f:
+        frames = unframe_stream(f.read())
+    src = spark.createDataFrame(
+        [(bytearray(fr),) for fr in frames], "serialized binary"
+    )
+    return docs_from_bytes(
+        src, schema, protocol=protocol, compress=compress,
+        proto_fields=proto_fields, proto_types=proto_types,
+    )

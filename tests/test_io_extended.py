@@ -455,3 +455,48 @@ def test_docarray_proto_field_numbering_byte_layout():
     assert back["id"] == "abc" and back["text"] == "hi"
     assert back["granularity"] == 2 and back["weight"] == 1.5
     assert back["uri"] is None  # absent scalar -> None
+
+
+def test_save_load_binary_reference_stream_file(spark, tmp_path):
+    """Full save_binary/load_binary round-trip through the reference's
+    stream file layout, with DocumentProto field numbering — the on-disk
+    bytes are exactly version+count+length-prefixed DocumentProto frames
+    (io/binary.py:216-300)."""
+    from docarray_spark.functions.wire import (
+        DOCARRAY_PROTO_FIELDS,
+        DOCARRAY_PROTO_TYPES,
+        load_binary,
+        proto_decode,
+        save_binary,
+        unframe_stream,
+    )
+
+    df = spark.createDataFrame(
+        [("d1", "hello", 1, 0.5), ("d2", None, 2, 1.5), ("d3", "world", 0, -2.0)],
+        "id string, text string, granularity int, weight double",
+    )
+    p = str(tmp_path / "arr.protobuf")
+    n = save_binary(
+        df, p, protocol="protobuf",
+        proto_fields=DOCARRAY_PROTO_FIELDS, proto_types=DOCARRAY_PROTO_TYPES,
+    )
+    assert n == 3
+    raw = open(p, "rb").read()
+    assert raw[0] == 1 and int.from_bytes(raw[1:9], "big") == 3
+    # every frame parses as DocumentProto scalars without Spark
+    for fr in unframe_stream(raw):
+        rec = proto_decode(fr, DOCARRAY_PROTO_FIELDS, DOCARRAY_PROTO_TYPES)
+        assert rec["id"].startswith("d")
+    back = load_binary(
+        spark, p, "id string, text string, granularity int, weight float",
+        protocol="protobuf",
+        proto_fields=DOCARRAY_PROTO_FIELDS,
+        proto_types=DOCARRAY_PROTO_TYPES,
+    ).orderBy("id").collect()
+    assert [r.id for r in back] == ["d1", "d2", "d3"]
+    assert back[1].text is None and back[2].weight == -2.0
+    # row budget guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_rows"):
+        save_binary(df, p, max_rows=2)
