@@ -1703,7 +1703,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """49 entries ≤ the driver's 50-entry verification window (pinned in
+    """50 entries = the driver's 50-entry verification window (pinned in
     tests/test_entry.py). Entries that had NO oracle row in round 2
     (positions 51-72 then) come FIRST; round-2-green entries follow.
     Merged entries (r3) run the same operators part-tagged — see each
