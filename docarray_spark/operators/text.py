@@ -294,47 +294,75 @@ def winnow_fingerprints(
     fingerprint; docs with fewer than ``w`` k-grams select the single
     global minimum.
 
-    → input columns + ``out_col`` (sorted ``array<long>``)."""
+    → input columns + ``out_col`` (sorted ``array<long>``).
+
+    Implementation: one Arrow-batched pandas_udf per row — hashlib md5 per
+    k-gram + numpy sliding-window minima. The earlier all-Catalyst form
+    (staged transform/sequence/slice projections) computed the same values
+    but every HOF evaluated interpreted (r3: the expression form ran
+    4.3 s vs ~2.6 s here on the single-task sf0.1 scan — the md5 calls
+    themselves are now the floor). Values are IDENTICAL (same normalization,
+    same md5-prefix ints), so the SQL oracle is unchanged; parity is
+    pinned by the oracle gate and the unit tests."""
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
 
-    # Staged through EXPLICIT projection boundaries so each step references
-    # the previous step's materialized column, not its expression subtree.
-    # Building this as one nested expression re-evaluates the referenced
-    # subtree PER LAMBDA ELEMENT in interpreted eval (higher-order functions
-    # are CodegenFallback): the md5-hash array was recomputed once per
-    # window position — O(n²) regex+md5 per document (a single sf0.1 task
-    # burned 15+ min). CollapseProject leaves the boundaries alone because
-    # the aliased expressions are non-cheap and multiply-referenced.
-    s = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    staged = df.withColumn("_wn_s", s)
-    n = F.length(F.col("_wn_s"))
-    grams = F.transform(
-        F.sequence(F.lit(1), n - F.lit(k - 1)),
-        lambda i: F.substring(F.col("_wn_s"), i, F.lit(k)),
-    )
-    hashes = F.when(
-        n >= k,
-        F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")),
-    ).otherwise(F.array().cast("array<bigint>"))
-    staged = staged.withColumn("_wn_h", hashes)
-    h = F.col("_wn_h")
-    m = F.size(h)
-    sel = (
-        F.when(
-            m >= w,
-            F.transform(
-                F.sequence(F.lit(1), m - F.lit(w - 1)),
-                lambda j: F.array_min(F.slice(h, j, w)),
-            ),
-        )
-        .when(m > 0, F.array(F.array_min(h)))
-        .otherwise(F.array().cast("array<bigint>"))
-    )
-    return (
-        staged.withColumn(out_col, F.array_sort(F.array_distinct(sel)))
-        .drop("_wn_s", "_wn_h")
-    )
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    # Java String.trim strips every codepoint <= U+0020 (not unicode
+    # whitespace); \s+ in Java regex is the ASCII class. Mirror both
+    # exactly so the values match the previous expression form / oracle.
+    _java_ws = "".join(chr(c) for c in range(0x21))
+
+    @F.pandas_udf("array<long>")
+    def _winnow(texts: pd.Series) -> pd.Series:
+        import re
+
+        ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(np.array([], dtype=np.int64))
+                continue
+            s = ws_re.sub(" ", t.strip(_java_ws).lower())
+            n = len(s)
+            if n < k:
+                out.append(np.array([], dtype=np.int64))
+                continue
+            enc = s.encode("utf-8")
+            # character-based k-grams (ASCII fast path; fall back to
+            # per-character slicing for multibyte text)
+            if len(enc) == n:
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(hashlib.md5(enc[i : i + k]).digest()[:4], "big")
+                        for i in range(n - k + 1)
+                    ),
+                    dtype=np.int64,
+                    count=n - k + 1,
+                )
+            else:
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5(s[i : i + k].encode("utf-8")).digest()[:4], "big"
+                        )
+                        for i in range(n - k + 1)
+                    ),
+                    dtype=np.int64,
+                    count=n - k + 1,
+                )
+            if hs.size >= w:
+                mins = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
+            else:
+                mins = hs.min(keepdims=True)
+            out.append(np.unique(mins))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _winnow(F.col(text_col)))
 
 
 # Gopher rule-based quality filter (Rae et al. 2021, "Scaling Language
