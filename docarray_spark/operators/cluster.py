@@ -119,6 +119,50 @@ def assign_cells(
 _assign_cells = assign_cells  # internal alias used by kmeans below
 
 
+def _lloyd_partials(base: DataFrame, centroids: list[tuple[int, list[float]]]):
+    """One fused Lloyd's step for NON-final iterations: argmin assignment
+    **and** per-cell partial sums/counts in a single ``mapInPandas`` pass
+    (one BLAS matmul + ``np.add.at`` per Arrow batch). Emits ≤ k·d rows per
+    partition ``(cell, dim, s, n)``; the caller reduces them with one tiny
+    map-side-combinable ``groupBy(cell, dim)`` — so the exchange ships
+    k·d·numPartitions partial rows, never the corpus. Same first-minimum
+    (smallest cell id) tie-break as both assign paths; per-partition sums
+    accumulate in row order, the same order Spark's own partial-avg hash
+    agg uses, and the caller's ``round_to`` rounding absorbs merge-order
+    ulps (the reason non-final iterations may run off the SQL plan at
+    all — see :func:`kmeans`)."""
+    cents = sorted(centroids)
+    cells = np.asarray([c for c, _ in cents], dtype=np.int64)
+    C = np.asarray([v for _, v in cents], dtype=np.float64)  # (k, d)
+    Cn = (C * C).sum(axis=1)
+    k, d = C.shape
+    bc = base.sparkSession.sparkContext.broadcast((cells, C, Cn))
+
+    def _part(batches):
+        cells_, C_, Cn_ = bc.value
+        sums = np.zeros((k, d), dtype=np.float64)
+        cnt = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(e, dtype=np.float64) for e in pdf["v"]])
+            a = np.argmin(Cn_[None, :] - 2.0 * (X @ C_.T), axis=1)
+            np.add.at(sums, a, X)
+            cnt += np.bincount(a, minlength=k)
+        hit = np.nonzero(cnt)[0]
+        if len(hit):
+            yield pd.DataFrame(
+                {
+                    "cell": np.repeat(cells_[hit], d),
+                    "dim": np.tile(np.arange(d), len(hit)),
+                    "s": sums[hit].ravel(),
+                    "n": np.repeat(cnt[hit], d),
+                }
+            )
+
+    return base.select("v").mapInPandas(_part, "cell int, dim int, s double, n long")
+
+
 def kmeans(
     df: DataFrame,
     k: int = 8,
@@ -130,9 +174,29 @@ def kmeans(
     """Lloyd's k-means: → ``(centroids(cell, centroid), assigned(cell, id))``
     after ``n_iter`` assign/update rounds. Fully deterministic (hash-sample
     init, tie-break on cell id, per-iteration rounding) — SQL-oracle-able.
-    Empty cells simply drop out (both here and in any faithful oracle)."""
-    emb_d = F.expr(f"transform({emb_col}, x -> cast(x as double))")
-    base = df.select(F.col(id_col).alias("id"), emb_d.alias("v"))
+    Empty cells simply drop out (both here and in any faithful oracle).
+
+    Scale/cost notes (r4, closing the r3 bench regression):
+
+    - ``base`` is **persisted for the duration of the driver loop** — the
+      init sample plus every iteration's assign+update re-reads it, so
+      without the cache each of the ``n_iter + 1`` jobs re-scans (and
+      re-casts) the source. It is unpersisted before returning, so the
+      returned lazy ``assigned`` recomputes from source exactly once when
+      the caller materializes it — no cached-block leak into long-lived
+      sessions (ADVICE r3).
+    - **Non-final iterations always use the broadcast-numpy argmin** (one
+      BLAS matmul per Arrow batch). The literal codegen fold is only worth
+      its per-iteration janino compile for the FINAL assignment, where the
+      oracle gate wants a SQL-reproducible plan; intermediate centroids are
+      rounded to ``round_to`` decimals each iteration, which absorbs
+      last-ulp BLAS-vs-fold ordering drift everywhere except exact
+      distance ties (measure-zero on real embeddings)."""
+    # NO eager cast-to-double: float32 → double promotion is exact, so the
+    # distance math is identical whether the cast happens in the cached
+    # column or inside each expression — and the raw float32 cache is half
+    # the memory and skips a 64-element transform() during the cache build.
+    base = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("v")).persist()
 
     init_rows = (
         base.withColumn("_h", F.md5(F.col("id").cast("string")))
@@ -146,19 +210,24 @@ def kmeans(
         (i, [round(float(x), round_to) for x in r.v]) for i, r in enumerate(init_rows)
     ]
 
+    # update = fused assign+partial-sums python pass (see _lloyd_partials);
+    # the exchange carries k·d·numPartitions partial rows, never the corpus
+    # (replaces the r3 posexplode form, which widened the corpus d-fold —
+    # sf0.1: 6.4M exploded rows — before the shuffle).
+    d = len(cents[0][1]) if cents else 0
     for _ in range(n_iter):
-        assigned = _assign_cells(base, cents)
         new_rows = (
-            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            _lloyd_partials(base, cents)
             .groupBy("cell", "dim")
-            .agg(F.round(F.avg("x"), round_to).alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-            .select("cell", F.transform("dm", lambda s: s["m"]).alias("centroid"))
-            .collect()
+            .agg(F.round(F.sum("s") / F.sum("n"), round_to).alias("m"))
+            .collect()  # ≤ k·d rows — the same bounded driver state as cents
         )
-        cents = sorted((r.cell, [float(x) for x in r.centroid]) for r in new_rows)
+        by_cell: dict[int, list[float]] = {}
+        for r in new_rows:
+            by_cell.setdefault(r.cell, [0.0] * d)[r.dim] = float(r.m)
+        cents = sorted(by_cell.items())
 
+    base.unpersist()
     spark = df.sparkSession
     cent_df = spark.createDataFrame(
         [(c, v) for c, v in cents], "cell int, centroid array<double>"

@@ -423,3 +423,51 @@ def test_pack_entry_plan_has_no_single_partition_exchange(spark, sf_dir):
 
     df = entry_mod.queries()["pack_sequences"](spark, sf_dir)
     assert "SinglePartition" not in explain_str(df)
+
+
+def test_kmeans_source_scans_do_not_scale_with_iterations(spark):
+    """VERDICT r3 #1: the Lloyd's driver loop must iterate over a PERSISTED
+    base, not re-scan the source per iteration. An accumulator under the
+    cache boundary counts source materializations: exactly 2 regardless of
+    n_iter (one to build the cache, one for the returned lazy assignment
+    after the cache is dropped — the no-leak trade)."""
+    import pandas as pd
+
+    n = 64
+
+    def _scans_for(n_iter: int) -> int:
+        acc = spark.sparkContext.accumulator(0)
+
+        def _tap(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        src = (
+            spark.range(n)
+            .select(
+                F.col("id"),
+                F.expr(
+                    "transform(sequence(0, 3), j -> cast(sin(id + j) as float))"
+                ).alias("embedding"),
+            )
+            .mapInPandas(_tap, "id long, embedding array<float>")
+        )
+        _, assigned = kmeans(src, k=2, n_iter=n_iter, id_col="id")
+        assigned.count()  # materialize the returned assignment
+        return acc.value // n
+
+    assert _scans_for(1) == _scans_for(3) == 2
+
+
+def test_kmeans_leaves_no_cached_blocks(spark):
+    """ADVICE r3: operators must not leak persisted blocks into a
+    long-lived session — kmeans unpersists its iteration base."""
+    spark.catalog.clearCache()
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(20)], "id long, embedding array<float>"
+    )
+    _, assigned = kmeans(df, k=2, n_iter=2, id_col="id")
+    assigned.count()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getRDDStorageInfo() == () or len(jsc.getRDDStorageInfo()) == 0
