@@ -94,24 +94,72 @@ def load_jdbc(
 
 
 def jdbc_execute(
-    spark: SparkSession, url: str, sql: str, driver: str | None = DERBY_DRIVER
+    spark: SparkSession,
+    url: str,
+    sql: str,
+    driver: str | None = DERBY_DRIVER,
+    params: list | tuple = (),
 ) -> int:
     """Driver-side JDBC statement for point CRUD / DDL — the single-row
     UPDATE/DELETE-by-id path of the reference backend
     (``storage/sqlite/getsetdel.py``); bulk mutations belong in
-    ``save_jdbc``. → update count."""
+    ``save_jdbc``. ``params`` bind ``?`` placeholders through a
+    ``PreparedStatement`` (the reference's SQLite backend is parameterized
+    throughout — ADVICE r3; never interpolate values into ``sql``).
+    → update count."""
     jvm = spark._jvm
     if driver:
         jvm.java.lang.Class.forName(driver)
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
-        stmt = conn.createStatement()
+        stmt = conn.prepareStatement(sql)
         try:
-            return stmt.executeUpdate(sql)
+            for i, v in enumerate(params, start=1):
+                # bool before int: bool is an int subclass in Python
+                if v is None:
+                    # setObject(i, null) — drivers infer the column's type;
+                    # Derby rejects setNull(i, Types.NULL) outright
+                    stmt.setObject(i, None)
+                elif isinstance(v, bool):
+                    stmt.setBoolean(i, v)
+                elif isinstance(v, int):
+                    stmt.setLong(i, v)
+                elif isinstance(v, float):
+                    stmt.setDouble(i, v)
+                elif isinstance(v, (bytes, bytearray)):
+                    stmt.setBytes(i, bytes(v))
+                else:
+                    stmt.setString(i, str(v))
+            return stmt.executeUpdate()
         finally:
             stmt.close()
     finally:
         conn.close()
+
+
+def _quote_ident(name: str) -> str:
+    """SQL-92 double-quoted identifier (Spark's JDBC writer creates quoted
+    case-sensitive names). Embedded quotes are doubled; newlines/NULs are
+    never legitimate column names and are rejected outright."""
+    if "\x00" in name or "\n" in name or "\r" in name:
+        raise ValueError(f"invalid identifier {name!r}")
+    return '"' + name.replace('"', '""') + '"'
+
+
+_IDENT_PATH = __import__("re").compile(
+    r"^[A-Za-z_][A-Za-z0-9_$]*(\.[A-Za-z_][A-Za-z0-9_$]*)*$"
+)
+
+
+def _table_ref(table: str) -> str:
+    """Validated table reference: a bare/dotted identifier path, kept
+    UNQUOTED so it resolves exactly like the ``dbtable`` the writer used
+    (Spark passes ``dbtable`` verbatim; quoting here would flip Derby's
+    case normalization). Anything that isn't a plain identifier path —
+    quotes, spaces, SQL — is rejected, not executed."""
+    if not _IDENT_PATH.match(table):
+        raise ValueError(f"invalid table name {table!r}")
+    return table
 
 
 def delete_by_id_jdbc(
@@ -119,11 +167,12 @@ def delete_by_id_jdbc(
     driver: str | None = DERBY_DRIVER,
 ) -> int:
     """``del da[id]`` against the store (delitem.py:19-78 semantics).
-    Column identifiers are quoted — Spark's JDBC writer creates
-    case-sensitive quoted column names."""
-    lit = f"'{doc_id}'" if isinstance(doc_id, str) else str(doc_id)
+    Identifiers are quote-validated, the id binds as a parameter — ids
+    containing quotes are data, not SQL."""
     return jdbc_execute(
-        spark, url, f'DELETE FROM {table} WHERE "{id_col}" = {lit}', driver
+        spark, url,
+        f"DELETE FROM {_table_ref(table)} WHERE {_quote_ident(id_col)} = ?",
+        driver, [doc_id],
     )
 
 
@@ -132,13 +181,11 @@ def update_field_by_id_jdbc(
     field: str, value,
     driver: str | None = DERBY_DRIVER,
 ) -> int:
-    """``da[id, field] = value`` against the store (setitem by id)."""
-    idlit = f"'{doc_id}'" if isinstance(doc_id, str) else str(doc_id)
-    vlit = "NULL" if value is None else (
-        "'" + str(value).replace("'", "''") + "'" if isinstance(value, str) else str(value)
-    )
+    """``da[id, field] = value`` against the store (setitem by id).
+    Value and id bind as typed parameters (str/int/float/bool/bytes/None)."""
     return jdbc_execute(
         spark, url,
-        f'UPDATE {table} SET "{field}" = {vlit} WHERE "{id_col}" = {idlit}',
-        driver,
+        f"UPDATE {_table_ref(table)} SET {_quote_ident(field)} = ? "
+        f"WHERE {_quote_ident(id_col)} = ?",
+        driver, [value, doc_id],
     )

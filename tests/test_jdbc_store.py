@@ -71,3 +71,38 @@ def test_jdbc_point_crud(spark, db):
     assert got.lang == "xx"
     assert delete_by_id_jdbc(spark, url, "documents", "doc_id", 7) == 1
     assert load_jdbc(spark, url, "documents").filter("doc_id = 7").count() == 0
+
+
+def test_jdbc_point_crud_parameterized(spark, db):
+    """ADVICE r3: ids/values with quotes are DATA — prepared-statement
+    binding, not string interpolation. Also: bool/None values bind typed."""
+    url, _ = db
+    # a string VALUE containing an apostrophe and SQL-looking text
+    assert update_field_by_id_jdbc(
+        spark, url, "documents", "doc_id", 11, "lang",
+        "x'; DELETE FROM documents; --",
+    ) == 1
+    got = load_jdbc(spark, url, "documents").filter("doc_id = 11").first()
+    assert got.lang == "x'; DELETE FROM documents; --"
+    assert load_jdbc(spark, url, "documents").count() > 1  # nothing else deleted
+    # NULL value binds as NULL, not the string 'None'
+    assert update_field_by_id_jdbc(
+        spark, url, "documents", "doc_id", 11, "lang", None
+    ) == 1
+    assert load_jdbc(spark, url, "documents").filter("doc_id = 11").first().lang is None
+    # identifier injection is rejected, not executed
+    with pytest.raises(Exception):
+        delete_by_id_jdbc(spark, url, 'documents" WHERE 1=1 --', "doc_id", 1)
+
+
+def test_jdbc_string_id_with_quote(spark, tmp_path):
+    """A doc id containing an apostrophe round-trips through point CRUD."""
+    url = derby_url(str(tmp_path / "qdb"))
+    df = spark.createDataFrame(
+        [("o'brien", 1), ("plain", 2)], "id string, v int"
+    )
+    save_jdbc(df, url, "t", mode="overwrite")
+    assert update_field_by_id_jdbc(spark, url, "t", "id", "o'brien", "v", 9) == 1
+    assert load_jdbc(spark, url, "t").filter(F.col("id") == "o'brien").first().v == 9
+    assert delete_by_id_jdbc(spark, url, "t", "id", "o'brien") == 1
+    assert load_jdbc(spark, url, "t").count() == 1
