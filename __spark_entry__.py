@@ -1333,7 +1333,32 @@ def q_roundtrip_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pb = docs_from_bytes(
         docs_to_bytes(docs, protocol="protobuf"), ddl, protocol="protobuf"
     ).select(F.lit("protobuf").alias("part"), *cols)
-    return store.unionByName(jg).unionByName(pb)
+    # r4: vector fields ride the wire as dense NdArrayProto nested
+    # messages (docarray.proto:9-18 via field 16) — the part gates that a
+    # float32 embedding round-trips VALUE-EXACT through the nested frame:
+    # text = floor(||v||²·1e6 + .5) of the DECODED vector, an integer
+    # fingerprint of every dimension, vs the oracle computing the same
+    # from the source column (f4→f8 is exact, both folds are sequential).
+    fids = {"vec_id": 1, "embedding": 16}
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dec = docs_from_bytes(
+        docs_to_bytes(emb, protocol="protobuf", proto_fields=fids),
+        "vec_id bigint, embedding array<float>",
+        protocol="protobuf", proto_fields=fids,
+    )
+    norm2 = F.aggregate(
+        F.expr("transform(embedding, x -> cast(x as double))"),
+        F.lit(0.0),
+        lambda a, x: a + x * x,
+    )
+    nd = dec.select(
+        F.col("vec_id").alias("doc_id"),
+        F.floor(norm2 * F.lit(1e6) + F.lit(0.5)).cast("long").cast("string").alias("text"),
+        F.lit("<f4").alias("lang"),
+        F.lit("pb_ndarray").alias("source"),
+        F.size("embedding").cast("long").alias("n_chars"),
+    ).select(F.lit("pb_ndarray").alias("part"), *cols)
+    return store.unionByName(jg).unionByName(pb).unionByName(nd)
 
 
 def q_dedup_embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3293,6 +3318,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "roundtrip_codecs": u(
             [("store", roundtrip), ("json_gzip", roundtrip), ("protobuf", roundtrip)]
+        )
+        + "\nUNION ALL\n"
+        + (
+            "SELECT 'pb_ndarray' AS part, vec_id AS doc_id, "
+            "CAST(CAST(FLOOR(list_aggregate(list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') * 1000000 "
+            "+ 0.5) AS BIGINT) AS VARCHAR) AS text, "
+            "'<f4' AS lang, 'pb_ndarray' AS source, "
+            "CAST(len(embedding) AS BIGINT) AS n_chars FROM embeddings"
         ),
         "dedup_embedding": u(
             [

@@ -71,16 +71,23 @@ _U64 = (1 << 64) - 1
 # scalar field (nested/repeated fields — tensors, chunks, tags — are the
 # columnar engine's job, not the per-doc frame's).
 DOCARRAY_PROTO_FIELDS = {
-    "id": 1, "blob": 2, "text": 4, "granularity": 5, "adjacency": 6,
-    "parent_id": 7, "weight": 8, "uri": 9, "modality": 10,
-    "mime_type": 11, "offset": 12,
+    "id": 1, "blob": 2, "tensor": 3, "text": 4, "granularity": 5,
+    "adjacency": 6, "parent_id": 7, "weight": 8, "uri": 9, "modality": 10,
+    "mime_type": 11, "offset": 12, "location": 13, "embedding": 16,
 }
 DOCARRAY_PROTO_TYPES = {
-    "id": "str", "blob": "bytes", "text": "str", "granularity": "int",
-    "adjacency": "int", "parent_id": "str", "weight": "float32",
-    "uri": "str", "modality": "str", "mime_type": "str",
+    "id": "str", "blob": "bytes", "tensor": "ndarray:<f4", "text": "str",
+    "granularity": "int", "adjacency": "int", "parent_id": "str",
+    "weight": "float32", "uri": "str", "modality": "str",
+    "mime_type": "str",
     "offset": "float32",  # proto `float` fields are wiretype-5 fixed32
+    "location": "floats",  # repeated float → packed fixed32s
+    "embedding": "ndarray:<f4",  # NdArrayProto{dense{buffer,shape,dtype}}
 }
+# DocumentProto's `oneof content` (docarray.proto:67-76): the reference
+# parser keeps only the LAST-seen member, so emitting two silently drops
+# one — refuse at encode time instead (ADVICE r3).
+DOCARRAY_PROTO_ONEOFS = (("blob", "tensor", "text"),)
 
 
 def varint_encode(n: int) -> bytes:
@@ -114,24 +121,120 @@ def varint_decode(buf: bytes, pos: int = 0) -> tuple[int, int]:
             raise ValueError("varint too long")
 
 
+def _tag(fid: int, wt: int) -> bytes:
+    return varint_encode((fid << 3) | wt)
+
+
+def _len_field(fid: int, payload: bytes) -> bytes:
+    return _tag(fid, _WT_LEN) + varint_encode(len(payload)) + payload
+
+
+def ndarray_proto_encode(value, dtype: str = "<f8", cls_name: str | None = None) -> bytes:
+    """Dense ndarray → ``NdArrayProto`` wire bytes, byte-identical to the
+    reference's generated encoder (``proto/io/ndarray.py:91-96``
+    ``_set_dense_array`` + proto3 serialization): nested
+    ``DenseNdArrayProto{buffer=1, shape=2 (packed uint32), dtype=3}`` in
+    the ``dense`` oneof slot (field 1) + ``cls_name`` (field 3). Empty
+    buffer/shape are omitted (proto3 default-absence, matching generated
+    output). ``cls_name`` defaults to ``'list'`` for python lists and
+    ``'numpy'`` otherwise — the reference's own dispatch
+    (``ndarray.py:74-78``)."""
+    import numpy as np
+
+    if cls_name is None:
+        cls_name = "list" if isinstance(value, (list, tuple)) else "numpy"
+    arr = np.asarray(value, dtype=np.dtype(dtype))
+    dense = bytearray()
+    buf = arr.tobytes()
+    if buf:
+        dense += _len_field(1, buf)
+    if arr.shape:
+        dense += _len_field(2, b"".join(varint_encode(s) for s in arr.shape))
+    dense += _len_field(3, arr.dtype.str.encode("ascii"))
+    return _len_field(1, bytes(dense)) + _len_field(3, cls_name.encode("ascii"))
+
+
+def ndarray_proto_decode(buf: bytes):
+    """``NdArrayProto`` wire bytes → python list (``cls_name='list'``) or
+    numpy array. Sparse payloads (oneof field 2) raise — the columnar
+    engine stores sparse vectors natively (functions/sparse.py), not in
+    per-doc frames."""
+    import numpy as np
+
+    msg = proto_parse(buf)
+    if 2 in msg:
+        raise ValueError("sparse NdArrayProto frames are not supported")
+    cls = msg[3][1].decode("ascii") if 3 in msg else "numpy"
+    if 1 not in msg:
+        return [] if cls == "list" else np.empty(0)
+    dense = proto_parse(msg[1][1])
+    raw = bytes(dense[1][1]) if 1 in dense else b""
+    dtype = np.dtype(dense[3][1].decode("ascii")) if 3 in dense else np.dtype("<f8")
+    shape: list[int] = []
+    if 2 in dense:
+        wt, payload = dense[2]
+        if wt == _WT_LEN:  # packed (proto3 default)
+            pos = 0
+            while pos < len(payload):
+                s, pos = varint_decode(payload, pos)
+                shape.append(s)
+        else:  # unpacked single entry (proto2-style writers)
+            shape.append(int(payload))
+    arr = np.frombuffer(raw, dtype=dtype)
+    if shape:
+        arr = arr.reshape(shape)
+    return arr.tolist() if cls == "list" else arr
+
+
 def proto_encode(
-    rec: dict, field_ids: dict[str, int], types: dict[str, str] | None = None
+    rec: dict,
+    field_ids: dict[str, int],
+    types: dict[str, str] | None = None,
+    oneof_groups: tuple[tuple[str, ...], ...] = (),
 ) -> bytes:
     """One document → protobuf wire bytes. ``None`` values are omitted
     (proto3 default-absence). Default type map: int/bool→varint,
     float→fixed64 double, str→UTF-8 length-delimited, bytes→
     length-delimited. Pass ``types`` with ``'float32'`` for proto
     ``float`` fields (wiretype-5 fixed32 — what DocumentProto's
-    weight/offset use). Fields emit in ascending field-number order
-    (deterministic frames)."""
+    weight/offset use), ``'floats'`` for packed repeated float
+    (``location``), or ``'ndarray:<dtype>'`` for nested dense
+    ``NdArrayProto`` messages (``embedding``/``tensor``). Fields emit in
+    ascending field-number order (deterministic frames).
+
+    ``oneof_groups``: field-name groups where at most ONE member may be
+    non-None per record (the reference parser keeps only the last-seen
+    member, silently dropping the rest) — violations raise."""
     import struct as _struct
+
+    for group in oneof_groups:
+        set_fields = [
+            n for n in group
+            if rec.get(n) is not None
+            and not (isinstance(rec.get(n), float) and rec.get(n) != rec.get(n))
+        ]
+        if len(set_fields) > 1:
+            raise ValueError(
+                f"oneof violation: {set_fields} are all set; the reference "
+                "parser would keep only the last — set at most one"
+            )
 
     out = bytearray()
     for name, fid in sorted(field_ids.items(), key=lambda kv: kv[1]):
         v = rec.get(name)
         if v is None or (isinstance(v, float) and v != v):
             continue
-        if types is not None and types.get(name) == "float32":
+        t = types.get(name) if types is not None else None
+        if t is not None and t.startswith("ndarray"):
+            dtype = t.split(":", 1)[1] if ":" in t else "<f8"
+            out += _len_field(fid, ndarray_proto_encode(v, dtype=dtype))
+        elif t == "floats":
+            vals = list(v)
+            if vals:
+                out += _len_field(
+                    fid, _struct.pack(f"<{len(vals)}f", *[float(x) for x in vals])
+                )
+        elif t == "float32":
             out += varint_encode((fid << 3) | _WT_FIXED32) + _struct.pack("<f", float(v))
         elif isinstance(v, bool):
             out += varint_encode((fid << 3) | _WT_VARINT) + varint_encode(int(v))
@@ -173,20 +276,50 @@ def proto_parse(buf: bytes) -> dict[int, tuple[int, object]]:
     return out
 
 
-def proto_decode(buf: bytes, field_ids: dict[str, int], types: dict[str, str]) -> dict:
+_PROTO3_DEFAULTS = {
+    "int": 0, "bool": False, "float": 0.0, "float32": 0.0, "str": "",
+    "bytes": b"", "floats": [],
+}
+
+
+def proto_decode(
+    buf: bytes,
+    field_ids: dict[str, int],
+    types: dict[str, str],
+    absent: str = "none",
+) -> dict:
     """Wire bytes → record dict using ``types`` (``'int'|'float'|'str'|
-    'bytes'|'bool'``) to interpret raw payloads. Missing fields → None."""
+    'bytes'|'bool'|'float32'|'floats'|'ndarray[:dtype]'``) to interpret raw
+    payloads.
+
+    ``absent`` controls fields missing from the frame: ``'none'`` (default)
+    maps them to ``None`` — NOTE the asymmetry: proto3 writers (including
+    the reference) omit default-valued scalars, so a reference-written
+    ``weight=0.0`` decodes as ``None`` here, not ``0.0``. Pass
+    ``absent='defaults'`` to coalesce missing scalars to their proto3
+    defaults (``0``/``0.0``/``""``/``b""``) — the reference's own reader
+    semantics. ndarray fields stay ``None`` when absent either way (an
+    unset NdArrayProto message has no default array)."""
     import struct as _struct
 
     parsed = proto_parse(buf)
     rec = {}
     for name, fid in field_ids.items():
         hit = parsed.get(fid)
+        t = types[name]
         if hit is None:
-            rec[name] = None
+            if absent == "defaults":
+                rec[name] = _PROTO3_DEFAULTS.get(t.split(":", 1)[0])
+            else:
+                rec[name] = None
             continue
         wt, raw = hit
-        t = types[name]
+        if t.startswith("ndarray"):
+            rec[name] = ndarray_proto_decode(raw)
+            continue
+        if t == "floats":
+            rec[name] = list(_struct.unpack(f"<{len(raw) // 4}f", raw))
+            continue
         if t == "int":
             v = raw if raw < (1 << 63) else raw - (1 << 64)  # two's complement
         elif t == "bool":
@@ -209,6 +342,9 @@ _SPARK_PROTO_TYPES = {
     "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
     "float": "float", "double": "float", "string": "str", "binary": "bytes",
     "boolean": "bool",
+    # 1-D vector columns ride as dense NdArrayProto nested messages
+    "array<float>": "ndarray:<f4", "array<double>": "ndarray:<f8",
+    "array<int>": "ndarray:<i4", "array<bigint>": "ndarray:<i8",
 }
 
 
@@ -218,8 +354,9 @@ def _schema_proto_types(schema: T.StructType) -> dict[str, str]:
         s = f.dataType.simpleString()
         if s not in _SPARK_PROTO_TYPES:
             raise ValueError(
-                f"protocol='protobuf' supports scalar fields only; "
-                f"{f.name!r} is {s} (serialize complex fields as json/pickle)"
+                f"protocol='protobuf' supports scalar and 1-D numeric array "
+                f"fields; {f.name!r} is {s} (serialize complex fields as "
+                "json/pickle)"
             )
         out[f.name] = _SPARK_PROTO_TYPES[s]
     return out
@@ -259,12 +396,17 @@ def docs_to_bytes(
     doc_cols: list[str] | None = None,
     proto_fields: dict[str, int] | None = None,
     proto_types: dict[str, str] | None = None,
+    oneof_groups: tuple[tuple[str, ...], ...] = (),
 ) -> DataFrame:
     """``to_bytes`` per document (``porting.py:85-108``): adds ``out_col``
     (binary) holding each row's serialized frame. ``doc_cols`` restricts
     which fields enter the frame (default: all). For
     ``protocol='protobuf'``, ``proto_fields`` maps column → field number
-    (default: 1-based column position)."""
+    (default: 1-based column position; vector columns need a
+    ``proto_types`` entry like ``'ndarray:<f4'`` or the schema-derived
+    default from :func:`docs_from_bytes`), and ``oneof_groups`` (e.g.
+    ``DOCARRAY_PROTO_ONEOFS``) rejects rows that set >1 member of a proto
+    ``oneof``."""
     cols = doc_cols or df.columns
     comp, _ = _codec(compress)
 
@@ -295,10 +437,18 @@ def docs_to_bytes(
 
     elif protocol == "protobuf":
         fids = proto_fields or {c: i + 1 for i, c in enumerate(cols)}
-        ptypes = proto_types  # e.g. DOCARRAY_PROTO_TYPES for float32 fields
+        # derive ndarray/scalar types from the DataFrame schema, caller map wins
+        auto_types = {}
+        sub = df.select(*[F.col(c) for c in cols])
+        for f in sub.schema.fields:
+            s = f.dataType.simpleString()
+            if s in _SPARK_PROTO_TYPES:
+                auto_types[f.name] = _SPARK_PROTO_TYPES[s]
+        ptypes = {**auto_types, **(proto_types or {})}
+        groups = oneof_groups
 
         def _ser(d: dict) -> bytes:
-            return comp(proto_encode(d, fids, ptypes))
+            return comp(proto_encode(d, fids, ptypes, oneof_groups=groups))
 
     else:
         raise ValueError(f"protocol={protocol!r} is not supported (pickle|json|protobuf)")
@@ -319,11 +469,14 @@ def docs_from_bytes(
     in_col: str = "serialized",
     proto_fields: dict[str, int] | None = None,
     proto_types: dict[str, str] | None = None,
+    absent: str = "none",
 ) -> DataFrame:
     """``from_bytes`` per document (``porting.py:110-130``): decode the
     binary frames in ``in_col`` back into typed columns. ``schema`` declares
     the document fields (Spark cannot infer a schema from opaque bytes
-    without a driver-side peek, which a 100 TB table forbids)."""
+    without a driver-side peek, which a 100 TB table forbids). ``absent``
+    (protobuf only): ``'none'`` or ``'defaults'`` — see
+    :func:`proto_decode` for the proto3 default-absence asymmetry."""
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     _, decomp = _codec(compress)
@@ -345,7 +498,7 @@ def docs_from_bytes(
         ptypes = {**_schema_proto_types(schema), **(proto_types or {})}
 
         def _de(b: bytes) -> dict:
-            return proto_decode(decomp(bytes(b)), fids, ptypes)
+            return proto_decode(decomp(bytes(b)), fids, ptypes, absent=absent)
 
     else:
         raise ValueError(f"protocol={protocol!r} is not supported (pickle|json|protobuf)")
@@ -371,6 +524,7 @@ def save_binary(
     doc_cols: list[str] | None = None,
     proto_fields: dict[str, int] | None = None,
     proto_types: dict[str, str] | None = None,
+    oneof_groups: tuple[tuple[str, ...], ...] = (),
     max_rows: int = 100_000,
 ) -> int:
     """Write the reference's ``save_binary`` stream file
@@ -378,7 +532,8 @@ def save_binary(
     per-doc length-prefixed frames. With ``protocol='protobuf'`` and the
     ``DOCARRAY_PROTO_FIELDS/TYPES`` maps, the file is byte-readable by the
     reference's own ``DocumentArray.load_binary(..., protocol='protobuf')``
-    for every scalar field.
+    for every scalar field AND the ``embedding``/``tensor``/``location``
+    vector fields (dense ``NdArrayProto`` nested messages — r4).
 
     The stream format is inherently single-file/sequential, so this is a
     DRIVER-SIDE export for bounded arrays (guarded by ``max_rows`` — raise
@@ -387,6 +542,7 @@ def save_binary(
     ser = docs_to_bytes(
         df, protocol=protocol, compress=compress, doc_cols=doc_cols,
         proto_fields=proto_fields, proto_types=proto_types,
+        oneof_groups=oneof_groups,
     )
     rows = ser.select("serialized").limit(max_rows + 1).collect()
     if len(rows) > max_rows:

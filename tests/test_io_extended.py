@@ -292,12 +292,14 @@ def test_protobuf_wire_roundtrip(spark):
 
 
 def test_protobuf_rejects_complex_fields(spark):
+    """array<float/double> now rides as NdArrayProto (r4); genuinely
+    complex types (maps, structs, nested arrays) still refuse."""
     from docarray_spark.functions.wire import docs_from_bytes as _fb
 
-    df = spark.createDataFrame([(1, [1.0])], "id bigint, emb array<double>")
+    df = spark.createDataFrame([(1, {"k": "v"})], "id bigint, tags map<string,string>")
     ser = docs_to_bytes(df.select("id"), protocol="protobuf")
     with pytest.raises(ValueError, match="scalar"):
-        _fb(ser, "id bigint, emb array<double>", protocol="protobuf")
+        _fb(ser, "id bigint, tags map<string,string>", protocol="protobuf")
 
 
 def test_registry_hadoop_fs_scheme_root(spark, tmp_path):
@@ -500,3 +502,179 @@ def test_save_load_binary_reference_stream_file(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="max_rows"):
         save_binary(df, p, max_rows=2)
+
+
+# --------------------------------------------- NdArrayProto (r4, VERDICT #2)
+
+def test_ndarray_proto_handbuilt_bytes():
+    """Byte-exact against a hand-assembled NdArrayProto frame (reference
+    proto/io/ndarray.py:91-96 + docarray.proto:9-32): dense oneof slot
+    (field 1) holding DenseNdArrayProto{buffer=1, shape=2 packed uint32,
+    dtype=3}, then cls_name (field 3)."""
+    import struct
+
+    import numpy as np
+
+    from docarray_spark.functions.wire import (
+        ndarray_proto_decode,
+        ndarray_proto_encode,
+    )
+
+    buf = struct.pack("<2f", 1.5, 2.5)
+    dense = (
+        b"\x0a" + bytes([len(buf)]) + buf      # buffer = 1, LEN
+        + b"\x12\x01\x02"                       # shape = 2, packed [2]
+        + b"\x1a\x03" + b"<f4"                  # dtype = 3, '<f4'
+    )
+    expect = (
+        b"\x0a" + bytes([len(dense)]) + dense   # dense = 1, LEN
+        + b"\x1a\x05" + b"numpy"                # cls_name = 3
+    )
+    got = ndarray_proto_encode(np.array([1.5, 2.5], dtype="<f4"), dtype="<f4")
+    assert got == expect
+    back = ndarray_proto_decode(got)
+    assert isinstance(back, np.ndarray)
+    assert back.dtype.str == "<f4" and back.tolist() == [1.5, 2.5]
+    # python-list input → cls_name 'list' (ndarray.py:74-78) and list out
+    got_l = ndarray_proto_encode([1.5, 2.5], dtype="<f4")
+    assert got_l.endswith(b"\x1a\x04list")
+    assert ndarray_proto_decode(got_l) == [1.5, 2.5]
+
+
+def test_document_proto_with_embedding_roundtrip():
+    """A full DocumentProto frame with embedding (field 16 NdArrayProto)
+    and location (field 13 packed floats) round-trips, and the embedding
+    payload sits at the right field number / wiretype for the reference's
+    generated parser."""
+    import struct
+
+    from docarray_spark.functions.wire import (
+        DOCARRAY_PROTO_FIELDS,
+        DOCARRAY_PROTO_ONEOFS,
+        DOCARRAY_PROTO_TYPES,
+        ndarray_proto_decode,
+        proto_decode,
+        proto_encode,
+        proto_parse,
+    )
+
+    doc = {
+        "id": "d1", "text": "hello", "weight": 0.5,
+        "location": [1.0, 2.0], "embedding": [0.25, -0.5, 4.0],
+    }
+    frame = proto_encode(
+        doc, DOCARRAY_PROTO_FIELDS, DOCARRAY_PROTO_TYPES,
+        oneof_groups=DOCARRAY_PROTO_ONEOFS,
+    )
+    parsed = proto_parse(frame)
+    # embedding: field 16, LEN wiretype, decodes as a nested NdArrayProto
+    wt, raw = parsed[16]
+    assert wt == 2
+    emb = ndarray_proto_decode(raw)
+    assert list(emb) == [0.25, -0.5, 4.0]
+    # location: field 13, packed fixed32s
+    wt, raw = parsed[13]
+    assert wt == 2 and struct.unpack("<2f", raw) == (1.0, 2.0)
+    back = proto_decode(frame, DOCARRAY_PROTO_FIELDS, DOCARRAY_PROTO_TYPES)
+    assert back["id"] == "d1" and back["text"] == "hello"
+    assert back["location"] == [1.0, 2.0]
+    assert list(back["embedding"]) == [0.25, -0.5, 4.0]
+
+
+def test_proto_oneof_violation_raises():
+    """ADVICE r3: blob+text together would silently lose blob under the
+    reference's oneof parser — refuse at encode time."""
+    import pytest as _pytest
+
+    from docarray_spark.functions.wire import (
+        DOCARRAY_PROTO_FIELDS,
+        DOCARRAY_PROTO_ONEOFS,
+        DOCARRAY_PROTO_TYPES,
+        proto_encode,
+    )
+
+    doc = {"id": "x", "blob": b"\x01", "text": "t"}
+    with _pytest.raises(ValueError, match="oneof"):
+        proto_encode(
+            doc, DOCARRAY_PROTO_FIELDS, DOCARRAY_PROTO_TYPES,
+            oneof_groups=DOCARRAY_PROTO_ONEOFS,
+        )
+    # one member set is fine
+    proto_encode(
+        {"id": "x", "text": "t"}, DOCARRAY_PROTO_FIELDS,
+        DOCARRAY_PROTO_TYPES, oneof_groups=DOCARRAY_PROTO_ONEOFS,
+    )
+
+
+def test_proto_decode_absent_defaults():
+    """ADVICE r3: reference-written frames omit proto3 defaults; with
+    absent='defaults' the decode coalesces them to 0/""/b"" (the
+    reference reader's semantics) instead of None."""
+    from docarray_spark.functions.wire import proto_decode, proto_encode
+
+    fids = {"a": 1, "s": 2, "b": 3, "w": 4}
+    types = {"a": "int", "s": "str", "b": "bytes", "w": "float32"}
+    frame = proto_encode({"a": 7}, fids, types)
+    none_rec = proto_decode(frame, fids, types)
+    assert none_rec == {"a": 7, "s": None, "b": None, "w": None}
+    dflt_rec = proto_decode(frame, fids, types, absent="defaults")
+    assert dflt_rec == {"a": 7, "s": "", "b": b"", "w": 0.0}
+
+
+def test_protobuf_embedding_column_roundtrip(spark):
+    """Spark-level: an array<float> column rides the protobuf wire as a
+    dense NdArrayProto and comes back value-exact (f4 is exact through
+    the frame)."""
+    from docarray_spark.functions.wire import docs_from_bytes, docs_to_bytes
+
+    df = spark.createDataFrame(
+        [(1, "a", [0.5, 1.5]), (2, "b", [2.5, -3.5]), (3, "c", None)],
+        "id bigint, text string, embedding array<float>",
+    )
+    ser = docs_to_bytes(df, protocol="protobuf", compress="zlib")
+    back = docs_from_bytes(
+        ser, "id bigint, text string, embedding array<float>",
+        protocol="protobuf", compress="zlib",
+    )
+    got = {r.id: (r.text, r.embedding) for r in back.collect()}
+    assert got == {1: ("a", [0.5, 1.5]), 2: ("b", [2.5, -3.5]), 3: ("c", None)}
+
+
+def test_save_binary_stream_with_embedding(tmp_path, spark):
+    """save_binary/load_binary with DOCARRAY maps carries embedding as a
+    nested NdArrayProto inside the reference's stream framing."""
+    from docarray_spark.functions.wire import (
+        DOCARRAY_PROTO_FIELDS,
+        DOCARRAY_PROTO_ONEOFS,
+        DOCARRAY_PROTO_TYPES,
+        load_binary,
+        ndarray_proto_decode,
+        proto_parse,
+        save_binary,
+        unframe_stream,
+    )
+
+    df = spark.createDataFrame(
+        [("d1", "t1", [1.0, 2.0]), ("d2", "t2", [3.0, 4.0])],
+        "id string, text string, embedding array<float>",
+    )
+    p = str(tmp_path / "arr.protobuf")
+    n = save_binary(
+        df, p, protocol="protobuf",
+        proto_fields={"id": 1, "text": 4, "embedding": 16},
+        proto_types={"embedding": "ndarray:<f4"},
+        oneof_groups=DOCARRAY_PROTO_ONEOFS,
+    )
+    assert n == 2
+    frames = unframe_stream(open(p, "rb").read())
+    embs = sorted(
+        ndarray_proto_decode(proto_parse(fr)[16][1]).tolist() for fr in frames
+    )
+    assert embs == [[1.0, 2.0], [3.0, 4.0]]
+    back = load_binary(
+        spark, p, "id string, text string, embedding array<float>",
+        protocol="protobuf",
+        proto_fields={"id": 1, "text": 4, "embedding": 16},
+    )
+    got = sorted((r.id, r.text, list(r.embedding)) for r in back.collect())
+    assert got == [("d1", "t1", [1.0, 2.0]), ("d2", "t2", [3.0, 4.0])]
