@@ -81,12 +81,81 @@ def q_ql_filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ql_filter_size_placeholder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """$size on an array column + placeholder field-vs-field compare
-    (queryset/lookup.py:59-64,106-107)."""
+    """$size + placeholder compare, PLUS (r4) the full Document-schema QL
+    truth table, all part-tagged as (part, id) match sets.
+
+    The r4 parts synthesize a reference-shaped Document table from
+    `documents` — nullable/empty text and parent_id, numeric weight,
+    possibly-empty location array, dynamic `tags_json`, nested
+    scores.cosine.value struct — and hash-gate the HARD reference
+    semantics (test_filter.py:26-85, lookup.py:108-124): default-aware
+    $exists ('' and [] are NOT set), tags numeric coercion through the
+    JSON string, JSON-key $exists, dunder struct paths, and two-valued
+    $nin over NULLs. Every part is a map-only predicate fused into the
+    scan."""
     emb = _t(spark, sf_dir, "embeddings")
-    return find(emb, {"embedding": {"$size": 64}, "vec_id": {"$gt": "{label}"}}).drop(
-        "embedding"
+    sp = (
+        find(emb, {"embedding": {"$size": 64}, "vec_id": {"$gt": "{label}"}})
+        .select(
+            F.lit("size_placeholder").alias("part"),
+            F.col("vec_id").cast("string").alias("id"),
+        )
     )
+
+    d = F.col("doc_id")
+    table = _t(spark, sf_dir, "documents").filter(d < 400).select(
+        d.cast("string").alias("id"),
+        F.when(d % 11 == 0, F.lit(None).cast("string"))
+        .when(d % 7 == 0, F.lit(""))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when(d % 5 == 0, F.lit(None).cast("string"))
+        .when(d % 5 == 1, F.lit(""))
+        .otherwise(F.concat(F.lit("p"), (d % 13).cast("string")))
+        .alias("parent_id"),
+        (d % 4).cast("int").alias("granularity"),
+        F.when(d % 3 == 0, F.lit(None).cast("double"))
+        .otherwise((d % 10).cast("double") / 2.0)
+        .alias("weight"),
+        F.when(d % 6 == 0, F.array().cast("array<double>"))
+        .otherwise(F.array((d % 5).cast("double"), F.lit(1.0)))
+        .alias("location"),
+        F.concat(
+            F.lit('{"x": '), (d % 20).cast("string"),
+            F.lit(', "name": "n'), (d % 6).cast("string"), F.lit('"'),
+            F.when(d % 2 == 0, F.lit(', "flag": true')).otherwise(
+                F.lit(', "flag": false')
+            ),
+            F.when(d % 9 == 0, F.lit(', "extra": 1.5')).otherwise(F.lit("")),
+            F.lit("}"),
+        ).alias("tags_json"),
+        F.struct(
+            F.struct(
+                ((d % 17).cast("double") / 16.0).alias("value"),
+                F.lit("cosine").alias("op_name"),
+            ).alias("cosine")
+        ).alias("scores"),
+    )
+
+    cases = {
+        "exists_text": {"text": {"$exists": True}},
+        "not_exists_text": {"text": {"$exists": False}},
+        "exists_weight": {"weight": {"$exists": True}},
+        "exists_location": {"location": {"$exists": True}},
+        "tags_num_range": {"tags__x": {"$gte": 10, "$lt": 17}},
+        "tags_str_eq": {"tags__name": "n3"},
+        "tags_bool": {"tags__flag": True},
+        "tags_exists": {"tags__extra": {"$exists": True}},
+        "dunder_struct": {"scores__cosine__value": {"$lt": 0.5}},
+        "nin_two_valued": {"parent_id": {"$nin": ["p1", "p2", "p3"]}},
+        "not_multi": {"$not": {"granularity": {"$gt": 1}, "text": {"$exists": True}}},
+    }
+    out = sp
+    for name, cond in cases.items():
+        out = out.unionByName(
+            find(table, cond).select(F.lit(name).alias("part"), "id")
+        )
+    return out
 
 
 # ------------------------------------------- grouping / merging / sampling
@@ -3379,6 +3448,45 @@ def oracle_sql() -> dict[str, str]:
         "\nUNION ALL\n"
         "SELECT 'pairs', id_a, id_b, hamming::BIGINT "
         f"FROM (\n{s['dedup_simhash_pairs']}\n)"
+    )
+    # r4: Document-schema QL truth table (reference test_filter.py:26-85
+    # semantics) — the oracle synthesizes the SAME table as flat columns
+    # (it needs the VALUES, not the nested physical schema) and states
+    # each filter's two-valued/default-aware meaning in plain SQL.
+    merged["ql_filter_size_placeholder"] = (
+        "WITH doc AS (SELECT CAST(doc_id AS VARCHAR) AS id, "
+        "CASE WHEN doc_id % 11 = 0 THEN NULL WHEN doc_id % 7 = 0 THEN '' "
+        "ELSE text END AS text, "
+        "CASE WHEN doc_id % 5 = 0 THEN NULL WHEN doc_id % 5 = 1 THEN '' "
+        "ELSE 'p' || CAST(doc_id % 13 AS VARCHAR) END AS parent_id, "
+        "CAST(doc_id % 4 AS INT) AS granularity, "
+        "CASE WHEN doc_id % 3 = 0 THEN NULL "
+        "ELSE CAST(doc_id % 10 AS DOUBLE) / 2.0 END AS weight, "
+        "CASE WHEN doc_id % 6 = 0 THEN 0 ELSE 2 END AS n_loc, "
+        "CAST(doc_id % 20 AS DOUBLE) AS tag_x, "
+        "'n' || CAST(doc_id % 6 AS VARCHAR) AS tag_name, "
+        "(doc_id % 2 = 0) AS tag_flag, "
+        "(doc_id % 9 = 0) AS has_extra, "
+        "CAST(doc_id % 17 AS DOUBLE) / 16.0 AS sc_value "
+        "FROM documents WHERE doc_id < 400)\n"
+        "SELECT 'size_placeholder' AS part, CAST(vec_id AS VARCHAR) AS id "
+        "FROM embeddings WHERE len(embedding) = 64 AND vec_id > label"
+        "\nUNION ALL SELECT 'exists_text', id FROM doc "
+        "WHERE text IS NOT NULL AND text <> ''"
+        "\nUNION ALL SELECT 'not_exists_text', id FROM doc "
+        "WHERE NOT (text IS NOT NULL AND text <> '')"
+        "\nUNION ALL SELECT 'exists_weight', id FROM doc WHERE weight IS NOT NULL"
+        "\nUNION ALL SELECT 'exists_location', id FROM doc WHERE n_loc > 0"
+        "\nUNION ALL SELECT 'tags_num_range', id FROM doc "
+        "WHERE tag_x >= 10 AND tag_x < 17"
+        "\nUNION ALL SELECT 'tags_str_eq', id FROM doc WHERE tag_name = 'n3'"
+        "\nUNION ALL SELECT 'tags_bool', id FROM doc WHERE tag_flag"
+        "\nUNION ALL SELECT 'tags_exists', id FROM doc WHERE has_extra"
+        "\nUNION ALL SELECT 'dunder_struct', id FROM doc WHERE sc_value < 0.5"
+        "\nUNION ALL SELECT 'nin_two_valued', id FROM doc "
+        "WHERE parent_id IS NULL OR parent_id NOT IN ('p1', 'p2', 'p3')"
+        "\nUNION ALL SELECT 'not_multi', id FROM doc "
+        "WHERE NOT (granularity > 1 AND (text IS NOT NULL AND text <> ''))"
     )
     out = dict(s)
     out.update(merged)

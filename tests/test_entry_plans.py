@@ -43,8 +43,8 @@ BUDGETS = {
     # asof union-window exchange + range window agg + bucketized equi-join
     "temporal_joins": (3, 4, False),
     "skew_salted_agg": (2, 1, False),         # the two phases, by design
-    # three map-only codec round-trips, one scan each
-    "roundtrip_codecs": (0, 3, False),
+    # three map-only codec round-trips + the pb_ndarray vector part (r4)
+    "roundtrip_codecs": (0, 4, False),
     # exact-gate + bucket-gate LSH paths (5 shuffles / 8 scans each)
     "dedup_embedding": (10, 16, False),
     "embed_batch": (0, 1, False),             # mapInPandas, scan-fused
@@ -61,7 +61,9 @@ BUDGETS = {
     # --- round-2-green block
     "ql_filter_docs": (0, 2, False),
     "ql_filter_logic": (0, 1, False),
-    "ql_filter_size_placeholder": (0, 1, False),
+    # size/placeholder scan + 11 map-only Document-schema truth-table
+    # parts, each a predicate fused into its documents scan (r4)
+    "ql_filter_size_placeholder": (0, 12, False),
     # four bounded-query exact kNN parts, one window merge each
     "knn_suite": (4, 4, False),
     "knn_graph": (2, 1, False),
