@@ -50,9 +50,16 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        warm[name] = round(time.perf_counter() - t0, 4)
+        # warm = best of 2 re-executions: a single warm run carries
+        # multi-x jitter from GC pauses landing inside it (r3 saw
+        # ann_lsh_cosine warm 5.9 s vs 1.4 s cold from exactly this);
+        # the min of two runs is a stable steady-state estimate
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        warm[name] = round(best, 4)
         # operators that persist intermediates (minhash shingles, CC edges)
         # would otherwise accumulate cached blocks across the 2x50 runs,
         # building GC pressure that skews later entries' timings; streaming
@@ -131,21 +138,33 @@ def _baseline_anchors(spark) -> dict:
     warmup.count()
     warmup.unpersist()
 
-    t0 = time.perf_counter()
-    corpus = (
-        spark.range(n)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(
-            F.col("id"),
-            (F.col("id") % 1000).alias("tag_i"),
-            F.expr(f"transform(sequence(0, {dim - 1}), j -> cast(sin(id * {dim} + j) as float))").alias(
-                "embedding"
-            ),
+    # best of 2 builds: the create anchor measured 6.8 s in the r3 driver
+    # run vs 2.4-2.9 s in clean runs — one disk-contended or GC-hit build
+    # misreports the steady creation rate the reference benchmark times
+    def _build():
+        return (
+            spark.range(n)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select(
+                F.col("id"),
+                (F.col("id") % 1000).alias("tag_i"),
+                F.expr(
+                    f"transform(sequence(0, {dim - 1}), j -> cast(sin(id * {dim} + j) as float))"
+                ).alias("embedding"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+
+    t0 = time.perf_counter()
+    corpus = _build()
     corpus.count()
     create_s = round(time.perf_counter() - t0, 3)
+    corpus.unpersist()
+    spark.sparkContext._jvm.System.gc()
+    t0 = time.perf_counter()
+    corpus = _build()
+    corpus.count()
+    create_s = min(create_s, round(time.perf_counter() - t0, 3))
 
     # steady-state timing: best of 4 runs, matching the reference
     # benchmark's repeated-single-query methodology. Convergence is slow —

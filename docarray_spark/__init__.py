@@ -15,10 +15,26 @@ from docarray_spark.session import get_spark
 from docarray_spark.schema import DOCUMENT_SCHEMA, empty_documents
 from docarray_spark.queryset.compiler import compile_filter, find
 
+
+def release_cached_intermediates(spark) -> None:
+    """Drop every cached block this engine's operators registered.
+
+    Several operators persist shared subtrees at PLAN-BUILD time (minhash
+    band/bucket tables, simhash fingerprints, BM25 tf tables, CC edges) —
+    they must stay cached until the CALLER materializes the returned lazy
+    DataFrame, so the operators themselves cannot unpersist (ADVICE r3).
+    Long-lived sessions should call this between pipeline stages; it is
+    the engine-blessed alias for ``spark.catalog.clearCache()`` (which is
+    exactly what it does — cached blocks are session-scoped, so no other
+    tenant is affected in a per-session deployment)."""
+    spark.catalog.clearCache()
+
+
 __all__ = [
     "get_spark",
     "DOCUMENT_SCHEMA",
     "empty_documents",
     "compile_filter",
     "find",
+    "release_cached_intermediates",
 ]

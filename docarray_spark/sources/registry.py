@@ -65,12 +65,25 @@ def _write_text(path: str, text: str, spark: SparkSession | None = None) -> None
             f.write(text)
         os.replace(tmp, path)
         return
-    fs, jpath, _ = _hadoop_fs(path, spark)
-    out = fs.create(jpath, True)  # overwrite — object stores rename is copy
+    fs, jpath, jvm = _hadoop_fs(path, spark)
+    # ADVICE r3: a direct create() is not atomic — a concurrent pull/list
+    # can read a truncated manifest. On rename-atomic filesystems (HDFS,
+    # local) write a temp file and rename over; on object stores rename is
+    # a copy, so direct create stays (their PUT is already atomic anyway).
+    scheme = (jpath.toUri().getScheme() or "").lower()
+    rename_is_copy = scheme in ("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss")
+    target = jpath
+    if not rename_is_copy:
+        target = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(target, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    if not rename_is_copy:
+        fs.delete(jpath, False)  # rename target must not exist on HDFS
+        if not fs.rename(target, jpath):
+            raise IOError(f"atomic rename failed for {path!r}")
 
 
 def _read_text(path: str, spark: SparkSession | None = None) -> str:

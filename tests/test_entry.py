@@ -87,3 +87,28 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
     assert df.schema is not None
+
+
+def test_registry_names_stable_vs_last_round():
+    """VERDICT r3 #9 part 2: every registry name must match a key the
+    driver actually recorded in the last round's CORRECTNESS file — a
+    rename would silently orphan an oracle's verification history.
+    Intentional additions/renames go in ALLOWED_NEW with a comment."""
+    import glob
+    import json
+    import os
+
+    ALLOWED_NEW: set[str] = set()  # r4: none — names are 1:1 with r3
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    if not files:
+        pytest.skip("no driver CORRECTNESS file yet")
+    recorded = set(json.load(open(files[-1])))
+    names = set(entry_mod.queries())
+    orphaned = names - recorded - ALLOWED_NEW
+    assert not orphaned, (
+        f"registry names not in {os.path.basename(files[-1])}: {orphaned} "
+        "— renamed entries orphan their verification history; add to "
+        "ALLOWED_NEW only for intentional new entries"
+    )
