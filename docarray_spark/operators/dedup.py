@@ -109,13 +109,19 @@ def jaccard_col(a: Column, b: Column) -> Column:
 _MERSENNE_P = 2147483647  # 2^31 - 1; md5-int < 2^32, so h*(2b+1)+b < 2^38 — no overflow
 
 
-def minhash_bands_col(shingles: Column, num_bands: int) -> Column:
+def minhash_bands_col(
+    shingles: Column, num_bands: int, hash_method: str = "md5"
+) -> Column:
     """num_bands minhash values (r=1 bands): band b = min over shingles of
-    an affine re-mix of ONE md5-derived integer per shingle (universal
+    an affine re-mix of ONE hash-derived integer per shingle (universal
     hashing: h_b(s) = (h(s)·(2b+1) + b) mod (2^31-1)). With one hash per
     band, P(band collision) = Jaccard, so P(candidate) = 1-(1-J)^bands —
-    the standard LSH S-curve — at 1/num_bands of the md5 cost."""
-    h = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    the standard LSH S-curve — at 1/num_bands of the hash cost.
+    ``hash_method='xxhash64'`` is the cheaper production hash; md5 stays
+    the oracle-portable default (functions/hashing.py)."""
+    from docarray_spark.functions.hashing import hash_u32_col
+
+    h = lambda s: hash_u32_col(s, hash_method)
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_bands - 1)),
         lambda b: F.array_min(
@@ -135,6 +141,7 @@ def minhash_dedup_pairs(
     persist: bool = True,
     num_rows: int = 1,
     max_bucket: int | None = None,
+    hash_method: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: shingle → banded minhash → bucket
     equi-join → exact Jaccard verify ≥ threshold.
@@ -187,9 +194,13 @@ def minhash_dedup_pairs(
     # and therefore the oracle gate — are unchanged, but the per-shingle
     # work drops from n_hashes interpreted lambda evals to one vectorized
     # broadcast (204k-doc corpus: 144 s → ~35 s, r3 scale run).
-    hv_expr = F.expr(
-        "transform(_sh, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"
-    )
+    # hash_method='xxhash64' swaps the per-shingle hash for the ~3x
+    # cheaper JVM intrinsic (functions/hashing.py) — candidate BUCKETS
+    # differ but the verified-Jaccard output contract is identical;
+    # oracle-gated entries stay on md5.
+    from docarray_spark.functions.hashing import hash_u32_sql
+
+    hv_expr = F.expr(f"transform(_sh, s -> {hash_u32_sql('s', hash_method)})")
 
     coef = np.arange(n_hashes, dtype=np.int64)
 
@@ -378,7 +389,8 @@ def simhash_col(text_col: str, bits: int = 16) -> Column:
 
 
 def simhash_table(
-    df: DataFrame, id_col: str = "id", text_col: str = "text", bits: int = 32
+    df: DataFrame, id_col: str = "id", text_col: str = "text", bits: int = 32,
+    hash_method: str = "md5",
 ) -> DataFrame:
     """→ (id, simhash): same fingerprint as :func:`simhash_col`, computed
     the scale-friendly way — one md5 per token into a per-row hash ARRAY,
@@ -398,11 +410,13 @@ def simhash_table(
     # interpreted (CodegenFallback), and the earlier double-pow cost two
     # transcendental calls per token-bit — ~30% of the whole fingerprint
     # at sf0.1 (r3 measurement; same lesson as NOTES #13).
-    hx = _simhash_hex_chars(bits)
+    from docarray_spark.functions.hashing import hash_bits_sql
+
+    _simhash_hex_chars(bits)  # validates the bits ceiling
     counts = F.expr(
         f"""
         aggregate(
-          transform(_t, t -> cast(conv(substring(md5(t), 1, {hx}), 16, 10) as bigint)),
+          transform(_t, t -> {hash_bits_sql("t", bits, hash_method)}),
           array_repeat(0L, {bits}),
           (acc, x) -> zip_with(acc, sequence(0, {bits - 1}),
             (a, i) -> a + IF((x >> i) % 2 = 1, 1L, -1L))
@@ -432,6 +446,7 @@ def simhash_dup_pairs(
     max_hamming: int = 3,
     num_bands: int = 4,
     max_bucket: int | None = None,
+    hash_method: str = "md5",
 ) -> DataFrame:
     """SimHash near-dup pairs: band the fingerprint into ``num_bands`` bit
     slices; by pigeonhole, any pair within ``max_hamming = num_bands - 1``
@@ -451,7 +466,7 @@ def simhash_dup_pairs(
             f"num_bands - 1 (use num_bands >= {max_hamming + 1})"
         )
     width = bits // num_bands
-    base = simhash_table(df, id_col, text_col, bits).select(
+    base = simhash_table(df, id_col, text_col, bits, hash_method=hash_method).select(
         F.col(id_col).alias("_id"), F.col("simhash").alias("sh")
     )
     # both join sides derive from the fingerprint table; persist it so the

@@ -58,11 +58,22 @@ def _frac_threshold(fraction: float) -> str:
     return format(max(int(fraction * 16**8), 0), "08x")
 
 
-def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, hash_method: str = "md5"
+) -> DataFrame:
     """Deterministic, engine-portable sample (extension): keep rows whose
-    md5(id) falls below the fraction threshold. Unlike rand(), reproducible
+    hash(id) falls below the fraction threshold. Unlike rand(), reproducible
     across engines/runs/partitionings — the property that matters for a
-    100 TB pipeline you re-run incrementally."""
+    100 TB pipeline you re-run incrementally. ``hash_method='xxhash64'``
+    is the ~3x cheaper production hash (not DuckDB-portable; keeps the
+    same uniformity/determinism contract — functions/hashing.py)."""
+    if hash_method != "md5":
+        from docarray_spark.functions.hashing import hash_unit_col
+
+        return df.filter(
+            hash_unit_col(F.col(id_col).cast("string"), hash_method)
+            < F.lit(float(min(fraction, 1.0)))
+        )
     return df.filter(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
         < F.lit(_frac_threshold(fraction))
@@ -75,6 +86,7 @@ def stratified_hash_sample(
     fractions: dict[str, float],
     id_col: str = "id",
     default_fraction: float = 0.0,
+    hash_method: str = "md5",
 ) -> DataFrame:
     """Deterministic stratified sampling (extension; the training-pipeline
     version of ``sample``): per-stratum keep-fractions, e.g. up-weight rare
@@ -86,9 +98,18 @@ def stratified_hash_sample(
     Map-only — the predicate fuses into the scan; no shuffle at any scale.
     Strata absent from ``fractions`` keep ``default_fraction`` of rows.
     """
-    key = F.substring(
-        F.md5(F.concat_ws("|", F.col(strata_col), F.col(id_col).cast("string"))), 1, 8
-    )
+    salted = F.concat_ws("|", F.col(strata_col), F.col(id_col).cast("string"))
+    if hash_method != "md5":
+        from docarray_spark.functions.hashing import hash_unit_col
+
+        key_u = hash_unit_col(salted, hash_method)
+        thr_u = F.lit(float(min(default_fraction, 1.0)))
+        for value, frac in sorted(fractions.items()):
+            thr_u = F.when(
+                F.col(strata_col) == value, F.lit(float(min(frac, 1.0)))
+            ).otherwise(thr_u)
+        return df.filter(key_u < thr_u)
+    key = F.substring(F.md5(salted), 1, 8)
     thr = F.lit(_frac_threshold(default_fraction))
     for value, frac in sorted(fractions.items()):
         thr = F.when(
@@ -102,6 +123,7 @@ def weighted_hash_sample(
     weight_col: str,
     id_col: str = "id",
     salt: str = "weight",
+    hash_method: str = "md5",
 ) -> DataFrame:
     """Per-ROW keep-probability sampling (extension — quality-weighted
     corpus resampling: keep each doc with probability equal to its quality
@@ -109,15 +131,10 @@ def weighted_hash_sample(
     without a hard cutoff). Deterministic: u(id) = md5-uniform in [0, 1),
     keep iff u < weight — reproducible across engines/runs/partitionings,
     salted independently of the other hash samplers. Map-only."""
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("double")
-        / float(16**8)
+    from docarray_spark.functions.hashing import hash_unit_col
+
+    u = hash_unit_col(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")), hash_method
     )
     return df.filter(u < F.col(weight_col).cast("double"))
 
