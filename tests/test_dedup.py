@@ -201,3 +201,37 @@ def test_simhash_wide_bits_use_high_bits(spark):
     assert pairs.count() >= 0  # executes; bucket keys are 12-bit values
     with pytest.raises(ValueError, match="60"):
         simhash_table(df, "id", "text", bits=64).collect()
+
+
+def test_hot_bucket_cap_bounds_banded_joins(spark):
+    """VERDICT r3 #8: one pathological cohort (10k identical docs) lands
+    in a single (band, minhash) bucket — uncapped, the candidate join
+    goes quadratic (~50M pairs for this cohort alone). The cap must keep
+    the operator bounded, still find the planted normal near-dup, and
+    route the hot cohort out (exact dedup collapses it anyway)."""
+    from docarray_spark.operators.dedup import minhash_dedup_pairs, simhash_dup_pairs
+
+    hot = "common boilerplate page repeated verbatim across the entire crawl"
+    rows = [(i, hot) for i in range(10_000)]
+    rows += [
+        (20_000 + i, " ".join(f"u{i}w{j}" for j in range(12))) for i in range(50)
+    ]
+    base = ("the quick brown fox jumps over the lazy dog and runs into the "
+            "deep green forest where tall trees grow near the river")
+    rows += [(30_000, base), (30_001, base.replace("lazy", "sleepy"))]
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    pairs = minhash_dedup_pairs(df, num_bands=8, threshold=0.5, max_bucket=100)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (30_000, 30_001) in got
+    hot_pairs = [p for p in got if p[0] < 20_000 and p[1] < 20_000]
+    assert not hot_pairs, f"cap leaked {len(hot_pairs)} hot-cohort pairs"
+    # explicit output budget: without the cap this would be ~50M pairs
+    assert len(got) < 5_000
+
+    spairs = simhash_dup_pairs(
+        df, bits=48, max_hamming=3, num_bands=4, max_bucket=100
+    )
+    sgot = {(r.id_a, r.id_b) for r in spairs.collect()}
+    s_hot = [p for p in sgot if p[0] < 20_000 and p[1] < 20_000]
+    assert not s_hot and len(sgot) < 5_000
