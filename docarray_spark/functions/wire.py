@@ -74,6 +74,7 @@ DOCARRAY_PROTO_FIELDS = {
     "id": 1, "blob": 2, "tensor": 3, "text": 4, "granularity": 5,
     "adjacency": 6, "parent_id": 7, "weight": 8, "uri": 9, "modality": 10,
     "mime_type": 11, "offset": 12, "location": 13, "embedding": 16,
+    "tags": 17, "scores": 18, "evaluations": 19, "_metadata": 20,
 }
 DOCARRAY_PROTO_TYPES = {
     "id": "str", "blob": "bytes", "tensor": "ndarray:<f4", "text": "str",
@@ -83,6 +84,10 @@ DOCARRAY_PROTO_TYPES = {
     "offset": "float32",  # proto `float` fields are wiretype-5 fixed32
     "location": "floats",  # repeated float → packed fixed32s
     "embedding": "ndarray:<f4",  # NdArrayProto{dense{buffer,shape,dtype}}
+    "tags": "struct",  # google.protobuf.Struct (dict; use 'struct_json'
+    "_metadata": "struct",  # for a JSON-string tags column)
+    "scores": "named_scores",  # map<string, NamedScoreProto>
+    "evaluations": "named_scores",
 }
 # DocumentProto's `oneof content` (docarray.proto:67-76): the reference
 # parser keeps only the LAST-seen member, so emitting two silently drops
@@ -186,6 +191,95 @@ def ndarray_proto_decode(buf: bytes):
     return arr.tolist() if cls == "list" else arr
 
 
+def _value_encode(v) -> bytes:
+    """``google.protobuf.Value`` wire bytes. Oneof members serialize even
+    at their default (oneof = explicit presence), matching generated
+    encoders byte-for-byte."""
+    import struct as _struct
+
+    if v is None:
+        return _tag(1, _WT_VARINT) + varint_encode(0)  # NullValue
+    if isinstance(v, bool):  # before int: bool subclasses int
+        return _tag(4, _WT_VARINT) + varint_encode(int(v))
+    if isinstance(v, (int, float)):  # Struct numbers are always doubles
+        return _tag(2, _WT_FIXED64) + _struct.pack("<d", float(v))
+    if isinstance(v, str):
+        return _len_field(3, v.encode("utf-8"))
+    if isinstance(v, dict):
+        return _len_field(5, struct_encode(v))
+    if isinstance(v, (list, tuple)):
+        lv = b"".join(_len_field(1, _value_encode(x)) for x in v)
+        return _len_field(6, lv)
+    raise TypeError(f"not a Struct-compatible value: {type(v).__name__}")
+
+
+def _value_decode(buf: bytes):
+    import struct as _struct
+
+    msg = proto_parse(buf)
+    if 2 in msg:
+        return _struct.unpack("<d", msg[2][1])[0]
+    if 3 in msg:
+        return msg[3][1].decode("utf-8")
+    if 4 in msg:
+        return bool(msg[4][1])
+    if 5 in msg:
+        return struct_decode(msg[5][1])
+    if 6 in msg:
+        vals = proto_parse(msg[6][1], multi=True).get(1, [])
+        return [_value_decode(raw) for _, raw in vals]
+    return None  # null_value or empty
+
+
+def struct_encode(d: dict) -> bytes:
+    """``google.protobuf.Struct`` wire bytes (the reference's ``tags`` /
+    ``_metadata`` fields, docarray.proto:115,125): map<string, Value> —
+    one length-delimited entry message {key=1, value=2} per key, in key
+    order (deterministic frames; generated encoders emit map entries in
+    an unspecified order, so byte equality holds per-entry, not
+    whole-map — parsers accept any order)."""
+    out = bytearray()
+    for k in sorted(d):
+        entry = _len_field(1, str(k).encode("utf-8")) + _len_field(2, _value_encode(d[k]))
+        out += _len_field(1, entry)
+    return bytes(out)
+
+
+def struct_decode(buf: bytes) -> dict:
+    """Inverse of :func:`struct_encode` → python dict (numbers come back
+    as float — proto Struct has only double numbers, like JSON)."""
+    out = {}
+    for _, raw in proto_parse(buf, multi=True).get(1, []):
+        entry = proto_parse(raw)
+        key = entry[1][1].decode("utf-8") if 1 in entry else ""
+        out[key] = _value_decode(entry[2][1]) if 2 in entry else None
+    return out
+
+
+_NAMED_SCORE_FIELDS = {"value": 1, "op_name": 2, "description": 3, "ref_id": 4}
+_NAMED_SCORE_TYPES = {"value": "float32", "op_name": "str", "description": "str", "ref_id": "str"}
+
+
+def named_scores_entries(scores: dict[str, dict]) -> list[bytes]:
+    """``map<string, NamedScoreProto>`` (the reference's ``scores`` /
+    ``evaluations``, docarray.proto:118-121). Proto map fields serialize
+    as REPEATED entry messages tagged with the OUTER field number, so
+    this returns one entry payload {key=1, value=2} per metric (key
+    order → deterministic frames) for the caller to tag."""
+    entries = []
+    for k in sorted(scores):
+        ns = proto_encode(dict(scores[k] or {}), _NAMED_SCORE_FIELDS, _NAMED_SCORE_TYPES)
+        entries.append(_len_field(1, str(k).encode("utf-8")) + _len_field(2, ns))
+    return entries
+
+
+def named_score_entry_decode(raw: bytes, absent: str = "none") -> tuple[str, dict]:
+    entry = proto_parse(raw)
+    key = entry[1][1].decode("utf-8") if 1 in entry else ""
+    ns_raw = entry[2][1] if 2 in entry else b""
+    return key, proto_decode(ns_raw, _NAMED_SCORE_FIELDS, _NAMED_SCORE_TYPES, absent=absent)
+
+
 def proto_encode(
     rec: dict,
     field_ids: dict[str, int],
@@ -228,6 +322,16 @@ def proto_encode(
         if t is not None and t.startswith("ndarray"):
             dtype = t.split(":", 1)[1] if ":" in t else "<f8"
             out += _len_field(fid, ndarray_proto_encode(v, dtype=dtype))
+        elif t == "struct":
+            out += _len_field(fid, struct_encode(dict(v)))
+        elif t == "struct_json":
+            import json as _json
+
+            parsed = _json.loads(v) if isinstance(v, str) else dict(v)
+            out += _len_field(fid, struct_encode(parsed))
+        elif t == "named_scores":
+            for e in named_scores_entries(dict(v)):
+                out += _len_field(fid, e)
         elif t == "floats":
             vals = list(v)
             if vals:
@@ -253,10 +357,15 @@ def proto_encode(
     return bytes(out)
 
 
-def proto_parse(buf: bytes) -> dict[int, tuple[int, object]]:
+def proto_parse(buf: bytes, multi: bool = False):
     """Wire bytes → {field_number: (wiretype, raw value)} — varints stay
     unsigned ints, fixed64 stays raw 8 bytes, length-delimited stays bytes.
-    Typed interpretation happens against a schema in :func:`proto_decode`."""
+    Typed interpretation happens against a schema in :func:`proto_decode`.
+
+    ``multi=True`` → {field_number: [(wiretype, raw), ...]} keeping EVERY
+    occurrence (needed for repeated/map fields like Struct entries);
+    the default keeps the last occurrence — proto3 last-wins scalar
+    semantics."""
     pos, out = 0, {}
     while pos < len(buf):
         key, pos = varint_decode(buf, pos)
@@ -272,7 +381,10 @@ def proto_parse(buf: bytes) -> dict[int, tuple[int, object]]:
             v, pos = buf[pos : pos + 4], pos + 4
         else:
             raise ValueError(f"unsupported wiretype {wt} (field {fid})")
-        out[fid] = (wt, v)
+        if multi:
+            out.setdefault(fid, []).append((wt, v))
+        else:
+            out[fid] = (wt, v)
     return out
 
 
@@ -317,6 +429,25 @@ def proto_decode(
         if t.startswith("ndarray"):
             rec[name] = ndarray_proto_decode(raw)
             continue
+        if t in ("struct", "struct_json"):
+            # a Struct MESSAGE field may legally occur multiple times;
+            # proto3 merge = byte concatenation of the occurrences
+            cat = b"".join(r for _, r in proto_parse(buf, multi=True).get(fid, []))
+            merged = struct_decode(cat)
+            if t == "struct_json":
+                import json as _json
+
+                rec[name] = _json.dumps(merged, sort_keys=True)
+            else:
+                rec[name] = merged
+            continue
+        if t == "named_scores":
+            # map field = repeated entry messages tagged with this field
+            rec[name] = dict(
+                named_score_entry_decode(r, absent=absent)
+                for _, r in proto_parse(buf, multi=True).get(fid, [])
+            )
+            continue
         if t == "floats":
             rec[name] = list(_struct.unpack(f"<{len(raw) // 4}f", raw))
             continue
@@ -345,6 +476,8 @@ _SPARK_PROTO_TYPES = {
     # 1-D vector columns ride as dense NdArrayProto nested messages
     "array<float>": "ndarray:<f4", "array<double>": "ndarray:<f8",
     "array<int>": "ndarray:<i4", "array<bigint>": "ndarray:<i8",
+    # dynamic tags ride as google.protobuf.Struct
+    "map<string,string>": "struct",
 }
 
 

@@ -292,14 +292,15 @@ def test_protobuf_wire_roundtrip(spark):
 
 
 def test_protobuf_rejects_complex_fields(spark):
-    """array<float/double> now rides as NdArrayProto (r4); genuinely
-    complex types (maps, structs, nested arrays) still refuse."""
+    """array<float/double> rides as NdArrayProto and map<string,string>
+    as Struct (r4); genuinely complex types (structs, nested arrays)
+    still refuse."""
     from docarray_spark.functions.wire import docs_from_bytes as _fb
 
-    df = spark.createDataFrame([(1, {"k": "v"})], "id bigint, tags map<string,string>")
+    df = spark.createDataFrame([(1, [[1.0]])], "id bigint, m array<array<double>>")
     ser = docs_to_bytes(df.select("id"), protocol="protobuf")
     with pytest.raises(ValueError, match="scalar"):
-        _fb(ser, "id bigint, tags map<string,string>", protocol="protobuf")
+        _fb(ser, "id bigint, m array<array<double>>", protocol="protobuf")
 
 
 def test_registry_hadoop_fs_scheme_root(spark, tmp_path):
@@ -678,3 +679,109 @@ def test_save_binary_stream_with_embedding(tmp_path, spark):
     )
     got = sorted((r.id, r.text, list(r.embedding)) for r in back.collect())
     assert got == [("d1", "t1", [1.0, 2.0]), ("d2", "t2", [3.0, 4.0])]
+
+
+# -------------------------------- Struct / NamedScore map fields (r4)
+
+def test_struct_value_handbuilt_bytes():
+    """google.protobuf.Struct wire layout, hand-checked: entry message
+    {key=1, value=2} per key under Struct field 1; Value oneof members
+    serialize even at defaults (oneof = explicit presence)."""
+    import struct as _struct
+
+    from docarray_spark.functions.wire import struct_decode, struct_encode
+
+    got = struct_encode({"a": 1.5})
+    # entry: key 'a' (0a 01 61) + value{number_value=1.5} (12 09 11 <8B>)
+    val = b"\x11" + _struct.pack("<d", 1.5)
+    entry = b"\x0a\x01a" + b"\x12" + bytes([len(val)]) + val
+    assert got == b"\x0a" + bytes([len(entry)]) + entry
+    assert struct_decode(got) == {"a": 1.5}
+
+
+def test_struct_roundtrip_nested():
+    from docarray_spark.functions.wire import struct_decode, struct_encode
+
+    d = {
+        "s": "hello", "n": 2.5, "i": 3, "b": True, "none": None,
+        "lst": ["x", 1, False, None],
+        "nested": {"inner": "v", "deep": {"k": 9}},
+    }
+    back = struct_decode(struct_encode(d))
+    # Struct numbers are doubles (like JSON): ints come back as floats
+    assert back == {
+        "s": "hello", "n": 2.5, "i": 3.0, "b": True, "none": None,
+        "lst": ["x", 1.0, False, None],
+        "nested": {"inner": "v", "deep": {"k": 9.0}},
+    }
+
+
+def test_named_scores_map_field_roundtrip():
+    """scores/evaluations (map<string, NamedScoreProto>) serialize as
+    repeated entry messages tagged with the OUTER field number and decode
+    back through proto_decode."""
+    from docarray_spark.functions.wire import (
+        DOCARRAY_PROTO_FIELDS,
+        DOCARRAY_PROTO_TYPES,
+        proto_decode,
+        proto_encode,
+        proto_parse,
+    )
+
+    doc = {
+        "id": "d1",
+        "scores": {
+            "cosine": {"value": 0.25, "op_name": "cos", "ref_id": "q1"},
+            "bm25": {"value": 7.5},
+        },
+        "tags": {"x": 3, "name": "n1"},
+    }
+    frame = proto_encode(doc, DOCARRAY_PROTO_FIELDS, DOCARRAY_PROTO_TYPES)
+    # two score entries, each tagged field 18
+    assert len(proto_parse(frame, multi=True)[18]) == 2
+    back = proto_decode(frame, DOCARRAY_PROTO_FIELDS, DOCARRAY_PROTO_TYPES)
+    assert back["scores"]["cosine"]["value"] == 0.25
+    assert back["scores"]["cosine"]["op_name"] == "cos"
+    assert back["scores"]["cosine"]["ref_id"] == "q1"
+    assert back["scores"]["bm25"]["value"] == 7.5
+    assert back["scores"]["bm25"]["op_name"] is None  # proto3 default omitted
+    assert back["tags"] == {"x": 3.0, "name": "n1"}
+
+
+def test_struct_json_column_roundtrip(spark):
+    """A tags_json string column rides the wire as a real Struct message
+    and comes back as canonical JSON."""
+    import json
+
+    from docarray_spark.functions.wire import docs_from_bytes, docs_to_bytes
+
+    df = spark.createDataFrame(
+        [(1, '{"x": 3, "name": "n1"}'), (2, '{"flag": true}')],
+        "id bigint, tags_json string",
+    )
+    ser = docs_to_bytes(
+        df, protocol="protobuf",
+        proto_fields={"id": 1, "tags_json": 17},
+        proto_types={"tags_json": "struct_json"},
+    )
+    back = docs_from_bytes(
+        ser, "id bigint, tags_json string", protocol="protobuf",
+        proto_fields={"id": 1, "tags_json": 17},
+        proto_types={"tags_json": "struct_json"},
+    )
+    got = {r.id: json.loads(r.tags_json) for r in back.collect()}
+    assert got == {1: {"x": 3.0, "name": "n1"}, 2: {"flag": True}}
+
+
+def test_map_column_rides_as_struct(spark):
+    """map<string,string> columns auto-map to Struct frames."""
+    from docarray_spark.functions.wire import docs_from_bytes, docs_to_bytes
+
+    df = spark.createDataFrame(
+        [(1, {"k": "v", "k2": "v2"})], "id bigint, tags map<string,string>"
+    )
+    ser = docs_to_bytes(df, protocol="protobuf")
+    back = docs_from_bytes(
+        ser, "id bigint, tags map<string,string>", protocol="protobuf"
+    )
+    assert back.first().tags == {"k": "v", "k2": "v2"}
