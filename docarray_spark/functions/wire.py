@@ -73,7 +73,8 @@ _U64 = (1 << 64) - 1
 DOCARRAY_PROTO_FIELDS = {
     "id": 1, "blob": 2, "tensor": 3, "text": 4, "granularity": 5,
     "adjacency": 6, "parent_id": 7, "weight": 8, "uri": 9, "modality": 10,
-    "mime_type": 11, "offset": 12, "location": 13, "embedding": 16,
+    "mime_type": 11, "offset": 12, "location": 13, "chunks": 14,
+    "matches": 15, "embedding": 16,
     "tags": 17, "scores": 18, "evaluations": 19, "_metadata": 20,
 }
 DOCARRAY_PROTO_TYPES = {
@@ -88,6 +89,8 @@ DOCARRAY_PROTO_TYPES = {
     "_metadata": "struct",  # for a JSON-string tags column)
     "scores": "named_scores",  # map<string, NamedScoreProto>
     "evaluations": "named_scores",
+    "chunks": "documents",  # repeated DocumentProto (recursive)
+    "matches": "documents",
 }
 # DocumentProto's `oneof content` (docarray.proto:67-76): the reference
 # parser keeps only the LAST-seen member, so emitting two silently drops
@@ -149,6 +152,36 @@ def ndarray_proto_encode(value, dtype: str = "<f8", cls_name: str | None = None)
     if cls_name is None:
         cls_name = "list" if isinstance(value, (list, tuple)) else "numpy"
     arr = np.asarray(value, dtype=np.dtype(dtype))
+    return _len_field(1, _dense_block(arr)) + _len_field(3, cls_name.encode("ascii"))
+
+
+def sparse_ndarray_proto_encode(indices, values, dim: int) -> bytes:
+    """1-D sparse vector → ``NdArrayProto`` with the SPARSE oneof slot
+    (docarray.proto:22-46), laid out exactly as the reference's scipy COO
+    writer (``proto/io/ndarray.py:99-104`` ``_set_scipy_sparse``): a 1×dim
+    coo_matrix, so ``indices`` is an N×2 int64 dense block ([0, i] rows),
+    ``values`` a length-N dense block, ``shape=[1, dim]``, ``cls_name=
+    'scipy'``, ``parameters={'sparse_format': 'coo'}``."""
+    import numpy as np
+
+    idx = np.asarray(
+        [[0, int(i)] for i in list(indices)], dtype="<i8"
+    ).reshape(-1, 2)
+    val = np.asarray(list(values), dtype="<f8")
+    sp = bytearray()
+    sp += _len_field(1, _dense_block(idx))
+    sp += _len_field(2, _dense_block(val))
+    sp += _len_field(3, varint_encode(1) + varint_encode(int(dim)))  # packed shape
+    return (
+        _len_field(2, bytes(sp))
+        + _len_field(3, b"scipy")
+        + _len_field(4, struct_encode({"sparse_format": "coo"}))
+    )
+
+
+def _dense_block(arr) -> bytes:
+    """DenseNdArrayProto bytes for a numpy array (shared by the dense and
+    sparse writers)."""
     dense = bytearray()
     buf = arr.tobytes()
     if buf:
@@ -156,19 +189,54 @@ def ndarray_proto_encode(value, dtype: str = "<f8", cls_name: str | None = None)
     if arr.shape:
         dense += _len_field(2, b"".join(varint_encode(s) for s in arr.shape))
     dense += _len_field(3, arr.dtype.str.encode("ascii"))
-    return _len_field(1, bytes(dense)) + _len_field(3, cls_name.encode("ascii"))
+    return bytes(dense)
+
+
+def _dense_block_decode(buf: bytes):
+    import numpy as np
+
+    dense = proto_parse(buf)
+    raw = bytes(dense[1][1]) if 1 in dense else b""
+    dtype = np.dtype(dense[3][1].decode("ascii")) if 3 in dense else np.dtype("<f8")
+    shape: list[int] = []
+    if 2 in dense:
+        wt, payload = dense[2]
+        if wt == _WT_LEN:
+            pos = 0
+            while pos < len(payload):
+                s, pos = varint_decode(payload, pos)
+                shape.append(s)
+        else:
+            shape.append(int(payload))
+    arr = np.frombuffer(raw, dtype=dtype)
+    return arr.reshape(shape) if shape else arr
+
+
+def sparse_ndarray_proto_decode(buf: bytes) -> dict:
+    """Sparse ``NdArrayProto`` → ``{'indices': [int], 'values': [float]}``
+    (the engine's sparse struct, functions/sparse.py), for 1×dim COO
+    payloads — the shape the reference writes for sparse vectors."""
+    msg = proto_parse(buf)
+    sp = proto_parse(msg[2][1])
+    idx = _dense_block_decode(sp[1][1]) if 1 in sp else None
+    val = _dense_block_decode(sp[2][1]) if 2 in sp else None
+    cols = [int(r[-1]) for r in idx] if idx is not None and idx.size else []
+    return {
+        "indices": cols,
+        "values": [float(x) for x in val] if val is not None else [],
+    }
 
 
 def ndarray_proto_decode(buf: bytes):
     """``NdArrayProto`` wire bytes → python list (``cls_name='list'``) or
-    numpy array. Sparse payloads (oneof field 2) raise — the columnar
-    engine stores sparse vectors natively (functions/sparse.py), not in
-    per-doc frames."""
+    numpy array; SPARSE payloads (oneof field 2) decode via
+    :func:`sparse_ndarray_proto_decode` into the engine's sparse struct
+    dict."""
     import numpy as np
 
     msg = proto_parse(buf)
     if 2 in msg:
-        raise ValueError("sparse NdArrayProto frames are not supported")
+        return sparse_ndarray_proto_decode(buf)
     cls = msg[3][1].decode("ascii") if 3 in msg else "numpy"
     if 1 not in msg:
         return [] if cls == "list" else np.empty(0)
@@ -319,7 +387,13 @@ def proto_encode(
         if v is None or (isinstance(v, float) and v != v):
             continue
         t = types.get(name) if types is not None else None
-        if t is not None and t.startswith("ndarray"):
+        if t is not None and t.startswith("sparse_ndarray"):
+            dim = int(t.split(":", 1)[1])
+            d = dict(v)
+            out += _len_field(
+                fid, sparse_ndarray_proto_encode(d["indices"], d["values"], dim)
+            )
+        elif t is not None and t.startswith("ndarray"):
             dtype = t.split(":", 1)[1] if ":" in t else "<f8"
             out += _len_field(fid, ndarray_proto_encode(v, dtype=dtype))
         elif t == "struct":
@@ -332,6 +406,15 @@ def proto_encode(
         elif t == "named_scores":
             for e in named_scores_entries(dict(v)):
                 out += _len_field(fid, e)
+        elif t == "documents":
+            # repeated DocumentProto (docarray.proto:106-109) — chunks /
+            # matches nest RECURSIVELY with the same field/type maps
+            # (the reference's own loader reads arbitrary depth)
+            for child in list(v):
+                out += _len_field(
+                    fid,
+                    proto_encode(dict(child), field_ids, types, oneof_groups),
+                )
         elif t == "floats":
             vals = list(v)
             if vals:
@@ -391,6 +474,8 @@ def proto_parse(buf: bytes, multi: bool = False):
 _PROTO3_DEFAULTS = {
     "int": 0, "bool": False, "float": 0.0, "float32": 0.0, "str": "",
     "bytes": b"", "floats": [],
+    # repeated/map fields have no proto3 presence: absent == empty
+    "struct": {}, "struct_json": "{}", "named_scores": {}, "documents": [],
 }
 
 
@@ -426,6 +511,9 @@ def proto_decode(
                 rec[name] = None
             continue
         wt, raw = hit
+        if t.startswith("sparse_ndarray"):
+            rec[name] = sparse_ndarray_proto_decode(raw)
+            continue
         if t.startswith("ndarray"):
             rec[name] = ndarray_proto_decode(raw)
             continue
@@ -447,6 +535,12 @@ def proto_decode(
                 named_score_entry_decode(r, absent=absent)
                 for _, r in proto_parse(buf, multi=True).get(fid, [])
             )
+            continue
+        if t == "documents":
+            rec[name] = [
+                proto_decode(r, field_ids, types, absent=absent)
+                for _, r in proto_parse(buf, multi=True).get(fid, [])
+            ]
             continue
         if t == "floats":
             rec[name] = list(_struct.unpack(f"<{len(raw) // 4}f", raw))

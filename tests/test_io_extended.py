@@ -785,3 +785,75 @@ def test_map_column_rides_as_struct(spark):
         ser, "id bigint, tags map<string,string>", protocol="protobuf"
     )
     assert back.first().tags == {"k": "v", "k2": "v2"}
+
+
+def test_recursive_chunks_matches_roundtrip():
+    """chunks/matches (repeated DocumentProto, docarray.proto:106-109)
+    nest recursively in per-doc frames — a 2-level Document tree
+    round-trips with granularity/parent_id intact, and each child is a
+    separate LEN entry at field 14/15 for the reference parser."""
+    from docarray_spark.functions.wire import (
+        DOCARRAY_PROTO_FIELDS,
+        DOCARRAY_PROTO_TYPES,
+        proto_decode,
+        proto_encode,
+        proto_parse,
+    )
+
+    doc = {
+        "id": "root",
+        "text": "parent",
+        "granularity": 0,
+        "chunks": [
+            {"id": "c1", "parent_id": "root", "granularity": 1, "text": "child one",
+             "chunks": [{"id": "cc1", "parent_id": "c1", "granularity": 2, "text": "grandchild"}]},
+            {"id": "c2", "parent_id": "root", "granularity": 1,
+             "embedding": [1.0, 2.0]},
+        ],
+        "matches": [{"id": "m1", "adjacency": 1, "scores": {"cosine": {"value": 0.5}}}],
+    }
+    frame = proto_encode(doc, DOCARRAY_PROTO_FIELDS, DOCARRAY_PROTO_TYPES)
+    parsed = proto_parse(frame, multi=True)
+    assert len(parsed[14]) == 2 and len(parsed[15]) == 1
+    back = proto_decode(frame, DOCARRAY_PROTO_FIELDS, DOCARRAY_PROTO_TYPES)
+    assert back["id"] == "root" and len(back["chunks"]) == 2
+    c1, c2 = back["chunks"]
+    assert c1["id"] == "c1" and c1["parent_id"] == "root" and c1["granularity"] == 1
+    assert c1["chunks"][0]["id"] == "cc1" and c1["chunks"][0]["granularity"] == 2
+    assert list(c2["embedding"]) == [1.0, 2.0]
+    assert back["matches"][0]["scores"]["cosine"]["value"] == 0.5
+    # absent='defaults' coalesces missing repeated fields to empty
+    d = proto_decode(frame, DOCARRAY_PROTO_FIELDS, DOCARRAY_PROTO_TYPES,
+                     absent="defaults")
+    assert d["chunks"][1]["chunks"] == [] and d["chunks"][1]["matches"] == []
+
+
+def test_sparse_ndarray_proto_roundtrip():
+    """Sparse vectors ride the wire as the reference's scipy-COO
+    NdArrayProto (1xdim coo_matrix layout: Nx2 int64 indices block +
+    values block + shape [1, dim] + cls_name 'scipy' +
+    parameters{sparse_format:'coo'}) and decode back into the engine's
+    {indices, values} sparse struct."""
+    from docarray_spark.functions.wire import (
+        proto_decode,
+        proto_encode,
+        proto_parse,
+        sparse_ndarray_proto_decode,
+        sparse_ndarray_proto_encode,
+        struct_decode,
+    )
+
+    nd = sparse_ndarray_proto_encode([2, 5, 9], [1.5, -2.0, 0.25], dim=16)
+    msg = proto_parse(nd)
+    assert 2 in msg and msg[3][1] == b"scipy"
+    assert struct_decode(msg[4][1]) == {"sparse_format": "coo"}
+    back = sparse_ndarray_proto_decode(nd)
+    assert back == {"indices": [2, 5, 9], "values": [1.5, -2.0, 0.25]}
+    # through the record codec with an explicit sparse type
+    fids = {"id": 1, "emb": 16}
+    types = {"id": "str", "emb": "sparse_ndarray:16"}
+    frame = proto_encode(
+        {"id": "a", "emb": {"indices": [3], "values": [7.0]}}, fids, types
+    )
+    rec = proto_decode(frame, fids, types)
+    assert rec == {"id": "a", "emb": {"indices": [3], "values": [7.0]}}
