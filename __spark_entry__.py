@@ -903,8 +903,10 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mm_image_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: text bytes as a stand-in binary blob →
     deterministic fake decode (mapInPandas) → nearest-neighbour resize →
-    sliding-window patches as chunk rows (ChunkArray encoding). Decode is a
-    stub; schema/batching/chunk-explode are the real scale plumbing."""
+    sliding-window patches as chunk rows (ChunkArray encoding). The codec
+    is a stub, but every step is deterministic, so since r4 the WHOLE
+    chain is hash-gated: the oracle replays shape-from-md5, the tiling,
+    the resize gather, and the per-chunk pixel sums in SQL."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = docs.select(F.col("doc_id").cast("string").alias("id"),
                         F.col("text").cast("binary").alias("blob"))
@@ -3449,6 +3451,38 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'pairs', id_a, id_b, hamming::BIGINT "
         f"FROM (\n{s['dedup_simhash_pairs']}\n)"
     )
+    # r4: the multimodal entry's ENTIRE chain is deterministic (the fake
+    # decode derives shape from md5 bytes and tiles the blob's ASCII
+    # bytes; nearest-neighbour resize is an index gather; windows are
+    # slices), so the oracle replays it in SQL: shape from md5 hex,
+    # per-chunk pixel sums as nested list comprehensions over the gather
+    # indices. Upgrades mm_image_chunks from rows-only to hash-gated —
+    # the one non-green r3 row.
+    merged["mm_image_chunks"] = """
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id, text, length(text) AS L,
+            (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1 AS b0,
+            (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1 AS b1
+          FROM documents WHERE doc_id < 200
+        ), g AS (
+          SELECT id, text, L, 4 + (b0 % 8) AS h, 4 + (b1 % 8) AS w FROM d
+        ), c AS (
+          SELECT id, text, L, h, w, unnest(range(0, 4)) AS o FROM g
+        )
+        SELECT id || '.' || CAST(o AS VARCHAR) AS id, id AS parent_id,
+          1 AS granularity, CAST(o AS BIGINT) AS "offset",
+          4 AS height, 4 AS width, 3 AS channels,
+          ROUND(list_sum(flatten(flatten(
+            [[[ CAST(ascii(substr(text,
+                  1 + ((CAST(FLOOR((((o // 2) * 4 + r) * h) / 8.0) AS INT) * w * 3
+                       + CAST(FLOOR((((o % 2) * 4 + cc) * w) / 8.0) AS INT) * 3
+                       + ch) % L), 1)) AS DOUBLE)
+                FOR ch IN range(0, 3)] FOR cc IN range(0, 4)] FOR r IN range(0, 4)]
+          ))), 4) AS pixel_sum
+        FROM c
+    """
     # r4: Document-schema QL truth table (reference test_filter.py:26-85
     # semantics) — the oracle synthesizes the SAME table as flat columns
     # (it needs the VALUES, not the nested physical schema) and states

@@ -76,8 +76,9 @@ def test_registry_fits_driver_verification_window():
         f"{len(names)} queries() entries exceed the driver's 50-entry "
         "verification window — merge entries instead"
     )
-    # every entry is either oracle-gated or a documented rows-only check
-    no_oracle_by_design = {"mm_image_chunks"}
+    # every entry is oracle-gated (r4: mm_image_chunks, the last
+    # rows-only entry, gained a SQL replay of its deterministic chain)
+    no_oracle_by_design: set = set()
     oracles = entry_mod.oracle_sql()
     missing = [n for n in names if n not in oracles and n not in no_oracle_by_design]
     assert not missing, f"entries without an oracle: {missing}"
