@@ -503,7 +503,10 @@ def proto_decode(
     rec = {}
     for name, fid in field_ids.items():
         hit = parsed.get(fid)
-        t = types[name]
+        t = types.get(name)
+        if t is None:  # declared field number without a type — undecodable
+            rec[name] = None
+            continue
         if hit is None:
             if absent == "defaults":
                 rec[name] = _PROTO3_DEFAULTS.get(t.split(":", 1)[0])
@@ -575,15 +578,23 @@ _SPARK_PROTO_TYPES = {
 }
 
 
-def _schema_proto_types(schema: T.StructType) -> dict[str, str]:
+def _schema_proto_types(
+    schema: T.StructType, declared: dict[str, str] | None = None
+) -> dict[str, str]:
+    """Spark schema → proto type map. Fields the caller already typed in
+    ``declared`` (e.g. ``chunks: 'documents'``, sparse structs) skip the
+    supported-type check — the caller's word wins."""
     out = {}
     for f in schema.fields:
+        if declared and f.name in declared:
+            continue
         s = f.dataType.simpleString()
         if s not in _SPARK_PROTO_TYPES:
             raise ValueError(
                 f"protocol='protobuf' supports scalar and 1-D numeric array "
-                f"fields; {f.name!r} is {s} (serialize complex fields as "
-                "json/pickle)"
+                f"fields; {f.name!r} is {s} (declare a proto type for it in "
+                "proto_types — e.g. 'documents' for nested chunk structs — "
+                "or serialize as json/pickle)"
             )
         out[f.name] = _SPARK_PROTO_TYPES[s]
     return out
@@ -722,7 +733,18 @@ def docs_from_bytes(
 
     elif protocol == "protobuf":
         fids = proto_fields or {f.name: i + 1 for i, f in enumerate(schema.fields)}
-        ptypes = {**_schema_proto_types(schema), **(proto_types or {})}
+        ptypes = {**_schema_proto_types(schema, proto_types), **(proto_types or {})}
+        # 'documents'-typed columns (nested chunks/matches): pull the
+        # nested scalar types out of the declared array<struct> element so
+        # child fields decode typed without a separate caller map
+        for f in schema.fields:
+            if ptypes.get(f.name) == "documents" and isinstance(f.dataType, T.ArrayType):
+                el = f.dataType.elementType
+                if isinstance(el, T.StructType):
+                    for cf in el.fields:
+                        cs = cf.dataType.simpleString()
+                        if cf.name not in ptypes and cs in _SPARK_PROTO_TYPES:
+                            ptypes[cf.name] = _SPARK_PROTO_TYPES[cs]
 
         def _de(b: bytes) -> dict:
             return proto_decode(decomp(bytes(b)), fids, ptypes, absent=absent)

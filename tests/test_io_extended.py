@@ -857,3 +857,39 @@ def test_sparse_ndarray_proto_roundtrip():
     )
     rec = proto_decode(frame, fids, types)
     assert rec == {"id": "a", "emb": {"indices": [3], "values": [7.0]}}
+
+
+def test_nested_chunks_decode_into_typed_struct_column(spark):
+    """A frame with recursive chunks decodes into a Spark-typed
+    array<struct<...>> column; nested fields resolve through the same
+    field/type maps as the root (declare every nested field you want —
+    undeclared field numbers decode to None)."""
+    from docarray_spark.functions.wire import (
+        DOCARRAY_PROTO_FIELDS,
+        DOCARRAY_PROTO_TYPES,
+        docs_from_bytes,
+        proto_encode,
+    )
+
+    doc = {
+        "id": "root", "text": "p",
+        "chunks": [
+            {"id": "c1", "parent_id": "root", "granularity": 1, "text": "x"},
+            {"id": "c2", "parent_id": "root", "granularity": 1, "text": "y"},
+        ],
+    }
+    frame = proto_encode(doc, DOCARRAY_PROTO_FIELDS, DOCARRAY_PROTO_TYPES)
+    src = spark.createDataFrame([(bytearray(frame),)], "serialized binary")
+    out = docs_from_bytes(
+        src,
+        "id string, text string, "
+        "chunks array<struct<id string, text string, granularity int>>",
+        protocol="protobuf",
+        proto_fields={"id": 1, "text": 4, "granularity": 5, "chunks": 14},
+        proto_types={"chunks": "documents"},
+    )
+    r = out.first()
+    assert r.id == "root"
+    assert [(c.id, c.text, c.granularity) for c in r.chunks] == [
+        ("c1", "x", 1), ("c2", "y", 1)
+    ]
