@@ -50,10 +50,16 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
-        # warm = best of 2 re-executions: a single warm run carries
-        # multi-x jitter from GC pauses landing inside it (r3 saw
-        # ann_lsh_cosine warm 5.9 s vs 1.4 s cold from exactly this);
-        # the min of two runs is a stable steady-state estimate
+        # warm = best of 2 re-executions ON A CLEAN HEAP: a single warm
+        # run carries multi-x jitter from GC pauses (r3: ann_lsh warm
+        # 5.9 s vs 1.4 s cold), and entries that persist big shared
+        # subtrees (traverse/reduce _doc_nodes) measured warm 2.5x SLOWER
+        # than cold when the cold run's blocks+shuffle state pushed the
+        # heap to the eviction edge (r4 driver run). Clearing first means
+        # warm-run-1 rebuilds the entry's caches (so the min is still a
+        # full-query measure) and warm-run-2 reads them back clean.
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

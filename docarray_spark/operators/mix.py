@@ -39,6 +39,7 @@ def bigram_lm_score(
     id_col: str = "id",
     text_col: str = "text",
     round_to: int = 6,
+    key_mode: str = "token",
 ) -> DataFrame:
     """Average bigram log-likelihood per document under the corpus's
     add-one-smoothed bigram LM:
@@ -56,7 +57,17 @@ def bigram_lm_score(
     aggregates over the vocab; scoring joins doc bigrams to the two count
     tables on short string keys (corpus-bigram-sized exchange — the LM
     scoring floor); per-doc rollup is one more combinable aggregate.
+
+    ``key_mode='hashed'`` (production): count/join keys become
+    ``xxhash64(token)`` 8-byte ints instead of token strings — the same
+    exchange carries fixed-width keys, measured ~20% faster end-to-end at
+    204k docs (NOTES r4). Counts are identical unless two corpus tokens
+    collide in 64 bits (P ≈ n²/2⁶⁵ — ~1e-8 even at a billion-token
+    vocab); oracle-gated entries stay on ``'token'`` where the key IS the
+    gated value.
     """
+    if key_mode not in ("token", "hashed"):
+        raise ValueError(f"key_mode must be 'token' or 'hashed', got {key_mode!r}")
     toks = df.select(F.col(id_col).alias("_id"), tokens_col(text_col).alias("_t"))
     toks = toks.withColumn("_t", F.filter("_t", lambda x: x != ""))
     # the token table feeds the unigram counts, the bigram explosion (which
@@ -65,6 +76,10 @@ def bigram_lm_score(
     from pyspark import StorageLevel
 
     toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+    # hashed mode: keys hash POST-explode at the column level (scalar
+    # xxhash64 stays in whole-stage codegen; hashing inside a transform()
+    # lambda would run interpreted per token)
+    _k = (lambda c: F.xxhash64(c)) if key_mode == "hashed" else (lambda c: c)
     big = toks.select(
         "_id",
         F.explode(
@@ -77,10 +92,11 @@ def bigram_lm_score(
                 ),
             ).otherwise(F.array())
         ).alias("bg"),
-    ).select("_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    ).select("_id", _k(F.col("bg.w1")).alias("w1"), _k(F.col("bg.w2")).alias("w2"))
 
     uni = (
-        toks.select(F.explode("_t").alias("w1"))
+        toks.select(F.explode("_t").alias("_w"))
+        .select(_k(F.col("_w")).alias("w1"))  # generator can't nest in exprs
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c1"))
     )

@@ -79,3 +79,21 @@ def test_percentile_stats_hand_case(spark):
     out = {r.q: r.value for r in percentile_stats(df, "s", "x", [0.25, 0.5, 0.75, 0.9]).collect()}
     assert out[0.25] == 3.0 and out[0.5] == 7.0 and out[0.75] == 12.0
     assert out[0.9] == pytest.approx(15.8, abs=1e-9)
+
+
+def test_bigram_lm_hashed_keys_match_token_keys(spark):
+    """key_mode='hashed' (xxhash64 int join keys) produces the same
+    scores as the token-string path on a collision-free vocab."""
+    from docarray_spark.operators.mix import bigram_lm_score
+
+    rows = [(i, " ".join(f"w{(i * 3 + j) % 40}" for j in range(12))) for i in range(60)]
+    rows.append((100, "a"))  # <2 tokens → n_bigrams 0, NULL score
+    df = spark.createDataFrame(rows, "id long, text string")
+    tok = {r.id: (r.n_bigrams, r.lm_score) for r in bigram_lm_score(df).collect()}
+    hsh = {r.id: (r.n_bigrams, r.lm_score)
+           for r in bigram_lm_score(df, key_mode="hashed").collect()}
+    assert tok == hsh
+    assert tok[100] == (0, None)
+    import pytest as _p
+    with _p.raises(ValueError, match="key_mode"):
+        bigram_lm_score(df, key_mode="xx")
