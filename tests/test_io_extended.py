@@ -893,3 +893,63 @@ def test_nested_chunks_decode_into_typed_struct_column(spark):
     assert [(c.id, c.text, c.granularity) for c in r.chunks] == [
         ("c1", "x", 1), ("c2", "y", 1)
     ]
+
+
+_json_scalars = st.one_of(
+    st.none(), st.booleans(),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=20),
+)
+_json_values = st.recursive(
+    _json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(max_size=8), children, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.dictionaries(st.text(max_size=10), _json_values, max_size=6))
+def test_struct_wire_roundtrip_property(d):
+    """Arbitrary JSON-shaped dicts survive google.protobuf.Struct frames
+    (numbers normalize to float — proto Struct has only doubles)."""
+    from docarray_spark.functions.wire import struct_decode, struct_encode
+
+    def norm(v):
+        if isinstance(v, bool) or v is None or isinstance(v, str):
+            return v
+        if isinstance(v, (int, float)):
+            return float(v)
+        if isinstance(v, list):
+            return [norm(x) for x in v]
+        if isinstance(v, dict):
+            return {k: norm(x) for k, x in v.items()}
+        raise AssertionError(type(v))
+
+    assert struct_decode(struct_encode(d)) == norm(d)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.floats(allow_nan=False, allow_infinity=False, width=32),
+             max_size=40),
+    st.sampled_from(["<f4", "<f8", "<i4", "<i8"]),
+)
+def test_ndarray_wire_roundtrip_property(vals, dtype):
+    """Arbitrary 1-D vectors survive dense NdArrayProto frames
+    value-exactly for every supported dtype."""
+    import numpy as np
+
+    from docarray_spark.functions.wire import (
+        ndarray_proto_decode,
+        ndarray_proto_encode,
+    )
+
+    if dtype.startswith("<i"):
+        vals = [float(int(v)) for v in vals]
+    arr = np.asarray(vals, dtype=np.dtype(dtype))
+    back = ndarray_proto_decode(ndarray_proto_encode(arr, dtype=dtype))
+    assert back.dtype.str == dtype
+    assert back.tolist() == arr.tolist()
