@@ -509,7 +509,9 @@ def proto_decode(
             continue
         if hit is None:
             if absent == "defaults":
-                rec[name] = _PROTO3_DEFAULTS.get(t.split(":", 1)[0])
+                d = _PROTO3_DEFAULTS.get(t.split(":", 1)[0])
+                # fresh containers — callers may mutate their record
+                rec[name] = type(d)(d) if isinstance(d, (list, dict)) else d
             else:
                 rec[name] = None
             continue
