@@ -948,7 +948,7 @@ def test_ndarray_wire_roundtrip_property(vals, dtype):
     )
 
     if dtype.startswith("<i"):
-        vals = [float(int(v)) for v in vals]
+        vals = [float(int(max(-2**31 + 1, min(2**31 - 1, v)))) for v in vals]
     arr = np.asarray(vals, dtype=np.dtype(dtype))
     back = ndarray_proto_decode(ndarray_proto_encode(arr, dtype=dtype))
     assert back.dtype.str == dtype
