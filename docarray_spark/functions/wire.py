@@ -21,8 +21,9 @@ generated classes needed. Array-level stream framing
 byte layout exactly: 1-byte version ``\\x01`` + uint64 big-endian doc count
 + per-doc uint32 big-endian length prefix (``io/binary.py:92-142,401-404``).
 
-Compression uses stdlib codecs (gzip/bz2/lzma/zlib; lz4 is not in the
-container and raises, mirroring the reference's optional-import behavior).
+Compression uses stdlib codecs (gzip/bz2/lzma/zlib) plus a pure-python
+LZ4 FRAME codec (``functions/lz4frame.py``, public spec) — ``'lz4'``
+frames interoperate with standard ``lz4.frame`` readers/writers.
 """
 
 from __future__ import annotations
@@ -50,9 +51,18 @@ def _codec(compress: str | None):
     if compress is None:
         return (lambda b: b), (lambda b: b)
     if compress == "lz4":
-        raise ValueError("lz4 is not available in this environment (stdlib codecs: gzip/bz2/lzma/zlib)")
+        # pure-python LZ4 FRAME codec (public spec; functions/lz4frame.py)
+        # — no lz4 package in this environment, and none needed: frames
+        # interoperate with standard lz4.frame readers/writers (write side
+        # emits stored blocks; read side decodes compressed blocks too)
+        from docarray_spark.functions import lz4frame
+
+        return lz4frame.compress, lz4frame.decompress
     if compress not in _COMPRESSORS:
-        raise ValueError(f"unknown compress {compress!r}; expected one of {sorted(_COMPRESSORS)}")
+        raise ValueError(
+            f"unknown compress {compress!r}; expected one of "
+            f"{sorted(_COMPRESSORS) + ['lz4']}"
+        )
     return _COMPRESSORS[compress]
 
 

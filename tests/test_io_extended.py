@@ -225,8 +225,8 @@ def test_wire_codec_rejects_unknown(spark):
     df = spark.range(1)
     with pytest.raises(ValueError, match="protocol"):
         docs_to_bytes(df, protocol="msgpack")
-    with pytest.raises(ValueError, match="lz4"):
-        docs_to_bytes(df, compress="lz4")
+    with pytest.raises(ValueError, match="compress"):
+        docs_to_bytes(df, compress="snappy")
 
 
 # ------------------------------------------------- protobuf wire format
@@ -953,3 +953,75 @@ def test_ndarray_wire_roundtrip_property(vals, dtype):
     back = ndarray_proto_decode(ndarray_proto_encode(arr, dtype=dtype))
     assert back.dtype.str == dtype
     assert back.tolist() == arr.tolist()
+
+
+# -------------------------------------------- LZ4 frame codec (r4, pure-python)
+
+def test_xxhash32_published_vectors():
+    from docarray_spark.functions.lz4frame import xxhash32
+
+    assert xxhash32(b"") == 0x02CC5D05
+    assert xxhash32(b"a") == 0x550D7456
+    assert xxhash32(b"abc") == 0x32D153FF
+    assert xxhash32(b"Nobody inspects the spammish repetition") == 0xE2293B2F
+    assert xxhash32(b"abc", seed=1) != xxhash32(b"abc")
+
+
+def test_lz4_frame_roundtrip_and_layout():
+    import struct
+
+    from docarray_spark.functions.lz4frame import compress, decompress, xxhash32
+
+    for payload in (b"", b"x", b"hello world" * 1000, bytes(range(256)) * 100):
+        frame = compress(payload)
+        # spec layout: magic, FLG 0x60 (v01, block-independent), BD 0x70
+        # (4MB), header checksum = (xxh32(desc) >> 8) & 0xFF
+        assert struct.unpack_from("<I", frame, 0)[0] == 0x184D2204
+        assert frame[4] == 0x60 and frame[5] == 0x70
+        assert frame[6] == (xxhash32(frame[4:6]) >> 8) & 0xFF
+        assert decompress(frame) == payload
+    with pytest.raises(ValueError, match="magic"):
+        decompress(b"\x00" * 16)
+
+
+def test_lz4_block_sequences_decode():
+    """The block decoder handles real compressed sequences, including the
+    overlap-copy trick (offset 1 = RLE) that stored blocks never use."""
+    from docarray_spark.functions.lz4frame import lz4_block_decompress
+
+    # 'abcd' literals + match(offset=4, len=8) -> 'abcdabcdabcd'
+    blk = bytes([0x44]) + b"abcd" + bytes([0x04, 0x00])
+    assert lz4_block_decompress(blk) == b"abcdabcdabcd"
+    # RLE: 1 literal 'a' + match(offset=1, len=19 via ext byte)
+    blk = bytes([0x1F]) + b"a" + bytes([0x01, 0x00]) + bytes([0x00])
+    assert lz4_block_decompress(blk) == b"a" * 20
+    # a frame whose data block is COMPRESSED (high bit clear) decodes too
+    import struct
+
+    from docarray_spark.functions.lz4frame import decompress, xxhash32
+
+    desc = bytes([0x60, 0x70])
+    hc = (xxhash32(desc) >> 8) & 0xFF
+    inner = bytes([0x44]) + b"abcd" + bytes([0x04, 0x00])
+    frame = (
+        struct.pack("<I", 0x184D2204) + desc + bytes([hc])
+        + struct.pack("<I", len(inner)) + inner + struct.pack("<I", 0)
+    )
+    assert decompress(frame) == b"abcdabcdabcd"
+
+
+def test_wire_lz4_compress_roundtrip(spark):
+    """compress='lz4' works end-to-end through the per-doc wire codec
+    (the reference's helper.py compress_bytes lz4 path, sans package)."""
+    from docarray_spark.functions.wire import docs_from_bytes, docs_to_bytes
+
+    df = spark.createDataFrame(
+        [(1, "hello " * 50), (2, "world")], "id bigint, text string"
+    )
+    ser = docs_to_bytes(df, protocol="protobuf", compress="lz4")
+    back = docs_from_bytes(
+        ser, "id bigint, text string", protocol="protobuf", compress="lz4"
+    )
+    assert {(r.id, r.text) for r in back.collect()} == {
+        (1, "hello " * 50), (2, "world")
+    }
