@@ -250,22 +250,7 @@ def ndarray_proto_decode(buf: bytes):
     cls = msg[3][1].decode("ascii") if 3 in msg else "numpy"
     if 1 not in msg:
         return [] if cls == "list" else np.empty(0)
-    dense = proto_parse(msg[1][1])
-    raw = bytes(dense[1][1]) if 1 in dense else b""
-    dtype = np.dtype(dense[3][1].decode("ascii")) if 3 in dense else np.dtype("<f8")
-    shape: list[int] = []
-    if 2 in dense:
-        wt, payload = dense[2]
-        if wt == _WT_LEN:  # packed (proto3 default)
-            pos = 0
-            while pos < len(payload):
-                s, pos = varint_decode(payload, pos)
-                shape.append(s)
-        else:  # unpacked single entry (proto2-style writers)
-            shape.append(int(payload))
-    arr = np.frombuffer(raw, dtype=dtype)
-    if shape:
-        arr = arr.reshape(shape)
+    arr = _dense_block_decode(msg[1][1])
     return arr.tolist() if cls == "list" else arr
 
 
