@@ -901,22 +901,42 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------- multimodal pipeline
 
 def q_mm_image_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end: text bytes as a stand-in binary blob →
-    deterministic fake decode (mapInPandas) → nearest-neighbour resize →
-    sliding-window patches as chunk rows (ChunkArray encoding). The codec
-    is a stub, but every step is deterministic, so since r4 the WHOLE
-    chain is hash-gated: the oracle replays shape-from-md5, the tiling,
-    the resize gather, and the per-chunk pixel sums in SQL."""
+    """Multimodal plumbing end-to-end, part-tagged: 'image' = text bytes
+    as a stand-in binary blob → deterministic fake decode (mapInPandas) →
+    nearest-neighbour resize → sliding-window patches as chunk rows
+    (ChunkArray encoding); 'audio' (r4) = the same blobs through the
+    int16-PCM fake decode → per-waveform sample count + peak amplitude.
+    The codecs are stubs, but every step is deterministic, so the WHOLE
+    chain is hash-gated: the oracle replays shape-from-md5, byte tiling,
+    the resize gather, window pixel sums, and the int16 sample math in
+    SQL. (Peak amplitude gates exactly — int/2¹⁵ is float32-exact; RMS
+    stays pytest-only, float32 squaring diverges from the oracle's
+    doubles below the rounding floor.)"""
+    from docarray_spark.operators.multimodal import decode_audio
+
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = docs.select(F.col("doc_id").cast("string").alias("id"),
                         F.col("text").cast("binary").alias("blob"))
     decoded = decode_images(media)
     resized = resize_images(decoded, 8, 8)
     chunks = image_sliding_windows(resized, window=4, stride=4)
-    return chunks.select(
+    img = chunks.select(
+        F.lit("image").alias("part"),
         "id", "parent_id", "granularity", "offset", "height", "width", "channels",
         F.round(F.aggregate("pixels", F.lit(0.0), lambda a, x: a + x), 4).alias("pixel_sum"),
     )
+    wav = decode_audio(media)
+    audio = wav.select(
+        F.lit("audio").alias("part"),
+        "id", F.col("id").alias("parent_id"),
+        F.lit(0).cast("int").alias("granularity"),
+        F.lit(0).cast("long").alias("offset"),
+        F.col("n_samples").cast("int").alias("height"),
+        F.lit(1).cast("int").alias("width"),
+        F.lit(1).cast("int").alias("channels"),
+        F.round("amax", 6).alias("pixel_sum"),
+    )
+    return img.unionByName(audio)
 
 
 
@@ -3471,7 +3491,8 @@ def oracle_sql() -> dict[str, str]:
         ), c AS (
           SELECT id, text, L, h, w, unnest(range(0, 4)) AS o FROM g
         )
-        SELECT id || '.' || CAST(o AS VARCHAR) AS id, id AS parent_id,
+        SELECT 'image' AS part, id || '.' || CAST(o AS VARCHAR) AS id,
+          id AS parent_id,
           1 AS granularity, CAST(o AS BIGINT) AS "offset",
           4 AS height, 4 AS width, 3 AS channels,
           ROUND(list_sum(flatten(flatten(
@@ -3482,6 +3503,16 @@ def oracle_sql() -> dict[str, str]:
                 FOR ch IN range(0, 3)] FOR cc IN range(0, 4)] FOR r IN range(0, 4)]
           ))), 4) AS pixel_sum
         FROM c
+        UNION ALL
+        SELECT 'audio' AS part, id, id AS parent_id, 0 AS granularity,
+          CAST(0 AS BIGINT) AS "offset",
+          CAST(L // 2 AS INT) AS height, 1 AS width, 1 AS channels,
+          ROUND(list_max(
+            [ (ascii(substr(text, 2 * i + 1, 1))
+               + 256 * ascii(substr(text, 2 * i + 2, 1))) / 32768.0
+              FOR i IN range(0, L // 2) ]
+          ), 6) AS pixel_sum
+        FROM d
     """
     # r4: Document-schema QL truth table (reference test_filter.py:26-85
     # semantics) — the oracle synthesizes the SAME table as flat columns
