@@ -936,7 +936,25 @@ def q_mm_image_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("int").alias("channels"),
         F.round("amax", 6).alias("pixel_sum"),
     )
-    return img.unionByName(audio)
+    # 'video' part (r4): keyframe sampling over a synthetic 3-frame
+    # 2x2x3 tensor tiled from the text bytes (video DECODE is out of
+    # container scope — the frame slicing is the operator under test)
+    from docarray_spark.operators.multimodal import sample_frames
+
+    vid_src = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.expr(
+            "transform(sequence(0, 35), i -> "
+            "cast(ascii(substring(text, 1 + (i % length(text)), 1)) as float))"
+        ).alias("frames"),
+        F.lit(2).alias("height"), F.lit(2).alias("width"), F.lit(3).alias("channels"),
+    )
+    video = sample_frames(vid_src, every_k=2).select(
+        F.lit("video").alias("part"),
+        "id", "parent_id", "granularity", "offset", "height", "width", "channels",
+        F.round(F.aggregate("pixels", F.lit(0.0), lambda a, x: a + x), 4).alias("pixel_sum"),
+    )
+    return img.unionByName(audio).unionByName(video)
 
 
 
@@ -3513,6 +3531,15 @@ def oracle_sql() -> dict[str, str]:
               FOR i IN range(0, L // 2) ]
           ), 6) AS pixel_sum
         FROM d
+        UNION ALL
+        SELECT 'video' AS part, id || '.' || CAST(k AS VARCHAR) AS id,
+          id AS parent_id, 1 AS granularity, CAST(k AS BIGINT) AS "offset",
+          2 AS height, 2 AS width, 3 AS channels,
+          ROUND(list_sum(
+            [ CAST(ascii(substr(text, 1 + ((2 * k * 12 + j) % L), 1)) AS DOUBLE)
+              FOR j IN range(0, 12) ]
+          ), 4) AS pixel_sum
+        FROM (SELECT id, text, L, unnest(range(0, 2)) AS k FROM d)
     """
     # r4: Document-schema QL truth table (reference test_filter.py:26-85
     # semantics) — the oracle synthesizes the SAME table as flat columns
