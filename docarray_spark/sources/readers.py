@@ -159,20 +159,75 @@ def fetch_uris(
     return df.mapInPandas(_runner, schema)
 
 
-def read_files(spark: SparkSession, glob: str, recursive: bool = True) -> DataFrame:
-    """``from_files`` analogue (``document/generators.py:56-124``): glob →
-    rows of (path→uri, content→blob, length, modificationTime)."""
-    return (
+def read_files(
+    spark: SparkSession,
+    glob: str | list[str],
+    recursive: bool = True,
+    size: int | None = None,
+    sampling_rate: float | None = None,
+    read_mode: str | None = "rb",
+    to_dataturi: bool = False,
+    exclude_regex: str | None = None,
+) -> DataFrame:
+    """``from_files`` analogue (``document/generators.py:56-124``), full
+    option surface:
+
+    - ``glob``: one pattern or a list (shell wildcards, ``**`` when
+      ``recursive``).
+    - ``read_mode``: ``'rb'`` → blob column, ``'r'`` → UTF-8 text column,
+      ``None`` → paths only — and the binaryFile source PRUNES the content
+      read when the column isn't selected, so paths-only listing never
+      pulls bytes (the reference's lazy-uri mode, for free).
+    - ``exclude_regex``: anchored like the reference's ``re.match``;
+      tested against the path with its URI scheme stripped (Spark paths
+      are URIs, the reference's are local).
+    - ``sampling_rate``: DETERMINISTIC md5-of-path Bernoulli (the
+      reference uses ``random.random()`` — not replayable across runs;
+      a lazily re-executed plan must sample stably).
+    - ``size``: max files (limit after sampling, like the generator).
+    - ``to_dataturi``: uri becomes a base64 data URI of the content
+      (``convert_uri_to_datauri``, ``document/mixins/convert.py:38-51``).
+    """
+    if read_mode not in ("r", "rb", None):
+        raise ValueError(f'read_mode should be "r", "rb" or None, got {read_mode}')
+    if exclude_regex is not None:
+        import re as _re
+
+        try:
+            _re.compile(exclude_regex)
+        except _re.error:
+            raise ValueError(f"`{exclude_regex}` is not a valid regex.")
+    patterns = [glob] if isinstance(glob, str) else list(glob)
+    df = (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", str(recursive).lower())
-        .load(glob)
-        .select(
-            F.col("path").alias("uri"),
-            F.col("content").alias("blob"),
-            F.col("length"),
-            F.col("modificationTime").alias("modification_time"),
-        )
+        .load(patterns)
     )
+    local = F.regexp_replace(F.col("path"), "^[A-Za-z][A-Za-z0-9+.-]*:/*", "/")
+    if exclude_regex is not None:
+        df = df.filter(~local.rlike(f"^(?:{exclude_regex})"))
+    if sampling_rate is not None:
+        from docarray_spark.functions.hashing import hash_unit_col
+
+        df = df.filter(hash_unit_col(F.col("path")) < F.lit(float(sampling_rate)))
+    cols = [
+        F.col("path").alias("uri"),
+        F.col("length"),
+        F.col("modificationTime").alias("modification_time"),
+    ]
+    if read_mode == "rb":
+        cols.insert(1, F.col("content").alias("blob"))
+    elif read_mode == "r":
+        cols.insert(1, F.decode(F.col("content"), "UTF-8").alias("text"))
+    if to_dataturi:
+        cols[0] = F.concat(
+            F.lit("data:application/octet-stream;base64,"),
+            F.base64(F.col("content")),
+        ).alias("uri")
+    out = df.select(*cols)
+    if size is not None:
+        out = out.limit(size)
+    return out
 
 
 def from_huggingface_datasets(

@@ -1025,3 +1025,53 @@ def test_wire_lz4_compress_roundtrip(spark):
     assert {(r.id, r.text) for r in back.collect()} == {
         (1, "hello " * 50), (2, "world")
     }
+
+
+# --------------------------------------------- from_files full options (r4)
+
+def test_read_files_options(spark, tmp_path):
+    """from_files option surface (generators.py:56-124): exclude_regex
+    (anchored, scheme-stripped), read modes, size cap, datauri, and the
+    deterministic sampling contract."""
+    import base64
+
+    from docarray_spark.sources import read_files
+
+    d = tmp_path / "files"
+    d.mkdir()
+    for i in range(6):
+        (d / f"doc{i}.txt").write_text(f"content {i}")
+    (d / "skip_me.log").write_text("nope")
+
+    df = read_files(spark, str(d / "*"))
+    assert df.count() == 7 and "blob" in df.columns
+
+    # text mode decodes; paths-only mode carries no content column
+    txt = read_files(spark, str(d / "doc0.txt"), read_mode="r")
+    assert txt.first().text == "content 0"
+    paths = read_files(spark, str(d / "*"), read_mode=None)
+    assert "blob" not in paths.columns and "text" not in paths.columns
+    assert paths.count() == 7
+
+    # exclude_regex matches like re.match on the local path
+    kept = read_files(spark, str(d / "*"), exclude_regex=r".*skip_.*")
+    assert kept.count() == 6
+    assert all("skip" not in r.uri for r in kept.collect())
+
+    # size caps; list-of-patterns accepted
+    assert read_files(spark, [str(d / "*.txt")], size=3).count() == 3
+
+    # sampling is deterministic (same subset twice) and roughly thins
+    s1 = {r.uri for r in read_files(spark, str(d / "*"), sampling_rate=0.5).collect()}
+    s2 = {r.uri for r in read_files(spark, str(d / "*"), sampling_rate=0.5).collect()}
+    assert s1 == s2 and len(s1) < 7
+
+    # datauri mode embeds the content
+    du = read_files(spark, str(d / "doc1.txt"), to_dataturi=True).first()
+    assert du.uri.startswith("data:application/octet-stream;base64,")
+    assert base64.b64decode(du.uri.split(",", 1)[1]) == b"content 1"
+
+    with pytest.raises(ValueError, match="read_mode"):
+        read_files(spark, str(d / "*"), read_mode="x")
+    with pytest.raises(ValueError, match="regex"):
+        read_files(spark, str(d / "*"), exclude_regex="([")
