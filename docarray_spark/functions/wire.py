@@ -785,6 +785,29 @@ def save_binary(
     DRIVER-SIDE export for bounded arrays (guarded by ``max_rows`` — raise
     it explicitly if the driver can hold more); the scale store is parquet
     (``sources.save_parquet``). → number of docs written."""
+    data, n = array_to_bytes(
+        df, protocol=protocol, compress=compress, doc_cols=doc_cols,
+        proto_fields=proto_fields, proto_types=proto_types,
+        oneof_groups=oneof_groups, max_rows=max_rows,
+    )
+    with open(path, "wb") as f:
+        f.write(data)
+    return n
+
+
+def array_to_bytes(
+    df: DataFrame,
+    protocol: str = "protobuf",
+    compress: str | None = None,
+    doc_cols: list[str] | None = None,
+    proto_fields: dict[str, int] | None = None,
+    proto_types: dict[str, str] | None = None,
+    oneof_groups: tuple[tuple[str, ...], ...] = (),
+    max_rows: int = 100_000,
+) -> tuple[bytes, int]:
+    """Whole-array ``to_bytes`` (``io/binary.py:216-300``): the stream
+    layout as in-memory bytes → ``(data, n_docs)``. Driver-side, bounded
+    by ``max_rows`` — the distributed store is parquet."""
     ser = docs_to_bytes(
         df, protocol=protocol, compress=compress, doc_cols=doc_cols,
         proto_fields=proto_fields, proto_types=proto_types,
@@ -793,13 +816,37 @@ def save_binary(
     rows = ser.select("serialized").limit(max_rows + 1).collect()
     if len(rows) > max_rows:
         raise ValueError(
-            f"save_binary is a driver-side export; > {max_rows} rows found "
-            "— use sources.save_parquet for large arrays or raise max_rows"
+            f"whole-array serialization is a driver-side export; > {max_rows} "
+            "rows found — use sources.save_parquet for large arrays or raise "
+            "max_rows"
         )
-    data = frame_stream([bytes(r.serialized) for r in rows])
-    with open(path, "wb") as f:
-        f.write(data)
-    return len(rows)
+    return frame_stream([bytes(r.serialized) for r in rows]), len(rows)
+
+
+def array_to_base64(df: DataFrame, protocol: str = "protobuf",
+                    compress: str | None = None, **kw) -> str:
+    """``DocumentArray.to_base64`` (``io/binary.py:385-391``): the stream
+    bytes base64-encoded for URL-safe transport. Same driver-side bounds
+    as :func:`array_to_bytes` (``max_rows`` et al. pass through)."""
+    import base64
+
+    data, _ = array_to_bytes(df, protocol=protocol, compress=compress, **kw)
+    return base64.b64encode(data).decode("utf-8")
+
+
+def array_from_base64(spark, data: str, schema, protocol: str = "protobuf",
+                      compress: str | None = None, **kw) -> DataFrame:
+    """``DocumentArray.from_base64`` (``io/binary.py:367-383``) — inverse
+    of :func:`array_to_base64`."""
+    import base64
+
+    frames = unframe_stream(base64.b64decode(data))
+    src = spark.createDataFrame(
+        [(bytearray(fr),) for fr in frames], "serialized binary"
+    )
+    return docs_from_bytes(
+        src, schema, protocol=protocol, compress=compress, **kw
+    )
 
 
 def load_binary(

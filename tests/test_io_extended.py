@@ -1075,3 +1075,27 @@ def test_read_files_options(spark, tmp_path):
         read_files(spark, str(d / "*"), read_mode="x")
     with pytest.raises(ValueError, match="regex"):
         read_files(spark, str(d / "*"), exclude_regex="([")
+
+
+def test_array_base64_roundtrip(spark):
+    """Whole-array to_base64/from_base64 (io/binary.py:367-391): the
+    stream layout base64-encoded, with vectors and compression riding
+    along."""
+    from docarray_spark.functions import array_from_base64, array_to_base64
+
+    df = spark.createDataFrame(
+        [("a", "x", [1.0, 2.0]), ("b", "y", [3.0, 4.0])],
+        "id string, text string, embedding array<float>",
+    )
+    b64 = array_to_base64(df, protocol="protobuf", compress="lz4")
+    assert isinstance(b64, str)
+    import base64
+    assert base64.b64decode(b64)  # valid base64
+    back = array_from_base64(
+        spark, b64, "id string, text string, embedding array<float>",
+        protocol="protobuf", compress="lz4",
+    )
+    got = sorted((r.id, r.text, list(r.embedding)) for r in back.collect())
+    assert got == [("a", "x", [1.0, 2.0]), ("b", "y", [3.0, 4.0])]
+    with pytest.raises(ValueError, match="driver-side"):
+        array_to_base64(spark.range(10), max_rows=5)
