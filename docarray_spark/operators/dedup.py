@@ -447,23 +447,34 @@ def simhash_dup_pairs(
     num_bands: int = 4,
     max_bucket: int | None = None,
     hash_method: str = "md5",
+    slices_per_band: int = 1,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the fingerprint into ``num_bands`` bit
-    slices; by pigeonhole, any pair within ``max_hamming = num_bands - 1``
-    bits collides on ≥1 band. Bucket join on (band, slice), verify with
+    """SimHash near-dup pairs: slice the fingerprint into ``num_bands``
+    bit slices and bucket-join on band keys built from
+    ``slices_per_band`` slices each (every combination); by pigeonhole,
+    any pair within ``max_hamming <= num_bands - slices_per_band``
+    differing bits leaves ≥ ``slices_per_band`` slices untouched, so at
+    least one combination key collides. Verify with
     bit_count(xor) ≤ max_hamming.
 
-    The pigeonhole guarantee requires ``max_hamming <= num_bands - 1``;
-    beyond that, pairs whose differing bits spread across every band are
-    silently missed, so we raise (ADVICE r1: the round-1 entry passed
-    max_hamming=6 with num_bands=4 and could drop hamming-4..6 pairs).
-    Callers wanting the lossy wider verify must raise num_bands (e.g.
-    max_hamming+1) instead."""
-    if max_hamming > num_bands - 1:
+    ``slices_per_band`` is the CORPUS-SIZE dial (r4 scale run): with r=1
+    a band key is only bits/num_bands wide — 12 bits at bits=48/4 —
+    so expected bucket occupancy grows as n/2^width and the candidate
+    join as n²/2^width: measured 5.9 s at 204k docs but 241 s at 1M.
+    r=2 with num_bands=6 squares the keyspace (C(6,2)=15 keys of
+    2·(bits/6) bits), trading 15 narrow probes for quadratically fewer
+    collisions — measured back under a minute at 1M (NOTES r4).
+
+    The pigeonhole guarantee requires
+    ``max_hamming <= num_bands - slices_per_band``; beyond that, pairs
+    whose differing bits spread across every band key are silently
+    missed, so we raise (ADVICE r1)."""
+    if max_hamming > num_bands - slices_per_band:
         raise ValueError(
             f"max_hamming={max_hamming} breaks the pigeonhole recall "
-            f"guarantee with num_bands={num_bands}; need max_hamming <= "
-            f"num_bands - 1 (use num_bands >= {max_hamming + 1})"
+            f"guarantee with num_bands={num_bands} and "
+            f"slices_per_band={slices_per_band}; need max_hamming <= "
+            f"num_bands - slices_per_band"
         )
     width = bits // num_bands
     base = simhash_table(df, id_col, text_col, bits, hash_method=hash_method).select(
@@ -474,13 +485,34 @@ def simhash_dup_pairs(
     # differ, so exchange reuse alone never kicks in — halves the
     # operator's wall clock at sf0.1)
     base = base.persist()
-    slices = base.selectExpr(
-        "_id",
-        "sh",
-        f"posexplode(transform(sequence(0, {num_bands - 1}), "
-        f"b -> (sh >> (b * {width})) % {1 << width}L)) "
-        "as (band, sliceval)",
-    )
+    if slices_per_band == 1:
+        slices = base.selectExpr(
+            "_id",
+            "sh",
+            f"posexplode(transform(sequence(0, {num_bands - 1}), "
+            f"b -> (sh >> (b * {width})) % {1 << width}L)) "
+            "as (band, sliceval)",
+        )
+    else:
+        from itertools import combinations
+
+        # composite keys: concatenated slice values per combination,
+        # packed into one BIGINT (always fits: slices_per_band * width
+        # <= bits <= 60)
+        combo_exprs = []
+        # function-form shifts: the multi-alias `as (band, sliceval)`
+        # parser path rejects >>/<< operators inside the generator call
+        for combo in combinations(range(num_bands), slices_per_band):
+            parts = [
+                f"shiftleft(shiftright(sh, {i * width}) % {1 << width}L, {pos * width})"
+                for pos, i in enumerate(combo)
+            ]
+            combo_exprs.append(" + ".join(parts))
+        arr = ", ".join(combo_exprs)
+        slices = base.selectExpr(
+            "_id", "sh",
+            f"posexplode(array({arr})) as (band, sliceval)",
+        )
     if max_bucket is not None:
         # same hot-bucket guard as the minhash/embedding LSH paths: a
         # mass-duplicated cohort floods one (band, slice) bucket and the
