@@ -89,13 +89,16 @@ def lsh_match(
     c_b = c.select("match_id", F.posexplode(sig("_cv")).alias("table", "sig"))
     q_b = q.select("query_id", F.posexplode(sig("_qv")).alias("table", "sig"))
     if max_bucket is not None:
-        ok = (
+        # broadcast only the HOT keys (anti-join): the OK set is
+        # corpus-bucket-sized — broadcasting it collects every distinct
+        # signature to the driver (r4 scale run: >1 GB at 4M rows)
+        hot = (
             c_b.groupBy("table", "sig")
             .agg(F.count(F.lit(1)).alias("_bn"))
-            .filter(F.col("_bn") <= max_bucket)
+            .filter(F.col("_bn") > max_bucket)
             .select("table", "sig")
         )
-        c_b = c_b.join(F.broadcast(ok), ["table", "sig"])
+        c_b = c_b.join(F.broadcast(hot), ["table", "sig"], "left_anti")
 
     cand = (
         q_b.join(c_b, ["table", "sig"])

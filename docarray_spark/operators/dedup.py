@@ -237,13 +237,17 @@ def minhash_dedup_pairs(
         # the re-computation amplified the 204k-doc run ~10x (r3 scale run)
         buckets = buckets.persist()
     if max_bucket is not None:
-        ok = (
+        # broadcast the HOT buckets (tiny by construction: only the
+        # pathological keys exceed the cap) and anti-join — broadcasting
+        # the OK side shipped ~all distinct bucket keys to the driver and
+        # blew spark.driver.maxResultSize at 4M docs (r4 scale run)
+        hot = (
             buckets.groupBy("band", "mh")
             .agg(F.count(F.lit(1)).alias("_bn"))
-            .filter(F.col("_bn") <= max_bucket)
+            .filter(F.col("_bn") > max_bucket)
             .select("band", "mh")
         )
-        buckets = buckets.join(F.broadcast(ok), ["band", "mh"])
+        buckets = buckets.join(F.broadcast(hot), ["band", "mh"], "left_anti")
     left = buckets.select(F.col("_id").alias("id_a"), "band", "mh")
     right = buckets.select(F.col("_id").alias("id_b"), "band", "mh")
     pairs = (
@@ -517,13 +521,13 @@ def simhash_dup_pairs(
         # same hot-bucket guard as the minhash/embedding LSH paths: a
         # mass-duplicated cohort floods one (band, slice) bucket and the
         # join goes quadratic in cohort size
-        ok = (
+        hot = (
             slices.groupBy("band", "sliceval")
             .agg(F.count(F.lit(1)).alias("_bn"))
-            .filter(F.col("_bn") <= max_bucket)
+            .filter(F.col("_bn") > max_bucket)
             .select("band", "sliceval")
         )
-        slices = slices.join(F.broadcast(ok), ["band", "sliceval"])
+        slices = slices.join(F.broadcast(hot), ["band", "sliceval"], "left_anti")
     left = slices.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "sliceval")
     right = slices.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "sliceval")
     return (
@@ -597,14 +601,15 @@ def embedding_dup_pairs(
             "_id", F.posexplode(sig("_v")).alias("table", "sig")
         ).persist()
         if max_bucket is not None:
-            ok = (
+            hot = (
                 sigs.groupBy("table", "sig")
                 .agg(F.count(F.lit(1)).alias("_bn"))
-                .filter(F.col("_bn") <= max_bucket)
+                .filter(F.col("_bn") > max_bucket)
                 .select("table", "sig")
             )
-            # bucket-key table is tiny (distinct signatures) → broadcast
-            sigs = sigs.join(F.broadcast(ok), ["table", "sig"])
+            # only the pathological keys broadcast (anti-join) — the OK
+            # set is corpus-bucket-sized and must never hit the driver
+            sigs = sigs.join(F.broadcast(hot), ["table", "sig"], "left_anti")
         left = sigs.select(F.col("_id").alias("id_a"), "table", "sig")
         right = sigs.select(F.col("_id").alias("id_b"), "table", "sig")
         cand = (
