@@ -50,6 +50,7 @@ def remove_frequent_units(
     units: Column | str = "units",
     min_df: int = 3,
     joiner: str = " ",
+    broadcast_freq: bool = True,
 ) -> DataFrame:
     """→ ``(id_col, clean_text, units_total, units_removed)``: every unit
     appearing in ≥ ``min_df`` DISTINCT documents is dropped from every
@@ -70,8 +71,13 @@ def remove_frequent_units(
         .filter(F.col("_df") >= min_df)
         .select("_uh")
     )
+    # the frequent set is SMALL on real corpora (only units repeated in
+    # >= min_df distinct docs), but not bounded by construction — pass
+    # broadcast_freq=False on crawls where near-duplicate boilerplate is
+    # itself corpus-scale and the set would not fit an executor
+    bad = freq.withColumn("_bad", F.lit(1))
     tagged = exploded.join(
-        F.broadcast(freq.withColumn("_bad", F.lit(1))), "_uh", "left"
+        F.broadcast(bad) if broadcast_freq else bad, "_uh", "left"
     )
     parts = F.array_sort(
         F.collect_list(F.struct("_pos", "_unit", "_bad"))

@@ -152,12 +152,17 @@ def text_to_tensor(
     text_col: str = "text",
     id_col: str = "id",
     max_len: int | None = None,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """``convert_text_to_tensor`` (``document/mixins/text.py:38-102``):
     token→id sequence via a broadcast join against the vocab table; unknown
-    tokens → 1; right-pad with 0 to ``max_len`` (trim if longer)."""
+    tokens → 1; right-pad with 0 to ``max_len`` (trim if longer).
+    ``broadcast_vocab=False`` for vocabularies too large to ship to every
+    executor (uncapped web-corpus vocabs) — the join falls back to a hash
+    shuffle on the token key."""
     toks = df.select(id_col, F.posexplode(tokens_col(text_col)).alias("pos", "token"))
-    joined = toks.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+    v = vocab.select("token", "token_id")
+    joined = toks.join(F.broadcast(v) if broadcast_vocab else v, "token", "left")
     seq = (
         joined.groupBy(id_col)
         .agg(
@@ -548,6 +553,7 @@ def tfidf_vectors(
     text_col: str = "text",
     min_df: int = 1,
     round_to: int = 6,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Sparse TF-IDF document vectors as ``(id, token, token_id, weight)``
     triples — the sparse-embedding producer whose output feeds the
@@ -590,7 +596,7 @@ def tfidf_vectors(
     n = df.groupBy().agg(F.count(F.lit(1)).alias("_n_docs"))
     idf = F.log((F.col("_n_docs") + F.lit(1.0)) / (F.col("dfreq") + F.lit(1.0))) + 1.0
     return (
-        tf.join(F.broadcast(ids), "token")
+        tf.join(F.broadcast(ids) if broadcast_vocab else ids, "token")
         .crossJoin(F.broadcast(n))
         .select(
             F.col(id_col),

@@ -71,3 +71,19 @@ def test_dedup_units_first_null_and_empty_units_survive(spark):
         assert r.clean_text == "" and r.units_total == 0 and r.units_removed == 0
     assert out[1].clean_text == "aa bb"
     assert out[4].clean_text == "" and out[4].units_removed == 1
+
+
+def test_remove_frequent_units_shuffle_join_path(spark):
+    """broadcast_freq=False (corpus-scale frequent sets) produces the
+    same result through a shuffle join."""
+    from docarray_spark.operators.boilerplate import lines_col, remove_frequent_units
+
+    df = spark.createDataFrame(
+        [(1, "keep one\nboiler\nkeep two"), (2, "boiler\nunique"),
+         (3, "boiler\nother")],
+        "id long, text string",
+    ).withColumn("units", lines_col("text"))
+    a = {r.id: r.clean_text for r in remove_frequent_units(df, min_df=3).collect()}
+    b = {r.id: r.clean_text for r in remove_frequent_units(
+        df, min_df=3, broadcast_freq=False).collect()}
+    assert a == b and "boiler" not in a[1]
