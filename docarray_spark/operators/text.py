@@ -249,6 +249,79 @@ def text_search(
     return out.select(F.col("_id").alias(id_col), score.alias("score"), "rank")
 
 
+def bm25_index(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Amortized BM25: build the inverted index ONCE → ``(postings,
+    stats)``. ``postings`` = one row per (token, doc): ``(token, id, dl,
+    tf, df)`` with the document frequency pre-joined per token; ``stats``
+    = 1 row ``(n_docs, avgdl)``.
+
+    Per-query :func:`text_search` re-tokenizes the whole corpus every
+    call (the reference's ``find(str)`` shape) — measured 10-15 s per
+    query at 1M docs. The index pays that once; write ``postings``
+    partitioned (or bucketed) BY a token prefix so
+    :func:`bm25_query`'s term filter prunes at the scan, and queries
+    drop to sub-second postings lookups."""
+    base = df.select(
+        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("_dl").alias("avgdl")
+    )
+    tf = (
+        base.select("_id", "_dl", F.explode("_toks").alias("token"))
+        .groupBy("token", "_id", "_dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    postings = tf.join(dfreq, "token").select(
+        "token", F.col("_id").alias(id_col), F.col("_dl").alias("dl"), "tf", "df"
+    )
+    return postings, stats
+
+
+def bm25_query(
+    postings: DataFrame,
+    stats: DataFrame,
+    query: str,
+    id_col: str = "id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int | None = None,
+    prefix_len: int = 1,
+) -> DataFrame:
+    """Query a :func:`bm25_index` — same scoring (and same output schema)
+    as :func:`text_search`, but the only corpus-sized work is the pruned
+    postings scan for the query's terms. If the postings carry a ``pfx``
+    column (written ``partitionBy('pfx')`` with
+    ``substring(token, 1, prefix_len)``), the query filters it too and
+    the term lookup becomes PARTITION PRUNING at the scan — pass the
+    SAME ``prefix_len`` the writer used."""
+    qterms = sorted({t for t in query.lower().split() if t})
+    hit = postings.filter(F.col("token").isin(qterms))
+    if "pfx" in postings.columns:
+        hit = hit.filter(
+            F.col("pfx").isin(sorted({t[:prefix_len] for t in qterms}))
+        )
+    hit = hit.crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    s = idf * (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = hit.withColumn("_s", s).groupBy(id_col).agg(F.sum("_s").alias("score"))
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    out = top.withColumn("rank", F.row_number().over(w))
+    score = F.round("score", round_to) if round_to is not None else F.col("score")
+    return out.select(id_col, score.alias("score"), "rank")
+
+
 def fingerprint_col(text: Column | str) -> Column:
     """Document fingerprint: md5 over the whitespace-normalized, lowercased
     text. Engine-portable (md5 everywhere)."""

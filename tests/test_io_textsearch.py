@@ -193,3 +193,43 @@ def test_save_orc_roundtrip_with_partition_pruning(spark, sf_dir, tmp_path):
     en = back.filter("lang = 'en'")
     plan = en._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "lang" in plan
+
+
+def test_bm25_index_query_matches_text_search(spark, sf_dir):
+    """The amortized index path scores identically to the per-call path
+    (same idf/tf/normalization; same tie-break)."""
+    from docarray_spark.operators import bm25_index, bm25_query, text_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    q = "key scan table"
+    direct = [(r.doc_id, round(r.score, 9), r.rank) for r in text_search(
+        docs, q, id_col="doc_id", k=15).collect()]
+    postings, stats = bm25_index(docs, id_col="doc_id")
+    via_index = [(r.doc_id, round(r.score, 9), r.rank) for r in bm25_query(
+        postings, stats, q, id_col="doc_id", k=15).collect()]
+    assert direct == via_index
+
+
+def test_bm25_index_persists_and_prunes(spark, sf_dir, tmp_path):
+    """Written partitioned by token prefix, a query scans only its terms'
+    partitions (PartitionFilters prune the rest)."""
+    from pyspark.sql import functions as F
+
+    from docarray_spark.operators import bm25_index, bm25_query
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    postings, stats = bm25_index(docs, id_col="doc_id")
+    p = str(tmp_path / "idx")
+    (postings.withColumn("pfx", F.substring("token", 1, 1))
+        .write.partitionBy("pfx").mode("overwrite").parquet(p))
+    stats_rows = stats.collect()
+    stats_df = spark.createDataFrame(stats_rows, stats.schema)
+    idx = spark.read.parquet(p)
+    hits = bm25_query(idx, stats_df, "key scan", id_col="doc_id", k=5)
+    assert hits.count() == 5
+    # pruned result set identical to the unpruned postings path
+    plain = bm25_query(postings, stats_df, "key scan", id_col="doc_id", k=5)
+    assert [tuple(r) for r in hits.collect()] == [tuple(r) for r in plain.collect()]
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: []" not in plan  # pruning actually engaged
+    assert "pfx" in plan.split("PartitionFilters")[1][:120]
