@@ -3522,14 +3522,28 @@ def oracle_sql() -> dict[str, str]:
           ))), 4) AS pixel_sum
         FROM c
         UNION ALL
+        -- int16 reconstruction is SIGNED little-endian (the engine's
+        -- numpy '<i2' view) and amax takes |sample|: raw = b0 + 256*b1,
+        -- minus 65536 when the sign bit is set, then abs.  Blobs shorter
+        -- than one sample decode to zeros(1) engine-side (n_samples=1,
+        -- amax=0) — replayed here.  NOTE the char-based substr/ascii
+        -- replay assumes 1-byte (ASCII) characters, which holds for the
+        -- driver's documents.text; non-ASCII text would need a byte-level
+        -- oracle.
         SELECT 'audio' AS part, id, id AS parent_id, 0 AS granularity,
           CAST(0 AS BIGINT) AS "offset",
-          CAST(L // 2 AS INT) AS height, 1 AS width, 1 AS channels,
-          ROUND(list_max(
-            [ (ascii(substr(text, 2 * i + 1, 1))
-               + 256 * ascii(substr(text, 2 * i + 2, 1))) / 32768.0
+          CAST(CASE WHEN L < 2 THEN 1 ELSE L // 2 END AS INT) AS height,
+          1 AS width, 1 AS channels,
+          CASE WHEN L < 2 THEN 0.0 ELSE ROUND(list_max(
+            [ abs(CASE WHEN ascii(substr(text, 2 * i + 1, 1))
+                       + 256 * ascii(substr(text, 2 * i + 2, 1)) >= 32768
+                  THEN ascii(substr(text, 2 * i + 1, 1))
+                       + 256 * ascii(substr(text, 2 * i + 2, 1)) - 65536
+                  ELSE ascii(substr(text, 2 * i + 1, 1))
+                       + 256 * ascii(substr(text, 2 * i + 2, 1)) END
+              ) / 32768.0
               FOR i IN range(0, L // 2) ]
-          ), 6) AS pixel_sum
+          ), 6) END AS pixel_sum
         FROM d
         UNION ALL
         SELECT 'video' AS part, id || '.' || CAST(k AS VARCHAR) AS id,

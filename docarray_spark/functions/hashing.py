@@ -55,8 +55,13 @@ def hash_bits_sql(expr: str, bits: int, method: str = "md5") -> str:
     if bits > 60:
         raise ValueError(f"at most 60 hash bits (got {bits})")
     if method == "md5":
+        # Take enough hex chars to cover `bits`, then reduce to exactly
+        # [0, 2^bits).  The value is non-negative, so pmod by a power of
+        # two keeps the low bits unchanged — callers that already consumed
+        # only low bits (simhash) see identical values.
         hx = max(8, (bits + 3) // 4)
-        return f"cast(conv(substring(md5({expr}), 1, {hx}), 16, 10) as bigint)"
+        raw = f"cast(conv(substring(md5({expr}), 1, {hx}), 16, 10) as bigint)"
+        return raw if (4 * hx == bits) else f"pmod({raw}, {1 << bits})"
     return f"pmod(xxhash64({expr}), {1 << bits})"
 
 

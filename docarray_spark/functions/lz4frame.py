@@ -11,6 +11,9 @@ standard LZ4 reader decodes, and reads frames the reference wrote:
   blocks, optional content-size field, dict-id, block checksums, and
   verifies the header checksum; a full LZ4 *block* sequence decoder
   (token / extended lengths / offset+match copy with overlap) is included.
+  Both block-independence modes are decoded: FLG bit 5 set → standalone
+  blocks; clear (``lz4.frame``'s ``block_linked=True`` default) → each
+  block is decoded against the previous 64 KB of output as history.
 * **compress** emits spec-conformant frames with STORED blocks (the high
   bit of the block-size word marks uncompressed data — legal LZ4, chosen
   over a python match-finder: the per-doc frames this codec carries are
@@ -79,10 +82,16 @@ def xxhash32(data: bytes, seed: int = 0) -> int:
 # ------------------------------------------------------- LZ4 block decode
 
 
-def lz4_block_decompress(src: bytes) -> bytes:
+def lz4_block_decompress(src: bytes, history: bytes = b"") -> bytes:
     """LZ4 block-format sequence decoder (token, extended literal/match
-    lengths, 2-byte little-endian offset, byte-wise overlap copy)."""
-    out = bytearray()
+    lengths, 2-byte little-endian offset, byte-wise overlap copy).
+
+    ``history`` is the decoded prefix a *linked* block may reference
+    (frame FLG bit 5 clear → each block can match into the previous 64 KB
+    of decoded output).  Only the newly decoded bytes are returned.
+    """
+    out = bytearray(history)
+    base = len(out)
     pos, n = 0, len(src)
     while pos < n:
         token = src[pos]
@@ -116,7 +125,7 @@ def lz4_block_decompress(src: bytes) -> bytes:
             raise ValueError("corrupt LZ4 block: offset before start")
         for i in range(match_len):  # byte-wise: overlap copies are the norm
             out.append(out[start + i])
-    return bytes(out)
+    return bytes(out[base:])
 
 
 # ---------------------------------------------------------- frame codec
@@ -161,6 +170,11 @@ def decompress(data: bytes) -> bytes:
     if hc != ((xxhash32(data[4:pos]) >> 8) & 0xFF):
         raise ValueError("LZ4 frame header checksum mismatch")
     pos += 1
+    # FLG bit 5 clear → *linked* blocks: every block may copy matches from
+    # the previous 64 KB of decoded output, not just its own.  lz4.frame
+    # writers (the reference's helper.py compress_bytes among them) default
+    # to block_linked=True, so multi-block frames require this path.
+    block_independent = bool(flg & 0x20)
     out = bytearray()
     while True:
         (word,) = struct.unpack_from("<I", data, pos)
@@ -173,7 +187,11 @@ def decompress(data: bytes) -> bytes:
         pos += size
         if has_block_checksum:
             pos += 4  # present per-block; integrity is the content's job
-        out += block if stored else lz4_block_decompress(block)
+        if stored:
+            out += block
+        else:
+            hist = b"" if block_independent else bytes(out[-65536:])
+            out += lz4_block_decompress(block, hist)
     if has_content_checksum:
         (want,) = struct.unpack_from("<I", data, pos)
         if xxhash32(bytes(out)) != want:

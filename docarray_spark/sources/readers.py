@@ -14,7 +14,7 @@ semantics) so downstream operators see a plain ``timestamp`` type.
 from __future__ import annotations
 
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -185,8 +185,16 @@ def read_files(
       reference uses ``random.random()`` — not replayable across runs;
       a lazily re-executed plan must sample stably).
     - ``size``: max files (limit after sampling, like the generator).
-    - ``to_dataturi``: uri becomes a base64 data URI of the content
-      (``convert_uri_to_datauri``, ``document/mixins/convert.py:38-51``).
+    - ``to_dataturi``: uri becomes a base64 data URI of the content with
+      the mimetype guessed from the file extension — the reference's
+      ``mimetypes.guess_type`` via the ``mime_type`` property
+      (``convert_uri_to_datauri``, ``document/mixins/convert.py:38-51``;
+      ``document/data.py:57``), ``application/octet-stream`` when the
+      extension is unknown.  NOTE: building the data URI necessarily
+      reads the content even under ``read_mode=None`` (the reference's
+      generator does the same — ``convert_uri_to_datauri`` pulls the blob,
+      ``generators.py:111-114``), so the paths-only content pruning above
+      applies only when ``to_dataturi`` is False.
     """
     if read_mode not in ("r", "rb", None):
         raise ValueError(f'read_mode should be "r", "rb" or None, got {read_mode}')
@@ -220,9 +228,22 @@ def read_files(
     elif read_mode == "r":
         cols.insert(1, F.decode(F.col("content"), "UTF-8").alias("text"))
     if to_dataturi:
+        import mimetypes
+
+        # extension → mimetype as a literal map (the stdlib table the
+        # reference's mimetypes.guess_type consults), matched JVM-side
+        ext_pairs: list[Column] = []
+        for ext, mt in sorted(mimetypes.types_map.items()):
+            ext_pairs += [F.lit(ext.lstrip(".").lower()), F.lit(mt)]
+        mime = F.coalesce(
+            F.element_at(
+                F.create_map(*ext_pairs),
+                F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1)),
+            ),
+            F.lit("application/octet-stream"),
+        )
         cols[0] = F.concat(
-            F.lit("data:application/octet-stream;base64,"),
-            F.base64(F.col("content")),
+            F.lit("data:"), mime, F.lit(";base64,"), F.base64(F.col("content"))
         ).alias("uri")
     out = df.select(*cols)
     if size is not None:

@@ -65,23 +65,46 @@ def _write_text(path: str, text: str, spark: SparkSession | None = None) -> None
             f.write(text)
         os.replace(tmp, path)
         return
+    spark = spark or SparkSession.getActiveSession()
     fs, jpath, jvm = _hadoop_fs(path, spark)
-    # ADVICE r3: a direct create() is not atomic — a concurrent pull/list
-    # can read a truncated manifest. On rename-atomic filesystems (HDFS,
-    # local) write a temp file and rename over; on object stores rename is
-    # a copy, so direct create stays (their PUT is already atomic anyway).
+    # ADVICE r3/r4: a direct create() is not atomic — a concurrent
+    # pull/list can read a truncated manifest. On rename-atomic
+    # filesystems (HDFS, local) write a UNIQUE temp file (fixed '.tmp'
+    # collides under concurrent writers) and rename over the target with
+    # FileContext + Options.Rename.OVERWRITE — the overwrite rename is a
+    # single atomic op, with no delete-then-rename window where the
+    # manifest doesn't exist. On object stores rename is a copy, so
+    # direct create stays (their PUT is already atomic anyway).
     scheme = (jpath.toUri().getScheme() or "").lower()
     rename_is_copy = scheme in ("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss")
-    target = jpath
-    if not rename_is_copy:
-        target = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    if rename_is_copy:
+        out = fs.create(jpath, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        return
+    import uuid
+
+    target = jvm.org.apache.hadoop.fs.Path(f"{path}.{uuid.uuid4().hex}.tmp")
     out = fs.create(target, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
-    if not rename_is_copy:
-        fs.delete(jpath, False)  # rename target must not exist on HDFS
+    try:
+        Rename = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = spark.sparkContext._gateway.new_array(Rename, 1)
+        opts[0] = Rename.OVERWRITE
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            jpath.toUri(), fs.getConf()
+        )
+        fc.rename(target, jpath, opts)
+    except Exception:
+        # filesystems without a FileContext AbstractFileSystem binding:
+        # fall back to delete+rename (non-overwriting rename semantics) —
+        # still unique-temp'd, but with the brief no-file window
+        fs.delete(jpath, False)
         if not fs.rename(target, jpath):
             raise IOError(f"atomic rename failed for {path!r}")
 

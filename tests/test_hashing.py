@@ -115,3 +115,27 @@ def test_xxhash_plan_has_no_md5(spark):
 def test_unknown_hash_method_raises(spark, neardup_corpus):
     with pytest.raises(ValueError, match="hash_method"):
         minhash_dedup_pairs(neardup_corpus, hash_method="sha1").collect()
+
+
+@pytest.mark.parametrize("method", ["md5", "xxhash64"])
+@pytest.mark.parametrize("bits", [8, 16, 20, 48, 60])
+def test_hash_bits_sql_honors_documented_range(spark, method, bits):
+    """Both methods return values in exactly [0, 2^bits) (ADVICE r4: the
+    md5 path used to emit the full hex-prefix range, e.g. 32-bit values
+    for bits=16), and the md5 mask preserves the low bits the simhash
+    caller consumes."""
+    from docarray_spark.functions.hashing import hash_bits_sql
+
+    frag = hash_bits_sql("cast(id as string)", bits, method)
+    rows = spark.range(500).selectExpr(f"{frag} as h").collect()
+    vals = [r.h for r in rows]
+    assert all(0 <= v < (1 << bits) for v in vals)
+    # genuinely spreads over the range (not clipped to a corner)
+    assert len(set(vals)) > min(400, (1 << bits) * 0.7)
+    if method == "md5":
+        hx = max(8, (bits + 3) // 4)  # the prefix width the helper uses
+        raw = (f"cast(conv(substring(md5(cast(id as string)), 1, {hx}), "
+               "16, 10) as bigint)")
+        low = spark.range(500).selectExpr(
+            f"pmod({raw}, {1 << bits}) as h").collect()
+        assert [r.h for r in low] == vals

@@ -1010,6 +1010,37 @@ def test_lz4_block_sequences_decode():
     assert decompress(frame) == b"abcdabcdabcd"
 
 
+def test_lz4_linked_blocks_decode():
+    """FLG bit 5 clear = linked blocks (lz4.frame's block_linked=True
+    default, which the reference's helper.py compress_bytes uses): a block
+    may copy matches from the PREVIOUS block's decoded output.  Frame
+    hand-built per the spec; block 2's first sequence reaches 8 bytes into
+    block 1's history."""
+    import struct
+
+    from docarray_spark.functions.lz4frame import decompress, xxhash32
+
+    blk1 = bytes([0x80]) + b"abcdefgh"  # 8 literals, no match
+    # match(offset=8, len=8) into block-1 history, then 5 closing literals
+    blk2 = bytes([0x04, 0x08, 0x00, 0x50]) + b"XYZAB"
+
+    def frame(flg):
+        desc = bytes([flg, 0x70])
+        hc = (xxhash32(desc) >> 8) & 0xFF
+        return (
+            struct.pack("<I", 0x184D2204) + desc + bytes([hc])
+            + struct.pack("<I", len(blk1)) + blk1
+            + struct.pack("<I", len(blk2)) + blk2
+            + struct.pack("<I", 0)
+        )
+
+    # linked (0x40): block 2's match resolves against block 1's output
+    assert decompress(frame(0x40)) == b"abcdefgh" + b"abcdefghXYZAB"
+    # independent (0x60): the same offset has no history to point at
+    with pytest.raises(ValueError, match="offset before start"):
+        decompress(frame(0x60))
+
+
 def test_wire_lz4_compress_roundtrip(spark):
     """compress='lz4' works end-to-end through the per-doc wire codec
     (the reference's helper.py compress_bytes lz4 path, sans package)."""
@@ -1066,10 +1097,15 @@ def test_read_files_options(spark, tmp_path):
     s2 = {r.uri for r in read_files(spark, str(d / "*"), sampling_rate=0.5).collect()}
     assert s1 == s2 and len(s1) < 7
 
-    # datauri mode embeds the content
+    # datauri mode embeds the content; mimetype guessed from the
+    # extension (reference mimetypes.guess_type, data.py:57)
     du = read_files(spark, str(d / "doc1.txt"), to_dataturi=True).first()
-    assert du.uri.startswith("data:application/octet-stream;base64,")
+    assert du.uri.startswith("data:text/plain;base64,")
     assert base64.b64decode(du.uri.split(",", 1)[1]) == b"content 1"
+    # unknown extension falls back to octet-stream
+    (d / "blob1.zzz").write_bytes(b"\x00\x01")
+    duz = read_files(spark, str(d / "blob1.zzz"), to_dataturi=True).first()
+    assert duz.uri.startswith("data:application/octet-stream;base64,")
 
     with pytest.raises(ValueError, match="read_mode"):
         read_files(spark, str(d / "*"), read_mode="x")

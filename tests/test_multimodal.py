@@ -90,6 +90,21 @@ def test_decode_audio_stats(spark):
     assert out["amax"] == pytest.approx(float(np.abs(ref).max()), rel=1e-6)
 
 
+def test_decode_audio_signed_and_short_edges(spark):
+    """int16 decode is SIGNED little-endian (a high byte >= 0x80 makes a
+    negative sample whose |value| drives amax) and sub-sample blobs decode
+    to zeros(1) — the exact semantics the mm_image_chunks audio oracle
+    replays in SQL (ADVICE r4)."""
+    neg = b"\x00\x80"  # int16 -32768 -> sample -1.0, amax 1.0
+    rows = [("neg", neg), ("short", b"x"), ("empty", b"")]
+    df = spark.createDataFrame(rows, "id string, blob binary")
+    out = {r["id"]: r for r in decode_audio(df).collect()}
+    assert out["neg"]["n_samples"] == 1
+    assert out["neg"]["amax"] == pytest.approx(1.0)
+    for k in ("short", "empty"):
+        assert out[k]["n_samples"] == 1 and out[k]["amax"] == 0.0
+
+
 def test_sample_frames(spark):
     frames = np.stack([np.full((2, 2, 1), i, np.float32) for i in range(10)])
     df = spark.createDataFrame(
