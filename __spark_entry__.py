@@ -854,14 +854,49 @@ def q_sparse_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (scale path for ANN): deterministic hash-sampled
-    centroids, probe 4/16 cells, exact cosine inside probed cells. Fully
-    SQL-reproducible, so oracle-gated despite being approximate."""
+    """Quantization-family ANN, part-tagged:
+
+    - part='ivf': IVF approximate top-k — deterministic hash-sampled
+      centroids, probe 4/16 cells, exact cosine inside probed cells.
+    - part='pq_adc' (r5): product-quantization ADC top-k (operators/pq.py;
+      Jégou et al. TPAMI 2011) — 4 subspaces × 8 codewords, codewords =
+      the md5-hash-sampled corpus rows (same quantizer derivation as IVF's
+      centroids), corpus encoded to 4-byte codes, queries scored by LUT
+      sums. Every step (codebook choice, per-subspace argmin encode, ADC
+      sums) is deterministic algebra, so the ORACLE replays the whole
+      operator — encode included — in SQL.
+
+    Both parts fully SQL-reproducible, so oracle-gated despite being
+    approximate."""
+    from docarray_spark.operators.pq import pq_encode, pq_match
+
     emb, queries = _emb_corpus_queries(spark, sf_dir, 8)
-    return ivf_match(
+    ivf = ivf_match(
         emb, queries, k=10, n_cells=16, n_probe=4, metric="cosine",
         corpus_id_col="vec_id", query_id_col="id", round_scores=6,
     )
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    # codebooks: the 8 corpus vectors with smallest md5(id), code order by
+    # id — the ivf_index centroid derivation, reused per subspace
+    cw = sorted(
+        base.withColumn("_h", F.md5(F.col("id").cast("string")))
+        .orderBy("_h").limit(8).drop("_h").collect(),
+        key=lambda r: r.id,
+    )
+    books = [
+        [[float(x) for x in r.v[lo:hi]] for r in cw]
+        for lo, hi in ((0, 16), (16, 32), (32, 48), (48, 64))
+    ]
+    enc = pq_encode(base, books, id_col="id", emb_col="v")
+    pq = pq_match(
+        enc, queries, books, k=10, metric="sqeuclidean",
+        query_emb_col="embedding", round_scores=6,
+    )
+    part = lambda df, tag: df.select(F.lit(tag).alias("part"), "*")  # noqa: E731
+    return part(ivf, "ivf").unionByName(part(pq, "pq_adc"))
 
 
 def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2836,10 +2871,57 @@ def oracle_sql() -> dict[str, str]:
               FROM probes p JOIN assigned a ON p.cell = a.cell
             ),
             r AS (SELECT *, row_number() OVER (
-                    PARTITION BY query_id ORDER BY score, match_id) AS rnk FROM cand)
-            SELECT query_id, match_id, rnk::INT AS rank, round(score, 6) AS score,
-                   'cosine' AS metric_name
+                    PARTITION BY query_id ORDER BY score, match_id) AS rnk FROM cand),
+            -- part='pq_adc': full PQ replay — codebook = 8 md5-sampled
+            -- corpus rows split into 4×16-d subspaces; encode = per
+            -- (row, subspace) argmin sqeuclidean with code-asc tie-break
+            -- (numpy argmin picks the first minimum); score = sum over
+            -- subspaces of the query-to-chosen-codeword sqeuclidean (the
+            -- ADC lookup-table sum, computed directly)
+            js AS (SELECT unnest(range(0, 4)) AS j),
+            cw0 AS (SELECT id, v FROM base ORDER BY md5(id::VARCHAR) LIMIT 8),
+            cwn AS (SELECT (row_number() OVER (ORDER BY id) - 1)::INT AS code, v
+                    FROM cw0),
+            book AS (
+              SELECT j, code, list_slice(v, j * 16 + 1, j * 16 + 16) AS bsub
+              FROM cwn, js
+            ),
+            corp AS (
+              SELECT id, j, list_slice(v, j * 16 + 1, j * 16 + 16) AS sub
+              FROM base, js
+            ),
+            encj AS (
+              SELECT c.id, c.j, b.bsub
+              FROM corp c JOIN book b ON b.j = c.j
+              QUALIFY row_number() OVER (
+                PARTITION BY c.id, c.j
+                ORDER BY list_sum([ (c.sub[i] - b.bsub[i]) ^ 2
+                                    FOR i IN range(1, 17) ]), b.code) = 1
+            ),
+            qsubs AS (
+              SELECT id AS query_id, j, list_slice(v, j * 16 + 1, j * 16 + 16) AS qsub
+              FROM base, js WHERE id < 8
+            ),
+            adc AS (
+              SELECT q.query_id, e.id AS match_id,
+                     sum(list_sum([ (q.qsub[i] - e.bsub[i]) ^ 2
+                                    FOR i IN range(1, 17) ])) AS score
+              FROM qsubs q JOIN encj e ON e.j = q.j
+              GROUP BY 1, 2
+            ),
+            -- rank over the ROUNDED score: PQ ties are structural (equal
+            -- codes), and float-sum-order noise must not permute them
+            pqr AS (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY round(score, 6), match_id) AS rnk
+                    FROM adc)
+            SELECT 'ivf' AS part, query_id, match_id, rnk::INT AS rank,
+                   round(score, 6) AS score, 'cosine' AS metric_name
             FROM r WHERE rnk <= 10
+            UNION ALL
+            SELECT 'pq_adc' AS part, query_id, match_id, rnk::INT AS rank,
+                   round(score, 6) AS score, 'sqeuclidean' AS metric_name
+            FROM pqr WHERE rnk <= 10
         """,
         "stream_windowed_counts": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -1,0 +1,500 @@
+"""Product-quantization ANN (engine extension; SURVEY.md §4.2 scale path).
+
+Public-knowledge basis: Jégou/Douze/Schmid, *Product Quantization for
+Nearest Neighbor Search* (IEEE TPAMI 2011) — the ADC/IVF-ADC design that
+FAISS popularized. The reference delegates ANN to external HNSW stores
+(``/root/reference/docarray/array/storage/annlite/find.py:16-44``); a graph
+index can't be hosted across 1000 executors, but PQ can: it is a *columnar
+compression* of the vectors, and the search is a scan — exactly what Spark
+executes well.
+
+Why it matters at 100 TB: a 128-d float32 embedding is 512 B; its PQ code
+(m=16 subspaces × 8 bits) is 16 B — **32×** smaller. The ADC scan reads
+codes only, so a corpus whose raw vectors are 100 TB is searched from
+~3 TB of codes, with distances computed by table lookup (no float math per
+dimension). The pipeline:
+
+* :func:`pq_train` — per-subspace k-means codebooks on a bounded,
+  deterministic hash-sample (driver numpy; classic PQ trains on a sample).
+* :func:`pq_encode` — map-only Arrow pass: argmin over each subspace's
+  codebook → one uint8 per subspace, packed into a BINARY codes column.
+  Zero shuffle; typically written out once and reused by every query batch.
+* :func:`pq_match` — asymmetric distance computation (ADC): per query a
+  (m × ksub) lookup table of partial distances, then every corpus code
+  scores as m table lookups. Per-partition top-k, then the same
+  window-merge as ``operators/match.py`` — the corpus never shuffles; only
+  ``k × partitions`` candidate rows reach the merge.
+* :func:`ivfpq_match` — IVF cell pruning on top (probe ``n_probe`` cells,
+  ADC inside probed cells only); the encoded table is keyed by ``cell`` so
+  a persisted copy partitioned BY cell gives partition-pruned scans.
+
+Exact kNN (``operators/match.py``) stays the correctness baseline; recall
+floors vs it are pinned in ``tests/test_ann.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MAX_TRAIN_SAMPLE = 262144  # driver-collect budget (same stance as match())
+_MAX_QUERY_ROWS = 65536
+
+
+def _as_matrix(series: pd.Series) -> np.ndarray:
+    return np.asarray([np.asarray(e, dtype=np.float64) for e in series])
+
+
+def _subspace_bounds(dim: int, m: int) -> list[tuple[int, int]]:
+    """Split ``dim`` into m contiguous subspaces, first ``dim % m`` get the
+    extra dimension (FAISS requires m | dim; contiguous uneven split keeps
+    the operator usable on any dim)."""
+    base, extra = divmod(dim, m)
+    bounds, lo = [], 0
+    for j in range(m):
+        hi = lo + base + (1 if j < extra else 0)
+        bounds.append((lo, hi))
+        lo = hi
+    return bounds
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 256,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+    sample: int = 16384,
+    n_iter: int = 10,
+    dim: int | None = None,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: k-means (Lloyd, numpy) independently on
+    each of the ``m`` contiguous subspaces of a deterministic md5-ordered
+    hash-sample of the corpus. Returns ``codebooks[m][ksub][dsub]``
+    (ragged when ``m ∤ dim``), plain lists so callers can pass them through
+    broadcasts / literals.
+
+    Deterministic end to end: the sample is md5-ordered (stable across
+    partitionings), init takes the first ``ksub`` sample rows, and Lloyd
+    iterations are pure numpy — retraining reproduces the same codebooks.
+    Empty clusters re-seed from the most-populated cluster's farthest
+    member (standard k-means repair, deterministic)."""
+    if sample > _MAX_TRAIN_SAMPLE:
+        raise ValueError(
+            f"pq_train collects the training sample to the driver; "
+            f"sample={sample} exceeds the {_MAX_TRAIN_SAMPLE} budget"
+        )
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("v"))
+        .dropna(subset=["v"])
+        .withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h")
+        .limit(sample)
+        .select("v")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_train: corpus is empty")
+    mat = np.asarray([r.v for r in rows], dtype=np.float64)
+    dim = dim or mat.shape[1]
+    if ksub > len(mat):
+        raise ValueError(f"ksub={ksub} exceeds training sample size {len(mat)}")
+    if ksub > 256:
+        raise ValueError("ksub > 256 does not fit the uint8 code layout")
+    books: list[list[list[float]]] = []
+    for lo, hi in _subspace_bounds(dim, m):
+        sub = mat[:, lo:hi]
+        cent = sub[:ksub].copy()
+        for _ in range(n_iter):
+            # (n, ksub) sqeuclidean via the expansion trick
+            d = (
+                (sub**2).sum(1)[:, None]
+                - 2.0 * sub @ cent.T
+                + (cent**2).sum(1)[None, :]
+            )
+            assign = d.argmin(1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(0)
+                else:
+                    big = np.bincount(assign, minlength=ksub).argmax()
+                    far = d[assign == big, big].argmax()
+                    cent[c] = sub[assign == big][far]
+        books.append([[float(x) for x in row] for row in cent])
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "id",
+    emb_col: str = "embedding",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """→ (id[, keep_cols...], codes BINARY): each vector compressed to one
+    uint8 per subspace (argmin over that subspace's codebook), packed into
+    ``m`` bytes. Map-only Arrow pass — zero shuffle; persist the result
+    (ideally partitioned by an IVF cell) and the raw vectors never need to
+    be read again for search."""
+    m = len(codebooks)
+    dim = sum(len(b[0]) for b in codebooks)
+    bounds = _subspace_bounds(dim, m)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(
+        [np.asarray(b, dtype=np.float64) for b in codebooks]
+    )
+    keep = keep_cols or []
+    fields = [corpus.schema[id_col]] + [corpus.schema[c] for c in keep]
+    out_schema = T.StructType(fields + [T.StructField("codes", T.BinaryType())])
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = bc.value
+        for pdf in batches:
+            mask = pdf[emb_col].notna().to_numpy()
+            if not mask.any():
+                continue
+            sub_pdf = pdf[mask]
+            mat = _as_matrix(sub_pdf[emb_col])
+            codes = np.empty((len(mat), m), dtype=np.uint8)
+            for j, (lo, hi) in enumerate(bounds):
+                sub = mat[:, lo:hi]
+                cent = books[j]
+                d = (
+                    (sub**2).sum(1)[:, None]
+                    - 2.0 * sub @ cent.T
+                    + (cent**2).sum(1)[None, :]
+                )
+                codes[:, j] = d.argmin(1)
+            out = {id_col: sub_pdf[id_col].to_numpy()}
+            for c in keep:
+                out[c] = sub_pdf[c].to_numpy()
+            out["codes"] = [c.tobytes() for c in codes]
+            yield pd.DataFrame(out)
+
+    return corpus.select(id_col, emb_col, *keep).mapInPandas(_encode, out_schema)
+
+
+def _query_luts(
+    qmat: np.ndarray, books: list[np.ndarray], bounds, metric: str
+) -> np.ndarray:
+    """(nq, m, ksub) partial-distance lookup tables. sqeuclidean sums
+    per-subspace squared distances; inner_product sums negated partial
+    dots (score ordering matches ``match(metric='inner_product')``)."""
+    nq, m, ksub = qmat.shape[0], len(books), books[0].shape[0]
+    lut = np.empty((nq, m, ksub), dtype=np.float64)
+    for j, (lo, hi) in enumerate(bounds):
+        qs = qmat[:, lo:hi]
+        cent = books[j]
+        if metric == "inner_product":
+            lut[:, j, :] = -(qs @ cent.T)
+        else:
+            lut[:, j, :] = (
+                (qs**2).sum(1)[:, None]
+                - 2.0 * qs @ cent.T
+                + (cent**2).sum(1)[None, :]
+            )
+    return lut
+
+
+def _adc_scores(lut: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """(nq, b) ADC distances: m table lookups per (query, code)."""
+    nq, m, _ = lut.shape
+    d = lut[:, 0, :][:, codes[:, 0]]
+    for j in range(1, m):
+        d = d + lut[:, j, :][:, codes[:, j]]
+    return d
+
+
+_PQ_METRICS = ("sqeuclidean", "euclidean", "inner_product")
+
+
+def pq_match(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    metric: str = "sqeuclidean",
+    corpus_id_col: str = "id",
+    query_id_col: str = "id",
+    query_emb_col: str = "embedding",
+    codes_col: str = "codes",
+    round_scores: int | None = None,
+    max_query_rows: int = _MAX_QUERY_ROWS,
+) -> DataFrame:
+    """ADC top-k over a PQ-encoded corpus → (query_id, match_id, rank,
+    score, metric_name). Same bounded-broadcast-queries + per-partition
+    top-k + window-merge shape as ``operators/match.py``; the scan reads
+    the ``codes`` BINARY column only (m bytes/row), never raw vectors.
+    Scores are the ADC *approximations* of the metric — rank fidelity is
+    what PQ promises; recall floors are pinned in tests."""
+    if metric not in _PQ_METRICS:
+        raise ValueError(f"pq_match supports {_PQ_METRICS}, got {metric!r}")
+    qrows = (
+        queries.select(query_id_col, query_emb_col)
+        .dropna()
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("queries side is empty")
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"pq_match broadcasts the query side (> {max_query_rows} rows)"
+        )
+    qids = [r[0] for r in qrows]
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    m = len(codebooks)
+    dim = sum(len(b[0]) for b in codebooks)
+    bounds = _subspace_bounds(dim, m)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    base_metric = "sqeuclidean" if metric == "euclidean" else metric
+    lut = _query_luts(qmat, books, bounds, base_metric)
+
+    spark = encoded.sparkSession
+    bc = spark.sparkContext.broadcast((qids, lut))
+    corpus_id_type = encoded.schema[corpus_id_col].dataType
+    query_id_type = queries.schema[query_id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", query_id_type),
+            T.StructField("match_id", corpus_id_type),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def _partition_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # PQ scores tie structurally (equal codes → equal ADC distance), so
+        # partition pruning keeps EVERYTHING at or below the k-th score —
+        # dropping an arbitrary member of a boundary tie here would make
+        # the global result depend on partitioning. The window merge
+        # enforces the final k with its deterministic tie-break.
+        q_ids, q_lut = bc.value
+        nq = len(q_ids)
+        qarr = np.asarray(q_ids, dtype=object)
+        acc_q: list[np.ndarray] = []
+        acc_s: list[np.ndarray] = []
+        acc_i: list[np.ndarray] = []
+        for pdf in batches:
+            mask = pdf[codes_col].notna().to_numpy()
+            if not mask.any():
+                continue
+            ids = pdf[corpus_id_col].to_numpy()[mask]
+            codes = np.frombuffer(
+                b"".join(pdf[codes_col][mask]), dtype=np.uint8
+            ).reshape(-1, m)
+            d = _adc_scores(q_lut, codes)
+            kk = min(k, d.shape[1])
+            thr = (
+                np.partition(d, kth=kk - 1, axis=1)[:, kk - 1]
+                if kk < d.shape[1]
+                else d.max(axis=1)
+            )
+            qi, ci = np.nonzero(d <= thr[:, None])
+            acc_q.append(qi)
+            acc_s.append(d[qi, ci])
+            acc_i.append(ids[ci])
+        if not acc_q:
+            return
+        qi = np.concatenate(acc_q)
+        s = np.concatenate(acc_s)
+        mids = np.concatenate(acc_i)
+        order = np.lexsort((s, qi))
+        qi, s, mids = qi[order], s[order], mids[order]
+        starts = np.searchsorted(qi, np.arange(nq), side="left")
+        ends = np.searchsorted(qi, np.arange(nq), side="right")
+        keep = np.zeros(len(qi), dtype=bool)
+        for i in range(nq):
+            lo, hi = starts[i], ends[i]
+            if lo == hi:
+                continue
+            kk = min(k, hi - lo)
+            keep[lo:hi] = s[lo:hi] <= s[lo + kk - 1]
+        yield pd.DataFrame(
+            {
+                "query_id": qarr[qi[keep]],
+                "match_id": mids[keep],
+                "score": s[keep],
+            }
+        )
+
+    cand = encoded.select(corpus_id_col, codes_col).mapInPandas(
+        _partition_topk, out_schema
+    )
+    return _rank_and_project(cand, k, metric, round_scores)
+
+
+def _rank_and_project(
+    cand: DataFrame, k: int, metric: str, round_scores: int | None
+) -> DataFrame:
+    """Shared top-k rank + output projection for the PQ matchers.
+
+    PQ scores TIE STRUCTURALLY — every corpus row sharing a code word
+    combination gets the identical ADC distance — so when the caller asks
+    for rounded scores the rank is computed over the ROUNDED score (then
+    match_id): last-ulp float-summation-order noise between equal-coded
+    rows would otherwise permute tied ranks across engines/runs."""
+    rank_score = (
+        F.round(F.col("score"), round_scores)
+        if round_scores is not None
+        else F.col("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        rank_score.asc(), F.col("match_id").asc()
+    )
+    out = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    score = F.col("score")
+    if metric == "euclidean":
+        score = F.sqrt(F.greatest(score, F.lit(0.0)))
+    if round_scores is not None:
+        score = F.round(score, round_scores)
+    return out.select(
+        "query_id", "match_id", "rank", score.alias("score"),
+        F.lit(metric).alias("metric_name"),
+    )
+
+
+def ivfpq_match(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 256,
+    metric: str = "sqeuclidean",
+    corpus_id_col: str = "id",
+    query_id_col: str = "id",
+    emb_col: str = "embedding",
+    sample: int = 16384,
+    n_iter: int = 10,
+    round_scores: int | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    max_query_rows: int = _MAX_QUERY_ROWS,
+) -> DataFrame:
+    """IVF + PQ (FAISS's ``IVFx,PQy`` with ``by_residual=False``): the
+    corpus is coarse-quantized into ``n_cells`` (``ann.ivf_index``) and
+    PQ-encoded once; each query probes its ``n_probe`` nearest cells and
+    ADC-scans only those cells' codes. Candidate volume drops by
+    ~``n_probe/n_cells`` on top of PQ's byte compression — the combination
+    is the standard billion-scale layout (codes partitioned BY cell on
+    disk → partition-pruned scans).
+
+    Non-residual encoding keeps one global codebook (joinable, simple);
+    residual refinement is a documented non-goal — recall at equal probes
+    is slightly below FAISS's residual IVFPQ, and the tests pin the floor
+    that this variant actually delivers."""
+    from docarray_spark.operators.ann import ivf_index
+
+    cent, assigned = ivf_index(corpus, n_cells, corpus_id_col, emb_col, centroids)
+    if codebooks is None:
+        codebooks = pq_train(
+            corpus, m=m, ksub=ksub, id_col=corpus_id_col, emb_col=emb_col,
+            sample=sample, n_iter=n_iter,
+        )
+    # assigned is (cell, id, v<double>) — encode once, cell rides along
+    encoded = pq_encode(
+        assigned, codebooks, id_col="id", emb_col="v", keep_cols=["cell"]
+    )
+
+    qrows = (
+        queries.select(query_id_col, emb_col)
+        .dropna()
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("queries side is empty")
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"ivfpq_match broadcasts the query side (> {max_query_rows} rows)"
+        )
+    qids = [r[0] for r in qrows]
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    mm = len(codebooks)
+    dim = sum(len(b[0]) for b in codebooks)
+    bounds = _subspace_bounds(dim, mm)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    base_metric = "sqeuclidean" if metric == "euclidean" else metric
+    if base_metric not in _PQ_METRICS:
+        raise ValueError(f"ivfpq_match supports {_PQ_METRICS}, got {metric!r}")
+    lut = _query_luts(qmat, books, bounds, base_metric)
+
+    # probe assignment on the driver: n_cells is small (the same bounded
+    # state as ivf_index's centroid collect)
+    cent_rows = sorted(cent.collect(), key=lambda r: r.cell)
+    cmat = np.asarray([r.centroid for r in cent_rows], dtype=np.float64)
+    dcell = (
+        (qmat**2).sum(1)[:, None] - 2.0 * qmat @ cmat.T + (cmat**2).sum(1)[None, :]
+    )
+    order = np.argsort(dcell, axis=1, kind="stable")[:, :n_probe]
+    probe_cells = {qid: {int(c) for c in order[i]} for i, qid in enumerate(qids)}
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((qids, lut, probe_cells))
+    corpus_id_type = corpus.schema[corpus_id_col].dataType
+    query_id_type = queries.schema[query_id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", query_id_type),
+            T.StructField("match_id", corpus_id_type),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    # prune partitions/rows to the union of probed cells BEFORE the scan —
+    # on a cell-partitioned store this becomes partition pruning
+    all_cells = sorted({c for s in probe_cells.values() for c in s})
+    pruned = encoded.filter(F.col("cell").isin(all_cells))
+
+    def _partition_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, q_lut, q_cells = bc.value
+        cand: dict[int, tuple[list, list]] = {
+            i: ([], []) for i in range(len(q_ids))
+        }
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            codes = np.frombuffer(b"".join(pdf["codes"]), dtype=np.uint8).reshape(
+                -1, mm
+            )
+            for i, qid in enumerate(q_ids):
+                sel = np.isin(cells, list(q_cells[qid]))
+                if not sel.any():
+                    continue
+                d = _adc_scores(q_lut[i : i + 1], codes[sel])[0]
+                kk = min(k, len(d))
+                # keep boundary TIES (equal codes → equal scores): see
+                # pq_match — partition pruning must not arbitrate ties
+                thr = np.partition(d, kth=kk - 1)[kk - 1] if kk < len(d) else d.max()
+                m_keep = d <= thr
+                cand[i][0].append(d[m_keep])
+                cand[i][1].append(ids[sel][m_keep])
+        rows_q, rows_m, rows_s = [], [], []
+        for i, qid in enumerate(q_ids):
+            if not cand[i][0]:
+                continue
+            d = np.concatenate(cand[i][0])
+            ids = np.concatenate(cand[i][1])
+            kk = min(k, len(d))
+            thr = np.partition(d, kth=kk - 1)[kk - 1] if kk < len(d) else d.max()
+            m_keep = d <= thr
+            rows_q += [qid] * int(m_keep.sum())
+            rows_m += list(ids[m_keep])
+            rows_s += list(d[m_keep])
+        if rows_q:
+            yield pd.DataFrame(
+                {"query_id": rows_q, "match_id": rows_m, "score": rows_s}
+            )
+
+    cand = pruned.select("id", "cell", "codes").mapInPandas(
+        _partition_topk, out_schema
+    )
+    return _rank_and_project(cand, k, metric, round_scores)

@@ -19,7 +19,9 @@ from docarray_spark.plans import explain_str, has_cartesian, scan_count, shuffle
 # name: (max_shuffles, max_scans, cartesian_allowed)
 BUDGETS = {
     # --- round-3 first block (previously outside the r2 oracle window)
-    "ann_ivf_cosine": (1, 3, True),
+    # ivf part (1 shuffle / 3 scans) + r5 pq_adc part: one window-merge
+    # exchange + the encoded-corpus scan; codebook collect is eager
+    "ann_ivf_cosine": (2, 4, True),
     "ann_lsh_cosine": (2, 4, False),
     # sizes agg + output sort; assignment itself is a zero-shuffle map
     "kmeans_clusters": (2, 2, False),
