@@ -89,15 +89,29 @@ def pq_train(
             f"pq_train collects the training sample to the driver; "
             f"sample={sample} exceeds the {_MAX_TRAIN_SAMPLE} budget"
         )
-    rows = (
+    base = (
         corpus.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("v"))
         .dropna(subset=["v"])
         .withColumn("_h", F.md5(F.col("_id").cast("string")))
-        .orderBy("_h")
-        .limit(sample)
-        .select("v")
-        .collect()
     )
+    # A bare orderBy(_h).limit(sample) ships every task's top-`sample`
+    # FULL vectors to the driver — 64 tasks × 16k × 128-d blew
+    # spark.driver.maxResultSize at the 5M-row scale probe. Pre-filter to
+    # a hash prefix that passes ~3× the sample (map-only, no vectors
+    # shuffled), then order-limit the survivors.
+    n = base.count()
+    filtered = base
+    if n > 3 * sample:
+        frac = 3.0 * sample / n
+        # _h is uniform hex: keep rows whose 8-char prefix is below frac
+        cut = format(max(1, int(frac * 16**8)), "08x")
+        filtered = base.filter(F.substring("_h", 1, 8) < cut)
+    rows = filtered.orderBy("_h").limit(sample).select("v").collect()
+    if len(rows) < min(sample, n):
+        # freak under-selection (the sample-th order statistic landed
+        # above the 3× cut) — fall back to the unfiltered order-limit so
+        # the selected set stays exactly "the `sample` smallest hashes"
+        rows = base.orderBy("_h").limit(sample).select("v").collect()
     if not rows:
         raise ValueError("pq_train: corpus is empty")
     mat = np.asarray([r.v for r in rows], dtype=np.float64)
