@@ -1,0 +1,145 @@
+"""Per-partition HNSW ANN (engine extension; SURVEY.md §4.2).
+
+The reference's ANN stores are HNSW-backed (annlite/qdrant/weaviate,
+``/root/reference/docarray/array/storage/annlite/find.py:16-44``). A single
+HNSW graph cannot span 1000 executors, but the standard distributed layout
+— used by every sharded vector store — can: **one graph per partition,
+queries broadcast to all partitions, per-partition top-k, global merge**.
+That is this operator. The graph itself is the pure-numpy implementation of
+the published algorithm (``functions/hnsw.py``; Malkov & Yashunin 2018), so
+the path is real in this environment, not stubbed behind a missing package.
+
+Scale shape: the corpus NEVER shuffles — each task builds/owns its
+partition's graph and emits at most ``k`` rows per query; the only exchange
+is the ``k × partitions`` candidate rows into the rank window (the same
+merge as ``operators/match.py``). Query cost per partition is
+``O(ef · log n)`` distance batches instead of the brute-force ``O(n)``.
+
+Index lifetime: the graph is built inside the action. Amortize builds by
+batching queries (they broadcast together — one build serves all) and by
+``coalesce``-ing the corpus so graphs are few and large; a production
+deployment would additionally cache the built graph per executor, which a
+JVM-side store does and a stateless Python worker cannot — documented
+trade-off, the partition-local *design* is the part that carries to 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from docarray_spark.functions.hnsw import HNSWIndex
+
+_MAX_QUERY_ROWS = 65536
+_METRICS = ("sqeuclidean", "euclidean", "cosine")
+
+
+def hnsw_match(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    corpus_id_col: str = "id",
+    query_id_col: str = "id",
+    emb_col: str = "embedding",
+    query_emb_col: str | None = None,
+    M: int = 16,
+    ef_construction: int = 100,
+    ef: int | None = None,
+    round_scores: int | None = None,
+    max_query_rows: int = _MAX_QUERY_ROWS,
+) -> DataFrame:
+    """HNSW approximate top-k → (query_id, match_id, rank, score,
+    metric_name). Cosine runs on unit-normalized vectors via the standard
+    identity ``|a-b|² = 2·(1-cos)`` so scores are exact cosine distances;
+    euclidean takes the sqrt of the graph's squared distances. Recall
+    floors vs the exact operator are pinned in ``tests/test_ann.py``."""
+    if metric not in _METRICS:
+        raise ValueError(f"hnsw_match supports {_METRICS}, got {metric!r}")
+    query_emb_col = query_emb_col or emb_col
+    qrows = (
+        queries.select(query_id_col, query_emb_col)
+        .dropna()
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("queries side is empty")
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"hnsw_match broadcasts the query side (> {max_query_rows} rows)"
+        )
+    qids = [r[0] for r in qrows]
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    if metric == "cosine":
+        qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+        qmat = qmat / np.where(qnorm == 0.0, 1.0, qnorm)
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((qids, qmat))
+    corpus_id_type = corpus.schema[corpus_id_col].dataType
+    query_id_type = queries.schema[query_id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", query_id_type),
+            T.StructField("match_id", corpus_id_type),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    mm, efc, efs, met = M, ef_construction, ef, metric
+
+    def _partition_search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, q_mat = bc.value
+        keys: list = []
+        mats: list[np.ndarray] = []
+        for pdf in batches:
+            mask = pdf[emb_col].notna().to_numpy()
+            if not mask.any():
+                continue
+            keys += list(pdf[corpus_id_col].to_numpy()[mask])
+            mats.append(
+                np.asarray(
+                    [np.asarray(e, dtype=np.float64) for e in pdf[emb_col][mask]]
+                )
+            )
+        if not keys:
+            return
+        mat = np.vstack(mats)
+        if met == "cosine":
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.where(norms == 0.0, 1.0, norms)
+        index = HNSWIndex(dim=mat.shape[1], M=mm, ef_construction=efc)
+        index.add_batch(keys, mat)
+        rows_q, rows_m, rows_s = [], [], []
+        for qid, qv in zip(q_ids, q_mat):
+            for d, key in index.search(qv, k, ef=efs):
+                rows_q.append(qid)
+                rows_m.append(key)
+                # unit vectors: |a-b|²/2 = 1 - cos, the exact cosine distance
+                rows_s.append(d / 2.0 if met == "cosine" else d)
+        if rows_q:
+            yield pd.DataFrame(
+                {"query_id": rows_q, "match_id": rows_m, "score": rows_s}
+            )
+
+    cand = corpus.select(corpus_id_col, emb_col).mapInPandas(
+        _partition_search, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc(), F.col("match_id").asc()
+    )
+    out = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    score = F.col("score")
+    if metric == "euclidean":
+        score = F.sqrt(F.greatest(score, F.lit(0.0)))
+    if round_scores is not None:
+        score = F.round(score, round_scores)
+    return out.select(
+        "query_id", "match_id", "rank", score.alias("score"),
+        F.lit(metric).alias("metric_name"),
+    )

@@ -364,3 +364,87 @@ def test_pq_guards(emb, queries):
     enc = pq_encode(emb, books)
     with pytest.raises(ValueError, match="supports"):
         pq_match(enc, queries, books, metric="cosine")
+
+
+# ----------------------------------------------- per-partition HNSW (r5)
+
+def test_hnsw_index_recall_and_determinism():
+    """The numpy HNSW graph itself (functions/hnsw.py): near-exact recall
+    on random vectors at default parameters, and a rebuild produces the
+    identical graph (levels hash from keys, no RNG) — a retried Spark
+    task must not change results."""
+    import numpy as np
+
+    from docarray_spark.functions.hnsw import HNSWIndex
+
+    rng = np.random.RandomState(0)
+    mat = rng.randn(1500, 32)
+    idx = HNSWIndex(32, M=16, ef_construction=100)
+    idx.add_batch(range(1500), mat)
+    hits = 0
+    for i in range(15):
+        d = ((mat - mat[i]) ** 2).sum(1)
+        exact = set(np.argsort(d, kind="stable")[:10])
+        got = {key for _, key in idx.search(mat[i], 10, ef=100)}
+        hits += len(exact & got)
+    assert hits / 150 >= 0.95  # measured 1.0; margin for param drift
+    idx2 = HNSWIndex(32, M=16, ef_construction=100)
+    idx2.add_batch(range(1500), mat)
+    assert all(idx.search(mat[i], 10) == idx2.search(mat[i], 10) for i in range(15))
+
+
+def test_hnsw_match_recall_and_shape(emb, queries, exact):
+    """Distributed per-partition HNSW vs the exact operator on the sf
+    embeddings (cosine via unit-normalized sqeuclidean)."""
+    from docarray_spark.operators.hnsw import hnsw_match
+
+    got = hnsw_match(
+        emb, queries, k=10, metric="cosine", corpus_id_col="id",
+        M=16, ef_construction=100, ef=120,
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert [r["score"] for r in rows] == sorted(r["score"] for r in rows)
+    assert _recall(got, exact) >= 0.9  # measured at/near 1.0 at sf0.001
+    # self is rank 1 at distance ~0 (graph always finds the inserted point)
+    for qid, rows in by_q.items():
+        top = min(rows, key=lambda r: r["rank"])
+        assert top["match_id"] == qid and top["score"] < 1e-9
+
+
+def test_hnsw_match_scores_are_true_cosine(emb, queries):
+    """HNSW cosine scores equal the exact operator's cosine distances for
+    the pairs both return (|a-b|^2 / 2 on unit vectors is exact algebra,
+    not an approximation)."""
+    from docarray_spark.operators.hnsw import hnsw_match
+    from docarray_spark.operators.match import match as exact_match
+
+    ref = {
+        (r["query_id"], r["match_id"]): r["score"]
+        for r in exact_match(
+            emb, queries, k=10, metric="cosine", corpus_id_col="id", eps=0.0
+        ).collect()
+    }
+    got = hnsw_match(
+        emb, queries, k=10, metric="cosine", corpus_id_col="id", ef=120
+    ).collect()
+    checked = 0
+    for r in got:
+        key = (r["query_id"], r["match_id"])
+        if key in ref:
+            assert r["score"] == pytest.approx(ref[key], abs=1e-9)
+            checked += 1
+    assert checked >= 50
+
+
+def test_hnsw_match_guards(emb):
+    from docarray_spark.operators.hnsw import hnsw_match
+
+    with pytest.raises(ValueError, match="supports"):
+        hnsw_match(emb, emb.limit(2), metric="manhattan")
+    with pytest.raises(ValueError, match="empty"):
+        hnsw_match(emb, emb.filter("id < 0"), metric="cosine")
