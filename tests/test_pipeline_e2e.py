@@ -101,3 +101,48 @@ def test_full_corpus_build_pipeline(spark, docs):
         F.sum(F.size(F.split(F.trim("text"), r"\s+")))
     ).first()[0]
     assert sum(r.tokens_started for r in rows) == total_tokens
+
+
+def test_retrieval_pipeline_embed_to_pq_store(spark, docs, tmp_path):
+    """Retrieval-side pipeline (r5): embed the corpus → train PQ codebooks
+    → IVF-assign + encode → persist the codes PARTITIONED BY CELL (the
+    billion-scale store layout) → probe cells with partition pruning →
+    ADC top-k. Exercises the handoff seams: embed's output feeds pq_train
+    verbatim, pq_encode keeps the cell column, and the probed read is
+    verified to scan only the probed partitions."""
+    import numpy as np
+
+    from docarray_spark.operators.ann import ivf_index
+    from docarray_spark.operators.pq import pq_encode, pq_match, pq_train
+
+    emb = embed(
+        docs.limit(400).select("doc_id", "text"), input_col="text", dim=16,
+        model_loader=lambda: md5_text_encoder(16), out_type="double",
+    ).select(F.col("doc_id").alias("id"), F.col("embedding"))
+
+    books = pq_train(emb, m=4, ksub=32, sample=400, n_iter=4)
+    cent, assigned = ivf_index(emb, n_cells=8, corpus_id_col="id")
+    store_path = str(tmp_path / "pq_store")
+    pq_encode(assigned, books, id_col="id", emb_col="v", keep_cols=["cell"]) \
+        .write.partitionBy("cell").parquet(store_path)
+    store = spark.read.parquet(store_path)
+
+    qrow = emb.first()
+    q = np.asarray(qrow.embedding, dtype=np.float64)
+    cents = sorted(cent.collect(), key=lambda r: r.cell)
+    cm = np.asarray([r.centroid for r in cents])
+    probe = [int(c) for c in np.argsort(((cm - q) ** 2).sum(1), kind="stable")[:3]]
+    sub = store.filter(F.col("cell").isin(probe))
+    # the probed read is partition-PRUNED, not filtered post-scan
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+    queries = spark.createDataFrame(
+        [(int(qrow.id), [float(x) for x in q])], "id long, embedding array<double>"
+    )
+    got = pq_match(sub, queries, books, k=5, metric="sqeuclidean").collect()
+    assert len(got) == 5
+    # the query's own document is retrievable from its probed cell at
+    # near-zero ADC distance (its code reconstructs itself)
+    top = min(got, key=lambda r: r["rank"])
+    assert top["match_id"] == qrow.id
