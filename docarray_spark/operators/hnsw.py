@@ -15,12 +15,15 @@ is the ``k × partitions`` candidate rows into the rank window (the same
 merge as ``operators/match.py``). Query cost per partition is
 ``O(ef · log n)`` distance batches instead of the brute-force ``O(n)``.
 
-Index lifetime: the graph is built inside the action. Amortize builds by
-batching queries (they broadcast together — one build serves all) and by
-``coalesce``-ing the corpus so graphs are few and large; a production
-deployment would additionally cache the built graph per executor, which a
-JVM-side store does and a stateless Python worker cannot — documented
-trade-off, the partition-local *design* is the part that carries to 100 TB.
+Index lifetime: ``hnsw_match`` builds the graph inside the action —
+amortize by batching queries (they broadcast together, one build serves
+all). For the store role (build once, query forever) use
+:func:`hnsw_build_store` + :func:`hnsw_match_stored`: each task serializes
+its finished graph into ONE parquet row (partition id + pickled index
+blob), and every later query batch deserializes and searches without
+rebuilding — the same "immutable sealed segment" lifecycle HNSW-backed
+stores use. The blobs are engine-written and engine-read (never
+user-supplied), which is the boundary that makes pickle acceptable here.
 """
 
 from __future__ import annotations
@@ -141,5 +144,172 @@ def hnsw_match(
         score = F.round(score, round_scores)
     return out.select(
         "query_id", "match_id", "rank", score.alias("score"),
+        F.lit(metric).alias("metric_name"),
+    )
+
+
+def hnsw_build_store(
+    corpus: DataFrame,
+    path: str,
+    metric: str = "cosine",
+    corpus_id_col: str = "id",
+    emb_col: str = "embedding",
+    M: int = 16,
+    ef_construction: int = 100,
+    mode: str = "error",
+) -> None:
+    """Build one HNSW graph per corpus partition and persist each as a
+    single parquet row ``(part_id, metric, n, blob)`` — the sealed-segment
+    store. Build cost is paid ONCE; :func:`hnsw_match_stored` then serves
+    any number of query batches without rebuilding (the gap ``hnsw_match``'s
+    build-per-action leaves open).
+
+    ``metric`` is baked into the store: cosine graphs hold unit-normalized
+    vectors (``|a-b|² = 2·(1-cos)``), so the query side must match —
+    ``hnsw_match_stored`` enforces it."""
+    if metric not in _METRICS:
+        raise ValueError(f"hnsw_build_store supports {_METRICS}, got {metric!r}")
+    mm, efc, met = M, ef_construction, metric
+    id_type = corpus.schema[corpus_id_col].dataType.simpleString()
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pickle
+
+        from pyspark import TaskContext
+
+        keys: list = []
+        mats: list[np.ndarray] = []
+        for pdf in batches:
+            mask = pdf[emb_col].notna().to_numpy()
+            if not mask.any():
+                continue
+            keys += list(pdf[corpus_id_col].to_numpy()[mask])
+            mats.append(
+                np.asarray(
+                    [np.asarray(e, dtype=np.float64) for e in pdf[emb_col][mask]]
+                )
+            )
+        if not keys:
+            return
+        mat = np.vstack(mats)
+        if met == "cosine":
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.where(norms == 0.0, 1.0, norms)
+        index = HNSWIndex(dim=mat.shape[1], M=mm, ef_construction=efc)
+        index.add_batch(keys, mat)
+        index._data = index._data[: index.n]  # drop growth slack pre-pickle
+        index._sq = index._sq[: index.n]
+        yield pd.DataFrame(
+            {
+                "part_id": [TaskContext.get().partitionId()],
+                "metric": [met],
+                "id_type": [id_type],
+                "n": [index.n],
+                "blob": [pickle.dumps(index, protocol=5)],
+            }
+        )
+
+    (
+        corpus.select(corpus_id_col, emb_col)
+        .mapInPandas(
+            _build,
+            "part_id int, metric string, id_type string, n long, blob binary",
+        )
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def hnsw_match_stored(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    query_id_col: str = "id",
+    query_emb_col: str = "embedding",
+    ef: int | None = None,
+    round_scores: int | None = None,
+    max_query_rows: int = _MAX_QUERY_ROWS,
+) -> DataFrame:
+    """Search a persisted :func:`hnsw_build_store` store → (query_id,
+    match_id, rank, score, metric_name). One task per stored graph row:
+    deserialize, search every broadcast query, emit per-graph top-k; the
+    global window merge is the only exchange."""
+    if metric not in _METRICS:
+        raise ValueError(f"hnsw_match_stored supports {_METRICS}, got {metric!r}")
+    store = spark.read.parquet(path)
+    meta = store.select("metric", "id_type").distinct().collect()
+    stored_metrics = {r.metric for r in meta}
+    if stored_metrics != {metric}:
+        raise ValueError(
+            f"store at {path!r} was built for metric {sorted(stored_metrics)}, "
+            f"queried with {metric!r}"
+        )
+    id_type = meta[0].id_type
+    qrows = (
+        queries.select(query_id_col, query_emb_col)
+        .dropna()
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("queries side is empty")
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"hnsw_match_stored broadcasts the query side (> {max_query_rows} rows)"
+        )
+    qids = [r[0] for r in qrows]
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    if metric == "cosine":
+        qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+        qmat = qmat / np.where(qnorm == 0.0, 1.0, qnorm)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+    query_id_type = queries.schema[query_id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", query_id_type),
+            T.StructField("match_id", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    met, efs = metric, ef
+
+    def _search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pickle
+
+        q_ids, q_mat = bc.value
+        for pdf in batches:
+            for blob in pdf["blob"]:
+                index = pickle.loads(blob)
+                rows_q, rows_m, rows_s = [], [], []
+                for qid, qv in zip(q_ids, q_mat):
+                    for d, key in index.search(qv, k, ef=efs):
+                        rows_q.append(qid)
+                        rows_m.append(str(key))
+                        rows_s.append(d / 2.0 if met == "cosine" else d)
+                if rows_q:
+                    yield pd.DataFrame(
+                        {"query_id": rows_q, "match_id": rows_m, "score": rows_s}
+                    )
+
+    # one graph blob per task: each row is a multi-MB sealed segment
+    cand = store.select("blob").repartition(max(store.count(), 1)).mapInPandas(
+        _search, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc(), F.col("match_id").asc()
+    )
+    out = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    score = F.col("score")
+    if metric == "euclidean":
+        score = F.sqrt(F.greatest(score, F.lit(0.0)))
+    if round_scores is not None:
+        score = F.round(score, round_scores)
+    return out.select(
+        "query_id",
+        F.col("match_id").cast(id_type).alias("match_id"),  # stored id type
+        "rank",
+        score.alias("score"),
         F.lit(metric).alias("metric_name"),
     )

@@ -448,3 +448,39 @@ def test_hnsw_match_guards(emb):
         hnsw_match(emb, emb.limit(2), metric="manhattan")
     with pytest.raises(ValueError, match="empty"):
         hnsw_match(emb, emb.filter("id < 0"), metric="cosine")
+
+
+def test_hnsw_store_build_once_query_many(emb, queries, exact, tmp_path):
+    """The sealed-segment store: build per-partition graphs to parquet
+    once, serve query batches without rebuilding; results carry the
+    stored id type and hit the same recall floor as the direct path."""
+    from docarray_spark.operators.hnsw import hnsw_build_store, hnsw_match_stored
+
+    path = str(tmp_path / "hnsw_store")
+    hnsw_build_store(emb, path, metric="cosine", corpus_id_col="id",
+                     M=16, ef_construction=100)
+    spark = emb.sparkSession
+    store = spark.read.parquet(path)
+    # one row per non-empty partition, blobs are real serialized graphs
+    assert store.count() >= 1
+    assert store.agg({"n": "sum"}).first()[0] == emb.count()
+
+    got = hnsw_match_stored(
+        spark, path, queries, k=10, metric="cosine", ef=120
+    ).collect()
+    assert _recall(got, exact) >= 0.9
+    assert type(got[0]["match_id"]) is type(got[0]["query_id"])  # id type kept
+    # second batch against the same store — no rebuild, same floor
+    q2 = emb.filter("id >= 8 and id < 12")
+    got2 = hnsw_match_stored(spark, path, q2, k=5, metric="cosine", ef=120).collect()
+    by_q = {}
+    for r in got2:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {8, 9, 10, 11}
+    for rows in by_q.values():
+        top = min(rows, key=lambda r: r["rank"])
+        assert top["match_id"] == top["query_id"] and top["score"] < 1e-9
+
+    # metric mismatch is refused (cosine store holds normalized vectors)
+    with pytest.raises(ValueError, match="metric"):
+        hnsw_match_stored(spark, path, queries, metric="sqeuclidean")
