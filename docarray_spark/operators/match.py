@@ -339,10 +339,18 @@ def find_by_vectors(
     vectors,
     k: int = 10,
     metric="cosine",
+    backend: str = "exact",
     **kwargs,
 ) -> DataFrame:
     """``da.find(np_matrix)`` analogue (``array/mixins/find.py:158-249``):
-    query by raw vectors; query ids are the row positions."""
+    query by raw vectors; query ids are the row positions.
+
+    ``backend`` mirrors the reference's storage-dispatched ANN (the memory
+    store is exact, annlite/qdrant/weaviate are HNSW — the reference picks
+    by storage class, here it's an argument): ``'exact'`` (default,
+    brute-force ``match``), ``'lsh'``, ``'ivf'``, ``'hnsw'``. Extra
+    kwargs flow to the chosen operator (e.g. ``num_tables`` for lsh,
+    ``n_probe`` for ivf, ``ef`` for hnsw)."""
     spark = corpus.sparkSession
     vecs = np.asarray(vectors, dtype=float)
     if vecs.ndim == 1:
@@ -351,4 +359,20 @@ def find_by_vectors(
         [(i, [float(x) for x in row]) for i, row in enumerate(vecs)],
         schema="id bigint, embedding array<double>",
     )
-    return match(corpus, qdf, k=k, metric=metric, **kwargs)
+    if backend == "exact":
+        return match(corpus, qdf, k=k, metric=metric, **kwargs)
+    if backend == "lsh":
+        from docarray_spark.operators.ann import lsh_match
+
+        return lsh_match(corpus, qdf, k=k, metric=metric, **kwargs)
+    if backend == "ivf":
+        from docarray_spark.operators.ann import ivf_match
+
+        return ivf_match(corpus, qdf, k=k, metric=metric, **kwargs)
+    if backend == "hnsw":
+        from docarray_spark.operators.hnsw import hnsw_match
+
+        return hnsw_match(corpus, qdf, k=k, metric=metric, **kwargs)
+    raise ValueError(
+        f"backend must be one of ('exact', 'lsh', 'ivf', 'hnsw'), got {backend!r}"
+    )

@@ -231,3 +231,37 @@ def test_match_query_side_budget_guard(spark):
     # raising the budget explicitly restores the old behavior
     out = _match(df, df.limit(12), k=2, max_query_rows=12)
     assert out.count() == 24
+
+
+def test_find_by_vectors_backend_dispatch(spark, sf_dir):
+    """find(np_matrix) dispatches to the ANN backends the way the
+    reference's storage classes do (memory=exact, annlite/qdrant=HNSW):
+    every backend returns the matches schema, and the exact/hnsw paths
+    agree on the top hit for an in-corpus query vector."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from docarray_spark.operators.match import find_by_vectors
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    q = np.asarray(emb.filter("id = 3").first().embedding, dtype=float)
+    outs = {}
+    for backend, kw in [
+        ("exact", {}),
+        ("lsh", {"num_planes": 4, "num_tables": 16, "dim": 64}),
+        ("ivf", {"n_cells": 8, "n_probe": 8}),
+        ("hnsw", {"ef": 120}),
+    ]:
+        got = find_by_vectors(
+            emb, q, k=5, metric="cosine", backend=backend,
+            corpus_id_col="id", **kw,
+        ).collect()
+        assert {r["rank"] for r in got} == set(range(1, 6)), backend
+        outs[backend] = min(got, key=lambda r: r["rank"])
+    # the query vector IS corpus row 3 -> every backend's top hit finds it
+    for backend, top in outs.items():
+        assert top["match_id"] == 3 and top["score"] < 1e-9, backend
+    with pytest.raises(ValueError, match="backend"):
+        find_by_vectors(emb, q, backend="faiss")
