@@ -56,14 +56,24 @@ def hnsw_match(
     ef: int | None = None,
     round_scores: int | None = None,
     max_query_rows: int = _MAX_QUERY_ROWS,
+    filter: dict | None = None,
 ) -> DataFrame:
     """HNSW approximate top-k → (query_id, match_id, rank, score,
     metric_name). Cosine runs on unit-normalized vectors via the standard
     identity ``|a-b|² = 2·(1-cos)`` so scores are exact cosine distances;
     euclidean takes the sqrt of the graph's squared distances. Recall
-    floors vs the exact operator are pinned in ``tests/test_ann.py``."""
+    floors vs the exact operator are pinned in ``tests/test_ann.py``.
+
+    ``filter``: Mongo-style pre-filter (the reference's filtered vector
+    search, ``annlite/find.py:21-44``) — compiled to a Catalyst predicate
+    and applied BEFORE graph construction, so the filter pushes into the
+    corpus scan and the graph only indexes qualifying rows."""
     if metric not in _METRICS:
         raise ValueError(f"hnsw_match supports {_METRICS}, got {metric!r}")
+    if filter:
+        from docarray_spark.queryset.compiler import compile_filter
+
+        corpus = corpus.filter(compile_filter(corpus, filter))
     query_emb_col = query_emb_col or emb_col
     qrows = (
         queries.select(query_id_col, query_emb_col)

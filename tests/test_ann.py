@@ -484,3 +484,16 @@ def test_hnsw_store_build_once_query_many(emb, queries, exact, tmp_path):
     # metric mismatch is refused (cosine store holds normalized vectors)
     with pytest.raises(ValueError, match="metric"):
         hnsw_match_stored(spark, path, queries, metric="sqeuclidean")
+
+
+def test_hnsw_match_prefilter(emb, queries):
+    """Filtered vector search on the HNSW path (the reference's
+    annlite/find.py pre-filter): the graph indexes only qualifying rows,
+    so no excluded id can appear in any result."""
+    from docarray_spark.operators.hnsw import hnsw_match
+
+    got = hnsw_match(
+        emb, queries, k=10, metric="cosine", corpus_id_col="id", ef=120,
+        filter={"id": {"$gte": 100}},
+    ).collect()
+    assert got and all(r["match_id"] >= 100 for r in got)
