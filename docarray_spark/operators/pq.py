@@ -240,15 +240,61 @@ def pq_match(
     codes_col: str = "codes",
     round_scores: int | None = None,
     max_query_rows: int = _MAX_QUERY_ROWS,
+    rerank_corpus: DataFrame | None = None,
+    rerank_factor: int = 4,
+    rerank_emb_col: str = "embedding",
 ) -> DataFrame:
     """ADC top-k over a PQ-encoded corpus → (query_id, match_id, rank,
     score, metric_name). Same bounded-broadcast-queries + per-partition
     top-k + window-merge shape as ``operators/match.py``; the scan reads
     the ``codes`` BINARY column only (m bytes/row), never raw vectors.
     Scores are the ADC *approximations* of the metric — rank fidelity is
-    what PQ promises; recall floors are pinned in tests."""
+    what PQ promises; recall floors are pinned in tests.
+
+    ``rerank_corpus``: two-stage refine (FAISS's ``...,Refine`` /
+    IVFPQR pattern): the ADC pass shortlists ``k × rerank_factor``
+    candidates per query from codes alone, then ONLY those rows join back
+    to the raw vectors for exact distances and the final k. The expensive
+    column is read for ``k·factor·queries`` rows instead of the corpus —
+    recall of the exact metric at a fraction of the raw-vector IO; scores
+    become exact, not ADC."""
     if metric not in _PQ_METRICS:
         raise ValueError(f"pq_match supports {_PQ_METRICS}, got {metric!r}")
+    if rerank_corpus is not None:
+        shortlist = pq_match(
+            encoded, queries, codebooks, k=k * rerank_factor, metric=metric,
+            corpus_id_col=corpus_id_col, query_id_col=query_id_col,
+            query_emb_col=query_emb_col, codes_col=codes_col,
+            max_query_rows=max_query_rows,
+        ).select("query_id", "match_id")
+        from docarray_spark.functions.distance import sqeuclidean_distance_col
+
+        emb_d = F.expr(f"transform({rerank_emb_col}, x -> cast(x as double))")
+        raw = rerank_corpus.select(
+            F.col(corpus_id_col).alias("match_id"), emb_d.alias("_cv")
+        )
+        qdf = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.expr(
+                f"transform({query_emb_col}, x -> cast(x as double))"
+            ).alias("_qv"),
+        )
+        if metric == "inner_product":
+            dist = -F.aggregate(
+                F.zip_with("_qv", "_cv", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        else:
+            dist = sqeuclidean_distance_col(F.col("_qv"), F.col("_cv"))
+        # broadcast the SHORTLIST against the raw corpus — the corpus
+        # must not shuffle for a k·factor·queries-row probe
+        scored = (
+            raw.join(F.broadcast(shortlist), "match_id")
+            .join(F.broadcast(qdf), "query_id")
+            .select("query_id", "match_id", dist.alias("score"))
+        )
+        return _rank_and_project(scored, k, metric, round_scores)
     qrows = (
         queries.select(query_id_col, query_emb_col)
         .dropna()

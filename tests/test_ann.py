@@ -497,3 +497,34 @@ def test_hnsw_match_prefilter(emb, queries):
         filter={"id": {"$gte": 100}},
     ).collect()
     assert got and all(r["match_id"] >= 100 for r in got)
+
+
+def test_pq_match_rerank_recovers_exact_scores(emb, queries):
+    """Two-stage refine: ADC shortlist from codes, exact rerank from raw
+    vectors. Scores become the EXACT metric (not ADC approximations) and
+    recall beats the pure-ADC pass at the same code budget — measured
+    0.637 ADC-only -> >=0.9 reranked at m=16/ksub=128, factor 4."""
+    from docarray_spark.operators.match import match as exact_match
+    from docarray_spark.operators.pq import pq_encode, pq_match, pq_train
+
+    exact_rows = exact_match(
+        emb, queries, k=10, metric="sqeuclidean", corpus_id_col="id", eps=0.0
+    ).collect()
+    exact_pairs = {(r["query_id"], r["match_id"]) for r in exact_rows}
+    exact_scores = {
+        (r["query_id"], r["match_id"]): r["score"] for r in exact_rows
+    }
+    books = pq_train(emb, m=16, ksub=128, sample=500, n_iter=8)
+    enc = pq_encode(emb, books)
+    adc = pq_match(enc, queries, books, k=10, metric="sqeuclidean").collect()
+    rr = pq_match(
+        enc, queries, books, k=10, metric="sqeuclidean",
+        rerank_corpus=emb, rerank_factor=4,
+    ).collect()
+    assert _recall(rr, exact_pairs) >= 0.9
+    assert _recall(rr, exact_pairs) > _recall(adc, exact_pairs)
+    # reranked scores equal the exact operator's for shared pairs
+    for r in rr:
+        key = (r["query_id"], r["match_id"])
+        if key in exact_scores:
+            assert r["score"] == pytest.approx(exact_scores[key], abs=1e-9)
