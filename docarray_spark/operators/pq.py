@@ -436,6 +436,7 @@ def ivfpq_match(
     round_scores: int | None = None,
     centroids: list[tuple[int, list[float]]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    encoded: DataFrame | None = None,
     max_query_rows: int = _MAX_QUERY_ROWS,
 ) -> DataFrame:
     """IVF + PQ (FAISS's ``IVFx,PQy`` with ``by_residual=False``): the
@@ -446,22 +447,43 @@ def ivfpq_match(
     is the standard billion-scale layout (codes partitioned BY cell on
     disk → partition-pruned scans).
 
+    ``encoded``: a previously built ``(id, cell, codes)`` table (e.g. read
+    back from a ``partitionBy('cell')`` parquet store) — requires
+    ``codebooks`` and ``centroids`` from the same build and skips the
+    assign/train/encode work entirely, which at 5M×128-d is ~95% of a
+    cold call. This is the serving path; the all-arguments form is the
+    build-and-query convenience.
+
     Non-residual encoding keeps one global codebook (joinable, simple);
     residual refinement is a documented non-goal — recall at equal probes
     is slightly below FAISS's residual IVFPQ, and the tests pin the floor
     that this variant actually delivers."""
     from docarray_spark.operators.ann import ivf_index
 
-    cent, assigned = ivf_index(corpus, n_cells, corpus_id_col, emb_col, centroids)
-    if codebooks is None:
-        codebooks = pq_train(
-            corpus, m=m, ksub=ksub, id_col=corpus_id_col, emb_col=emb_col,
-            sample=sample, n_iter=n_iter,
+    if encoded is not None:
+        if codebooks is None or centroids is None:
+            raise ValueError(
+                "ivfpq_match(encoded=...) needs the codebooks and centroids "
+                "the store was built with"
+            )
+        spark_ = corpus.sparkSession
+        cents_sorted = sorted((int(c), [float(x) for x in v]) for c, v in centroids)
+        cent = spark_.createDataFrame(
+            cents_sorted, "cell int, centroid array<double>"
         )
-    # assigned is (cell, id, v<double>) — encode once, cell rides along
-    encoded = pq_encode(
-        assigned, codebooks, id_col="id", emb_col="v", keep_cols=["cell"]
-    )
+    else:
+        cent, assigned = ivf_index(
+            corpus, n_cells, corpus_id_col, emb_col, centroids
+        )
+        if codebooks is None:
+            codebooks = pq_train(
+                corpus, m=m, ksub=ksub, id_col=corpus_id_col, emb_col=emb_col,
+                sample=sample, n_iter=n_iter,
+            )
+        # assigned is (cell, id, v<double>) — encode once, cell rides along
+        encoded = pq_encode(
+            assigned, codebooks, id_col="id", emb_col="v", keep_cols=["cell"]
+        )
 
     qrows = (
         queries.select(query_id_col, emb_col)

@@ -528,3 +528,34 @@ def test_pq_match_rerank_recovers_exact_scores(emb, queries):
         key = (r["query_id"], r["match_id"])
         if key in exact_scores:
             assert r["score"] == pytest.approx(exact_scores[key], abs=1e-9)
+
+
+def test_ivfpq_match_prebuilt_store_path(blobs, tmp_path):
+    """The serving path: ivfpq_match(encoded=...) over a cell-partitioned
+    store + the build's codebooks/centroids returns exactly what the
+    build-and-query convenience form returns, with zero re-encode."""
+    from docarray_spark.operators.ann import ivf_index
+    from docarray_spark.operators.pq import ivfpq_match, pq_encode, pq_train
+
+    spark = blobs.sparkSession
+    queries = blobs.filter("id % 50 = 5")
+    books = pq_train(blobs, m=4, ksub=64, sample=400, n_iter=8)
+    cent, assigned = ivf_index(blobs, n_cells=8, corpus_id_col="id")
+    trained = [(r.cell, list(r.centroid)) for r in cent.collect()]
+    path = str(tmp_path / "cells")
+    pq_encode(assigned, books, id_col="id", emb_col="v", keep_cols=["cell"]) \
+        .write.partitionBy("cell").parquet(path)
+    store = spark.read.parquet(path)
+
+    served = ivfpq_match(
+        blobs, queries, k=10, n_probe=2, metric="sqeuclidean",
+        encoded=store, codebooks=books, centroids=trained,
+    ).collect()
+    built = ivfpq_match(
+        blobs, queries, k=10, n_cells=8, n_probe=2, m=4, ksub=64,
+        sample=400, n_iter=8, metric="sqeuclidean", codebooks=books,
+    ).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["match_id"]) for r in rows)  # noqa: E731
+    assert key(served) == key(built)
+    with pytest.raises(ValueError, match="codebooks and centroids"):
+        ivfpq_match(blobs, queries, encoded=store, codebooks=books)
