@@ -580,3 +580,231 @@ def ivfpq_match(
         _partition_topk, out_schema
     )
     return _rank_and_project(cand, k, metric, round_scores)
+
+
+# --------------------------------------------------- scalar quantization
+
+def sq_train(
+    corpus: DataFrame,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+) -> tuple[list[float], list[float]]:
+    """Train an SQ8 scalar quantizer (FAISS's ``SQ8``): per-dimension
+    (min, max) bounds → each dimension encodes to one uint8. The middle
+    rung of the compression ladder — 8× vs float64 (4× vs float32) with
+    ~1/255-of-range per-dim error, where PQ's m-bytes-per-VECTOR trades
+    much more resolution for much more compression.
+
+    Bounds come from per-partition numpy partials (one (mins, maxs) row
+    per partition) reduced on the driver — min/max are order-independent,
+    so the result is deterministic under any partitioning, and the driver
+    state is ``partitions × 2d`` floats, never rows."""
+    import pandas as pd  # noqa: F811 (worker-side import parity)
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mn = mx = None
+        for pdf in batches:
+            col = pdf[emb_col]
+            mask = col.notna().to_numpy()
+            if not mask.any():
+                continue
+            mat = np.asarray([np.asarray(e, dtype=np.float64) for e in col[mask]])
+            bmn, bmx = mat.min(axis=0), mat.max(axis=0)
+            mn = bmn if mn is None else np.minimum(mn, bmn)
+            mx = bmx if mx is None else np.maximum(mx, bmx)
+        if mn is not None:
+            yield pd.DataFrame({"mins": [list(mn)], "maxs": [list(mx)]})
+
+    parts = (
+        corpus.select(emb_col)
+        .mapInPandas(_partial, "mins array<double>, maxs array<double>")
+        .collect()
+    )
+    if not parts:
+        raise ValueError("sq_train: corpus is empty")
+    mins = np.min([r.mins for r in parts], axis=0)
+    maxs = np.max([r.maxs for r in parts], axis=0)
+    return [float(x) for x in mins], [float(x) for x in maxs]
+
+
+def sq_encode(
+    corpus: DataFrame,
+    bounds: tuple[list[float], list[float]],
+    id_col: str = "id",
+    emb_col: str = "embedding",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """→ (id[, keep_cols...], codes BINARY): one uint8 per dimension,
+    ``round((v - min) / (max - min) * 255)`` clipped to [0, 255] (values
+    outside the trained bounds saturate). Map-only Arrow pass."""
+    mins = np.asarray(bounds[0], dtype=np.float64)
+    maxs = np.asarray(bounds[1], dtype=np.float64)
+    span = np.where(maxs > mins, maxs - mins, 1.0)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((mins, span))
+    keep = keep_cols or []
+    fields = [corpus.schema[id_col]] + [corpus.schema[c] for c in keep]
+    out_schema = T.StructType(fields + [T.StructField("codes", T.BinaryType())])
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_mins, b_span = bc.value
+        for pdf in batches:
+            mask = pdf[emb_col].notna().to_numpy()
+            if not mask.any():
+                continue
+            sub = pdf[mask]
+            mat = np.asarray([np.asarray(e, dtype=np.float64) for e in sub[emb_col]])
+            codes = np.clip(
+                np.rint((mat - b_mins) / b_span * 255.0), 0, 255
+            ).astype(np.uint8)
+            out = {id_col: sub[id_col].to_numpy()}
+            for c in keep:
+                out[c] = sub[c].to_numpy()
+            out["codes"] = [c.tobytes() for c in codes]
+            yield pd.DataFrame(out)
+
+    return corpus.select(id_col, emb_col, *keep).mapInPandas(_encode, out_schema)
+
+
+def sq_match(
+    encoded: DataFrame,
+    queries: DataFrame,
+    bounds: tuple[list[float], list[float]],
+    k: int = 10,
+    metric: str = "sqeuclidean",
+    corpus_id_col: str = "id",
+    query_id_col: str = "id",
+    query_emb_col: str = "embedding",
+    codes_col: str = "codes",
+    round_scores: int | None = None,
+    max_query_rows: int = _MAX_QUERY_ROWS,
+    rerank_corpus: DataFrame | None = None,
+    rerank_factor: int = 4,
+    rerank_emb_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over an SQ8-encoded corpus: dequantize each batch in numpy
+    (``min + code·span/255``) and score against the broadcast queries —
+    brute force over 1-byte-per-dim reconstructions, so recall is near
+    the exact operator's at 1/8 the scan bytes. Same partition-top-k +
+    window-merge shape as ``pq_match``; ``rerank_corpus`` upgrades the
+    shortlist to exact raw-vector scores exactly like ``pq_match``'s."""
+    if metric not in _PQ_METRICS:
+        raise ValueError(f"sq_match supports {_PQ_METRICS}, got {metric!r}")
+    if rerank_corpus is not None:
+        shortlist = sq_match(
+            encoded, queries, bounds, k=k * rerank_factor, metric=metric,
+            corpus_id_col=corpus_id_col, query_id_col=query_id_col,
+            query_emb_col=query_emb_col, codes_col=codes_col,
+            max_query_rows=max_query_rows,
+        ).select("query_id", "match_id")
+        from docarray_spark.functions.distance import sqeuclidean_distance_col
+
+        emb_d = F.expr(f"transform({rerank_emb_col}, x -> cast(x as double))")
+        raw = rerank_corpus.select(
+            F.col(corpus_id_col).alias("match_id"), emb_d.alias("_cv")
+        )
+        qdf = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.expr(f"transform({query_emb_col}, x -> cast(x as double))").alias("_qv"),
+        )
+        if metric == "inner_product":
+            dist = -F.aggregate(
+                F.zip_with("_qv", "_cv", lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+        else:
+            dist = sqeuclidean_distance_col(F.col("_qv"), F.col("_cv"))
+        scored = (
+            raw.join(F.broadcast(shortlist), "match_id")
+            .join(F.broadcast(qdf), "query_id")
+            .select("query_id", "match_id", dist.alias("score"))
+        )
+        return _rank_and_project(scored, k, metric, round_scores)
+
+    qrows = (
+        queries.select(query_id_col, query_emb_col)
+        .dropna()
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("queries side is empty")
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"sq_match broadcasts the query side (> {max_query_rows} rows)"
+        )
+    qids = [r[0] for r in qrows]
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    mins = np.asarray(bounds[0], dtype=np.float64)
+    maxs = np.asarray(bounds[1], dtype=np.float64)
+    scale = np.where(maxs > mins, maxs - mins, 1.0) / 255.0
+    d_dim = len(mins)
+
+    spark = encoded.sparkSession
+    bc = spark.sparkContext.broadcast((qids, qmat, mins, scale))
+    corpus_id_type = encoded.schema[corpus_id_col].dataType
+    query_id_type = queries.schema[query_id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", query_id_type),
+            T.StructField("match_id", corpus_id_type),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    met = "sqeuclidean" if metric == "euclidean" else metric
+
+    def _partition_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, q_mat, b_mins, b_scale = bc.value
+        nq = len(q_ids)
+        cand_scores: list[np.ndarray] = []
+        cand_ids: list[np.ndarray] = []
+        for pdf in batches:
+            mask = pdf[codes_col].notna().to_numpy()
+            if not mask.any():
+                continue
+            ids = pdf[corpus_id_col].to_numpy()[mask]
+            mat = (
+                np.frombuffer(b"".join(pdf[codes_col][mask]), dtype=np.uint8)
+                .reshape(-1, d_dim)
+                .astype(np.float64)
+                * b_scale
+                + b_mins
+            )
+            if met == "inner_product":
+                d = -(q_mat @ mat.T)
+            else:
+                d = (
+                    (q_mat**2).sum(1)[:, None]
+                    - 2.0 * q_mat @ mat.T
+                    + (mat**2).sum(1)[None, :]
+                )
+            kk = min(k, d.shape[1])
+            idx = (
+                np.argpartition(d, kth=kk - 1, axis=1)[:, :kk]
+                if kk < d.shape[1]
+                else np.tile(np.arange(d.shape[1]), (nq, 1))
+            )
+            cand_scores.append(np.take_along_axis(d, idx, axis=1))
+            cand_ids.append(ids[idx])
+        if not cand_scores:
+            return
+        scores = np.hstack(cand_scores)
+        mids = np.hstack(cand_ids)
+        kk = min(k, scores.shape[1])
+        if kk < scores.shape[1]:
+            idx = np.argpartition(scores, kth=kk - 1, axis=1)[:, :kk]
+            scores = np.take_along_axis(scores, idx, axis=1)
+            mids = np.take_along_axis(mids, idx, axis=1)
+        n = scores.shape[1]
+        yield pd.DataFrame(
+            {
+                "query_id": np.repeat(q_ids, n),
+                "match_id": mids.ravel(),
+                "score": scores.ravel(),
+            }
+        )
+
+    cand = encoded.select(corpus_id_col, codes_col).mapInPandas(
+        _partition_topk, out_schema
+    )
+    return _rank_and_project(cand, k, metric, round_scores)

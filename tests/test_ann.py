@@ -559,3 +559,44 @@ def test_ivfpq_match_prebuilt_store_path(blobs, tmp_path):
     assert key(served) == key(built)
     with pytest.raises(ValueError, match="codebooks and centroids"):
         ivfpq_match(blobs, queries, encoded=store, codebooks=books)
+
+
+# ------------------------------------------------ scalar quantization (r5)
+
+def test_sq8_roundtrip_and_recall(emb, queries):
+    """SQ8: per-dim uint8 quantization — reconstruction error bounded by
+    half a quantization step per dim, recall near the exact operator's
+    (SQ8 keeps far more resolution than PQ at 1/8 the float64 bytes),
+    and the rerank path returns exact scores."""
+    import numpy as np
+
+    from docarray_spark.operators.match import match as exact_match
+    from docarray_spark.operators.pq import sq_encode, sq_match, sq_train
+
+    mins, maxs = sq_train(emb)
+    assert len(mins) == 64 and all(a <= b for a, b in zip(mins, maxs))
+    enc = sq_encode(emb, (mins, maxs))
+    rows = {r.id: r.codes for r in enc.collect()}
+    assert all(len(c) == 64 for c in rows.values())
+    # reconstruction error <= step/2 per dimension
+    scale = (np.asarray(maxs) - np.asarray(mins)) / 255.0
+    for r in emb.limit(20).collect():
+        dec = np.frombuffer(rows[r.id], dtype=np.uint8) * scale + np.asarray(mins)
+        assert np.all(np.abs(dec - np.asarray(r.embedding, dtype=float))
+                      <= scale / 2 + 1e-12)
+
+    exact_sq = {
+        (r["query_id"], r["match_id"])
+        for r in exact_match(
+            emb, queries, k=10, metric="sqeuclidean", corpus_id_col="id", eps=0.0
+        ).collect()
+    }
+    got = sq_match(enc, queries, (mins, maxs), k=10, metric="sqeuclidean").collect()
+    assert _recall(got, exact_sq) >= 0.95  # measured ~1.0 at sf0.001
+    rr = sq_match(
+        enc, queries, (mins, maxs), k=10, metric="sqeuclidean",
+        rerank_corpus=emb, rerank_factor=4,
+    ).collect()
+    assert _recall(rr, exact_sq) >= 0.95
+    with pytest.raises(ValueError, match="supports"):
+        sq_match(enc, queries, (mins, maxs), metric="cosine")
