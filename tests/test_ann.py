@@ -600,3 +600,48 @@ def test_sq8_roundtrip_and_recall(emb, queries):
     assert _recall(rr, exact_sq) >= 0.95
     with pytest.raises(ValueError, match="supports"):
         sq_match(enc, queries, (mins, maxs), metric="cosine")
+
+
+def test_pq_ragged_subspaces_and_empty_partitions(spark):
+    """m ∤ dim: contiguous uneven split (first dim%m subspaces get the
+    extra dimension) — encode/match still roundtrip; empty partitions
+    yield no candidate rows but the merge still returns full top-k."""
+    from docarray_spark.operators.pq import (
+        _subspace_bounds,
+        pq_encode,
+        pq_match,
+        pq_train,
+    )
+
+    assert _subspace_bounds(10, 4) == [(0, 3), (3, 6), (6, 8), (8, 10)]
+    rows = [(i, [float((i * 7 + j) % 13) for j in range(10)]) for i in range(60)]
+    corpus = spark.createDataFrame(rows, "id long, embedding array<double>") \
+        .repartition(16)  # more partitions than rows in some -> empties
+    books = pq_train(corpus, m=4, ksub=13, sample=60, n_iter=4)
+    assert [len(b[0]) for b in books] == [3, 3, 2, 2]
+    enc = pq_encode(corpus, books)
+    assert all(len(r.codes) == 4 for r in enc.collect())
+    q = corpus.filter("id = 5")
+    got = pq_match(enc, q, books, k=10, metric="sqeuclidean").collect()
+    assert len(got) == 10
+    assert min(got, key=lambda r: r["rank"])["match_id"] == 5
+
+
+def test_hnsw_duplicate_vectors_and_tiny_corpus(spark):
+    """Duplicate vectors don't break graph construction (the heuristic's
+    backfill keeps them linked), and a corpus smaller than k returns all
+    rows ranked."""
+    from docarray_spark.operators.hnsw import hnsw_match
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(5)]   # all identical
+    rows += [(10 + i, [float(i), 1.0, 0.0, 2.0]) for i in range(3)]
+    corpus = spark.createDataFrame(rows, "id long, embedding array<double>")
+    q = corpus.filter("id = 0")
+    got = hnsw_match(corpus, q, k=20, metric="sqeuclidean",
+                     corpus_id_col="id", ef=50).collect()
+    assert len(got) == 8  # whole corpus, ranked
+    ranks = sorted(r["rank"] for r in got)
+    assert ranks == list(range(1, 9))
+    # the five identical vectors occupy the top five ranks at distance 0
+    top5 = {r["match_id"] for r in got if r["rank"] <= 5}
+    assert top5 == {0, 1, 2, 3, 4}
