@@ -9,6 +9,7 @@ from docarray_spark.streaming.ops import (
     windowed_counts,
     session_windows,
     stream_interval_join,
+    stream_upsert_jdbc,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "windowed_counts",
     "session_windows",
     "stream_interval_join",
+    "stream_upsert_jdbc",
 ]

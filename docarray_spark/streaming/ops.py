@@ -319,3 +319,72 @@ def run_to_memory_sink(
     )
     q.awaitTermination(timeout_sec)
     q.stop()
+
+
+def stream_upsert_jdbc(
+    sdf: DataFrame,
+    url: str,
+    table: str,
+    id_col: str = "id",
+    checkpoint: str | None = None,
+    order_col: str | None = None,
+    delete_chunk: int = 256,
+    available_now: bool = True,
+):
+    """Streaming upsert into the JDBC document store — the ``foreachBatch``
+    MERGE pattern (Structured Streaming's documented recipe for sinks
+    without native MERGE): each micro-batch is reduced to one row per id
+    (``order_col`` DESC wins when given, e.g. an event time; otherwise an
+    arbitrary in-batch representative), existing ids are deleted in chunked
+    parameterized statements, and the batch appends. Net effect: an
+    id-keyed upsert — the reference backend's ``__setitem__``-by-id
+    semantics (``array/storage/base/setitem.py``) fed by a stream.
+
+    Replay-safe: a retried batch re-deletes then re-appends the same rows,
+    so the sink converges to the same table (idempotent per batch id).
+    Returns the started StreamingQuery; callers ``awaitTermination()``."""
+    from docarray_spark.sources.jdbc_store import (
+        DERBY_DRIVER,
+        _quote_ident,
+        _table_ref,
+        jdbc_execute,
+        save_jdbc,
+    )
+
+    def _upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if order_col is not None:
+            from pyspark.sql import Window as W
+
+            rn = F.row_number().over(
+                W.partitionBy(id_col).orderBy(F.col(order_col).desc())
+            )
+            b = batch_df.withColumn("_rn", rn).filter("_rn = 1").drop("_rn")
+        else:
+            b = batch_df.dropDuplicates([id_col])
+        b = b.persist()
+        ids = [r[0] for r in b.select(id_col).collect()]
+        if ids:
+            for i in range(0, len(ids), delete_chunk):
+                chunk = ids[i : i + delete_chunk]
+                marks = ", ".join("?" for _ in chunk)
+                try:
+                    jdbc_execute(
+                        spark, url,
+                        f"DELETE FROM {_table_ref(table)} WHERE "
+                        f"{_quote_ident(id_col)} IN ({marks})",
+                        DERBY_DRIVER, chunk,
+                    )
+                except Exception:
+                    # first batch: table doesn't exist yet — the append
+                    # below creates it; any real failure re-raises there
+                    break
+            save_jdbc(b, url, table, mode="append")
+        b.unpersist()
+
+    w = sdf.writeStream.foreachBatch(_upsert)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

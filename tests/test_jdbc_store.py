@@ -106,3 +106,41 @@ def test_jdbc_string_id_with_quote(spark, tmp_path):
     assert load_jdbc(spark, url, "t").filter(F.col("id") == "o'brien").first().v == 9
     assert delete_by_id_jdbc(spark, url, "t", "id", "o'brien") == 1
     assert load_jdbc(spark, url, "t").count() == 1
+
+
+def test_stream_upsert_jdbc_merge_semantics(spark, tmp_path):
+    """Streaming upsert (foreachBatch MERGE pattern): two landing files
+    processed as separate micro-batches; the second batch's rows replace
+    the first's for overlapping ids and append for new ones."""
+    import json
+    import time
+
+    from docarray_spark.sources.jdbc_store import load_jdbc
+    from docarray_spark.streaming.ops import stream_upsert_jdbc
+
+    url = derby_url(str(tmp_path / "updb"))
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.json").write_text(
+        "\n".join(json.dumps({"id": i, "v": f"old{i}", "seq": 1}) for i in range(5))
+    )
+    time.sleep(1.1)  # distinct mod times -> deterministic batch order
+    (landing / "b.json").write_text(
+        "\n".join(json.dumps({"id": i, "v": f"new{i}", "seq": 2}) for i in range(3, 8))
+    )
+    sdf = (
+        spark.readStream.schema("id long, v string, seq int")
+        .option("maxFilesPerTrigger", 1)   # one file per micro-batch
+        .json(str(landing))
+    )
+    q = stream_upsert_jdbc(
+        sdf, url, "updocs", id_col="id",
+        checkpoint=str(tmp_path / "ckpt"), order_col="seq",
+    )
+    q.awaitTermination()
+    rows = {r.id: r.v for r in load_jdbc(spark, url, "updocs").collect()}
+    assert rows == {
+        0: "old0", 1: "old1", 2: "old2",          # batch-1 only
+        3: "new3", 4: "new4",                     # overlap: batch 2 wins
+        5: "new5", 6: "new6", 7: "new7",          # batch-2 only
+    }
