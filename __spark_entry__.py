@@ -1044,17 +1044,46 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unit-level (6-token-block 'paragraph') corpus dedup keeping the
-    FIRST occurrence (RefinedWeb-style), rebuilding each document from its
-    surviving units. Complements boilerplate_removal (which drops ALL
-    copies of frequent units)."""
+    """Unit-level corpus dedup, part-tagged:
+
+    - part='units': 6-token-block 'paragraph' dedup keeping the FIRST
+      occurrence (RefinedWeb-style), documents rebuilt from surviving
+      units. Complements boilerplate_removal (which drops ALL copies).
+    - part='spans' (r5): exact-substring span dedup (Lee et al. 2022
+      semantics — every 8-token window occurring more than once is cut
+      except at its globally first occurrence; overlapping windows merge
+      into maximal spans via gaps-and-islands). Fully relational, so the
+      oracle replays window hashing, first-occurrence ranking, island
+      merging, and the token-level rebuild in SQL.
+
+    Shared schema: (part, doc_id, clean_text, units_total,
+    units_removed) — for 'spans' the unit is a TOKEN."""
     from docarray_spark.operators import dedup_units_first, token_blocks_col
+    from docarray_spark.operators.dedup import remove_duplicate_spans
+    from docarray_spark.operators.text import tokens_col
 
     docs = _t(spark, sf_dir, "documents")
-    return dedup_units_first(
+    units = dedup_units_first(
         docs.withColumn("units", token_blocks_col("text", 6)),
         id_col="doc_id", units="units",
+    ).select(
+        F.lit("units").alias("part"), "doc_id", "clean_text",
+        F.col("units_total").cast("long").alias("units_total"),
+        F.col("units_removed").cast("long").alias("units_removed"),
     )
+    sp = remove_duplicate_spans(
+        docs.select("doc_id", "text").withColumn(
+            "_ntok", F.size(tokens_col("text"))
+        ),
+        window=8, id_col="doc_id", text_col="text",
+    )
+    spans = sp.select(
+        F.lit("spans").alias("part"), "doc_id",
+        F.col("text").alias("clean_text"),
+        F.col("_ntok").cast("long").alias("units_total"),
+        F.col("n_removed_tokens").cast("long").alias("units_removed"),
+    )
+    return units.unionByName(spans)
 
 
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3139,14 +3168,77 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, pos, unit,
                      row_number() OVER (PARTITION BY unit ORDER BY doc_id, pos) AS rn
               FROM ex
+            ),
+            -- part='spans': exact-substring span dedup replay — lowercased
+            -- tokens (the engine tokenizer lowercases), 8-token window
+            -- hashes (engine hash_u32_sql md5 path), first occurrence per
+            -- hash kept, duplicated windows merged gaps-and-islands, kept
+            -- tokens re-joined
+            spt AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            sph AS (
+              SELECT doc_id, s AS start,
+                     CAST(concat('0x', substr(md5(
+                       array_to_string(toks[s+1:s+8], ' ')), 1, 8)) AS BIGINT)
+                       AS whash
+              FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS s
+                    FROM spt WHERE len(toks) >= 8)
+            ),
+            spm AS (
+              SELECT doc_id, start, start + 8 AS fin
+              FROM (SELECT doc_id, start,
+                           row_number() OVER (PARTITION BY whash
+                                              ORDER BY doc_id, start) AS rn,
+                           count(*) OVER (PARTITION BY whash) AS cnt
+                    FROM sph)
+              WHERE cnt > 1 AND rn > 1
+            ),
+            spi AS (
+              SELECT doc_id, start, fin,
+                     sum(CASE WHEN prev_max IS NULL OR start > prev_max
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY start
+                             ROWS UNBOUNDED PRECEDING) AS island
+              FROM (SELECT doc_id, start, fin,
+                           max(fin) OVER (PARTITION BY doc_id ORDER BY start
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS prev_max
+                    FROM spm)
+            ),
+            spspan AS (
+              SELECT doc_id, min(start) AS span_start, max(fin) AS span_end
+              FROM spi GROUP BY doc_id, island
+            ),
+            spflag AS (
+              SELECT e.doc_id, e.tok, e.i, e.ntok,
+                     EXISTS(SELECT 1 FROM spspan s
+                            WHERE s.doc_id = e.doc_id
+                              AND e.i >= s.span_start AND e.i < s.span_end)
+                       AS covered
+              FROM (SELECT doc_id, unnest(toks) AS tok,
+                           generate_subscripts(toks, 1) - 1 AS i,
+                           len(toks) AS ntok
+                    FROM spt) e
             )
-            SELECT doc_id,
+            SELECT 'units' AS part, doc_id,
                    coalesce(string_agg(unit, ' ' ORDER BY pos)
                             FILTER (WHERE rn = 1), '') AS clean_text,
                    count(*) AS units_total,
                    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
                      AS units_removed
             FROM r GROUP BY doc_id
+            UNION ALL
+            SELECT 'spans' AS part, doc_id,
+                   coalesce(string_agg(tok, ' ' ORDER BY i)
+                            FILTER (WHERE NOT covered), '') AS clean_text,
+                   max(ntok)::BIGINT AS units_total,
+                   CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+                     AS units_removed
+            FROM spflag GROUP BY doc_id
         """,
         "kmeans_clusters": """WITH base AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
             cand AS (SELECT id, v FROM base ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 8),

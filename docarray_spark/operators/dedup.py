@@ -718,3 +718,117 @@ def dedup_against(
             ),
         )
     )
+
+
+# --------------------------------------------------- exact-substring spans
+
+def duplicate_spans(
+    df: DataFrame,
+    window: int = 8,
+    id_col: str = "id",
+    text_col: str = "text",
+    hash_method: str = "md5",
+) -> DataFrame:
+    """Exact-substring duplicate detection (the semantics of Lee et al.
+    2022, *Deduplicating Training Data Makes Language Models Better* —
+    suffix-array exact substrings ≥ W tokens, re-expressed relationally):
+    every ``window``-token run whose text occurs MORE than once in the
+    corpus marks a duplicated region, EXCEPT at its globally first
+    occurrence (smallest ``(id, start)``), which is kept. Overlapping
+    marked windows merge into maximal spans (gaps-and-islands over the
+    start positions).
+
+    → ``(id, span_start, span_end)`` — token-index spans, end exclusive.
+
+    Scale shape: the explode is ``n_tokens`` rows/doc but carries ONLY
+    (id, start, hash) — never window text; the count shuffle keys on the
+    fixed-width hash; the island merge is one exchange by ``id``. That
+    linear blow-up is the honest cost of exact-substring semantics (the
+    suffix array pays the same n log n); paragraph/winnowing dedup remain
+    the cheaper approximations."""
+    from docarray_spark.functions.hashing import hash_u32_sql
+
+    toks = tokens_col(text_col)
+    base = (
+        _ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), toks.alias("_t"))
+        .filter(F.size("_t") >= window)
+    )
+    # (id, start, whash): hash of the W-token run starting at `start`
+    wins = base.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(_t) - {window}), s -> "
+                f"array_join(slice(_t, s + 1, {window}), ' '))"
+            )
+        ).alias("start", "_wtext"),
+    ).select(
+        "id", "start",
+        F.expr(hash_u32_sql("_wtext", hash_method)).alias("whash"),
+    )
+    stats = wins.groupBy("whash").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.struct("id", "start")).alias("_first"),
+    ).filter(F.col("_n") > 1)
+    # duplicated occurrences, first kept
+    marked = (
+        wins.join(stats, "whash")
+        .filter(~((F.col("id") == F.col("_first.id")) & (F.col("start") == F.col("_first.start"))))
+        .select("id", "start", (F.col("start") + window).alias("end"))
+    )
+    # gaps-and-islands: a window starts a new span iff it begins after the
+    # running max end of all previous windows in the doc
+    from pyspark.sql import Window as W
+
+    order = W.partitionBy("id").orderBy("start")
+    prev_max_end = F.max("end").over(order.rowsBetween(W.unboundedPreceding, -1))
+    islands = (
+        marked.withColumn(
+            "_new", F.when(prev_max_end.isNull() | (F.col("start") > prev_max_end), 1).otherwise(0)
+        )
+        .withColumn("_island", F.sum("_new").over(order))
+    )
+    return (
+        islands.groupBy("id", "_island")
+        .agg(F.min("start").alias("span_start"), F.max("end").alias("span_end"))
+        .select("id", "span_start", "span_end")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    window: int = 8,
+    id_col: str = "id",
+    text_col: str = "text",
+    hash_method: str = "md5",
+) -> DataFrame:
+    """Rewrite each document with its duplicated spans cut out
+    (:func:`duplicate_spans` policy: globally first occurrence survives).
+    → original columns with ``text_col`` replaced by the deduplicated
+    token join and ``n_removed_tokens`` appended. Documents shorter than
+    ``window`` tokens or containing no duplicated window pass through
+    unchanged (n_removed_tokens = 0)."""
+    spans = duplicate_spans(df, window, id_col, text_col, hash_method)
+    spans_per_doc = spans.groupBy("id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = tokens_col(text_col)
+    joined = df.join(
+        spans_per_doc.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    keep_tok = (
+        f"filter(transform(_t2, (t, i) -> IF(exists(_spans, s -> "
+        f"i >= s.span_start AND i < s.span_end), NULL, t)), t -> t IS NOT NULL)"
+    )
+    out = (
+        joined.withColumn("_t2", toks)
+        .withColumn(
+            "_kept",
+            F.when(F.col("_spans").isNull(), F.col("_t2")).otherwise(F.expr(keep_tok)),
+        )
+        .withColumn("n_removed_tokens", F.size("_t2") - F.size("_kept"))
+        .withColumn(text_col, F.array_join("_kept", " "))
+        .drop("_t2", "_kept", "_spans")
+    )
+    return out

@@ -263,3 +263,59 @@ def test_simhash_multi_slice_pigeonhole_guard(spark):
     df = spark.createDataFrame([(1, "a b c")], "id long, text string")
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_dup_pairs(df, bits=48, max_hamming=5, num_bands=6, slices_per_band=2)
+
+
+# ----------------------------------------- exact-substring span dedup (r5)
+
+def test_duplicate_spans_first_occurrence_and_merge(spark):
+    """Lee-et-al-style exact-substring semantics: a 9-token phrase shared
+    by three docs survives only at its globally first occurrence; the two
+    overlapping 8-windows it generates merge into ONE maximal span."""
+    from docarray_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "intro words then the quick brown fox jumps over the lazy dog and more text"),
+        (3, "completely unrelated content with no repeats at all in this sentence okay"),
+        (4, "prefix the quick brown fox jumps over the lazy dog suffix one two three four"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    spans = sorted(tuple(r) for r in duplicate_spans(df, window=8).collect())
+    assert spans == [(2, 3, 12), (4, 1, 10)]  # doc 1 = first occurrence, kept
+
+    out = {r.id: (r.text, r.n_removed_tokens)
+           for r in remove_duplicate_spans(df, window=8).collect()}
+    assert out[1][1] == 0 and out[3][1] == 0           # untouched
+    assert out[2] == ("intro words then and more text", 9)
+    assert out[4] == ("prefix suffix one two three four", 9)
+    # total token mass is conserved: kept + removed = original
+    for i, text in rows:
+        kept = len(out[i][0].split()) if out[i][0] else 0
+        assert kept + out[i][1] == len(text.split())
+
+
+def test_duplicate_spans_within_one_document(spark):
+    """A phrase repeated INSIDE one document: second occurrence removed."""
+    from docarray_spark.operators.dedup import remove_duplicate_spans
+
+    phrase = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, f"{phrase} middle filler words go here now {phrase}")],
+        "id long, text string",
+    )
+    out = remove_duplicate_spans(df, window=8).first()
+    assert out.n_removed_tokens == 8
+    assert out.text == f"{phrase} middle filler words go here now"
+
+
+def test_duplicate_spans_short_docs_pass_through(spark):
+    from docarray_spark.operators.dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "too short")], "id long, text string"
+    )
+    out = {r.id: r.n_removed_tokens for r in remove_duplicate_spans(df, window=8).collect()}
+    assert out == {1: 0, 2: 0}  # below the window, never candidates

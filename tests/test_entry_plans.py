@@ -30,8 +30,10 @@ BUDGETS = {
     # hash/stratified/weighted/split parts are map-only scan-fused
     # predicates; cap contributes the single group-key exchange
     "sampling_suite": (1, 5, False),
-    # unit window exchange (reused by the doc rebuild) + output agg
-    "dedup_paragraphs": (2, 1, False),
+    # units part: unit window exchange + output agg; spans part (r5):
+    # window-hash count exchange, island windows by doc, span join +
+    # token rebuild — the linear cost of exact-substring semantics
+    "dedup_paragraphs": (6, 4, False),
     # fingerprint probe + band-bucket probe + per-id hit count; history
     # reduces to fixed-width keys before any join
     "dedup_incremental": (3, 6, False),
