@@ -3181,9 +3181,11 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ),
             sph AS (
+              -- 60-bit window hash (15 hex chars): 32 bits birthday-
+              -- collides at corpus scale and collisions DELETE text
               SELECT doc_id, s AS start,
                      CAST(concat('0x', substr(md5(
-                       array_to_string(toks[s+1:s+8], ' ')), 1, 8)) AS BIGINT)
+                       array_to_string(toks[s+1:s+8], ' ')), 1, 15)) AS BIGINT)
                        AS whash
               FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS s
                     FROM spt WHERE len(toks) >= 8)

@@ -745,8 +745,15 @@ def duplicate_spans(
     fixed-width hash; the island merge is one exchange by ``id``. That
     linear blow-up is the honest cost of exact-substring semantics (the
     suffix array pays the same n log n); paragraph/winnowing dedup remain
-    the cheaper approximations."""
-    from docarray_spark.functions.hashing import hash_u32_sql
+    the cheaper approximations.
+
+    Window hashes are 60-bit (the md5-conv BIGINT ceiling): a 32-bit hash
+    birthday-collides at corpus scale — the 1M-doc probe (53M windows)
+    produced ~300k spurious window pairs and wrongly cut 2.5M tokens.
+    At 60 bits the expected collision count for 53M windows is ~0.001;
+    collisions FALSELY REMOVE text, so the width is a correctness dial,
+    not a perf one."""
+    from docarray_spark.functions.hashing import hash_bits_sql
 
     toks = tokens_col(text_col)
     base = (
@@ -765,7 +772,7 @@ def duplicate_spans(
         ).alias("start", "_wtext"),
     ).select(
         "id", "start",
-        F.expr(hash_u32_sql("_wtext", hash_method)).alias("whash"),
+        F.expr(hash_bits_sql("_wtext", 60, hash_method)).alias("whash"),
     )
     stats = wins.groupBy("whash").agg(
         F.count(F.lit(1)).alias("_n"),
