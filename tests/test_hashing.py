@@ -139,3 +139,20 @@ def test_hash_bits_sql_honors_documented_range(spark, method, bits):
         low = spark.range(500).selectExpr(
             f"pmod({raw}, {1 << bits}) as h").collect()
         assert [r.h for r in low] == vals
+
+
+def test_duplicate_spans_xxhash_path(spark):
+    """Span dedup under the production hash: same spans as md5 (both are
+    collision-free at test scale; the contract is uniform+deterministic)."""
+    from docarray_spark.operators.dedup import duplicate_spans
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "intro words then the quick brown fox jumps over the lazy dog yes"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    md5_spans = sorted(tuple(r) for r in duplicate_spans(df, window=8).collect())
+    xx_spans = sorted(
+        tuple(r) for r in duplicate_spans(df, window=8, hash_method="xxhash64").collect()
+    )
+    assert md5_spans == xx_spans == [(2, 3, 12)]
