@@ -1,0 +1,56 @@
+"""Unified ``find`` — the reference's query-type dispatch
+(``array/mixins/find.py:22-156``): one entry point that routes on what the
+query IS, exactly as ``DocumentArray.find`` does:
+
+* ``dict``            → Mongo-QL filter (``queryset.find``)
+* ``str`` / list[str] → BM25 full-text search (``text.text_search``)
+* vector(s) (ndarray, list of floats, list of vectors)
+                      → kNN (``match.find_by_vectors``, incl. the
+                        ``backend=`` ANN dispatch)
+
+Every branch returns a DataFrame; all keyword arguments flow to the chosen
+operator unchanged, so this adds dispatch, not a new surface.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+
+def find(corpus: DataFrame, query: Any, **kwargs) -> DataFrame:
+    """Route ``query`` by type to the filter / text-search / vector-search
+    operator (the reference's ``find`` overloads, one function)."""
+    if isinstance(query, dict):
+        from docarray_spark.queryset import find as ql_find
+
+        return ql_find(corpus, query, limit=kwargs.pop("limit", None))
+    if isinstance(query, str):
+        from docarray_spark.operators.text import text_search
+
+        return text_search(corpus, query, **kwargs)
+    if isinstance(query, (list, tuple)) and query and isinstance(query[0], str):
+        # list of text queries → union of per-query results, tagged
+        from pyspark.sql import functions as F
+
+        from docarray_spark.operators.text import text_search
+
+        out = None
+        for q in query:
+            part = text_search(corpus, q, **kwargs).withColumn("query", F.lit(q))
+            out = part if out is None else out.unionByName(part)
+        return out
+    if isinstance(query, np.ndarray) or (
+        isinstance(query, (list, tuple))
+        and query
+        and isinstance(query[0], (int, float, list, tuple, np.ndarray))
+    ):
+        from docarray_spark.operators.match import find_by_vectors
+
+        return find_by_vectors(corpus, query, **kwargs)
+    raise TypeError(
+        f"find() supports dict (QL filter), str / list[str] (text search), "
+        f"or vectors; got {type(query).__name__}"
+    )

@@ -265,3 +265,32 @@ def test_find_by_vectors_backend_dispatch(spark, sf_dir):
         assert top["match_id"] == 3 and top["score"] < 1e-9, backend
     with pytest.raises(ValueError, match="backend"):
         find_by_vectors(emb, q, backend="faiss")
+
+
+def test_unified_find_dispatch(spark, sf_dir):
+    """The reference's find() overloads behind ONE entry point: dict -> QL
+    filter, str -> BM25, vectors -> kNN; wrong types raise."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from docarray_spark.operators.find import find as ufind
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flt = ufind(docs, {"lang": {"$eq": "en"}})
+    assert flt.filter("lang <> 'en'").count() == 0 and flt.count() > 0
+
+    first_text = docs.first().text
+    probe = " ".join(first_text.split()[:3])
+    ts = ufind(docs, probe, id_col="doc_id", text_col="text", k=5).collect()
+    assert 0 < len(ts) <= 5 and {"score"} <= {f for f in ts[0].asDict()}
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    q = np.asarray(emb.first().embedding, dtype=float)
+    nn = ufind(emb, q, k=3, metric="cosine", corpus_id_col="id").collect()
+    assert len(nn) == 3 and min(nn, key=lambda r: r["rank"])["score"] < 1e-9
+
+    with _pytest.raises(TypeError, match="find"):
+        ufind(docs, 42)
