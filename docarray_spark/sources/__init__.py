@@ -21,6 +21,8 @@ from docarray_spark.sources.writers import (
     from_pandas,
     save_csv,
     save_json,
+    init_parquet_store,
+    merge_parquet_store,
     save_parquet,
     to_pandas,
 )
@@ -59,6 +61,8 @@ __all__ = [
     "from_pandas",
     "save_csv",
     "save_json",
+    "init_parquet_store",
+    "merge_parquet_store",
     "save_parquet",
     "to_pandas",
 ]

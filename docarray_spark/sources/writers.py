@@ -137,3 +137,91 @@ def from_lines(
     iterable; file-shaped inputs should use ``read_ndjson``/``read_csv_documents``."""
     rows = [(i, ln) for i, ln in enumerate(lines)]
     return spark.createDataFrame(rows, f"id bigint, {text_col} string")
+
+
+def merge_parquet_store(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    id_col: str = "id",
+    n_buckets: int = 64,
+    delete_ids: DataFrame | None = None,
+) -> dict:
+    """Copy-on-write MERGE into a plain-parquet document store — the
+    Delta-Lake upsert mechanics (MERGE INTO target USING updates ON id)
+    without a table format, which this environment lacks.
+
+    Layout contract: the store is hash-partitioned by
+    ``_bucket = pmod(xxhash64(id), n_buckets)`` (``init_parquet_store``
+    writes it). A merge then touches ONLY the buckets its updates hash
+    into: the update set (small) determines the affected bucket list, the
+    read of the current store is partition-PRUNED to those buckets, rows
+    are merged by id (updates win; ``delete_ids`` drop), and dynamic
+    partition overwrite rewrites just those directories. At 100 TB / 64k
+    buckets, upserting 1M docs rewrites ~the touched fraction of the
+    store, not the store.
+
+    Not transactional across concurrent writers (that is the part a real
+    table format adds); single-writer copy-on-write is exactly the
+    reference store's mutation model (``array/storage/base/setitem.py``
+    mutates in place, one process). → summary dict with bucket/row
+    counts."""
+    bucket = lambda c: F.pmod(F.xxhash64(F.col(c).cast("string")), F.lit(n_buckets)).cast("int")  # noqa: E731
+    up = updates.withColumn("_bucket", bucket(id_col))
+    affected = [r._bucket for r in up.select("_bucket").distinct().collect()]
+    if delete_ids is not None:
+        dl = delete_ids.withColumn("_bucket", bucket(id_col))
+        affected = sorted(
+            set(affected)
+            | {r._bucket for r in dl.select("_bucket").distinct().collect()}
+        )
+    current = spark.read.parquet(path).filter(F.col("_bucket").isin(affected))
+    # merge-by-id: updates win over current rows (full-row upsert)
+    merged = current.join(
+        up.select(F.col(id_col).alias("_uid")).distinct(),
+        current[id_col] == F.col("_uid"),
+        "left_anti",
+    ).unionByName(up, allowMissingColumns=False)
+    if delete_ids is not None:
+        merged = merged.join(
+            dl.select(F.col(id_col).alias("_did")).distinct(),
+            merged[id_col] == F.col("_did"),
+            "left_anti",
+        )
+    # the merged plan READS the same path it is about to overwrite:
+    # localCheckpoint materializes the affected-bucket rows (bounded by
+    # update locality, never the whole store) and truncates the lineage so
+    # the writer's read-own-output check passes and the count below can't
+    # observe the post-write state
+    merged = merged.localCheckpoint(eager=True)
+    rows_written = merged.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # dynamic mode replaces ONLY the partitions present in `merged` —
+        # untouched buckets' directories are never read or rewritten
+        merged.write.mode("overwrite").partitionBy("_bucket").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {
+        "affected_buckets": len(affected),
+        "total_buckets": n_buckets,
+        "rows_written": rows_written,
+    }
+
+
+def init_parquet_store(
+    df: DataFrame,
+    path: str,
+    id_col: str = "id",
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Create the hash-bucketed store :func:`merge_parquet_store` merges
+    into: one ``_bucket=…`` directory per ``pmod(xxhash64(id), n_buckets)``
+    so later merges and id-equality reads prune to single buckets."""
+    out = df.withColumn(
+        "_bucket",
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets)).cast("int"),
+    )
+    out.write.mode(mode).partitionBy("_bucket").parquet(path)

@@ -1135,3 +1135,66 @@ def test_array_base64_roundtrip(spark):
     assert got == [("a", "x", [1.0, 2.0]), ("b", "y", [3.0, 4.0])]
     with pytest.raises(ValueError, match="driver-side"):
         array_to_base64(spark.range(10), max_rows=5)
+
+
+# ------------------------------------- copy-on-write parquet MERGE (r5)
+
+def test_merge_parquet_store_upsert_delete_and_pruning(spark, tmp_path):
+    """Delta-style MERGE mechanics on plain parquet: updates win by id,
+    inserts land, deletes drop — and ONLY the buckets the updates hash
+    into are rewritten (untouched bucket directories keep their files)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from docarray_spark.sources.writers import (
+        init_parquet_store,
+        merge_parquet_store,
+    )
+
+    path = str(tmp_path / "store")
+    base = spark.range(1000).select(
+        F.col("id"), F.concat(F.lit("v0_"), F.col("id")).alias("text")
+    )
+    init_parquet_store(base, path, n_buckets=16)
+
+    def mtimes():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("_bucket="):
+                files = [
+                    os.path.getmtime(os.path.join(path, d, f))
+                    for f in os.listdir(os.path.join(path, d))
+                    if f.endswith(".parquet")
+                ]
+                out[d] = max(files)
+        return out
+
+    before = mtimes()
+    assert len(before) == 16
+
+    updates = spark.createDataFrame(
+        [(5, "v1_5"), (7, "v1_7"), (2000, "v1_2000")], "id long, text string"
+    )
+    deletes = spark.createDataFrame([(9,)], "id long")
+    import time
+
+    time.sleep(1.1)  # mtime resolution
+    summary = merge_parquet_store(
+        spark, path, updates, id_col="id", n_buckets=16, delete_ids=deletes
+    )
+    assert summary["affected_buckets"] <= 4
+
+    store = spark.read.parquet(path)
+    got = {r.id: r.text for r in store.collect()}
+    assert got[5] == "v1_5" and got[7] == "v1_7"       # updated
+    assert got[2000] == "v1_2000"                      # inserted
+    assert 9 not in got                                # deleted
+    assert got[0] == "v0_0" and len(got) == 1000 + 1 - 1
+
+    # pruning: only affected bucket directories were rewritten
+    after = mtimes()
+    changed = {d for d in after if after[d] != before[d]}
+    assert 0 < len(changed) <= summary["affected_buckets"]
+    untouched = set(after) - changed
+    assert untouched and all(after[d] == before[d] for d in untouched)
