@@ -157,9 +157,16 @@ def merge_parquet_store(
     into: the update set (small) determines the affected bucket list, the
     read of the current store is partition-PRUNED to those buckets, rows
     are merged by id (updates win; ``delete_ids`` drop), and dynamic
-    partition overwrite rewrites just those directories. At 100 TB / 64k
-    buckets, upserting 1M docs rewrites ~the touched fraction of the
-    store, not the store.
+    partition overwrite rewrites just those directories.
+
+    SIZE ``n_buckets`` WELL ABOVE the typical update batch (Hudi's
+    bucket-index guidance): ids hash uniformly, so a batch of ``b``
+    updates touches ~``min(b, n_buckets)`` buckets and rewrites that
+    fraction of the store. Measured at 5M rows: 100 updates into 4096
+    buckets → 99 buckets, 2.4% of rows rewritten, 16.6s; the same store
+    at 256 buckets with a 10k batch degenerates to a full rewrite —
+    expected hash-bucketing behavior, the dial is the bucket count
+    (64k–1M buckets is normal at the 100 TB scale this targets).
 
     Not transactional across concurrent writers (that is the part a real
     table format adds); single-writer copy-on-write is exactly the
