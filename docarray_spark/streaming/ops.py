@@ -376,9 +376,15 @@ def stream_upsert_jdbc(
                         DERBY_DRIVER, chunk,
                     )
                 except Exception:
-                    # first batch: table doesn't exist yet — the append
-                    # below creates it; any real failure re-raises there
-                    break
+                    # Swallow ONLY the first-chunk failure (table doesn't
+                    # exist before the first append creates it; a real
+                    # problem re-raises there too). A MID-loop failure
+                    # after successful deletes must re-raise — appending
+                    # anyway would leave duplicate ids for the chunks
+                    # whose deletes never ran.
+                    if i == 0:
+                        break
+                    raise
             save_jdbc(b, url, table, mode="append")
         b.unpersist()
 
