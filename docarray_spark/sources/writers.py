@@ -210,11 +210,37 @@ def merge_parquet_store(
         merged.write.mode("overwrite").partitionBy("_bucket").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # dynamic overwrite cannot DELETE a partition: a bucket whose rows were
+    # all removed contributes no rows to `merged`, so its directory would
+    # survive untouched and the "deleted" rows would reappear on read-back.
+    # Explicitly drop affected buckets with zero surviving rows (with
+    # 64k-1M buckets at scale, single-row buckets — and hence emptied
+    # buckets — are the NORM, not an edge).
+    surviving = {r._bucket for r in merged.select("_bucket").distinct().collect()}
+    emptied = sorted(set(affected) - surviving)
+    for b in emptied:
+        _delete_dir(f"{path}/_bucket={b}", spark)
     return {
         "affected_buckets": len(affected),
         "total_buckets": n_buckets,
         "rows_written": rows_written,
+        "buckets_emptied": len(emptied),
     }
+
+
+def _delete_dir(path: str, spark: SparkSession) -> None:
+    """Remove one store partition directory on any Hadoop-compatible
+    filesystem (plain local paths short-circuit to shutil)."""
+    if "://" not in path:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    from .registry import _hadoop_fs
+
+    fs, jpath, _ = _hadoop_fs(path, spark)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
 
 
 def init_parquet_store(

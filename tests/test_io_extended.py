@@ -1198,3 +1198,65 @@ def test_merge_parquet_store_upsert_delete_and_pruning(spark, tmp_path):
     assert 0 < len(changed) <= summary["affected_buckets"]
     untouched = set(after) - changed
     assert untouched and all(after[d] == before[d] for d in untouched)
+
+
+def test_merge_parquet_store_delete_empties_bucket(spark, tmp_path):
+    """Deleting EVERY row of a bucket must remove the bucket directory —
+    dynamic partition overwrite alone cannot, because an emptied bucket
+    contributes no rows to the rewrite (round-5 verdict #1). With the
+    recommended 64k-1M buckets, near-empty buckets are the norm, so
+    delete-empties-bucket is the common case, not an edge."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from docarray_spark.sources.writers import (
+        init_parquet_store,
+        merge_parquet_store,
+    )
+
+    path = str(tmp_path / "store")
+    base = spark.range(100).select(
+        F.col("id"), F.concat(F.lit("v0_"), F.col("id")).alias("text")
+    )
+    init_parquet_store(base, path, n_buckets=8)
+
+    store = spark.read.parquet(path)
+    victim_bucket = store.filter(F.col("id") == 0).select("_bucket").first()._bucket
+    victim_ids = [
+        r.id for r in store.filter(F.col("_bucket") == victim_bucket).collect()
+    ]
+    assert victim_ids  # the bucket is non-empty before the merge
+
+    def file_bytes():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("_bucket="):
+                for f in os.listdir(os.path.join(path, d)):
+                    if f.endswith(".parquet"):
+                        with open(os.path.join(path, d, f), "rb") as fh:
+                            out[f"{d}/{f}"] = fh.read()
+        return out
+
+    before = file_bytes()
+    deletes = spark.createDataFrame([(i,) for i in victim_ids], "id long")
+    summary = merge_parquet_store(
+        spark,
+        path,
+        updates=spark.createDataFrame([], "id long, text string"),
+        id_col="id",
+        n_buckets=8,
+        delete_ids=deletes,
+    )
+    assert summary["buckets_emptied"] == 1
+
+    # the emptied bucket directory is gone, its rows absent on read-back
+    assert not os.path.exists(os.path.join(path, f"_bucket={victim_bucket}"))
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("id").isin(victim_ids)).count() == 0
+    assert back.count() == 100 - len(victim_ids)
+
+    # every OTHER bucket's files are byte-identical (no collateral rewrite)
+    after = file_bytes()
+    kept = {k: v for k, v in before.items() if not k.startswith(f"_bucket={victim_bucket}/")}
+    assert after == kept
