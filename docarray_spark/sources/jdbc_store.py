@@ -162,6 +162,39 @@ def _table_ref(table: str) -> str:
     return table
 
 
+def jdbc_table_exists(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str | None = DERBY_DRIVER,
+) -> bool:
+    """Catalog probe via JDBC ``DatabaseMetaData.getTables`` — portable
+    across databases (no vendor system tables in the query path). Unquoted
+    identifiers are case-normalized by the database (Derby/most → upper,
+    Postgres → lower), so the probe checks the literal name plus both
+    foldings. Used by the streaming upsert to distinguish "table not
+    created yet" from real DELETE failures (round-5 verdict #2)."""
+    _table_ref(table)  # validate: identifiers only, never SQL
+    schema, _, name = table.rpartition(".")
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        meta = conn.getMetaData()
+        for s, n in {(schema, name), (schema.upper(), name.upper()),
+                     (schema.lower(), name.lower())}:
+            rs = meta.getTables(None, s or None, n, None)
+            try:
+                if rs.next():
+                    return True
+            finally:
+                rs.close()
+        return False
+    finally:
+        conn.close()
+
+
 def delete_by_id_jdbc(
     spark: SparkSession, url: str, table: str, id_col: str, doc_id,
     driver: str | None = DERBY_DRIVER,

@@ -348,6 +348,7 @@ def stream_upsert_jdbc(
         _quote_ident,
         _table_ref,
         jdbc_execute,
+        jdbc_table_exists,
         save_jdbc,
     )
 
@@ -365,26 +366,23 @@ def stream_upsert_jdbc(
         b = b.persist()
         ids = [r[0] for r in b.select(id_col).collect()]
         if ids:
-            for i in range(0, len(ids), delete_chunk):
-                chunk = ids[i : i + delete_chunk]
-                marks = ", ".join("?" for _ in chunk)
-                try:
+            # Skip deletes ONLY when the table genuinely does not exist
+            # yet (first batch against a fresh database; the append below
+            # creates it). A catalog probe, not a swallowed exception: any
+            # DELETE failure against an EXISTING table (lock timeout,
+            # permissions, …) must re-raise — appending anyway would leave
+            # duplicate ids for every chunk whose delete never ran
+            # (round-5 verdict #2: replay safety requires it).
+            if jdbc_table_exists(spark, url, table, DERBY_DRIVER):
+                for i in range(0, len(ids), delete_chunk):
+                    chunk = ids[i : i + delete_chunk]
+                    marks = ", ".join("?" for _ in chunk)
                     jdbc_execute(
                         spark, url,
                         f"DELETE FROM {_table_ref(table)} WHERE "
                         f"{_quote_ident(id_col)} IN ({marks})",
                         DERBY_DRIVER, chunk,
                     )
-                except Exception:
-                    # Swallow ONLY the first-chunk failure (table doesn't
-                    # exist before the first append creates it; a real
-                    # problem re-raises there too). A MID-loop failure
-                    # after successful deletes must re-raise — appending
-                    # anyway would leave duplicate ids for the chunks
-                    # whose deletes never ran.
-                    if i == 0:
-                        break
-                    raise
             save_jdbc(b, url, table, mode="append")
         b.unpersist()
 

@@ -144,3 +144,46 @@ def test_stream_upsert_jdbc_merge_semantics(spark, tmp_path):
         3: "new3", 4: "new4",                     # overlap: batch 2 wins
         5: "new5", 6: "new6", 7: "new7",          # batch-2 only
     }
+
+
+def test_stream_upsert_delete_failure_reraises(spark, tmp_path, monkeypatch):
+    """A DELETE failure against an EXISTING table must fail the batch —
+    never swallow-and-append (round-5 verdict #2: swallowing a transient
+    chunk-0 failure would duplicate every id in the batch). The
+    table-missing case is detected by catalog probe, not by exception."""
+    import json
+
+    from docarray_spark.sources import jdbc_store
+    from docarray_spark.streaming.ops import stream_upsert_jdbc
+
+    url = derby_url(str(tmp_path / "faildb"))
+    base = spark.createDataFrame(
+        [(i, f"old{i}") for i in range(5)], "id long, v string"
+    )
+    save_jdbc(base, url, "updocs", mode="overwrite")
+    assert jdbc_store.jdbc_table_exists(spark, url, "updocs")
+    assert not jdbc_store.jdbc_table_exists(spark, url, "no_such_table")
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.json").write_text(
+        "\n".join(json.dumps({"id": i, "v": f"new{i}"}) for i in range(3))
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated transient DELETE failure")
+
+    monkeypatch.setattr(jdbc_store, "jdbc_execute", boom)
+    sdf = spark.readStream.schema("id long, v string").json(str(landing))
+    q = stream_upsert_jdbc(
+        sdf, url, "updocs", id_col="id", checkpoint=str(tmp_path / "ckpt")
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="simulated transient"):
+        q.awaitTermination()
+
+    # the batch failed atomically: no appends landed, so no duplicate ids
+    # and the pre-existing rows are untouched
+    rows = sorted((r.id, r.v) for r in load_jdbc(spark, url, "updocs").collect())
+    assert rows == [(i, f"old{i}") for i in range(5)]
