@@ -1073,7 +1073,9 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sp = remove_duplicate_spans(
         docs.select("doc_id", "text").withColumn(
-            "_ntok", F.size(tokens_col("text"))
+            # array_remove matches the oracle's list_filter: blank docs
+            # have 0 tokens, not [''] (ADVICE r5)
+            "_ntok", F.size(F.array_remove(tokens_col("text"), ""))
         ),
         window=8, id_col="doc_id", text_col="text",
     )

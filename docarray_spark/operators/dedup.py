@@ -755,7 +755,10 @@ def duplicate_spans(
     not a perf one."""
     from docarray_spark.functions.hashing import hash_bits_sql
 
-    toks = tokens_col(text_col)
+    # array_remove(_, ''): split of EMPTY/whitespace-only text yields ['']
+    # (size 1) while the oracle's list_filter drops empty tokens (size 0) —
+    # blank docs must tokenize to [] on both sides (ADVICE r5)
+    toks = F.array_remove(tokens_col(text_col), "")
     base = (
         _ensure_parallelism(df)
         .select(F.col(id_col).alias("id"), toks.alias("_t"))
@@ -820,7 +823,7 @@ def remove_duplicate_spans(
     spans_per_doc = spans.groupBy("id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
-    toks = tokens_col(text_col)
+    toks = F.array_remove(tokens_col(text_col), "")
     joined = df.join(
         spans_per_doc.withColumnRenamed("id", id_col), id_col, "left"
     )

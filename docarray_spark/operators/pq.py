@@ -754,10 +754,18 @@ def sq_match(
     met = "sqeuclidean" if metric == "euclidean" else metric
 
     def _partition_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # SQ scores tie structurally just like PQ (equal uint8 codes decode
+        # to the identical vector), so partition pruning keeps EVERYTHING
+        # at or below the k-th score — same tie-retention as pq_match's
+        # _partition_topk, else results vary with partitioning when ties
+        # straddle the k-th score (ADVICE r5). The window merge enforces
+        # the final k with its deterministic tie-break.
         q_ids, q_mat, b_mins, b_scale = bc.value
         nq = len(q_ids)
-        cand_scores: list[np.ndarray] = []
-        cand_ids: list[np.ndarray] = []
+        qarr = np.asarray(q_ids, dtype=object)
+        acc_q: list[np.ndarray] = []
+        acc_s: list[np.ndarray] = []
+        acc_i: list[np.ndarray] = []
         for pdf in batches:
             mask = pdf[codes_col].notna().to_numpy()
             if not mask.any():
@@ -779,28 +787,36 @@ def sq_match(
                     + (mat**2).sum(1)[None, :]
                 )
             kk = min(k, d.shape[1])
-            idx = (
-                np.argpartition(d, kth=kk - 1, axis=1)[:, :kk]
+            thr = (
+                np.partition(d, kth=kk - 1, axis=1)[:, kk - 1]
                 if kk < d.shape[1]
-                else np.tile(np.arange(d.shape[1]), (nq, 1))
+                else d.max(axis=1)
             )
-            cand_scores.append(np.take_along_axis(d, idx, axis=1))
-            cand_ids.append(ids[idx])
-        if not cand_scores:
+            qi, ci = np.nonzero(d <= thr[:, None])
+            acc_q.append(qi)
+            acc_s.append(d[qi, ci])
+            acc_i.append(ids[ci])
+        if not acc_q:
             return
-        scores = np.hstack(cand_scores)
-        mids = np.hstack(cand_ids)
-        kk = min(k, scores.shape[1])
-        if kk < scores.shape[1]:
-            idx = np.argpartition(scores, kth=kk - 1, axis=1)[:, :kk]
-            scores = np.take_along_axis(scores, idx, axis=1)
-            mids = np.take_along_axis(mids, idx, axis=1)
-        n = scores.shape[1]
+        qi = np.concatenate(acc_q)
+        s = np.concatenate(acc_s)
+        mids = np.concatenate(acc_i)
+        order = np.lexsort((s, qi))
+        qi, s, mids = qi[order], s[order], mids[order]
+        starts = np.searchsorted(qi, np.arange(nq), side="left")
+        ends = np.searchsorted(qi, np.arange(nq), side="right")
+        keep = np.zeros(len(qi), dtype=bool)
+        for i in range(nq):
+            lo, hi = starts[i], ends[i]
+            if lo == hi:
+                continue
+            kk = min(k, hi - lo)
+            keep[lo:hi] = s[lo:hi] <= s[lo + kk - 1]
         yield pd.DataFrame(
             {
-                "query_id": np.repeat(q_ids, n),
-                "match_id": mids.ravel(),
-                "score": scores.ravel(),
+                "query_id": qarr[qi[keep]],
+                "match_id": mids[keep],
+                "score": s[keep],
             }
         )
 

@@ -18,6 +18,30 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# Pinned extension → mimetype table for datauri generation (ADVICE r5:
+# mimetypes.types_map merges host files like /etc/mime.types, so uris would
+# differ across machines). IANA-registered types for the media/document
+# extensions the reference's uri mixins handle (document/mixins/image.py,
+# audio.py, video.py, text.py); anything else → application/octet-stream.
+_EXT_MIME = {
+    "aac": "audio/aac", "avi": "video/x-msvideo", "bin": "application/octet-stream",
+    "bmp": "image/bmp", "bz2": "application/x-bzip2", "css": "text/css",
+    "csv": "text/csv", "flac": "audio/flac", "gif": "image/gif",
+    "gz": "application/gzip", "htm": "text/html", "html": "text/html",
+    "ico": "image/vnd.microsoft.icon", "jpeg": "image/jpeg", "jpg": "image/jpeg",
+    "js": "text/javascript", "json": "application/json", "md": "text/markdown",
+    "mid": "audio/midi", "mkv": "video/x-matroska", "mov": "video/quicktime",
+    "mp3": "audio/mpeg", "mp4": "video/mp4", "mpeg": "video/mpeg",
+    "npy": "application/octet-stream", "oga": "audio/ogg", "ogg": "audio/ogg",
+    "ogv": "video/ogg", "opus": "audio/opus", "pdf": "application/pdf",
+    "png": "image/png", "svg": "image/svg+xml", "tar": "application/x-tar",
+    "tif": "image/tiff", "tiff": "image/tiff", "ts": "video/mp2t",
+    "txt": "text/plain", "wav": "audio/wav", "weba": "audio/webm",
+    "webm": "video/webm", "webp": "image/webp", "xml": "application/xml",
+    "zip": "application/zip",
+}
+
+
 def _nano_ts_columns(path: str) -> list[str]:
     try:
         schema = pq.read_schema(path)
@@ -228,15 +252,19 @@ def read_files(
     elif read_mode == "r":
         cols.insert(1, F.decode(F.col("content"), "UTF-8").alias("text"))
     if to_dataturi:
-        import mimetypes
-
-        # extension → mimetype as a literal map (the stdlib table the
-        # reference's mimetypes.guess_type consults), matched JVM-side
+        # extension → mimetype as a literal map, matched JVM-side. The
+        # table is PINNED (ADVICE r5): mimetypes.types_map merges
+        # /etc/mime.types and varies across hosts, which would make the
+        # same file produce different uris on different machines.
+        # try_element_at, not element_at: under spark.sql.ansi.enabled a
+        # missing map key makes element_at THROW instead of returning NULL,
+        # so unknown extensions would kill the scan instead of falling back
+        # to octet-stream.
         ext_pairs: list[Column] = []
-        for ext, mt in sorted(mimetypes.types_map.items()):
-            ext_pairs += [F.lit(ext.lstrip(".").lower()), F.lit(mt)]
+        for ext, mt in sorted(_EXT_MIME.items()):
+            ext_pairs += [F.lit(ext), F.lit(mt)]
         mime = F.coalesce(
-            F.element_at(
+            F.try_element_at(
                 F.create_map(*ext_pairs),
                 F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1)),
             ),

@@ -352,3 +352,27 @@ def test_duplicate_spans_properties_random_corpora(spark):
             assert kept + out1[i][1] == len(text.split()), (seed, i)
         # something must survive globally: not every doc can be emptied
         assert any(v[0] for v in out1.values())
+
+
+def test_duplicate_spans_blank_docs_zero_tokens(spark):
+    """Blank / whitespace-only text tokenizes to [] on the spans path —
+    split alone yields [''] (size 1) while the oracle's list_filter drops
+    empty tokens, so units_total would diverge by 1 (ADVICE r5)."""
+    from pyspark.sql import functions as F
+
+    from docarray_spark.operators.dedup import remove_duplicate_spans
+    from docarray_spark.operators.text import tokens_col
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a b c d e f g h")], "id long, text string"
+    )
+    out = {
+        r.id: (r.text, r.n_removed_tokens)
+        for r in remove_duplicate_spans(df, window=8).collect()
+    }
+    assert out[1] == ("", 0) and out[2] == ("", 0)
+    assert out[3][1] == 0  # unique window, nothing removed
+    ntok = df.select(
+        "id", F.size(F.array_remove(tokens_col("text"), "")).alias("n")
+    )
+    assert {r.id: r.n for r in ntok.collect()} == {1: 0, 2: 0, 3: 8}

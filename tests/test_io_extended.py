@@ -1106,6 +1106,15 @@ def test_read_files_options(spark, tmp_path):
     (d / "blob1.zzz").write_bytes(b"\x00\x01")
     duz = read_files(spark, str(d / "blob1.zzz"), to_dataturi=True).first()
     assert duz.uri.startswith("data:application/octet-stream;base64,")
+    # ...including under ANSI mode, where a plain element_at on a map
+    # THROWS on missing keys (ADVICE r5: try_element_at is the fix)
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        duz = read_files(spark, str(d / "blob1.zzz"), to_dataturi=True).first()
+        assert duz.uri.startswith("data:application/octet-stream;base64,")
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
 
     with pytest.raises(ValueError, match="read_mode"):
         read_files(spark, str(d / "*"), read_mode="x")
