@@ -1,0 +1,185 @@
+"""Bucket-aligned ANN index maintenance — index-behind-CRUD.
+
+The reference's store-backed arrays keep an ANN index that tracks document
+CRUD (``/root/reference/docarray/array/storage/annlite/backend.py:27-30``:
+every ``__setitem__``/``__delitem__`` lands in both the column store and
+the HNSW index). At 100 TB that contract cannot mean "rebuild the index on
+every write" — real serving systems re-index only the shards a write
+touched. This module gives the engine that lifecycle by ALIGNING index
+segments with the parquet MERGE store's hash buckets
+(``sources/writers.py:init_parquet_store``: ``_bucket = pmod(xxhash64(id),
+n_buckets)``):
+
+- one index segment per ``_bucket`` (an HNSW graph blob, or the bucket's
+  PQ codes), written ``partitionBy("_bucket")`` next to the store;
+- ``merge_parquet_store`` reports exactly which buckets an upsert/delete
+  touched (its ``summary["buckets"]``);
+- ``refresh`` re-reads ONLY those buckets (partition-pruned scan), rebuilds
+  ONLY their segments (dynamic partition overwrite), and drops segments of
+  buckets the merge emptied. Untouched segments are never read, rebuilt,
+  or rewritten — their files stay byte-identical.
+
+Cost model: a batch of ``b`` upserts into an ``n_buckets`` store touches
+``≤ b`` buckets, so refresh cost is ``O(b · bucket_size)`` independent of
+corpus size — the property that makes index-behind-CRUD viable at scale.
+The search side is unchanged: ``hnsw_match_stored`` reads the bucketed
+segment store as-is (one task per segment row, k×segments merge), and the
+encoded table :func:`pq_refresh` maintains is exactly what
+``pq_match``/``sq_match`` scan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docarray_spark.operators.hnsw import _METRICS
+from docarray_spark.sources.writers import _delete_dir
+
+
+def _store_df(
+    spark: SparkSession, store_path: str, buckets: list[int] | None
+) -> DataFrame:
+    df = spark.read.parquet(store_path)
+    if "_bucket" not in df.columns:
+        raise ValueError(
+            f"{store_path!r} is not a bucketed store (init_parquet_store "
+            "writes the _bucket partition column)"
+        )
+    if buckets is not None:
+        # partition-pruned: only the affected buckets' directories are read
+        df = df.filter(F.col("_bucket").isin([int(b) for b in buckets]))
+    return df
+
+
+def _overwrite_segments(
+    spark: SparkSession,
+    segments: DataFrame,
+    index_path: str,
+    buckets: list[int] | None,
+) -> int:
+    """Full build → static overwrite; refresh → dynamic overwrite of the
+    rebuilt buckets only, plus explicit deletion of segment directories for
+    buckets that no longer produce a segment (the merge emptied them —
+    dynamic overwrite cannot delete a partition, same edge as
+    ``merge_parquet_store``)."""
+    if buckets is None:
+        segments.write.mode("overwrite").partitionBy("_bucket").parquet(index_path)
+        return 0
+    segments = segments.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        segments.write.mode("overwrite").partitionBy("_bucket").parquet(index_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    built = {r._bucket for r in segments.select("_bucket").distinct().collect()}
+    emptied = sorted(set(int(b) for b in buckets) - built)
+    for b in emptied:
+        _delete_dir(f"{index_path}/_bucket={b}", spark)
+    return len(emptied)
+
+
+def hnsw_refresh(
+    spark: SparkSession,
+    store_path: str,
+    index_path: str,
+    buckets: list[int] | None = None,
+    metric: str = "cosine",
+    id_col: str = "id",
+    emb_col: str = "embedding",
+    M: int = 16,
+    ef_construction: int = 100,
+) -> dict:
+    """Build (``buckets=None``) or incrementally refresh (``buckets=
+    summary["buckets"]`` from :func:`merge_parquet_store`) the bucket-
+    aligned HNSW segment store for a bucketed document store.
+
+    One graph per ``_bucket``, one parquet row per graph, directory layout
+    ``index_path/_bucket=N/``. Graph construction is the deterministic
+    pure-numpy index (``functions/hnsw.py``) — a rebuilt segment is
+    byte-reproducible, so task retries converge. Query with
+    ``operators.hnsw.hnsw_match_stored(spark, index_path, ...)`` — the
+    searcher is segment-count-agnostic. → summary dict."""
+    if metric not in _METRICS:
+        raise ValueError(f"hnsw_refresh supports {_METRICS}, got {metric!r}")
+    df = _store_df(spark, store_path, buckets)
+    id_type = df.schema[id_col].dataType.simpleString()
+    mm, efc, met, idc, embc = M, ef_construction, metric, id_col, emb_col
+
+    def _build_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pickle
+
+        from docarray_spark.functions.hnsw import HNSWIndex
+
+        pdf = pdf[pdf[embc].notna()]
+        if not len(pdf):
+            return pd.DataFrame(
+                {"_bucket": [], "metric": [], "id_type": [], "n": [], "blob": []}
+            )
+        keys = list(pdf[idc].to_numpy())
+        mat = np.asarray([np.asarray(e, dtype=np.float64) for e in pdf[embc]])
+        if met == "cosine":
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.where(norms == 0.0, 1.0, norms)
+        index = HNSWIndex(dim=mat.shape[1], M=mm, ef_construction=efc)
+        index.add_batch(keys, mat)
+        index._data = index._data[: index.n]  # drop growth slack pre-pickle
+        index._sq = index._sq[: index.n]
+        return pd.DataFrame(
+            {
+                "_bucket": [int(pdf["_bucket"].iloc[0])],
+                "metric": [met],
+                "id_type": [id_type],
+                "n": [index.n],
+                "blob": [pickle.dumps(index, protocol=5)],
+            }
+        )
+
+    segments = (
+        df.select("_bucket", id_col, emb_col)
+        .groupBy("_bucket")
+        .applyInPandas(
+            _build_one,
+            "_bucket int, metric string, id_type string, n long, blob binary",
+        )
+    )
+    emptied = _overwrite_segments(spark, segments, index_path, buckets)
+    return {
+        "rebuilt_buckets": "all" if buckets is None else len(set(buckets)),
+        "segments_emptied": emptied,
+    }
+
+
+def pq_refresh(
+    spark: SparkSession,
+    store_path: str,
+    encoded_path: str,
+    codebooks: list[list[list[float]]],
+    buckets: list[int] | None = None,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+) -> dict:
+    """Build or incrementally refresh the bucket-aligned PQ-encoded table
+    (``operators/pq.pq_encode`` codes, partitioned by the store's
+    ``_bucket``). Encoding is map-only per row, so a refresh is a pruned
+    scan of the affected buckets plus a dynamic overwrite of their
+    directories — nothing else is read or written. The codebooks are the
+    TRAINED quantizer and must stay fixed across refreshes (retraining
+    invalidates every segment; that is a full rebuild). Query the result
+    with ``pq_match(spark.read.parquet(encoded_path), ...)``."""
+    from docarray_spark.operators.pq import pq_encode
+
+    df = _store_df(spark, store_path, buckets)
+    encoded = pq_encode(
+        df, codebooks, id_col=id_col, emb_col=emb_col, keep_cols=["_bucket"]
+    )
+    emptied = _overwrite_segments(spark, encoded, encoded_path, buckets)
+    return {
+        "rebuilt_buckets": "all" if buckets is None else len(set(buckets)),
+        "segments_emptied": emptied,
+    }

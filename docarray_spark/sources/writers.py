@@ -225,6 +225,11 @@ def merge_parquet_store(
         "total_buckets": n_buckets,
         "rows_written": rows_written,
         "buckets_emptied": len(emptied),
+        # the bucket list is what downstream index maintenance needs: an
+        # upsert invalidates ONLY these buckets' index segments
+        # (operators/index_store.py rebuilds exactly this set). Bounded by
+        # update locality — ≤ len(updates) + len(delete_ids) entries.
+        "buckets": sorted(set(affected)),
     }
 
 

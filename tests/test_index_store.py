@@ -1,0 +1,154 @@
+"""Bucket-aligned index maintenance (index-behind-CRUD): an upsert into the
+parquet MERGE store refreshes ONLY the affected buckets' index segments —
+untouched segments stay byte-identical — and stored-index queries then see
+the new vectors (reference contract: annlite backend keeps its HNSW index
+in lockstep with document CRUD, storage/annlite/backend.py:27-30)."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from docarray_spark.operators import (
+    hnsw_match_stored,
+    hnsw_refresh,
+    pq_match,
+    pq_refresh,
+    pq_train,
+)
+from docarray_spark.sources.writers import init_parquet_store, merge_parquet_store
+
+N_BUCKETS = 8
+DIM = 16
+
+
+def _vec(i: int, dim: int = DIM) -> list[float]:
+    rng = np.random.RandomState(i)
+    return [float(x) for x in rng.randn(dim).astype(np.float32)]
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    path = str(tmp_path / "docstore")
+    rows = [(i, _vec(i)) for i in range(400)]
+    df = spark.createDataFrame(rows, f"id long, embedding array<float>")
+    init_parquet_store(df, path, n_buckets=N_BUCKETS)
+    return path
+
+
+def _segment_bytes(index_path):
+    out = {}
+    for d in os.listdir(index_path):
+        if d.startswith("_bucket="):
+            for f in os.listdir(os.path.join(index_path, d)):
+                if f.endswith(".parquet"):
+                    with open(os.path.join(index_path, d, f), "rb") as fh:
+                        out[f"{d}/{f}"] = fh.read()
+    return out
+
+
+def _merge(spark, store, upd_rows, del_ids=()):
+    updates = spark.createDataFrame(
+        upd_rows, "id long, embedding array<float>"
+    ) if upd_rows else spark.createDataFrame([], "id long, embedding array<float>")
+    deletes = (
+        spark.createDataFrame([(i,) for i in del_ids], "id long") if del_ids else None
+    )
+    return merge_parquet_store(
+        spark, store, updates, id_col="id", n_buckets=N_BUCKETS, delete_ids=deletes
+    )
+
+
+def test_hnsw_refresh_incremental(spark, tmp_path, store):
+    index = str(tmp_path / "hnsw_idx")
+    hnsw_refresh(spark, store, index, metric="cosine", M=8, ef_construction=64)
+    assert len(os.listdir(index)) >= N_BUCKETS  # one dir per non-empty bucket
+
+    # baseline: querying with doc 7's own vector finds doc 7 first
+    q = spark.createDataFrame([(0, _vec(7))], "id long, embedding array<float>")
+    top = hnsw_match_stored(spark, index, q, k=3, metric="cosine").first()
+    assert top.match_id == 7 and top.score < 1e-9
+
+    # upsert: move doc 7 to a brand-new direction, insert doc 9000 at doc
+    # 5's old position, delete doc 11
+    new7 = [float(x) for x in np.eye(DIM, dtype=np.float32)[0]]
+    summary = _merge(spark, store, [(7, new7), (9000, _vec(5))], del_ids=[11])
+    before = _segment_bytes(index)
+    ref = hnsw_refresh(
+        spark, store, index, buckets=summary["buckets"],
+        metric="cosine", M=8, ef_construction=64,
+    )
+    assert ref["rebuilt_buckets"] == len(summary["buckets"]) <= 3
+
+    # queries see the post-merge corpus
+    q7 = spark.createDataFrame([(0, new7)], "id long, embedding array<float>")
+    assert hnsw_match_stored(spark, index, q7, k=1, metric="cosine").first().match_id == 7
+    q5 = spark.createDataFrame([(0, _vec(5))], "id long, embedding array<float>")
+    got5 = {r.match_id for r in hnsw_match_stored(spark, index, q5, k=2, metric="cosine").collect()}
+    assert got5 == {5, 9000}  # the inserted twin ties with the original
+    q11 = spark.createDataFrame([(0, _vec(11))], "id long, embedding array<float>")
+    got11 = [
+        r.match_id
+        for r in hnsw_match_stored(spark, index, q11, k=400, metric="cosine").collect()
+    ]
+    assert 11 not in got11  # deleted doc left the index
+
+    # only affected buckets' segments were rewritten; the rest byte-identical
+    after = _segment_bytes(index)
+    rebuilt_dirs = {f"_bucket={b}" for b in summary["buckets"]}
+    untouched_before = {k: v for k, v in before.items() if k.split("/")[0] not in rebuilt_dirs}
+    untouched_after = {k: v for k, v in after.items() if k.split("/")[0] not in rebuilt_dirs}
+    assert untouched_before and untouched_after == untouched_before
+
+
+def test_hnsw_refresh_drops_emptied_bucket_segment(spark, tmp_path, store):
+    index = str(tmp_path / "hnsw_idx")
+    hnsw_refresh(spark, store, index, metric="cosine", M=8, ef_construction=64)
+
+    # delete EVERY doc in one bucket, then refresh: its segment must vanish
+    sdf = spark.read.parquet(store)
+    victim = sdf.filter(F.col("id") == 0).select("_bucket").first()._bucket
+    victim_ids = [r.id for r in sdf.filter(F.col("_bucket") == victim).collect()]
+    summary = _merge(spark, store, [], del_ids=victim_ids)
+    assert summary["buckets_emptied"] == 1
+    ref = hnsw_refresh(
+        spark, store, index, buckets=summary["buckets"],
+        metric="cosine", M=8, ef_construction=64,
+    )
+    assert ref["segments_emptied"] == 1
+    assert not os.path.exists(os.path.join(index, f"_bucket={victim}"))
+    q = spark.createDataFrame(
+        [(0, _vec(victim_ids[0]))], "id long, embedding array<float>"
+    )
+    got = {r.match_id for r in hnsw_match_stored(spark, index, q, k=400, metric="cosine").collect()}
+    assert not (got & set(victim_ids))
+
+
+def test_pq_refresh_incremental(spark, tmp_path, store):
+    encoded = str(tmp_path / "pq_codes")
+    corpus = spark.read.parquet(store)
+    books = pq_train(corpus, m=4, ksub=16, sample=400)
+    pq_refresh(spark, store, encoded, books)
+
+    q = spark.createDataFrame([(0, _vec(3))], "id long, embedding array<float>")
+
+    def top1():
+        enc = spark.read.parquet(encoded)
+        return pq_match(enc, q, books, k=1, metric="sqeuclidean").first().match_id
+
+    assert top1() == 3
+
+    # move doc 3 far away; its twin 9000 lands at the old position
+    summary = _merge(
+        spark, store, [(3, [100.0] * DIM), (9000, _vec(3))], del_ids=[]
+    )
+    before = _segment_bytes(encoded)
+    pq_refresh(spark, store, encoded, books, buckets=summary["buckets"])
+    assert top1() == 9000  # codes track the store
+
+    after = _segment_bytes(encoded)
+    rebuilt_dirs = {f"_bucket={b}" for b in summary["buckets"]}
+    untouched_before = {k: v for k, v in before.items() if k.split("/")[0] not in rebuilt_dirs}
+    untouched_after = {k: v for k, v in after.items() if k.split("/")[0] not in rebuilt_dirs}
+    assert untouched_before and untouched_after == untouched_before
