@@ -871,6 +871,11 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docarray_spark.operators.pq import pq_encode, pq_match
 
     emb, queries = _emb_corpus_queries(spark, sf_dir, 8)
+    # both parts (ivf + pq encode/match) and the query side scan the same
+    # embeddings subtree — persist it once (the operators document the
+    # caller-persist contract; this entry is the caller). The codebook
+    # collect below is the materializing action.
+    emb.persist()
     ivf = ivf_match(
         emb, queries, k=10, n_cells=16, n_probe=4, metric="cosine",
         corpus_id_col="vec_id", query_id_col="id", round_scores=6,
@@ -1063,6 +1068,9 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docarray_spark.operators.text import tokens_col
 
     docs = _t(spark, sf_dir, "documents")
+    # the units part and both halves of the spans part (window marking +
+    # token rebuild join) scan the same documents subtree — persist once
+    docs.persist()
     units = dedup_units_first(
         docs.withColumn("units", token_blocks_col("text", 6)),
         id_col="doc_id", units="units",
