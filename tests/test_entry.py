@@ -113,3 +113,32 @@ def test_registry_names_stable_vs_last_round():
         "— renamed entries orphan their verification history; add to "
         "ALLOWED_NEW only for intentional new entries"
     )
+
+
+# Cardinality-sensitive entries re-gated at LARGER scale factors: the r5
+# lesson is that hash width / collision behavior is a correctness dial that
+# only turns at cardinality (32-bit span hashes silently deleted 2.5M tokens
+# at 53M windows). The driver gates sf0.01 only; this runs the two entries
+# whose semantics depend on hash cardinality — span dedup window hashes and
+# PQ code assignment — at sf0.01 AND sf0.1 so such defects surface in CI
+# before the 1M-doc probes. Heavier than the default sf0.001 sweep
+# (~45 s total); deselect with -k 'not second_scale' for quick loops.
+@pytest.mark.parametrize("scale", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("name", ["dedup_paragraphs", "ann_ivf_cosine"])
+def test_query_vs_oracle_second_scale(spark, name, scale):
+    import os
+
+    if not os.path.isdir(scale):
+        pytest.skip(f"{scale} not generated")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{scale}/{t}.parquet'")
+    sdf = entry_mod.queries()[name](spark, scale).toPandas()
+    odf = con.execute(entry_mod.oracle_sql()[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns), f"{name}: column mismatch"
+    assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} != oracle {len(odf)}"
+    a, b = _norm(sdf), _norm(odf)
+    for col in a.columns:
+        av, bv = list(a[col]), list(b[col])
+        bad = [i for i in range(len(av)) if not _cells_equal(av[i], bv[i])]
+        assert not bad, f"{name}.{col}@{scale}: {len(bad)} mismatched cells, first: {av[bad[0]]!r} != {bv[bad[0]]!r}"
