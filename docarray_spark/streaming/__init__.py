@@ -10,6 +10,7 @@ from docarray_spark.streaming.ops import (
     session_windows,
     stream_interval_join,
     stream_upsert_jdbc,
+    stream_upsert_parquet_store,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "session_windows",
     "stream_interval_join",
     "stream_upsert_jdbc",
+    "stream_upsert_parquet_store",
 ]

@@ -392,3 +392,83 @@ def stream_upsert_jdbc(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_upsert_parquet_store(
+    sdf: DataFrame,
+    path: str,
+    id_col: str = "id",
+    n_buckets: int = 64,
+    checkpoint: str | None = None,
+    order_col: str | None = None,
+    available_now: bool = True,
+    refresh: "Callable[[SparkSession, dict], Any] | None" = None,
+):
+    """Streaming upsert into the bucketed parquet MERGE store, with
+    per-batch incremental index maintenance — the full index-behind-CRUD
+    pipeline (reference ``storage/annlite/backend.py:27-30`` keeps its ANN
+    index in lockstep with every ``__setitem__``; here the stream IS the
+    setitem source):
+
+        landing stream → foreachBatch MERGE (copy-on-write, bucket-pruned)
+                       → ``refresh(spark, summary)`` rebuilds ONLY the
+                         affected buckets' index segments
+
+    ``refresh`` receives :func:`~docarray_spark.sources.writers.
+    merge_parquet_store`'s summary — pass e.g. ``lambda spark, s:
+    hnsw_refresh(spark, path, index_path, buckets=s["buckets"])``. A batch
+    of ``b`` rows touches ≤ ``b`` buckets, so per-batch cost is bounded by
+    batch locality, never corpus size; micro-batching amortizes the fixed
+    job overhead (the reason this beats per-row index updates at scale).
+
+    First batch against a missing store initializes it (existence probed,
+    not inferred from an exception). Replay-safe: MERGE is idempotent per
+    batch — a retried batch re-merges the same rows to the same state and
+    re-refreshes the same segments. Returns the started StreamingQuery."""
+    import os
+
+    from docarray_spark.sources.registry import _exists
+    from docarray_spark.sources.writers import init_parquet_store, merge_parquet_store
+
+    def _upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if order_col is not None:
+            from pyspark.sql import Window as W
+
+            rn = F.row_number().over(
+                W.partitionBy(id_col).orderBy(F.col(order_col).desc())
+            )
+            b = batch_df.withColumn("_rn", rn).filter("_rn = 1").drop("_rn")
+        else:
+            b = batch_df.dropDuplicates([id_col])
+        if b.isEmpty():
+            return
+        if not _exists(path, spark) or (
+            "://" not in path and not os.listdir(path)
+        ):
+            init_parquet_store(b, path, id_col=id_col, n_buckets=n_buckets)
+            up = b.withColumn(
+                "_bucket",
+                F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets)).cast("int"),
+            )
+            buckets = sorted(r._bucket for r in up.select("_bucket").distinct().collect())
+            summary = {
+                "affected_buckets": len(buckets),
+                "total_buckets": n_buckets,
+                "rows_written": b.count(),
+                "buckets_emptied": 0,
+                "buckets": buckets,
+            }
+        else:
+            summary = merge_parquet_store(
+                spark, path, b, id_col=id_col, n_buckets=n_buckets
+            )
+        if refresh is not None:
+            refresh(spark, summary)
+
+    w = sdf.writeStream.foreachBatch(_upsert)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

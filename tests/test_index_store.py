@@ -152,3 +152,61 @@ def test_pq_refresh_incremental(spark, tmp_path, store):
     untouched_before = {k: v for k, v in before.items() if k.split("/")[0] not in rebuilt_dirs}
     untouched_after = {k: v for k, v in after.items() if k.split("/")[0] not in rebuilt_dirs}
     assert untouched_before and untouched_after == untouched_before
+
+
+def test_stream_upsert_parquet_store_with_index_refresh(spark, tmp_path):
+    """End-to-end index-behind-CRUD: landing stream → per-batch MERGE into
+    the bucketed store → incremental HNSW segment refresh of ONLY the
+    affected buckets. Two micro-batches; after each, stored-index queries
+    reflect the stream (last-wins by order_col)."""
+    import json
+    import time
+
+    from docarray_spark.streaming.ops import stream_upsert_parquet_store
+
+    path = str(tmp_path / "docstore")
+    index = str(tmp_path / "hnsw_idx")
+    refreshed = []
+
+    def _refresh(sp, summary):
+        refreshed.append(summary["buckets"])
+        hnsw_refresh(sp, path, index,
+                     buckets=None if not os.path.exists(index) else summary["buckets"],
+                     metric="cosine", M=8, ef_construction=64)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows1 = [{"id": i, "embedding": _vec(i), "seq": 1} for i in range(50)]
+    (landing / "a.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    time.sleep(1.1)
+    new3 = [float(x) for x in np.eye(DIM)[1]]
+    rows2 = [{"id": 3, "embedding": new3, "seq": 2},
+             {"id": 500, "embedding": _vec(500), "seq": 2}]
+    (landing / "b.json").write_text("\n".join(json.dumps(r) for r in rows2))
+
+    sdf = (
+        spark.readStream.schema("id long, embedding array<float>, seq int")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    q = stream_upsert_parquet_store(
+        sdf, path, id_col="id", n_buckets=N_BUCKETS,
+        checkpoint=str(tmp_path / "ckpt"), order_col="seq", refresh=_refresh,
+    )
+    q.awaitTermination()
+
+    # store converged: 51 ids, id 3 moved
+    store = spark.read.parquet(path)
+    assert store.count() == 51
+    got3 = store.filter(F.col("id") == 3).first().embedding
+    assert list(got3) == new3
+
+    # batch 2's refresh touched only the two affected buckets
+    assert len(refreshed) == 2 and len(refreshed[1]) <= 2
+
+    # the stored index tracks the stream: id 3 found at its NEW position
+    qdf = spark.createDataFrame([(0, new3)], "id long, embedding array<float>")
+    top = hnsw_match_stored(spark, index, qdf, k=1, metric="cosine").first()
+    assert top.match_id == 3 and top.score < 1e-9
+    q500 = spark.createDataFrame([(0, _vec(500))], "id long, embedding array<float>")
+    assert hnsw_match_stored(spark, index, q500, k=1, metric="cosine").first().match_id == 500
