@@ -32,6 +32,7 @@ from typing import Any, Sequence
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from docarray_spark.operators.indexing import (
     get_by_bool_mask,
@@ -147,3 +148,188 @@ def _is_attr_tuple(t: tuple) -> bool:
         and all(isinstance(a, str) for a in attrs)
     )
     return sel_ok and attrs_ok
+
+
+def setitem(
+    df: DataFrame,
+    selector: Any,
+    value: Any,
+    id_col: str = "id",
+    offset_col: str = "offset",
+) -> DataFrame:
+    """The write twin of :func:`getitem` — the reference's ``__setitem__``
+    dispatch (``array/mixins/setitem.py:61-244``), immutable-relational:
+    returns the frame with the selected rows updated (Spark DataFrames
+    don't mutate; persist the result or MERGE it into a store).
+
+    ``value`` forms:
+
+    * ``dict``            — field set applied uniformly to every selected
+                            row (``da[sel] = doc`` with one document, or
+                            ``da['@path'] = {...}``)
+    * ``list[dict]``      — positional pairing with a list / slice / mask
+                            selector (``da[[0, 2]] = [d1, d2]``)
+    * scalar / list       — only with an ``(selector, attr)`` tuple:
+                            ``da[sel, 'text'] = v`` (uniform) or
+                            ``da[[i1, i2], 'text'] = [v1, v2]`` (paired)
+
+    A ``dict``'s missing/None fields leave the original values (partial-
+    document merge, the ``reduce.py`` left-priority rule). Unsupported
+    reference forms raise IndexError rather than guessing (e.g. positional
+    document lists after ``...`` flattening — a driver-side zip by
+    construction)."""
+    # ---- attribute-tuple forms first: da[sel, attr(s)] = value
+    if isinstance(selector, tuple) and len(selector) == 2 and _is_attr_tuple(selector):
+        sel, attrs = selector
+        if isinstance(attrs, str):
+            if isinstance(sel, str) and sel.startswith("@"):
+                from docarray_spark.operators.traverse import set_along_path
+
+                return set_along_path(df, sel[1:], id_col=id_col, **{attrs: value})
+            if (
+                isinstance(value, (list, tuple))
+                and isinstance(sel, Sequence)
+                and not isinstance(sel, str)
+            ):
+                # paired: one value per selected element
+                return setitem(
+                    df, sel, [{attrs: v} for v in value], id_col, offset_col
+                )
+            return setitem(df, sel, {attrs: value}, id_col, offset_col)
+        # attrs is a list: da[sel, [a1, a2]] = [v1, v2] (per-attr values)
+        if not isinstance(value, (list, tuple)) or len(value) != len(attrs):
+            raise IndexError(
+                f"setting {len(attrs)} attributes needs a value list of the "
+                f"same length, got {value!r}"
+            )
+        return setitem(df, sel, dict(zip(attrs, value)), id_col, offset_col)
+
+    # ---- '@path' with a uniform field dict
+    if isinstance(selector, str) and selector.startswith("@"):
+        if not isinstance(value, dict):
+            raise IndexError(
+                "da['@path'] = ... takes a field dict (positional document "
+                "lists over a traversal are driver-side by construction)"
+            )
+        from docarray_spark.operators.traverse import set_along_path
+
+        return set_along_path(df, selector[1:], id_col=id_col, **value)
+
+    # ---- positional document lists: zip selector elements with values
+    if (
+        isinstance(value, (list, tuple))
+        and value
+        and all(isinstance(v, dict) for v in value)
+    ):
+        keys = _selector_keys(df, selector, id_col, offset_col)
+        if len(keys[1]) != len(value):
+            raise IndexError(
+                f"selector selects {len(keys[1])} rows but value has "
+                f"{len(value)} documents"
+            )
+        key_col, key_vals = keys
+        from docarray_spark.operators.indexing import update_by_id
+
+        spark = df.sparkSession
+        fields = sorted({f for v in value for f in v})
+        rows = [
+            tuple([k] + [v.get(f) for f in fields]) for k, v in zip(key_vals, value)
+        ]
+        key_field = (
+            df.schema[key_col]
+            if key_col in df.columns
+            else T.StructField(key_col, T.LongType())
+        )
+        upd_schema = T.StructType([key_field] + [df.schema[f] for f in fields])
+        updates = spark.createDataFrame(rows, upd_schema)
+        base = _with_offset(df, id_col, offset_col) if key_col == offset_col else df
+        return update_by_id(base, updates, id_col=key_col)
+
+    # ---- uniform field dict over any selection
+    if isinstance(value, dict):
+        from docarray_spark.operators.indexing import set_attrs_where
+
+        base, cond = _selector_cond(df, selector, id_col, offset_col)
+        return set_attrs_where(base, cond, **value)
+
+    raise IndexError(
+        f"unsupported setitem: selector {type(selector).__name__}, "
+        f"value {type(value).__name__}"
+    )
+
+
+def _selector_keys(df: DataFrame, selector: Any, id_col: str, offset_col: str):
+    """(key_col, ordered key list) for positional pairing selectors."""
+    if isinstance(selector, np.ndarray):
+        selector = selector.squeeze().tolist()
+    if isinstance(selector, slice):
+        start, stop, step = selector.start or 0, selector.stop, selector.step or 1
+        if stop is None or start < 0 or stop < 0:
+            n = _n_rows(df)
+            start = start + n if start < 0 else start
+            stop = n if stop is None else (stop + n if stop < 0 else stop)
+        return offset_col, list(range(start, stop, step))
+    if isinstance(selector, Sequence) and not isinstance(selector, str) and selector:
+        head = selector[0]
+        if isinstance(head, (bool, np.bool_)):
+            return offset_col, [i for i, b in enumerate(selector) if b]
+        if isinstance(head, (int, np.integer)):
+            return offset_col, [int(p) for p in selector]
+        if isinstance(head, str):
+            return id_col, list(selector)
+    if isinstance(selector, (int, np.integer)):
+        n = int(selector)
+        return offset_col, [n if n >= 0 else n + _n_rows(df)]
+    if isinstance(selector, str):
+        return id_col, [selector]
+    raise IndexError(
+        f"selector {selector!r} cannot pair positionally with a document list"
+    )
+
+
+def _selector_cond(df: DataFrame, selector: Any, id_col: str, offset_col: str):
+    """(frame, row condition) for uniform setting over a selection."""
+    if selector is Ellipsis:
+        return df, F.lit(True)
+    if isinstance(selector, np.ndarray):
+        selector = selector.squeeze().tolist()
+    if isinstance(selector, (int, np.integer)):
+        n = int(selector)
+        if n < 0:
+            n += _n_rows(df)
+        return _with_offset(df, id_col, offset_col), F.col(offset_col) == n
+    if isinstance(selector, str):
+        return df, F.col(id_col) == selector
+    if isinstance(selector, slice):
+        base = _with_offset(df, id_col, offset_col)
+        start, stop, step = selector.start, selector.stop, selector.step or 1
+        if (start is not None and start < 0) or (stop is not None and stop < 0):
+            n = _n_rows(df)
+            start = None if start is None else (start + n if start < 0 else start)
+            stop = None if stop is None else (stop + n if stop < 0 else stop)
+        c, cond = F.col(offset_col), F.lit(True)
+        if start is not None:
+            cond = cond & (c >= start)
+        if stop is not None:
+            cond = cond & (c < stop)
+        if step != 1:
+            cond = cond & ((c - (start or 0)) % step == 0)
+        return base, cond
+    if isinstance(selector, Sequence) and not isinstance(selector, str):
+        if not selector:
+            return df, F.lit(False)
+        head = selector[0]
+        if isinstance(head, (bool, np.bool_)):
+            pos = [i for i, b in enumerate(selector) if b]
+            return (
+                _with_offset(df, id_col, offset_col),
+                F.col(offset_col).isin(pos),
+            )
+        if isinstance(head, (int, np.integer)):
+            return (
+                _with_offset(df, id_col, offset_col),
+                F.col(offset_col).isin([int(p) for p in selector]),
+            )
+        if isinstance(head, str):
+            return df, F.col(id_col).isin(list(selector))
+    raise IndexError(f"unsupported selector for setitem: {selector!r}")

@@ -130,3 +130,78 @@ def test_empty_and_errors(spark, docs):
         getitem(docs, np.ones((2, 2)))
     with pytest.raises(IndexError):
         getitem(docs, slice(None, None, -1))
+
+
+# ------------------------------------------------------- setitem (write twin)
+
+def _rows(df):
+    return {r.id: (r.text, r.weight) for r in df.collect()}
+
+
+def test_setitem_uniform_forms(spark, docs):
+    from docarray_spark.operators import setitem
+
+    # by offset
+    out = _rows(setitem(docs, 3, {"text": "X"}))
+    assert out["d03"] == ("X", 0.3) and out["d04"] == ("text 4", 0.4)
+    # by id
+    out = _rows(setitem(docs, "d05", {"text": "Y", "weight": 9.0}))
+    assert out["d05"] == ("Y", 9.0)
+    # by slice
+    out = _rows(setitem(docs, slice(0, 2), {"text": "Z"}))
+    assert out["d00"][0] == out["d01"][0] == "Z" and out["d02"][0] == "text 2"
+    # by bool mask
+    mask = [i == 7 for i in range(N)]
+    out = _rows(setitem(docs, mask, {"weight": 5.0}))
+    assert out["d07"][1] == 5.0 and out["d06"][1] == 0.6
+    # by id list / Ellipsis
+    out = _rows(setitem(docs, ["d01", "d02"], {"text": "W"}))
+    assert out["d01"][0] == out["d02"][0] == "W" and out["d03"][0] == "text 3"
+    out = _rows(setitem(docs, ..., {"weight": 0.0}))
+    assert all(v[1] == 0.0 for v in out.values())
+
+
+def test_setitem_positional_document_lists(spark, docs):
+    from docarray_spark.operators import setitem
+
+    out = _rows(setitem(docs, [0, 2], [{"text": "a"}, {"text": "b"}]))
+    assert out["d00"][0] == "a" and out["d02"][0] == "b" and out["d01"][0] == "text 1"
+    # slice pairing; missing fields keep originals (partial-doc merge)
+    out = _rows(setitem(docs, slice(1, 3), [{"weight": 1.5}, {"weight": 2.5}]))
+    assert out["d01"] == ("text 1", 1.5) and out["d02"] == ("text 2", 2.5)
+    # id-list pairing
+    out = _rows(setitem(docs, ["d09", "d03"], [{"text": "n9"}, {"text": "n3"}]))
+    assert out["d09"][0] == "n9" and out["d03"][0] == "n3"
+    with pytest.raises(IndexError, match="selects 2 rows"):
+        setitem(docs, [0, 2], [{"text": "only-one"}])
+
+
+def test_setitem_attr_tuples(spark, docs):
+    from docarray_spark.operators import setitem
+
+    out = _rows(setitem(docs, (4, "text"), "set4"))
+    assert out["d04"][0] == "set4"
+    out = _rows(setitem(docs, ("d06", "weight"), 7.0))
+    assert out["d06"][1] == 7.0
+    out = _rows(setitem(docs, ([1, 2], "text"), ["p1", "p2"]))
+    assert out["d01"][0] == "p1" and out["d02"][0] == "p2"
+    out = _rows(setitem(docs, ("d08", ["text", "weight"]), ["v", 3.5]))
+    assert out["d08"] == ("v", 3.5)
+    with pytest.raises(IndexError, match="value list"):
+        setitem(docs, ("d08", ["text", "weight"]), ["only-one"])
+
+
+def test_setitem_traversal_path(spark):
+    from docarray_spark.operators import setitem
+
+    rows = [("r0", "", 0, 0, "root"), ("r0.c0", "r0", 1, 1, "c0"),
+            ("r0.c1", "r0", 1, 2, "c1")]
+    nodes = spark.createDataFrame(
+        rows, "id string, parent_id string, granularity int, offset long, text string"
+    )
+    out = {r.id: r.text for r in setitem(nodes, "@c", {"text": "T"}).collect()}
+    assert out == {"r0": "root", "r0.c0": "T", "r0.c1": "T"}
+    out = {r.id: r.text for r in setitem(nodes, ("@c", "text"), "U").collect()}
+    assert out == {"r0": "root", "r0.c0": "U", "r0.c1": "U"}
+    with pytest.raises(IndexError, match="field dict"):
+        setitem(nodes, "@c", [1, 2])
