@@ -267,34 +267,11 @@ def pq_match(
             query_emb_col=query_emb_col, codes_col=codes_col,
             max_query_rows=max_query_rows,
         ).select("query_id", "match_id")
-        from docarray_spark.functions.distance import sqeuclidean_distance_col
-
-        emb_d = F.expr(f"transform({rerank_emb_col}, x -> cast(x as double))")
-        raw = rerank_corpus.select(
-            F.col(corpus_id_col).alias("match_id"), emb_d.alias("_cv")
+        return _exact_rerank(
+            shortlist, queries, rerank_corpus, k, metric,
+            corpus_id_col, query_id_col, query_emb_col, rerank_emb_col,
+            round_scores,
         )
-        qdf = queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.expr(
-                f"transform({query_emb_col}, x -> cast(x as double))"
-            ).alias("_qv"),
-        )
-        if metric == "inner_product":
-            dist = -F.aggregate(
-                F.zip_with("_qv", "_cv", lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        else:
-            dist = sqeuclidean_distance_col(F.col("_qv"), F.col("_cv"))
-        # broadcast the SHORTLIST against the raw corpus — the corpus
-        # must not shuffle for a k·factor·queries-row probe
-        scored = (
-            raw.join(F.broadcast(shortlist), "match_id")
-            .join(F.broadcast(qdf), "query_id")
-            .select("query_id", "match_id", dist.alias("score"))
-        )
-        return _rank_and_project(scored, k, metric, round_scores)
     qrows = (
         queries.select(query_id_col, query_emb_col)
         .dropna()
@@ -389,6 +366,50 @@ def pq_match(
     return _rank_and_project(cand, k, metric, round_scores)
 
 
+def _exact_rerank(
+    shortlist: DataFrame,
+    queries: DataFrame,
+    rerank_corpus: DataFrame,
+    k: int,
+    metric: str,
+    corpus_id_col: str,
+    query_id_col: str,
+    query_emb_col: str,
+    rerank_emb_col: str,
+    round_scores: int | None,
+) -> DataFrame:
+    """Two-stage refine shared by the quantized matchers (FAISS's
+    ``...,Refine`` / IVFPQR pattern): the quantized pass shortlists
+    ``k·factor`` (query_id, match_id) pairs; ONLY those rows join back to
+    the raw vectors for exact distances and the final k. The shortlist
+    broadcasts against the raw corpus — the corpus never shuffles for a
+    ``k·factor·queries``-row probe; scores become exact, not quantized."""
+    from docarray_spark.functions.distance import sqeuclidean_distance_col
+
+    emb_d = F.expr(f"transform({rerank_emb_col}, x -> cast(x as double))")
+    raw = rerank_corpus.select(
+        F.col(corpus_id_col).alias("match_id"), emb_d.alias("_cv")
+    )
+    qdf = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.expr(f"transform({query_emb_col}, x -> cast(x as double))").alias("_qv"),
+    )
+    if metric == "inner_product":
+        dist = -F.aggregate(
+            F.zip_with("_qv", "_cv", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    else:
+        dist = sqeuclidean_distance_col(F.col("_qv"), F.col("_cv"))
+    scored = (
+        raw.join(F.broadcast(shortlist), "match_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", "match_id", dist.alias("score"))
+    )
+    return _rank_and_project(scored, k, metric, round_scores)
+
+
 def _rank_and_project(
     cand: DataFrame, k: int, metric: str, round_scores: int | None
 ) -> DataFrame:
@@ -438,6 +459,9 @@ def ivfpq_match(
     codebooks: list[list[list[float]]] | None = None,
     encoded: DataFrame | None = None,
     max_query_rows: int = _MAX_QUERY_ROWS,
+    rerank_corpus: DataFrame | None = None,
+    rerank_factor: int = 4,
+    rerank_emb_col: str = "embedding",
 ) -> DataFrame:
     """IVF + PQ (FAISS's ``IVFx,PQy`` with ``by_residual=False``): the
     corpus is coarse-quantized into ``n_cells`` (``ann.ivf_index``) and
@@ -457,8 +481,28 @@ def ivfpq_match(
     Non-residual encoding keeps one global codebook (joinable, simple);
     residual refinement is a documented non-goal — recall at equal probes
     is slightly below FAISS's residual IVFPQ, and the tests pin the floor
-    that this variant actually delivers."""
+    that this variant actually delivers.
+
+    ``rerank_corpus``: same two-stage exact refine as ``pq_match`` — on
+    clustered corpora ADC distances tie structurally inside a cluster
+    (the r6 1M×128 frontier: recall@10 0.10 raw vs 1.00 with factor-8
+    rerank), so the rerank is the SERVING configuration, not a luxury."""
     from docarray_spark.operators.ann import ivf_index
+
+    if rerank_corpus is not None:
+        shortlist = ivfpq_match(
+            corpus, queries, k=k * rerank_factor, n_cells=n_cells,
+            n_probe=n_probe, m=m, ksub=ksub, metric=metric,
+            corpus_id_col=corpus_id_col, query_id_col=query_id_col,
+            emb_col=emb_col, sample=sample, n_iter=n_iter,
+            centroids=centroids, codebooks=codebooks, encoded=encoded,
+            max_query_rows=max_query_rows,
+        ).select("query_id", "match_id")
+        return _exact_rerank(
+            shortlist, queries, rerank_corpus, k, metric,
+            corpus_id_col, query_id_col, emb_col, rerank_emb_col,
+            round_scores,
+        )
 
     if encoded is not None:
         if codebooks is None or centroids is None:
