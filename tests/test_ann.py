@@ -645,3 +645,71 @@ def test_hnsw_duplicate_vectors_and_tiny_corpus(spark):
     # the five identical vectors occupy the top five ranks at distance 0
     top5 = {r["match_id"] for r in got if r["rank"] <= 5}
     assert top5 == {0, 1, 2, 3, 4}
+
+
+# --------------------------------------------- round-6 serving-path floors
+
+def test_ivf_vectorized_equals_sql_path(emb, queries):
+    """ivf_match(vectorized=True) is the zero-shuffle BLAS serving path —
+    it must return EXACTLY the SQL-relational path's rows (same probes,
+    same scores after rounding, same deterministic tie-break), because the
+    oracle replays the SQL path and serving must not diverge from it."""
+    for metric in ("cosine", "sqeuclidean"):
+        sql_rows = sorted(map(tuple, ivf_match(
+            emb, queries, k=5, n_cells=8, n_probe=2, metric=metric,
+            corpus_id_col="id", round_scores=6,
+        ).collect()))
+        vec_rows = sorted(map(tuple, ivf_match(
+            emb, queries, k=5, n_cells=8, n_probe=2, metric=metric,
+            corpus_id_col="id", round_scores=6, vectorized=True,
+        ).collect()))
+        assert vec_rows == sql_rows, metric
+
+
+def test_ivfpq_rerank_recall_floor_realistic_corpus(emb, queries):
+    """The r6 frontier decomposition of IVF-PQ recall (measured at 1M×128
+    and re-measured here at sf0.001): the PROBE fraction caps the ceiling
+    (candidates in unprobed cells are unrecoverable — n_probe=4/8 tops out
+    at 0.64 regardless of rerank factor), and within probed cells the
+    exact rerank recovers everything quantization lost ONCE the shortlist
+    exceeds the ADC tie-class size (factor 8→0.95, 32→1.0 at full probe;
+    at 1M×1000-member clusters the knee is factor ~128). Pin both laws."""
+    from docarray_spark.operators.match import match as exact_match
+    from docarray_spark.operators.pq import ivfpq_match
+
+    exact_sq = {
+        (r["query_id"], r["match_id"])
+        for r in exact_match(
+            emb, queries, k=10, metric="sqeuclidean", corpus_id_col="id", eps=0.0
+        ).collect()
+    }
+    # law 1: at full probe, rerank recovers quantization loss (meas. 1.0)
+    rr = ivfpq_match(
+        emb, queries, k=10, n_cells=8, n_probe=8, m=8, ksub=64,
+        sample=1000, n_iter=8, metric="sqeuclidean",
+        rerank_corpus=emb, rerank_factor=32,
+    ).collect()
+    assert _recall(rr, exact_sq) >= 0.95
+    # law 2: at partial probe, rerank still strictly beats raw ADC
+    # (measured 0.625 vs 0.438), but cannot exceed the probe ceiling
+    raw4 = ivfpq_match(
+        emb, queries, k=10, n_cells=8, n_probe=4, m=8, ksub=64,
+        sample=1000, n_iter=8, metric="sqeuclidean",
+    ).collect()
+    rr4 = ivfpq_match(
+        emb, queries, k=10, n_cells=8, n_probe=4, m=8, ksub=64,
+        sample=1000, n_iter=8, metric="sqeuclidean",
+        rerank_corpus=emb, rerank_factor=8,
+    ).collect()
+    assert _recall(rr4, exact_sq) > _recall(raw4, exact_sq)
+    # rerank scores are EXACT (match the brute-force metric), not ADC
+    exact_scores = {
+        (r["query_id"], r["match_id"]): round(r["score"], 6)
+        for r in exact_match(
+            emb, queries, k=10, metric="sqeuclidean", corpus_id_col="id", eps=0.0
+        ).collect()
+    }
+    for r in rr:
+        key = (r["query_id"], r["match_id"])
+        if key in exact_scores:
+            assert abs(r["score"] - exact_scores[key]) < 1e-6
