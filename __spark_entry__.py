@@ -393,11 +393,19 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-based quality filter (Rae et al. 2021 Table A1): word
     bounds, mean word length, alpha-word fraction, stopword presence,
     symbol ratio, bullet/ellipsis lines, duplicate-line and top-bigram
-    repetition + keep verdict — ONE map-only Catalyst projection."""
-    from docarray_spark.operators import gopher_quality
+    repetition + keep verdict — ONE map-only Catalyst projection — chained
+    (r6) with the char-mass repetition-removal half of the rule set
+    (top-{2,3,4}-gram / dup-{5..10}-gram / dup-line character fractions,
+    one Arrow mapInPandas pass on the same scan; §A.1.1 thresholds) and a
+    combined ``keep_all`` verdict. Still zero shuffles, one scan."""
+    from docarray_spark.operators import gopher_quality, repetition_signals
 
     docs = _t(spark, sf_dir, "documents")
-    return gopher_quality(docs, id_col="doc_id", text_col="text")
+    rules = gopher_quality(docs, id_col="doc_id", text_col="text", extra_cols=["text"])
+    rep = repetition_signals(rules, id_col="doc_id", text_col="text")
+    return rep.drop("text").withColumn(
+        "keep_all", F.col("keep") & F.col("rep_keep")
+    )
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2496,18 +2504,118 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(len(bigrams) AS DOUBLE), 6)
                 ELSE 0.0 END AS top_bigram_frac
               FROM m
+            ),
+            rules AS (
+              SELECT *,
+                (n_words BETWEEN 50 AND 100000
+                 AND mean_word_len BETWEEN 3.0 AND 10.0
+                 AND alpha_word_frac >= 0.8
+                 AND stopword_hits >= 2
+                 AND symbol_word_ratio <= 0.1
+                 AND bullet_line_frac <= 0.9
+                 AND ellipsis_line_frac <= 0.3
+                 AND dup_line_frac <= 0.3
+                 AND top_bigram_frac <= 0.2) AS keep
+              FROM sig
+            ),
+            -- r6: char-mass repetition signals (Gopher §A.1.1). Words are
+            -- LOWERCASED here (unlike the case-sensitive rule set above);
+            -- an n-gram's char mass = length of the space-joined gram
+            -- minus its n-1 separators; denominator = total word chars.
+            lw AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                 x -> x <> '') AS words,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                l -> trim(l)),
+                                 l -> l <> '') AS lines
+              FROM documents
+            ),
+            ltot AS (
+              SELECT doc_id, words, lines,
+                     COALESCE(list_sum(list_transform(words, x -> length(x))), 0)
+                       AS total_chars,
+                     COALESCE(list_sum(list_transform(lines, l -> length(l))), 0)
+                       AS total_line_chars
+              FROM lw
+            ),
+            grams AS (
+              SELECT t.doc_id, n.n, gram
+              FROM ltot t
+              CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) AS n(n)
+              CROSS JOIN UNNEST(
+                CASE WHEN len(t.words) >= n.n
+                     THEN list_transform(range(1, len(t.words) - n.n + 2),
+                                         i -> array_to_string(t.words[i:i+n.n-1], ' '))
+                     ELSE CAST([] AS VARCHAR[]) END) AS u(gram)
+            ),
+            gc AS (
+              SELECT doc_id, n, gram, count(*) AS c,
+                     length(gram) - (n - 1) AS mass
+              FROM grams GROUP BY doc_id, n, gram
+            ),
+            gagg AS (
+              SELECT doc_id, n,
+                max(c) AS mc,
+                max(mass) FILTER (c = (SELECT max(c) FROM gc g2
+                                       WHERE g2.doc_id = gc.doc_id
+                                         AND g2.n = gc.n)) AS top_mass,
+                COALESCE(sum(c * mass) FILTER (c >= 2), 0) AS dup_mass
+              FROM gc GROUP BY doc_id, n
+            ),
+            duplines AS (
+              SELECT t.doc_id,
+                     COALESCE(sum((c - 1) * length(l)), 0) AS dup_line_chars
+              FROM ltot t, LATERAL (
+                SELECT l, count(*) c FROM UNNEST(t.lines) AS u(l) GROUP BY l
+              ) lc
+              WHERE c >= 2
+              GROUP BY t.doc_id
+            ),
+            rep AS (
+              SELECT t.doc_id,
+                round(COALESCE(max(CASE WHEN a.n=2 THEN a.mc*a.top_mass END)
+                        / nullif(t.total_chars, 0), 0), 6) AS top_2gram_char_frac,
+                round(COALESCE(max(CASE WHEN a.n=3 THEN a.mc*a.top_mass END)
+                        / nullif(t.total_chars, 0), 0), 6) AS top_3gram_char_frac,
+                round(COALESCE(max(CASE WHEN a.n=4 THEN a.mc*a.top_mass END)
+                        / nullif(t.total_chars, 0), 0), 6) AS top_4gram_char_frac,
+                round(COALESCE(least(1.0, max(CASE WHEN a.n=5 THEN a.dup_mass END)
+                        / nullif(t.total_chars, 0)), 0), 6) AS dup_5gram_char_frac,
+                round(COALESCE(least(1.0, max(CASE WHEN a.n=6 THEN a.dup_mass END)
+                        / nullif(t.total_chars, 0)), 0), 6) AS dup_6gram_char_frac,
+                round(COALESCE(least(1.0, max(CASE WHEN a.n=7 THEN a.dup_mass END)
+                        / nullif(t.total_chars, 0)), 0), 6) AS dup_7gram_char_frac,
+                round(COALESCE(least(1.0, max(CASE WHEN a.n=8 THEN a.dup_mass END)
+                        / nullif(t.total_chars, 0)), 0), 6) AS dup_8gram_char_frac,
+                round(COALESCE(least(1.0, max(CASE WHEN a.n=9 THEN a.dup_mass END)
+                        / nullif(t.total_chars, 0)), 0), 6) AS dup_9gram_char_frac,
+                round(COALESCE(least(1.0, max(CASE WHEN a.n=10 THEN a.dup_mass END)
+                        / nullif(t.total_chars, 0)), 0), 6) AS dup_10gram_char_frac,
+                round(COALESCE(any_value(dl.dup_line_chars)
+                        / nullif(t.total_line_chars, 0), 0), 6) AS dup_line_char_frac
+              FROM ltot t
+              LEFT JOIN gagg a ON a.doc_id = t.doc_id
+              LEFT JOIN duplines dl ON dl.doc_id = t.doc_id
+              GROUP BY t.doc_id, t.total_chars, t.total_line_chars
+            ),
+            repk AS (
+              SELECT *,
+                (top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+                 AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15
+                 AND dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13
+                 AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
+                 AND dup_10gram_char_frac <= 0.10
+                 AND dup_line_char_frac <= 0.20) AS rep_keep
+              FROM rep
             )
-            SELECT *,
-              (n_words BETWEEN 50 AND 100000
-               AND mean_word_len BETWEEN 3.0 AND 10.0
-               AND alpha_word_frac >= 0.8
-               AND stopword_hits >= 2
-               AND symbol_word_ratio <= 0.1
-               AND bullet_line_frac <= 0.9
-               AND ellipsis_line_frac <= 0.3
-               AND dup_line_frac <= 0.3
-               AND top_bigram_frac <= 0.2) AS keep
-            FROM sig
+            SELECT r.*, k.top_2gram_char_frac, k.top_3gram_char_frac,
+                   k.top_4gram_char_frac, k.dup_5gram_char_frac,
+                   k.dup_6gram_char_frac, k.dup_7gram_char_frac,
+                   k.dup_8gram_char_frac, k.dup_9gram_char_frac,
+                   k.dup_10gram_char_frac, k.dup_line_char_frac, k.rep_keep,
+                   (r.keep AND k.rep_keep) AS keep_all
+            FROM rules r JOIN repk k USING (doc_id)
         """,
         "token_counts": """
             SELECT doc_id,

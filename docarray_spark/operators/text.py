@@ -463,6 +463,7 @@ def gopher_quality(
     max_ellipsis_line_frac: float = 0.3,
     max_dup_line_frac: float = 0.3,
     max_top_bigram_frac: float = 0.2,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Gopher-style document quality signals + keep/drop verdict.
 
@@ -477,9 +478,11 @@ def gopher_quality(
     itself bounds); every expression has a direct ANSI/DuckDB equivalent so
     the verdict is oracle-checkable bit-for-bit.
 
-    → ``(id_col, n_words, mean_word_len, alpha_word_frac, stopword_hits,
-    symbol_word_ratio, bullet_line_frac, ellipsis_line_frac, dup_line_frac,
-    top_bigram_frac, keep)``
+    → ``(id_col, *extra_cols, n_words, mean_word_len, alpha_word_frac,
+    stopword_hits, symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
+    dup_line_frac, top_bigram_frac, keep)`` — ``extra_cols`` are passed
+    through untouched so callers can chain further per-doc passes (e.g.
+    :func:`repetition_signals`) without a second scan or a join.
     """
     t = F.col(text_col)
     # words / lines / bigrams are STAGED as materialized columns: the
@@ -546,6 +549,7 @@ def gopher_quality(
 
     out = staged.select(
         id_col,
+        *(extra_cols or []),
         nw.cast("long").alias("n_words"),
         mean_wl.alias("mean_word_len"),
         alpha_frac.alias("alpha_word_frac"),
@@ -705,3 +709,138 @@ def compression_ratio_col(text: Column | str, level: int = 6) -> Column:
         return s.map(one)
 
     return _ratio(t)
+
+
+# Gopher repetition thresholds (Rae et al. 2021 Table A1, "repetition
+# removal" rows): max fraction of characters in the most frequent n-gram
+# (n=2,3,4) and in ALL duplicated n-grams (n=5..10), plus duplicate-line
+# character mass. Keys are n; values are the max allowed fraction.
+GOPHER_TOP_NGRAM_THRESHOLDS: dict[int, float] = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_THRESHOLDS: dict[int, float] = {
+    5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10,
+}
+GOPHER_DUP_LINE_CHAR_THRESHOLD = 0.20
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    top_thresholds: dict[int, float] | None = None,
+    dup_thresholds: dict[int, float] | None = None,
+    dup_line_char_threshold: float = GOPHER_DUP_LINE_CHAR_THRESHOLD,
+) -> DataFrame:
+    """Gopher repetition-removal signals (Rae et al. 2021 §A.1.1) — the
+    character-mass half of the rule set that :func:`gopher_quality`'s
+    occurrence-fraction ``top_bigram_frac`` simplifies:
+
+    - ``top_{n}gram_char_frac`` (n in ``top_ns``): fraction of word
+      characters covered by ALL occurrences of the most frequent word
+      n-gram. Tie-break: among the grams at max count, the one with the
+      largest character mass (deterministic without string order).
+    - ``dup_{n}gram_char_frac`` (n in ``dup_ns``): fraction of word
+      characters covered by all occurrences of every n-gram that appears
+      more than once, clipped at 1.0 (occurrences of overlapping grams
+      double-count, the standard implementation simplification — e.g.
+      NeMo Curator / Dolma do the same).
+    - ``dup_line_char_frac``: characters in repeat occurrences of
+      duplicated (trimmed, non-empty) lines over total line characters —
+      the char-mass companion of ``gopher_quality``'s ``dup_line_frac``.
+    - ``rep_keep``: AND of all thresholds (defaults = Gopher Table A1).
+
+    Definitions pinned for the oracle: words = whitespace tokens of the
+    lowercased text; an n-gram's character mass = sum of its words'
+    lengths (== length of the space-joined gram minus its n-1
+    separators); denominator = total word characters. Docs with no words
+    (or fewer than n) score 0.0 for that n.
+
+    Execution: every signal is per-document, so the whole computation is
+    ONE Arrow-batched ``mapInPandas`` pass appended to the input rows —
+    map-only, zero shuffle, fused with the scan; at 100 TB it runs at
+    scan speed like the rest of the Gopher chain. (A pure-Catalyst
+    formulation exists but is O(W²) array algebra PER n — nine of them —
+    while the Python histogram is O(W); this is the case where the
+    Arrow batch genuinely beats built-ins.) Rounding to 6 happens
+    Spark-side (`F.round`, half-up — matches DuckDB) on raw doubles so
+    the oracle's integer-ratio doubles round identically.
+    """
+    from collections import Counter
+
+    top_thresholds = dict(top_thresholds or GOPHER_TOP_NGRAM_THRESHOLDS)
+    dup_thresholds = dict(dup_thresholds or GOPHER_DUP_NGRAM_THRESHOLDS)
+    top_ns = tuple(top_ns)
+    dup_ns = tuple(dup_ns)
+    top_cols = [f"top_{n}gram_char_frac" for n in top_ns]
+    dup_cols = [f"dup_{n}gram_char_frac" for n in dup_ns]
+    new_cols = top_cols + dup_cols + ["dup_line_char_frac"]
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{c} double" for c in new_cols]
+    )
+    tcol, tns, dns = text_col, top_ns, dup_ns
+
+    def _signals(batches):
+        def one(text):
+            if text is None:
+                return [0.0] * (len(tns) + len(dns) + 1)
+            words = [w for w in text.lower().split() if w]
+            total = sum(len(w) for w in words)
+            vals = []
+            for kind, ns in (("top", tns), ("dup", dns)):
+                for n in ns:
+                    if total == 0 or len(words) < n:
+                        vals.append(0.0)
+                        continue
+                    grams = Counter(
+                        " ".join(words[i : i + n])
+                        for i in range(len(words) - n + 1)
+                    )
+                    if kind == "top":
+                        mc = max(grams.values())
+                        mass = max(
+                            len(g) - (n - 1)
+                            for g, c in grams.items()
+                            if c == mc
+                        )
+                        vals.append(mc * mass / total)
+                    else:
+                        dup = sum(
+                            c * (len(g) - (n - 1))
+                            for g, c in grams.items()
+                            if c >= 2
+                        )
+                        vals.append(min(1.0, dup / total))
+            lines = [l.strip() for l in text.split("\n")]
+            lines = [l for l in lines if l]
+            ltot = sum(len(l) for l in lines)
+            if ltot == 0:
+                vals.append(0.0)
+            else:
+                lc = Counter(lines)
+                vals.append(
+                    sum((c - 1) * len(l) for l, c in lc.items() if c >= 2) / ltot
+                )
+            return vals
+
+        for pdf in batches:
+            sig = pd.DataFrame(
+                [one(t) for t in pdf[tcol]], columns=new_cols, index=pdf.index
+            )
+            yield pd.concat([pdf, sig], axis=1)
+
+    out = df.mapInPandas(_signals, out_schema)
+    rounded = out.select(
+        *[f.name for f in df.schema.fields],
+        *[F.round(F.col(c), 6).alias(c) for c in new_cols],
+    )
+    checks = (
+        [F.col(f"top_{n}gram_char_frac") <= top_thresholds[n] for n in top_ns]
+        + [F.col(f"dup_{n}gram_char_frac") <= dup_thresholds[n] for n in dup_ns]
+        + [F.col("dup_line_char_frac") <= dup_line_char_threshold]
+    )
+    keep = checks[0]
+    for c in checks[1:]:
+        keep = keep & c
+    return rounded.withColumn("rep_keep", keep)

@@ -86,3 +86,57 @@ def test_compression_ratio_detects_repetition(spark):
     assert out[1] < 0.1           # pure repetition compresses away
     assert out[2] > 0.5           # varied prose doesn't
     assert out[3] is None and out[4] is None
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Gopher §A.1.1 char-mass repetition metrics on hand-computed docs."""
+    from docarray_spark.operators import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            # doc 1: "ab cd ab cd ef" — words(2,2,2,2,2) total=10 chars.
+            # bigrams: "ab cd"×2, "cd ab"×1, "cd ef"×1 → top2 = 2*4/10=0.8
+            (1, "ab cd ab cd ef"),
+            # doc 2: no within-doc repetition of any n-gram
+            (2, "one two three four five"),
+            # doc 3: dup lines — "x y\nab\nx y": lines(3) dup "x y"(3 ch)×2
+            # → dup_line_char_frac = (2-1)*3 / (3+2+3) = 0.375
+            (3, "x y\nab\nx y"),
+            # doc 4: a repeated 5-gram — "a b c d e a b c d e":
+            # 5-grams: "a b c d e"×2 (+4 singles) mass=5 → dup5=2*5/10=1.0
+            (4, "a b c d e a b c d e"),
+            # edge cases
+            (5, ""), (6, None), (7, "single"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.asDict() for r in repetition_signals(
+        df, id_col="doc_id", text_col="text").collect()}
+    assert out[1]["top_2gram_char_frac"] == 0.8
+    assert out[1]["rep_keep"] is False
+    assert out[2]["dup_5gram_char_frac"] == 0.0
+    # top n-gram frac counts the most frequent gram even at count 1; all
+    # bigrams tie at 1 so the max-mass one wins: "three four" mass 9 / 19
+    assert out[2]["top_2gram_char_frac"] == round(9 / 19, 6)
+    assert out[3]["dup_line_char_frac"] == 0.375
+    assert out[4]["dup_5gram_char_frac"] == 1.0  # clipped at 1.0
+    assert out[4]["rep_keep"] is False
+    for d in (5, 6):
+        assert out[d]["top_2gram_char_frac"] == 0.0
+        assert out[d]["dup_line_char_frac"] == 0.0
+        assert out[d]["rep_keep"] is True
+    # fewer words than n → 0.0 for that n, not an error
+    assert out[7]["top_2gram_char_frac"] == 0.0
+
+
+def test_repetition_signals_tie_break_takes_max_mass(spark):
+    from docarray_spark.operators import repetition_signals
+
+    # "aa b aa b cc dd cc dd" — bigrams "aa b"×2 ... wait: grams:
+    # (aa b)(b aa)(aa b)(b cc)(cc dd)(dd cc)(cc dd) — "aa b"×2 mass 3,
+    # "cc dd"×2 mass 4 → tie on count, pick larger mass: 2*4/14
+    df = spark.createDataFrame(
+        [(1, "aa b aa b cc dd cc dd")], "doc_id long, text string"
+    )
+    row = repetition_signals(df, id_col="doc_id", text_col="text").first()
+    assert row.top_2gram_char_frac == round(2 * 4 / 14, 6)
