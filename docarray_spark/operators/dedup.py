@@ -635,6 +635,96 @@ def embedding_dup_pairs(
 # ------------------------------------------------------- incremental dedup
 
 
+def history_table(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_bands: int = 8,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """The fixed-width dedup-history row for one document: whitespace-
+    normalized text fingerprint + the ``num_bands`` r=1 MinHash band
+    minima (the exact keys :func:`dedup_against` probes). One row per
+    input row, no explode, no shuffle — text reduces to
+    ``(id, _fp string, _mh array<long>)`` (+ ``keep_cols`` passthrough),
+    which is what a PERSISTED history should store: the probe side then
+    never re-reads or re-hashes history text. Band b of shingle hash h is
+    ``(h·(2b+1)+b) mod (2^31-1)`` (same universal re-mix as
+    :func:`minhash_bands_col`); docs too short to produce a shingle get
+    ``[NULL]×num_bands`` minima, which match nothing — consistent with
+    :func:`dedup_against`."""
+    from docarray_spark.operators.text import fingerprint_col
+
+    sh = df.select(
+        *(keep_cols or []),
+        F.col(id_col),
+        fingerprint_col(text_col).alias("_fp"),
+        word_shingles_col(text_col, shingle_n).alias("_sh"),
+    )
+    hv = sh.withColumn(
+        "_hv",
+        F.transform(
+            "_sh",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        ),
+    )
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.array_min(
+            F.transform(F.col("_hv"), lambda h: (h * (b * 2 + 1) + b) % _MERSENNE_P)
+        ),
+    )
+    return hv.select(*(keep_cols or []), id_col, "_fp", bands.alias("_mh"))
+
+
+def dedup_against_history(
+    new_df: DataFrame,
+    history: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_bands: int = 8,
+    min_band_hits: int = 1,
+) -> DataFrame:
+    """:func:`dedup_against` with the history side PRE-REDUCED to its
+    :func:`history_table` rows (``_fp``, ``_mh``) — the probe an
+    incrementally-maintained history store serves (see
+    ``operators/index_store.dedup_refresh``). Cost is O(new batch): the
+    history side ships only fixed-width keys (id/text columns are never
+    read — column pruning reaches the store scan), and AQE broadcasts
+    them when they fit. Output contract identical to
+    :func:`dedup_against`."""
+    new_h = history_table(
+        new_df, id_col=id_col, text_col=text_col,
+        shingle_n=shingle_n, num_bands=num_bands,
+    )
+    exact = (
+        new_h.select(F.col(id_col), "_fp")
+        .join(
+            history.select("_fp").distinct().withColumn("_e", F.lit(True)),
+            "_fp",
+            "left",
+        )
+        .select(id_col, F.coalesce("_e", F.lit(False)).alias("is_exact_dup"))
+    )
+    hits = (
+        new_h.select(F.col(id_col), F.posexplode("_mh").alias("_band", "_mh"))
+        .join(
+            history.select(F.posexplode("_mh").alias("_band", "_mh")).distinct(),
+            ["_band", "_mh"],
+        )
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_band_hits"))
+    )
+    return exact.join(hits, id_col, "left").select(
+        id_col,
+        "is_exact_dup",
+        F.coalesce("n_band_hits", F.lit(0)).alias("n_band_hits"),
+        (F.coalesce("n_band_hits", F.lit(0)) >= min_band_hits).alias("is_near_dup"),
+    )
+
+
 def dedup_against(
     new_df: DataFrame,
     seen_df: DataFrame,
@@ -664,59 +754,17 @@ def dedup_against(
     → every ``new_df`` row: ``(id_col, is_exact_dup, n_band_hits,
     is_near_dup)``.
     """
-    from docarray_spark.operators.text import fingerprint_col
-
-    def _fps(df):
-        return df.select(fingerprint_col(text_col).alias("_fp"))
-
-    def _bands(df, keep_id: bool):
-        # stage shingles → one md5 int per shingle → per-band affine minima
-        # (attribute references only — the interpreted-HOF re-eval trap)
-        sh = df.select(
-            *([F.col(id_col)] if keep_id else []),
-            word_shingles_col(text_col, shingle_n).alias("_sh"),
-        )
-        hv = sh.withColumn(
-            "_hv",
-            F.transform(
-                "_sh",
-                lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
-            ),
-        )
-        bands = F.transform(
-            F.sequence(F.lit(0), F.lit(num_bands - 1)),
-            lambda b: F.array_min(
-                F.transform(F.col("_hv"), lambda h: (h * (b * 2 + 1) + b) % _MERSENNE_P)
-            ),
-        )
-        return hv.select(
-            *([F.col(id_col)] if keep_id else []),
-            F.posexplode(bands).alias("_band", "_mh"),
-        )
-
-    exact = (
-        new_df.select(F.col(id_col), fingerprint_col(text_col).alias("_fp"))
-        .join(
-            _fps(seen_df).distinct().withColumn("_e", F.lit(True)), "_fp", "left"
-        )
-        .select(id_col, F.coalesce("_e", F.lit(False)).alias("is_exact_dup"))
-    )
-    hits = (
-        _bands(new_df, keep_id=True)
-        .join(_bands(seen_df, keep_id=False).distinct(), ["_band", "_mh"])
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_band_hits"))
-    )
-    return (
-        exact.join(hits, id_col, "left")
-        .select(
-            id_col,
-            "is_exact_dup",
-            F.coalesce("n_band_hits", F.lit(0)).alias("n_band_hits"),
-            (F.coalesce("n_band_hits", F.lit(0)) >= min_band_hits).alias(
-                "is_near_dup"
-            ),
-        )
+    return dedup_against_history(
+        new_df,
+        history_table(
+            seen_df, id_col=id_col, text_col=text_col,
+            shingle_n=shingle_n, num_bands=num_bands,
+        ).select("_fp", "_mh"),
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_bands=num_bands,
+        min_band_hits=min_band_hits,
     )
 
 

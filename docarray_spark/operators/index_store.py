@@ -183,3 +183,76 @@ def pq_refresh(
         "rebuilt_buckets": "all" if buckets is None else len(set(buckets)),
         "segments_emptied": emptied,
     }
+
+
+def dedup_refresh(
+    spark: SparkSession,
+    store_path: str,
+    dedup_path: str,
+    buckets: list[int] | None = None,
+    id_col: str = "id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_bands: int = 8,
+) -> dict:
+    """Build (``buckets=None``) or incrementally refresh the bucket-
+    aligned DEDUP HISTORY for a bucketed document store — dedup-behind-
+    CRUD, the third index family beside :func:`hnsw_refresh` /
+    :func:`pq_refresh`. Each store row reduces to its
+    ``operators.dedup.history_table`` keys (text fingerprint + MinHash
+    band minima), written ``partitionBy("_bucket")`` next to the store;
+    an upsert refreshes only ``summary["buckets"]`` — a pruned scan plus
+    a dynamic overwrite of those directories, O(batch), never O(corpus).
+
+    Probe incoming batches with :func:`dedup_against_store`; its
+    ``shingle_n``/``num_bands`` MUST match the values used here (the
+    probe validates band count from the stored arrays). The per-row map
+    is deterministic, so a rebuilt segment is byte-reproducible across
+    task retries like the other two index families. → summary dict."""
+    from docarray_spark.operators.dedup import history_table
+
+    df = _store_df(spark, store_path, buckets)
+    hist = history_table(
+        df, id_col=id_col, text_col=text_col,
+        shingle_n=shingle_n, num_bands=num_bands, keep_cols=["_bucket"],
+    )
+    emptied = _overwrite_segments(spark, hist, dedup_path, buckets)
+    return {
+        "rebuilt_buckets": "all" if buckets is None else len(set(buckets)),
+        "segments_emptied": emptied,
+    }
+
+
+def dedup_against_store(
+    spark: SparkSession,
+    new_df: DataFrame,
+    dedup_path: str,
+    id_col: str = "id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_bands: int = 8,
+    min_band_hits: int = 1,
+) -> DataFrame:
+    """Flag rows of ``new_df`` that exactly or nearly duplicate the
+    corpus behind a :func:`dedup_refresh`-maintained history — the
+    "dedup this crawl against everything already ingested" probe served
+    from the PREBUILT store: history text is never re-read or re-hashed
+    (the scan reads only the fixed-width ``_fp``/``_mh`` columns), so
+    probe cost is O(new batch) + a column-pruned history scan. Output
+    contract = ``operators.dedup.dedup_against``:
+    ``(id_col, is_exact_dup, n_band_hits, is_near_dup)``."""
+    from docarray_spark.operators.dedup import dedup_against_history
+
+    hist = spark.read.parquet(dedup_path).select("_fp", "_mh")
+    first = hist.select(F.size("_mh").alias("_nb")).first()
+    if first is not None and first._nb != num_bands:
+        raise ValueError(
+            f"history at {dedup_path!r} stores {first._nb} bands, probe "
+            f"asked for {num_bands} — shingle_n/num_bands must match the "
+            "dedup_refresh that built it"
+        )
+    return dedup_against_history(
+        new_df, hist,
+        id_col=id_col, text_col=text_col,
+        shingle_n=shingle_n, num_bands=num_bands, min_band_hits=min_band_hits,
+    )

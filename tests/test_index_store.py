@@ -210,3 +210,118 @@ def test_stream_upsert_parquet_store_with_index_refresh(spark, tmp_path):
     assert top.match_id == 3 and top.score < 1e-9
     q500 = spark.createDataFrame([(0, _vec(500))], "id long, embedding array<float>")
     assert hnsw_match_stored(spark, index, q500, k=1, metric="cosine").first().match_id == 500
+
+
+# ------------------------------------------------- dedup-behind-CRUD
+
+
+def _text(i: int) -> str:
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet", "kilo", "lima"]
+    rng = np.random.RandomState(i)
+    return " ".join(words[j] for j in rng.randint(0, len(words), 20))
+
+
+@pytest.fixture()
+def text_store(spark, tmp_path):
+    path = str(tmp_path / "textstore")
+    df = spark.createDataFrame(
+        [(i, _text(i)) for i in range(200)], "id long, text string"
+    )
+    init_parquet_store(df, path, n_buckets=N_BUCKETS)
+    return path
+
+
+def test_dedup_refresh_probe_matches_direct_dedup_against(spark, tmp_path, text_store):
+    from docarray_spark.operators import dedup_against_store, dedup_refresh
+    from docarray_spark.operators.dedup import dedup_against
+
+    hist = str(tmp_path / "dedup_hist")
+    dedup_refresh(spark, text_store, hist)
+    assert len([d for d in os.listdir(hist) if d.startswith("_bucket=")]) >= 1
+
+    new = spark.createDataFrame(
+        [
+            (1000, _text(7)),                       # exact copy of stored doc 7
+            (1001, _text(7) + " omega"),            # near-dup of doc 7
+            (1002, "zulu " * 20),                   # fresh text, no overlap
+        ],
+        "id long, text string",
+    )
+    via_store = {
+        r.id: r for r in dedup_against_store(spark, new, hist).collect()
+    }
+    direct = {
+        r.id: r
+        for r in dedup_against(new, spark.read.parquet(text_store)).collect()
+    }
+    # the maintained history serves the SAME verdicts as recomputing
+    # against the full corpus text
+    for i in (1000, 1001, 1002):
+        assert via_store[i].asDict() == direct[i].asDict()
+    assert via_store[1000].is_exact_dup
+    assert via_store[1000].n_band_hits == 8  # identical shingles → all bands
+    assert not via_store[1002].is_exact_dup
+    assert via_store[1002].n_band_hits == 0
+
+
+def test_dedup_refresh_incremental_and_emptied_segments(spark, tmp_path, text_store):
+    from docarray_spark.operators import dedup_against_store, dedup_refresh
+
+    hist = str(tmp_path / "dedup_hist")
+    dedup_refresh(spark, text_store, hist)
+
+    novel = "quebec romeo sierra tango uniform victor whiskey xray " * 3
+    probe = spark.createDataFrame([(1, novel)], "id long, text string")
+    assert not dedup_against_store(spark, probe, hist).first().is_exact_dup
+
+    # upsert the novel text, refresh only the affected buckets
+    summary = merge_parquet_store(
+        spark, text_store,
+        spark.createDataFrame([(900, novel)], "id long, text string"),
+        id_col="id", n_buckets=N_BUCKETS,
+    )
+    before = _segment_bytes(hist)
+    ref = dedup_refresh(spark, text_store, hist, buckets=summary["buckets"])
+    assert ref["rebuilt_buckets"] == len(summary["buckets"]) == 1
+    row = dedup_against_store(spark, probe, hist).first()
+    assert row.is_exact_dup and row.n_band_hits == 8
+
+    after = _segment_bytes(hist)
+    rebuilt = {f"_bucket={b}" for b in summary["buckets"]}
+    ub = {k: v for k, v in before.items() if k.split("/")[0] not in rebuilt}
+    ua = {k: v for k, v in after.items() if k.split("/")[0] not in rebuilt}
+    assert ub and ua == ub
+
+    # delete every doc in one bucket → its history segment must vanish and
+    # its texts must stop counting as duplicates
+    sdf = spark.read.parquet(text_store)
+    victim = sdf.first()._bucket
+    victim_ids = [r.id for r in sdf.filter(F.col("_bucket") == victim).collect()]
+    summary = merge_parquet_store(
+        spark, text_store,
+        spark.createDataFrame([], "id long, text string"),
+        id_col="id", n_buckets=N_BUCKETS,
+        delete_ids=spark.createDataFrame([(i,) for i in victim_ids], "id long"),
+    )
+    ref = dedup_refresh(spark, text_store, hist, buckets=summary["buckets"])
+    assert ref["segments_emptied"] == 1
+    assert not os.path.exists(os.path.join(hist, f"_bucket={victim}"))
+    gone = spark.createDataFrame(
+        [(2, _text(victim_ids[0]))], "id long, text string"
+    )
+    got = dedup_against_store(spark, gone, hist).first()
+    # still possibly a near-dup of OTHER random docs, but not an exact one
+    # unless the same 20-word sequence was drawn twice elsewhere
+    survivors = {r.text for r in spark.read.parquet(text_store).collect()}
+    assert got.is_exact_dup == (_text(victim_ids[0]) in survivors)
+
+
+def test_dedup_against_store_validates_band_count(spark, tmp_path, text_store):
+    from docarray_spark.operators import dedup_against_store, dedup_refresh
+
+    hist = str(tmp_path / "dedup_hist")
+    dedup_refresh(spark, text_store, hist, num_bands=4)
+    probe = spark.createDataFrame([(1, "a b c d e")], "id long, text string")
+    with pytest.raises(ValueError, match="4 bands"):
+        dedup_against_store(spark, probe, hist, num_bands=8)
