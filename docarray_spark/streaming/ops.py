@@ -403,6 +403,7 @@ def stream_upsert_parquet_store(
     order_col: str | None = None,
     available_now: bool = True,
     refresh: "Callable[[SparkSession, dict], Any] | None" = None,
+    gate: "Callable[[SparkSession, DataFrame], DataFrame] | None" = None,
 ):
     """Streaming upsert into the bucketed parquet MERGE store, with
     per-batch incremental index maintenance — the full index-behind-CRUD
@@ -421,10 +422,21 @@ def stream_upsert_parquet_store(
     batch locality, never corpus size; micro-batching amortizes the fixed
     job overhead (the reason this beats per-row index updates at scale).
 
+    ``gate`` (optional) filters each deduplicated batch BEFORE the merge —
+    the admission-control slot of a continuous crawl ingest. Pass e.g. a
+    probe against the :func:`~docarray_spark.operators.index_store.
+    dedup_refresh`-maintained history that drops rows duplicating the
+    already-ingested corpus; with ``refresh=dedup_refresh(...)`` the
+    history then tracks exactly what was admitted, closing the loop
+    (ingest-dedup-behind-CRUD). The gate sees the batch AFTER per-batch
+    id dedup and must return a subset of its rows.
+
     First batch against a missing store initializes it (existence probed,
     not inferred from an exception). Replay-safe: MERGE is idempotent per
     batch — a retried batch re-merges the same rows to the same state and
-    re-refreshes the same segments. Returns the started StreamingQuery."""
+    re-refreshes the same segments (the gate must therefore be
+    deterministic given the same store state, which a history probe is).
+    Returns the started StreamingQuery."""
     import os
 
     from docarray_spark.sources.registry import _exists
@@ -443,6 +455,10 @@ def stream_upsert_parquet_store(
             b = batch_df.dropDuplicates([id_col])
         if b.isEmpty():
             return
+        if gate is not None:
+            b = gate(spark, b)
+            if b.isEmpty():
+                return
         if not _exists(path, spark) or (
             "://" not in path and not os.listdir(path)
         ):

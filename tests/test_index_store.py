@@ -325,3 +325,66 @@ def test_dedup_against_store_validates_band_count(spark, tmp_path, text_store):
     probe = spark.createDataFrame([(1, "a b c d e")], "id long, text string")
     with pytest.raises(ValueError, match="4 bands"):
         dedup_against_store(spark, probe, hist, num_bands=8)
+
+
+def test_stream_ingest_with_dedup_gate(spark, tmp_path):
+    """Continuous-crawl ingest: each micro-batch is PROBED against the
+    maintained dedup history (exact-duplicate rows dropped at admission),
+    survivors MERGE into the store, and dedup_refresh keeps the history in
+    lockstep — so a duplicate arriving in a LATER batch is rejected by an
+    index that never rescanned corpus text."""
+    import json
+    import time
+
+    from docarray_spark.operators import dedup_against_store, dedup_refresh
+    from docarray_spark.streaming.ops import stream_upsert_parquet_store
+
+    path = str(tmp_path / "crawlstore")
+    hist = str(tmp_path / "crawlhist")
+
+    def _gate(sp, batch):
+        if not os.path.exists(hist):
+            return batch
+        flags = dedup_against_store(sp, batch, hist)
+        return batch.join(
+            flags.filter("is_exact_dup").select("id"), "id", "left_anti"
+        )
+
+    def _refresh(sp, summary):
+        dedup_refresh(
+            sp, path, hist,
+            buckets=None if not os.path.exists(hist) else summary["buckets"],
+        )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows1 = [{"id": i, "text": _text(i)} for i in range(20)]
+    (landing / "a.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    time.sleep(1.1)
+    rows2 = [
+        {"id": 100, "text": _text(3)},      # exact dup of ingested doc 3 → rejected
+        {"id": 101, "text": "novel yankee zulu text " * 5},   # admitted
+    ]
+    (landing / "b.json").write_text("\n".join(json.dumps(r) for r in rows2))
+
+    sdf = (
+        spark.readStream.schema("id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    q = stream_upsert_parquet_store(
+        sdf, path, id_col="id", n_buckets=N_BUCKETS,
+        checkpoint=str(tmp_path / "ckpt"), refresh=_refresh, gate=_gate,
+    )
+    q.awaitTermination()
+
+    store = spark.read.parquet(path)
+    ids = {r.id for r in store.select("id").collect()}
+    assert 100 not in ids           # duplicate text rejected at the gate
+    assert 101 in ids and len(ids) == 21
+
+    # the admitted novel text is now itself in the history
+    reprobe = spark.createDataFrame(
+        [(7, "novel yankee zulu text " * 5)], "id long, text string"
+    )
+    assert dedup_against_store(spark, reprobe, hist).first().is_exact_dup
