@@ -256,3 +256,110 @@ def dedup_against_store(
         id_col=id_col, text_col=text_col,
         shingle_n=shingle_n, num_bands=num_bands, min_band_hits=min_band_hits,
     )
+
+
+def bm25_refresh(
+    spark: SparkSession,
+    store_path: str,
+    index_path: str,
+    buckets: list[int] | None = None,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> dict:
+    """Build or incrementally refresh the bucket-aligned BM25 inverted
+    index for a bucketed document store — text-search-behind-CRUD, the
+    fourth index family beside :func:`hnsw_refresh` / :func:`pq_refresh` /
+    :func:`dedup_refresh` (the reference's text-capable stores keep their
+    search index in lockstep with document CRUD the same way).
+
+    Unlike ``operators.text.bm25_index``, nothing CORPUS-GLOBAL is stored:
+
+    - ``index_path/postings``: ``(_bucket, token, id, dl, tf)`` — per-doc
+      term frequencies WITHOUT the pre-joined ``df`` column (df is global,
+      so storing it would invalidate every segment on every write);
+    - ``index_path/stats``: one row per bucket ``(_bucket, n_docs,
+      sum_dl)``.
+
+    Both are functions of their own bucket's documents ONLY, so an upsert
+    refreshes just ``summary["buckets"]``'s directories and the refresh is
+    O(batch). :func:`bm25_match_stored` reconstitutes the global quantities
+    at query time: ``n_docs``/``avgdl`` by summing the ≤n_buckets stats
+    rows, and per-term ``df`` by counting the term-filtered postings — a
+    token's df only ever needs that token's own postings, which the query
+    scan already read. Postings are sorted by (token, id) within each
+    segment: deterministic bytes for retry-reproducibility AND tight
+    parquet row-group token min/max so the query's term filter prunes
+    row groups inside surviving segments."""
+    from docarray_spark.operators.text import tokens_col
+
+    df = _store_df(spark, store_path, buckets)
+    base = (
+        df.select("_bucket", F.col(id_col), tokens_col(text_col).alias("_toks"))
+        .withColumn("_dl", F.size("_toks"))
+    )
+    tf = (
+        base.select("_bucket", id_col, "_dl", F.explode("_toks").alias("token"))
+        .groupBy("_bucket", "token", id_col, "_dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    postings = tf.select(
+        "_bucket", "token", F.col(id_col), F.col("_dl").alias("dl"), "tf"
+    ).sortWithinPartitions("token", id_col)
+    emptied = _overwrite_segments(spark, postings, f"{index_path}/postings", buckets)
+    stats = base.groupBy("_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("_dl").alias("sum_dl")
+    )
+    _overwrite_segments(spark, stats, f"{index_path}/stats", buckets)
+    return {
+        "rebuilt_buckets": "all" if buckets is None else len(set(buckets)),
+        "segments_emptied": emptied,
+    }
+
+
+def bm25_match_stored(
+    spark: SparkSession,
+    index_path: str,
+    query: str,
+    id_col: str = "id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int | None = None,
+) -> DataFrame:
+    """BM25 top-k over a :func:`bm25_refresh`-maintained index. Scoring
+    (and output schema ``(id, score, rank)``) identical to
+    ``operators.text.bm25_query`` / ``text_search`` — pinned by test —
+    but served entirely from the store: the postings scan is filtered to
+    the query's terms (parquet row-group pruning via the per-segment
+    token sort), per-term ``df`` is an agg over exactly those rows, and
+    global ``n_docs``/``avgdl`` come from the ≤n_buckets stats rows.
+    Nothing here scales with corpus size except the pruned term lookup."""
+    qterms = sorted({t for t in query.lower().split() if t})
+    posts = (
+        spark.read.parquet(f"{index_path}/postings")
+        .filter(F.col("token").isin(qterms))
+        .select("token", id_col, "dl", "tf")
+    )
+    stats = (
+        spark.read.parquet(f"{index_path}/stats")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+        )
+    )
+    dfreq = posts.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    hit = posts.join(dfreq, "token").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    s = idf * (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = hit.withColumn("_s", s).groupBy(id_col).agg(F.sum("_s").alias("score"))
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    out = top.withColumn("rank", F.row_number().over(w))
+    score = F.round("score", round_to) if round_to is not None else F.col("score")
+    return out.select(id_col, score.alias("score"), "rank")

@@ -388,3 +388,72 @@ def test_stream_ingest_with_dedup_gate(spark, tmp_path):
         [(7, "novel yankee zulu text " * 5)], "id long, text string"
     )
     assert dedup_against_store(spark, reprobe, hist).first().is_exact_dup
+
+
+# ------------------------------------------------- bm25-behind-CRUD
+
+
+def test_bm25_refresh_equals_full_index_and_tracks_crud(spark, tmp_path, text_store):
+    from docarray_spark.operators import bm25_match_stored, bm25_refresh
+    from docarray_spark.operators.text import bm25_index, bm25_query
+
+    idx = str(tmp_path / "bm25_idx")
+    bm25_refresh(spark, text_store, idx)
+
+    # scoring identity: the maintained index returns EXACTLY what the
+    # one-shot bm25_index/bm25_query pipeline computes on the same corpus
+    corpus = spark.read.parquet(text_store).select("id", "text")
+    postings, stats = bm25_index(corpus)
+    q = "alpha bravo charlie"
+    want = [r.asDict() for r in bm25_query(
+        postings, stats, q, k=10, round_to=6).collect()]
+    got = [r.asDict() for r in bm25_match_stored(
+        spark, idx, q, k=10, round_to=6).collect()]
+    assert got == want
+
+    # CRUD: give doc 7 a one-of-a-kind token, refresh only its bucket
+    summary = merge_parquet_store(
+        spark, text_store,
+        spark.createDataFrame([(7, "xylophone " * 5)], "id long, text string"),
+        id_col="id", n_buckets=N_BUCKETS,
+    )
+    before = _segment_bytes(os.path.join(idx, "postings"))
+    ref = bm25_refresh(spark, text_store, idx, buckets=summary["buckets"])
+    assert ref["rebuilt_buckets"] == 1
+    top = bm25_match_stored(spark, idx, "xylophone", k=3).collect()
+    assert [r.id for r in top] == [7]
+    # doc 7's OLD tokens no longer hit
+    assert 7 not in {r.id for r in bm25_match_stored(spark, idx, _text(7), k=200).collect()}
+
+    after = _segment_bytes(os.path.join(idx, "postings"))
+    rebuilt = {f"_bucket={b}" for b in summary["buckets"]}
+    ub = {k2: v for k2, v in before.items() if k2.split("/")[0] not in rebuilt}
+    ua = {k2: v for k2, v in after.items() if k2.split("/")[0] not in rebuilt}
+    assert ub and ua == ub
+
+    # stats stay consistent: global n_docs unchanged by an update
+    n_docs = spark.read.parquet(f"{idx}/stats").agg(F.sum("n_docs")).first()[0]
+    assert n_docs == 200
+
+
+def test_bm25_refresh_drops_emptied_bucket(spark, tmp_path, text_store):
+    from docarray_spark.operators import bm25_match_stored, bm25_refresh
+
+    idx = str(tmp_path / "bm25_idx")
+    bm25_refresh(spark, text_store, idx)
+    sdf = spark.read.parquet(text_store)
+    victim = sdf.first()._bucket
+    victim_ids = [r.id for r in sdf.filter(F.col("_bucket") == victim).collect()]
+    summary = merge_parquet_store(
+        spark, text_store,
+        spark.createDataFrame([], "id long, text string"),
+        id_col="id", n_buckets=N_BUCKETS,
+        delete_ids=spark.createDataFrame([(i,) for i in victim_ids], "id long"),
+    )
+    ref = bm25_refresh(spark, text_store, idx, buckets=summary["buckets"])
+    assert ref["segments_emptied"] == 1
+    assert not os.path.exists(os.path.join(idx, "postings", f"_bucket={victim}"))
+    hits = {r.id for r in bm25_match_stored(spark, idx, _text(victim_ids[0]), k=200).collect()}
+    assert not (hits & set(victim_ids))
+    n_docs = spark.read.parquet(f"{idx}/stats").agg(F.sum("n_docs")).first()[0]
+    assert n_docs == 200 - len(victim_ids)
