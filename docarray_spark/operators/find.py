@@ -28,6 +28,18 @@ def find(corpus: DataFrame, query: Any, **kwargs) -> DataFrame:
 
         return ql_find(corpus, query, limit=kwargs.pop("limit", None))
     if isinstance(query, str):
+        # index_path= routes to the bm25_refresh-maintained store index
+        # (text-search-behind-CRUD): the corpus is never re-tokenized, the
+        # term lookup is a pruned postings scan — the serving path for a
+        # store-backed corpus. Without it, text_search scores the corpus
+        # DataFrame directly (the reference's ad-hoc find(str) shape).
+        index_path = kwargs.pop("index_path", None)
+        if index_path is not None:
+            from docarray_spark.operators.index_store import bm25_match_stored
+
+            return bm25_match_stored(
+                corpus.sparkSession, index_path, query, **kwargs
+            )
         from docarray_spark.operators.text import text_search
 
         return text_search(corpus, query, **kwargs)

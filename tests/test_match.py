@@ -294,3 +294,28 @@ def test_unified_find_dispatch(spark, sf_dir):
 
     with _pytest.raises(TypeError, match="find"):
         ufind(docs, 42)
+
+
+def test_unified_find_str_serves_from_stored_bm25_index(spark, tmp_path):
+    """find(str, index_path=...) routes to the bm25_refresh-maintained
+    store index and returns the same ranking text_search computes on the
+    raw corpus."""
+    from docarray_spark.operators import bm25_refresh
+    from docarray_spark.operators.find import find as ufind
+    from docarray_spark.operators.text import text_search
+    from docarray_spark.sources.writers import init_parquet_store
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i % 7} common filler w{i}") for i in range(60)],
+        "id long, text string",
+    )
+    store, idx = str(tmp_path / "store"), str(tmp_path / "idx")
+    init_parquet_store(docs, store, n_buckets=4)
+    bm25_refresh(spark, store, idx)
+
+    q = "token3 common"
+    want = [(r.id, r.rank) for r in text_search(
+        docs, q, id_col="id", k=5, round_to=6).collect()]
+    got = [(r.id, r.rank) for r in ufind(
+        docs, q, index_path=idx, k=5, round_to=6).collect()]
+    assert got == want
