@@ -140,3 +140,70 @@ def test_repetition_signals_tie_break_takes_max_mass(spark):
     )
     row = repetition_signals(df, id_col="doc_id", text_col="text").first()
     assert row.top_2gram_char_frac == round(2 * 4 / 14, 6)
+
+
+def test_repetition_signals_property_vs_naive(spark):
+    """Random corpora: the mapInPandas implementation equals an
+    independent pure-python recomputation of the pinned definitions."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from docarray_spark.operators import repetition_signals
+
+    words_st = st.lists(
+        st.sampled_from(["aa", "bb", "ccc", "d", "ee ff", "\n", "gg\nhh"]),
+        min_size=0, max_size=40,
+    )
+
+    def naive(text):
+        words = [w for w in text.lower().split() if w]
+        total = sum(map(len, words))
+        out = {}
+        for kind, ns, in (("top", (2, 3, 4)), ("dup", (5, 6, 7, 8, 9, 10))):
+            for n in ns:
+                key = f"{kind}_{n}gram_char_frac"
+                if total == 0 or len(words) < n:
+                    out[key] = 0.0
+                    continue
+                c = Counter(tuple(words[i:i + n]) for i in range(len(words) - n + 1))
+                if kind == "top":
+                    mc = max(c.values())
+                    mass = max(sum(map(len, g)) for g, k in c.items() if k == mc)
+                    out[key] = mc * mass / total
+                else:
+                    out[key] = min(1.0, sum(
+                        k * sum(map(len, g)) for g, k in c.items() if k >= 2
+                    ) / total)
+        lines = [l.strip() for l in text.split("\n") if l.strip()]
+        lt = sum(map(len, lines))
+        lc = Counter(lines)
+        out["dup_line_char_frac"] = (
+            sum((k - 1) * len(l) for l, k in lc.items() if k >= 2) / lt if lt else 0.0
+        )
+        # Spark's F.round is HALF_UP on the double's shortest decimal repr
+        # (BigDecimal.valueOf); python round() is banker's — emulate Spark
+        # so exact .5 ties (e.g. 1/128 → 0.0078125) don't flake
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return {
+            k: float(Decimal(repr(v)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP))
+            for k, v in out.items()
+        }
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(docs=st.lists(words_st, min_size=1, max_size=5))
+    def check(docs):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.asDict() for r in repetition_signals(
+            df, id_col="doc_id", text_col="text").collect()}
+        for i, text in rows:
+            want = naive(text)
+            for k, v in want.items():
+                assert got[i][k] == v, (k, text)
+
+    check()
