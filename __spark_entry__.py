@@ -1192,7 +1192,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
-    return dedup_against(fresh.unionByName(mutated), seen, id_col="id")
+    # the r6 broadcast-probe plan references the new batch three times
+    # (fingerprints, band minima, output ids) — persist it once, exactly
+    # as a real crawl batch would already be in memory
+    new = fresh.unionByName(mutated).persist()
+    return dedup_against(new, seen, id_col="id")
 
 
 

@@ -690,38 +690,57 @@ def dedup_against_history(
     """:func:`dedup_against` with the history side PRE-REDUCED to its
     :func:`history_table` rows (``_fp``, ``_mh``) — the probe an
     incrementally-maintained history store serves (see
-    ``operators/index_store.dedup_refresh``). Cost is O(new batch): the
-    history side ships only fixed-width keys (id/text columns are never
-    read — column pruning reaches the store scan), and AQE broadcasts
-    them when they fit. Output contract identical to
+    ``operators/index_store.dedup_refresh``).
+
+    Plan shape: the NEW batch (small by assumption — a crawl batch vs the
+    whole ingested corpus) is broadcast; history STREAMS through two
+    map-only broadcast joins (fingerprints; exploded band minima) and only
+    the matched rows — bounded by the batch's duplicate multiplicity —
+    reach the per-id aggregation. History is never shuffled, never
+    ``distinct()``-ed, and only its two fixed-width columns are read, so
+    probe cost is O(new batch) + one pruned history scan. (The first
+    version distinct-ed history's 8·N exploded bands per probe — a
+    corpus-sized shuffle that the 1M probe exposed at 95 s; this shape is
+    seconds.) ``n_band_hits`` counts DISTINCT colliding bands, identical
+    to the distinct-pair formulation because a query doc has exactly one
+    minhash per band. Output contract identical to
     :func:`dedup_against`."""
     new_h = history_table(
         new_df, id_col=id_col, text_col=text_col,
         shingle_n=shingle_n, num_bands=num_bands,
     )
-    exact = (
-        new_h.select(F.col(id_col), "_fp")
-        .join(
-            history.select("_fp").distinct().withColumn("_e", F.lit(True)),
-            "_fp",
-            "left",
-        )
-        .select(id_col, F.coalesce("_e", F.lit(False)).alias("is_exact_dup"))
+    # both match kinds in ONE streamed pass + ONE per-id aggregation:
+    # fingerprint matches tagged _band = -1, band matches carry their band
+    fp_matches = (
+        history.select("_fp")
+        .join(F.broadcast(new_h.select(F.col(id_col), "_fp")), "_fp")
+        .select(F.col(id_col), F.lit(-1).alias("_band"))
     )
-    hits = (
-        new_h.select(F.col(id_col), F.posexplode("_mh").alias("_band", "_mh"))
+    band_matches = (
+        history.select(F.posexplode("_mh").alias("_band", "_mh"))
         .join(
-            history.select(F.posexplode("_mh").alias("_band", "_mh")).distinct(),
+            F.broadcast(
+                new_h.select(F.col(id_col), F.posexplode("_mh").alias("_band", "_mh"))
+            ),
             ["_band", "_mh"],
         )
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_band_hits"))
+        .select(F.col(id_col), F.col("_band"))
     )
-    return exact.join(hits, id_col, "left").select(
+    agg = (
+        fp_matches.unionByName(band_matches)
+        .groupBy(id_col)
+        .agg(
+            F.max(F.col("_band") == -1).alias("_e"),
+            F.count_distinct(
+                F.when(F.col("_band") >= 0, F.col("_band"))
+            ).cast("long").alias("_nb"),
+        )
+    )
+    return new_h.select(F.col(id_col)).join(agg, id_col, "left").select(
         id_col,
-        "is_exact_dup",
-        F.coalesce("n_band_hits", F.lit(0)).alias("n_band_hits"),
-        (F.coalesce("n_band_hits", F.lit(0)) >= min_band_hits).alias("is_near_dup"),
+        F.coalesce("_e", F.lit(False)).alias("is_exact_dup"),
+        F.coalesce("_nb", F.lit(0)).alias("n_band_hits"),
+        (F.coalesce("_nb", F.lit(0)) >= min_band_hits).alias("is_near_dup"),
     )
 
 

@@ -339,6 +339,11 @@ def bm25_match_stored(
         spark.read.parquet(f"{index_path}/postings")
         .filter(F.col("token").isin(qterms))
         .select("token", id_col, "dl", "tf")
+        # both the per-term df aggregation and the scoring read this tiny
+        # slice (≈ df(term)·|terms| rows): materialize it so the postings
+        # parquet is scanned ONCE per query, not once per consumer (the 1M
+        # probe measured the double scan at 2× query latency)
+        .localCheckpoint(eager=True)
     )
     stats = (
         spark.read.parquet(f"{index_path}/stats")
@@ -348,7 +353,7 @@ def bm25_match_stored(
         )
     )
     dfreq = posts.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    hit = posts.join(dfreq, "token").crossJoin(F.broadcast(stats))
+    hit = posts.join(F.broadcast(dfreq), "token").crossJoin(F.broadcast(stats))
     idf = F.log(
         F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
