@@ -14,10 +14,12 @@ n_buckets)``):
   PQ codes), written ``partitionBy("_bucket")`` next to the store;
 - ``merge_parquet_store`` reports exactly which buckets an upsert/delete
   touched (its ``summary["buckets"]``);
-- ``refresh`` re-reads ONLY those buckets (partition-pruned scan), rebuilds
-  ONLY their segments (dynamic partition overwrite), and drops segments of
-  buckets the merge emptied. Untouched segments are never read, rebuilt,
-  or rewritten — their files stay byte-identical.
+- ``refresh`` re-reads ONLY those buckets (partition-pruned scan) and
+  rebuilds ONLY their segments (delete-then-append of those directories),
+  so a segment of a bucket the merge emptied simply stays deleted.
+  Untouched segments are never read, rebuilt, or rewritten — their files
+  stay byte-identical. ``index_status`` audits store-vs-index freshness
+  per bucket from FS metadata alone.
 
 Cost model: a batch of ``b`` upserts into an ``n_buckets`` store touches
 ``≤ b`` buckets, so refresh cost is ``O(b · bucket_size)`` independent of
@@ -382,3 +384,78 @@ def bm25_match_stored(
     out = top.withColumn("rank", F.row_number().over(w))
     score = F.round("score", round_to) if round_to is not None else F.col("score")
     return out.select(id_col, score.alias("score"), "rank")
+
+
+def _bucket_mtimes(path: str, spark: SparkSession) -> dict[int, float]:
+    """Newest file mtime (epoch seconds) under each ``_bucket=N``
+    directory — driver-side FS metadata only, no Spark job. Works on any
+    Hadoop-compatible filesystem; plain local paths short-circuit to os."""
+    out: dict[int, float] = {}
+    if "://" not in path:
+        import os
+
+        if not os.path.isdir(path):
+            return out
+        for d in os.listdir(path):
+            if not d.startswith("_bucket="):
+                continue
+            full = os.path.join(path, d)
+            files = [os.path.join(full, f) for f in os.listdir(full)]
+            if files:
+                out[int(d.split("=", 1)[1])] = max(os.path.getmtime(f) for f in files)
+        return out
+    from docarray_spark.sources.registry import _hadoop_fs
+
+    fs, jpath, jvm = _hadoop_fs(path, spark)
+    if not fs.exists(jpath):
+        return out
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not name.startswith("_bucket="):
+            continue
+        kids = fs.listStatus(st.getPath())
+        if kids:
+            out[int(name.split("=", 1)[1])] = max(
+                k.getModificationTime() for k in kids
+            ) / 1000.0
+    return out
+
+
+def index_status(
+    spark: SparkSession, store_path: str, index_path: str
+) -> DataFrame:
+    """Per-bucket freshness audit of a segment index against its store —
+    the operational "is this index safe to serve?" check for any of the
+    four maintained families (pass the ``hnsw``/``pq``/``dedup`` index
+    path, or ``<bm25>/postings``). Driver-side FS metadata only (bucket
+    directory mtimes; at the recommended 64k-1M buckets this is one
+    directory listing, no job):
+
+    - ``fresh``    — segment exists and is at least as new as the bucket;
+    - ``stale``    — the store bucket was written AFTER its segment
+      (a merge ran without the matching refresh);
+    - ``missing``  — store bucket has no segment at all;
+    - ``orphaned`` — segment exists for a bucket the store no longer has
+      (bucket emptied by deletes, refresh never ran).
+
+    → ``(bucket, store_mtime, index_mtime, status)``, one row per bucket
+    present on either side, ordered by bucket. ``stale | missing |
+    orphaned`` buckets are exactly the ``buckets=`` list to pass to the
+    family's refresh to repair the index."""
+    store_m = _bucket_mtimes(store_path, spark)
+    index_m = _bucket_mtimes(index_path, spark)
+    rows = []
+    for b in sorted(set(store_m) | set(index_m)):
+        sm, im = store_m.get(b), index_m.get(b)
+        if sm is None:
+            status = "orphaned"
+        elif im is None:
+            status = "missing"
+        elif im >= sm:
+            status = "fresh"
+        else:
+            status = "stale"
+        rows.append((b, sm, im, status))
+    return spark.createDataFrame(
+        rows, "bucket int, store_mtime double, index_mtime double, status string"
+    )

@@ -457,3 +457,47 @@ def test_bm25_refresh_drops_emptied_bucket(spark, tmp_path, text_store):
     assert not (hits & set(victim_ids))
     n_docs = spark.read.parquet(f"{idx}/stats").agg(F.sum("n_docs")).first()[0]
     assert n_docs == 200 - len(victim_ids)
+
+
+def test_index_status_transitions(spark, tmp_path, text_store):
+    """fresh → stale (merge without refresh) → fresh (refresh) and
+    missing/orphaned detection, all from FS metadata."""
+    import time
+
+    from docarray_spark.operators import dedup_refresh, index_status
+
+    hist = str(tmp_path / "hist")
+    dedup_refresh(spark, text_store, hist)
+    st = {r.bucket: r.status for r in index_status(spark, text_store, hist).collect()}
+    assert set(st.values()) == {"fresh"} and len(st) == N_BUCKETS
+
+    time.sleep(1.1)  # FS mtime granularity
+    summary = merge_parquet_store(
+        spark, text_store,
+        spark.createDataFrame([(901, "brand new text here")], "id long, text string"),
+        id_col="id", n_buckets=N_BUCKETS,
+    )
+    st = {r.bucket: r.status for r in index_status(spark, text_store, hist).collect()}
+    assert all(st[b] == "stale" for b in summary["buckets"])
+    assert sum(1 for v in st.values() if v == "stale") == len(summary["buckets"])
+
+    # the stale list IS the repair list
+    stale = [r.bucket for r in index_status(spark, text_store, hist)
+             .filter("status <> 'fresh'").collect()]
+    dedup_refresh(spark, text_store, hist, buckets=stale)
+    st = {r.bucket: r.status for r in index_status(spark, text_store, hist).collect()}
+    assert set(st.values()) == {"fresh"}
+
+    # missing: drop one segment dir by hand
+    victim = summary["buckets"][0]
+    import shutil
+
+    shutil.rmtree(os.path.join(hist, f"_bucket={victim}"))
+    st = {r.bucket: r.status for r in index_status(spark, text_store, hist).collect()}
+    assert st[victim] == "missing"
+
+    # orphaned: store bucket directory gone, segment still present
+    dedup_refresh(spark, text_store, hist, buckets=[victim])
+    shutil.rmtree(os.path.join(text_store, f"_bucket={victim}"))
+    st = {r.bucket: r.status for r in index_status(spark, text_store, hist).collect()}
+    assert st[victim] == "orphaned"
