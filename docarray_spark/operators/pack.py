@@ -151,3 +151,60 @@ def first_fit_pack(
         return order
 
     return df.groupBy(group_col).applyInPandas(_pack, schema)
+
+
+def split_into_chunks(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Split documents into fixed-size token-window chunks with optional
+    overlap — the write-side twin of the chunk tree ``traverse`` reads
+    (reference ``document/mixins/sugar.py`` models chunks as child
+    documents; long-context training and RAG pipelines produce them by
+    windowing). Chunk ``k`` covers tokens ``[k·(chunk_tokens−overlap),
+    … +chunk_tokens)``; the final window is the shorter remainder, and
+    windows under ``min_tokens`` (possible only for the last one) are
+    dropped. Chunk text is the space-joined token slice (whitespace runs
+    are not preserved — the tokenizer's normalization, same as every
+    token-level operator here).
+
+    Pure Catalyst: tokenize → ``sequence`` over window starts →
+    ``transform``+``slice`` → ``posexplode``. Map-only per document (the
+    explode multiplies rows, never shuffles), fuses into the scan, and is
+    exactly expressible in ANSI SQL. → ``(parent_id, chunk_id, chunk_idx,
+    start_token, n_tokens, chunk_text)`` with ``chunk_id =
+    '<parent>#<idx>'``."""
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
+    staged = df.select(F.col(id_col).alias("parent_id"), toks.alias("_toks"))
+    nt = F.size("_toks")
+    # window starts 0, stride, 2·stride … while start < n_tokens (≥1 window
+    # for non-empty docs); slice() is 1-indexed
+    starts = F.sequence(
+        F.lit(0),
+        (F.greatest(F.ceil((nt - chunk_tokens) / stride), F.lit(0)) * stride).cast("int"),
+        F.lit(stride),
+    )
+    chunks = F.transform(
+        starts, lambda s: F.slice(F.col("_toks"), s + 1, chunk_tokens)
+    )
+    out = (
+        staged.filter(nt > 0)
+        .select("parent_id", F.posexplode(chunks).alias("chunk_idx", "_ctoks"))
+        .withColumn("n_tokens", F.size("_ctoks"))
+        .filter(F.col("n_tokens") >= min_tokens)
+    )
+    return out.select(
+        "parent_id",
+        F.concat_ws("#", F.col("parent_id").cast("string"), F.col("chunk_idx")).alias("chunk_id"),
+        "chunk_idx",
+        (F.col("chunk_idx") * stride).cast("long").alias("start_token"),
+        F.col("n_tokens").cast("long"),
+        F.array_join("_ctoks", " ").alias("chunk_text"),
+    )

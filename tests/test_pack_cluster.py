@@ -471,3 +471,51 @@ def test_kmeans_leaves_no_cached_blocks(spark):
     assigned.count()
     jsc = spark.sparkContext._jsc.sc()
     assert jsc.getRDDStorageInfo() == () or len(jsc.getRDDStorageInfo()) == 0
+
+
+def test_split_into_chunks_covers_tokens_exactly(spark):
+    from docarray_spark.operators import split_into_chunks
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),   # 10 tokens
+         (2, "a b c"),                                 # shorter than chunk
+         (3, ""), (4, None)],                          # no chunks
+        "id long, text string",
+    )
+    # no overlap: 4-token windows → 4,4,2
+    out = split_into_chunks(df, chunk_tokens=4).orderBy("parent_id", "chunk_idx").collect()
+    by_parent = {}
+    for r in out:
+        by_parent.setdefault(r.parent_id, []).append(r)
+    assert [r.n_tokens for r in by_parent[1]] == [4, 4, 2]
+    assert [r.start_token for r in by_parent[1]] == [0, 4, 8]
+    assert by_parent[1][2].chunk_text == "t8 t9"
+    assert by_parent[1][0].chunk_id == "1#0"
+    # reconstruction: concatenating no-overlap chunks = tokenized doc
+    assert " ".join(r.chunk_text for r in by_parent[1]) == " ".join(
+        f"t{i}" for i in range(10))
+    assert [r.n_tokens for r in by_parent[2]] == [3]
+    assert 3 not in by_parent and 4 not in by_parent
+
+
+def test_split_into_chunks_overlap_and_min_tokens(spark):
+    from docarray_spark.operators import split_into_chunks
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(9)))], "id long, text string"
+    )
+    # chunk 4, overlap 2 → starts 0,2,4,6; last covers t6..t8 (3 tokens)
+    out = split_into_chunks(df, chunk_tokens=4, overlap=2).orderBy("chunk_idx").collect()
+    assert [r.start_token for r in out] == [0, 2, 4, 6]
+    assert [r.n_tokens for r in out] == [4, 4, 4, 3]
+    # every token index appears in at least one chunk
+    seen = set()
+    for r in out:
+        seen.update(range(r.start_token, r.start_token + r.n_tokens))
+    assert seen == set(range(9))
+    # min_tokens drops the short tail
+    out2 = split_into_chunks(df, chunk_tokens=4, overlap=2, min_tokens=4).collect()
+    assert [r.n_tokens for r in sorted(out2, key=lambda r: r.chunk_idx)] == [4, 4, 4]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        split_into_chunks(df, chunk_tokens=4, overlap=4)
