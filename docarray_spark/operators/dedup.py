@@ -653,7 +653,17 @@ def history_table(
     ``(h·(2b+1)+b) mod (2^31-1)`` (same universal re-mix as
     :func:`minhash_bands_col`); docs too short to produce a shingle get
     ``[NULL]×num_bands`` minima, which match nothing — consistent with
-    :func:`dedup_against`."""
+    :func:`dedup_against`.
+
+    Kernel split like :func:`minhash_dedup_pairs`: per-shingle md5 stays
+    JVM-side (codegen), the per-band affine minima are ONE vectorized
+    numpy broadcast in an Arrow ``pandas_udf``. A pure-Catalyst nested
+    ``transform(sequence(bands), b -> array_min(transform(_hv, …)))``
+    is CodegenFallback — interpreted, num_bands·n_shingles lambda evals
+    per row — and measured 5.1 s for 4,750 × 48-shingle docs where the
+    numpy kernel is ~0.4 s (same trap, same fix as the r3 minhash run)."""
+    import numpy as np
+
     from docarray_spark.operators.text import fingerprint_col
 
     sh = df.select(
@@ -669,13 +679,23 @@ def history_table(
             lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
         ),
     )
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(num_bands - 1)),
-        lambda b: F.array_min(
-            F.transform(F.col("_hv"), lambda h: (h * (b * 2 + 1) + b) % _MERSENNE_P)
-        ),
+    coef = np.arange(num_bands, dtype=np.int64)
+    nb = num_bands
+
+    @F.pandas_udf("array<long>")
+    def _band_minima(hvs: pd.Series) -> pd.Series:
+        out = []
+        for h in hvs:
+            if h is None or len(h) == 0:
+                out.append([None] * nb)
+                continue
+            a = np.asarray(h, dtype=np.int64)
+            out.append(((a[:, None] * (2 * coef + 1) + coef) % _MERSENNE_P).min(axis=0))
+        return pd.Series(out)
+
+    return hv.select(
+        *(keep_cols or []), id_col, "_fp", _band_minima("_hv").alias("_mh")
     )
-    return hv.select(*(keep_cols or []), id_col, "_fp", bands.alias("_mh"))
 
 
 def dedup_against_history(
@@ -708,7 +728,9 @@ def dedup_against_history(
     new_h = history_table(
         new_df, id_col=id_col, text_col=text_col,
         shingle_n=shingle_n, num_bands=num_bands,
-    )
+    ).persist()  # both broadcast builds read it; un-persisted each would
+    # re-run the batch's shingle/md5/minima chain (minhash_dedup_pairs
+    # precedent — operator-internal persist of the shared hashed subtree)
     # both match kinds in ONE streamed pass + ONE per-id aggregation:
     # fingerprint matches tagged _band = -1, band matches carry their band
     fp_matches = (
@@ -736,7 +758,8 @@ def dedup_against_history(
             ).cast("long").alias("_nb"),
         )
     )
-    return new_h.select(F.col(id_col)).join(agg, id_col, "left").select(
+    # output base = raw ids (no re-hashing of the new batch for the join)
+    return new_df.select(F.col(id_col)).join(agg, id_col, "left").select(
         id_col,
         F.coalesce("_e", F.lit(False)).alias("is_exact_dup"),
         F.coalesce("_nb", F.lit(0)).alias("n_band_hits"),
