@@ -501,3 +501,32 @@ def test_index_status_transitions(spark, tmp_path, text_store):
     shutil.rmtree(os.path.join(text_store, f"_bucket={victim}"))
     st = {r.bucket: r.status for r in index_status(spark, text_store, hist).collect()}
     assert st[victim] == "orphaned"
+
+
+def test_bm25_match_stored_empty_and_unknown_queries(spark, tmp_path, text_store):
+    from docarray_spark.operators import bm25_match_stored, bm25_refresh
+
+    idx = str(tmp_path / "bm25_idx")
+    bm25_refresh(spark, text_store, idx)
+    assert bm25_match_stored(spark, idx, "").count() == 0
+    assert bm25_match_stored(spark, idx, "zzz_not_a_token qqq").count() == 0
+
+
+def test_dedup_against_store_partitioning_invariant(spark, tmp_path, text_store):
+    """The broadcast-probe results must not depend on how the new batch
+    is partitioned (boundary for the per-id aggregation + broadcasts)."""
+    from docarray_spark.operators import dedup_against_store, dedup_refresh
+
+    hist = str(tmp_path / "hist")
+    dedup_refresh(spark, text_store, hist)
+    new = spark.createDataFrame(
+        [(i, _text(i % 7)) for i in range(40)], "id long, text string"
+    )
+    a = sorted(
+        map(tuple, dedup_against_store(spark, new.repartition(1), hist).collect())
+    )
+    b = sorted(
+        map(tuple, dedup_against_store(spark, new.repartition(13), hist).collect())
+    )
+    assert a == b and len(a) == 40
+    assert all(r[1] for r in a)  # every row duplicates a stored text
