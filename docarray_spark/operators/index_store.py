@@ -171,8 +171,8 @@ def pq_refresh(
     """Build or incrementally refresh the bucket-aligned PQ-encoded table
     (``operators/pq.pq_encode`` codes, partitioned by the store's
     ``_bucket``). Encoding is map-only per row, so a refresh is a pruned
-    scan of the affected buckets plus a dynamic overwrite of their
-    directories — nothing else is read or written. The codebooks are the
+    scan of the affected buckets plus a rewrite of exactly their
+    segment directories — nothing else is read or written. The codebooks are the
     TRAINED quantizer and must stay fixed across refreshes (retraining
     invalidates every segment; that is a full rebuild). Query the result
     with ``pq_match(spark.read.parquet(encoded_path), ...)``."""
@@ -206,7 +206,7 @@ def dedup_refresh(
     ``operators.dedup.history_table`` keys (text fingerprint + MinHash
     band minima), written ``partitionBy("_bucket")`` next to the store;
     an upsert refreshes only ``summary["buckets"]`` — a pruned scan plus
-    a dynamic overwrite of those directories, O(batch), never O(corpus).
+    a rewrite of exactly those directories, O(batch), never O(corpus).
 
     Probe incoming batches with :func:`dedup_against_store`; its
     ``shingle_n``/``num_bands`` MUST match the values used here (the
