@@ -32,8 +32,6 @@ encoded table :func:`pq_refresh` maintains is exactly what
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession

@@ -429,7 +429,10 @@ def stream_upsert_parquet_store(
     already-ingested corpus; with ``refresh=dedup_refresh(...)`` the
     history then tracks exactly what was admitted, closing the loop
     (ingest-dedup-behind-CRUD). The gate sees the batch AFTER per-batch
-    id dedup and must return a subset of its rows.
+    id dedup and must return a subset of its rows; if a batch can carry
+    the same CONTENT under different ids, dedup within the batch in the
+    gate too (e.g. ``dropDuplicates`` on a text fingerprint) — the
+    history only knows about previous batches.
 
     First batch against a missing store initializes it (existence probed,
     not inferred from an exception). Replay-safe: MERGE is idempotent per
