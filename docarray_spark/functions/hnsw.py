@@ -214,9 +214,23 @@ class HNSWIndex:
         for key, row in zip(keys, np.asarray(mat, dtype=np.float64)):
             self.add(key, row)
 
-    def search(self, q: np.ndarray, k: int, ef: int | None = None) -> list[tuple[float, object]]:
+    def search(
+        self,
+        q: np.ndarray,
+        k: int,
+        ef: int | None = None,
+        allow: "set | None" = None,
+    ) -> list[tuple[float, object]]:
         """Algorithm 5: → [(sqeuclidean, key)] of the ~k nearest, ascending.
-        ``ef`` defaults to ``max(ef_construction, k)``."""
+        ``ef`` defaults to ``max(ef_construction, k)``.
+
+        ``allow``: optional key set for FILTERED search (the standard
+        post-traversal emission filter: the graph walk itself stays
+        unrestricted so connectivity is preserved; only qualifying keys
+        are returned). With selective filters raise ``ef`` — the beam
+        must hold enough candidates that ≥k of them qualify; the caller
+        (``hnsw_match_stored``) auto-scales it by the filter
+        selectivity."""
         if self.entry is None:
             return []
         q = np.asarray(q, dtype=np.float64)
@@ -225,6 +239,8 @@ class HNSWIndex:
         for layer in range(len(self.neighbors) - 1, 0, -1):
             eps = self._search_layer(q, eps, 1, layer)
         found = self._search_layer(q, eps, ef, 0)
+        if allow is not None:
+            found = [(d, n) for d, n in found if self.keys[n] in allow]
         return [(d, self.keys[n]) for d, n in found[:k]]
 
     def __len__(self) -> int:

@@ -241,11 +241,27 @@ def hnsw_match_stored(
     ef: int | None = None,
     round_scores: int | None = None,
     max_query_rows: int = _MAX_QUERY_ROWS,
+    allowed_ids: DataFrame | None = None,
+    max_allowed_rows: int = 2_000_000,
 ) -> DataFrame:
     """Search a persisted :func:`hnsw_build_store` store → (query_id,
     match_id, rank, score, metric_name). One task per stored graph row:
     deserialize, search every broadcast query, emit per-graph top-k; the
-    global window merge is the only exchange."""
+    global window merge is the only exchange.
+
+    ``allowed_ids`` (optional, single-column DataFrame): FILTERED search
+    over the prebuilt graphs — the stored-index twin of ``hnsw_match``'s
+    Mongo-style ``filter`` (which filters before graph BUILD; here the
+    graphs already exist, so the allow-set restricts result emission
+    while traversal stays unrestricted, the standard filtered-HNSW
+    recipe). Produce it however you like — typically ``queryset.find``
+    over the document store projected to the id column. The set is
+    broadcast (``max_allowed_rows`` budget — for coarser filters, scan
+    exact instead: a filter keeping most of the corpus makes brute force
+    the better plan anyway), and the per-graph beam ``ef`` auto-scales by
+    the global selectivity ``k/sel`` (capped at the segment size, where
+    the search degrades gracefully to exhaustive) so ≥k qualifying
+    candidates survive the beam."""
     if metric not in _METRICS:
         raise ValueError(f"hnsw_match_stored supports {_METRICS}, got {metric!r}")
     store = spark.read.parquet(path)
@@ -274,7 +290,23 @@ def hnsw_match_stored(
     if metric == "cosine":
         qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
         qmat = qmat / np.where(qnorm == 0.0, 1.0, qnorm)
-    bc = spark.sparkContext.broadcast((qids, qmat))
+    allow, sel = None, 1.0
+    if allowed_ids is not None:
+        acol = allowed_ids.columns[0]
+        arows = (
+            allowed_ids.select(acol).dropna().distinct()
+            .limit(max_allowed_rows + 1).collect()
+        )
+        if len(arows) > max_allowed_rows:
+            raise ValueError(
+                f"allowed_ids exceeds the broadcast budget ({max_allowed_rows} "
+                "rows) — a filter this coarse is better served by the exact "
+                "filtered scan (match(filter=...))"
+            )
+        allow = {r[0] for r in arows}
+        total_n = store.agg(F.sum("n")).first()[0] or 1
+        sel = max(len(allow) / total_n, 1e-9)
+    bc = spark.sparkContext.broadcast((qids, qmat, allow, sel))
     query_id_type = queries.schema[query_id_col].dataType
     out_schema = T.StructType(
         [
@@ -283,18 +315,24 @@ def hnsw_match_stored(
             T.StructField("score", T.DoubleType()),
         ]
     )
-    met, efs = metric, ef
+    met, efs, kk = metric, ef, k
 
     def _search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
         import pickle
 
-        q_ids, q_mat = bc.value
+        q_ids, q_mat, allow_set, sel_f = bc.value
         for pdf in batches:
             for blob in pdf["blob"]:
                 index = pickle.loads(blob)
+                ef_use = efs
+                if allow_set is not None:
+                    # beam must hold ~k/sel candidates for ≥k qualifying
+                    base = max(efs or index.ef_construction, kk)
+                    ef_use = min(index.n, max(base, math.ceil(kk / sel_f)))
                 rows_q, rows_m, rows_s = [], [], []
                 for qid, qv in zip(q_ids, q_mat):
-                    for d, key in index.search(qv, k, ef=efs):
+                    for d, key in index.search(qv, kk, ef=ef_use, allow=allow_set):
                         rows_q.append(qid)
                         rows_m.append(str(key))
                         rows_s.append(d / 2.0 if met == "cosine" else d)

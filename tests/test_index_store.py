@@ -530,3 +530,43 @@ def test_dedup_against_store_partitioning_invariant(spark, tmp_path, text_store)
     )
     assert a == b and len(a) == 40
     assert all(r[1] for r in a)  # every row duplicates a stored text
+
+
+def test_hnsw_match_stored_filtered_by_allowed_ids(spark, tmp_path, store):
+    """Filtered search over the PREBUILT graphs (allow-set emission filter
+    + selectivity-scaled beam) returns exactly the exact filtered kNN at
+    this scale, and never leaks a disallowed id."""
+    from docarray_spark.operators import hnsw_match_stored, hnsw_refresh
+
+    index = str(tmp_path / "hnsw_idx")
+    hnsw_refresh(spark, store, index, metric="cosine", M=8, ef_construction=64)
+
+    allowed = spark.createDataFrame([(i,) for i in range(0, 400, 2)], "id long")
+    q = spark.createDataFrame([(0, _vec(7))], "id long, embedding array<float>")
+    got = hnsw_match_stored(
+        spark, index, q, k=5, metric="cosine", allowed_ids=allowed
+    ).orderBy("rank").collect()
+    assert len(got) == 5
+    assert all(r.match_id % 2 == 0 for r in got)
+
+    # exact filtered ground truth in numpy (cosine distance)
+    mat = np.asarray([_vec(i) for i in range(0, 400, 2)], dtype=np.float64)
+    ids = np.arange(0, 400, 2)
+    qv = np.asarray(_vec(7), dtype=np.float64)
+    cos = 1.0 - (mat @ qv) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    order = np.lexsort((ids, cos))[:5]
+    assert [r.match_id for r in got] == [int(ids[i]) for i in order]
+
+    # disallowed id 7 (the query's own vector) must NOT appear even at k=1
+    top = hnsw_match_stored(
+        spark, index, q, k=1, metric="cosine", allowed_ids=allowed
+    ).first()
+    assert top.match_id != 7
+
+    # budget: a too-large allow set raises toward the exact path
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="broadcast budget"):
+        hnsw_match_stored(
+            spark, index, q, k=1, metric="cosine",
+            allowed_ids=allowed, max_allowed_rows=10,
+        )
