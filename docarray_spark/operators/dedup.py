@@ -706,42 +706,63 @@ def dedup_against_history(
     shingle_n: int = 3,
     num_bands: int = 8,
     min_band_hits: int = 1,
+    broadcast_new: bool | None = None,
+    broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
     """:func:`dedup_against` with the history side PRE-REDUCED to its
     :func:`history_table` rows (``_fp``, ``_mh``) — the probe an
     incrementally-maintained history store serves (see
     ``operators/index_store.dedup_refresh``).
 
-    Plan shape: the NEW batch (small by assumption — a crawl batch vs the
-    whole ingested corpus) is broadcast; history STREAMS through two
-    map-only broadcast joins (fingerprints; exploded band minima) and only
-    the matched rows — bounded by the batch's duplicate multiplicity —
-    reach the per-id aggregation. History is never shuffled, never
-    ``distinct()``-ed, and only its two fixed-width columns are read, so
-    probe cost is O(new batch) + one pruned history scan. (The first
-    version distinct-ed history's 8·N exploded bands per probe — a
-    corpus-sized shuffle that the 1M probe exposed at 95 s; this shape is
-    seconds.) ``n_band_hits`` counts DISTINCT colliding bands, identical
-    to the distinct-pair formulation because a query doc has exactly one
-    minhash per band. Output contract identical to
-    :func:`dedup_against`."""
+    Plan shape: a crawl-batch-sized new side is broadcast; history STREAMS
+    through two map-only broadcast joins (fingerprints; exploded band
+    minima) and only the matched rows — bounded by the batch's duplicate
+    multiplicity — reach the per-id aggregation. History is never
+    shuffled, never ``distinct()``-ed, and only its two fixed-width
+    columns are read, so probe cost is O(new batch) + one pruned history
+    scan. (The first version distinct-ed history's 8·N exploded bands per
+    probe — a corpus-sized shuffle that the 1M probe exposed at 95 s; this
+    shape is seconds.)
+
+    SIZE GATE (ADVICE r6): broadcasting is only correct while the new
+    batch fits the driver/executors — an unconditional ``F.broadcast``
+    turned "dedup a large batch" into a broadcast-limit error. With
+    ``broadcast_new=None`` (auto) the hashed batch is counted (one cheap
+    job over the already-persisted subtree) and batches above
+    ``broadcast_threshold`` rows fall back to plain shuffle equi-joins on
+    the same fixed-width keys — handles arbitrarily large batches at the
+    honest cost of shuffling history's two columns. Pass ``True``/
+    ``False`` to skip the count when the caller knows the batch size
+    (``index_store.dedup_against_store`` micro-batches pass auto).
+
+    ``n_band_hits`` counts DISTINCT colliding bands, identical to the
+    distinct-pair formulation because a query doc has exactly one minhash
+    per band. Output contract identical to :func:`dedup_against`.
+
+    Cache lifetime: the hashed new batch (``new_h``) is persisted — both
+    join builds read it, and un-persisted each would re-run the batch's
+    shingle/md5/minima chain (minhash_dedup_pairs precedent). It is
+    catalog-tracked, so ``spark.catalog.clearCache()`` releases it; the
+    returned plan stays lazy, so the operator itself cannot unpersist
+    (the blocks are evictable cache, not pinned checkpoint storage)."""
     new_h = history_table(
         new_df, id_col=id_col, text_col=text_col,
         shingle_n=shingle_n, num_bands=num_bands,
-    ).persist()  # both broadcast builds read it; un-persisted each would
-    # re-run the batch's shingle/md5/minima chain (minhash_dedup_pairs
-    # precedent — operator-internal persist of the shared hashed subtree)
+    ).persist()
+    if broadcast_new is None:
+        broadcast_new = new_h.count() <= broadcast_threshold
+    _hint = F.broadcast if broadcast_new else (lambda d: d)
     # both match kinds in ONE streamed pass + ONE per-id aggregation:
     # fingerprint matches tagged _band = -1, band matches carry their band
     fp_matches = (
         history.select("_fp")
-        .join(F.broadcast(new_h.select(F.col(id_col), "_fp")), "_fp")
+        .join(_hint(new_h.select(F.col(id_col), "_fp")), "_fp")
         .select(F.col(id_col), F.lit(-1).alias("_band"))
     )
     band_matches = (
         history.select(F.posexplode("_mh").alias("_band", "_mh"))
         .join(
-            F.broadcast(
+            _hint(
                 new_h.select(F.col(id_col), F.posexplode("_mh").alias("_band", "_mh"))
             ),
             ["_band", "_mh"],
@@ -792,6 +813,11 @@ def dedup_against(
       r=1 MinHash band values collide with ANY history document's same
       band (P(single-band collision) = Jaccard). ``is_near_dup`` when
       ≥ ``min_band_hits`` — raise it to trade recall for precision.
+
+    Batch size is unconstrained: the delegate auto-gates its broadcast of
+    the new side (see :func:`dedup_against_history`'s size gate) — small
+    batches take the map-only broadcast-probe plan, large ones fall back
+    to shuffle equi-joins.
 
     → every ``new_df`` row: ``(id_col, is_exact_dup, n_band_hits,
     is_near_dup)``.

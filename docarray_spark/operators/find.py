@@ -29,12 +29,25 @@ def find(corpus: DataFrame, query: Any, **kwargs) -> DataFrame:
         return ql_find(corpus, query, limit=kwargs.pop("limit", None))
     if isinstance(query, str):
         # index_path= routes to the bm25_refresh-maintained store index
-        # (text-search-behind-CRUD): the corpus is never re-tokenized, the
-        # term lookup is a pruned postings scan — the serving path for a
-        # store-backed corpus. Without it, text_search scores the corpus
-        # DataFrame directly (the reference's ad-hoc find(str) shape).
+        # (text-search-behind-CRUD): the corpus DataFrame is NOT read —
+        # results come from the stored index, which reflects the store as
+        # of its last refresh (audit with index_store.index_status if the
+        # corpus may have moved past it). The term lookup is a pruned
+        # postings scan — the serving path for a store-backed corpus.
+        # Without it, text_search scores the corpus DataFrame directly
+        # (the reference's ad-hoc find(str) shape).
         index_path = kwargs.pop("index_path", None)
         if index_path is not None:
+            if "text_col" in kwargs:
+                # ADVICE r6: this kwarg is meaningful only on the
+                # corpus-scoring path; silently forwarding it raised an
+                # opaque TypeError inside bm25_match_stored
+                raise TypeError(
+                    "find(str, index_path=...) serves from the prebuilt "
+                    "index, whose text column was fixed at bm25_refresh "
+                    "time — text_col applies only to the corpus-scoring "
+                    "path (omit index_path)"
+                )
             from docarray_spark.operators.index_store import bm25_match_stored
 
             return bm25_match_stored(

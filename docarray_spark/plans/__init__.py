@@ -1,3 +1,4 @@
+from docarray_spark.plans.blocks import persistent_rdd_ids, released_after
 from docarray_spark.plans.audit import (
     audit,
     broadcast_join_count,
@@ -20,8 +21,10 @@ __all__ = [
     "explain_str",
     "has_cartesian",
     "has_take_ordered",
+    "persistent_rdd_ids",
     "pushed_filters",
     "read_schemas",
+    "released_after",
     "scan_count",
     "shuffle_count",
 ]

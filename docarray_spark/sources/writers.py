@@ -199,25 +199,33 @@ def merge_parquet_store(
     # localCheckpoint materializes the affected-bucket rows (bounded by
     # update locality, never the whole store) and truncates the lineage so
     # the writer's read-own-output check passes and the count below can't
-    # observe the post-write state
-    merged = merged.localCheckpoint(eager=True)
-    rows_written = merged.count()
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # dynamic mode replaces ONLY the partitions present in `merged` —
-        # untouched buckets' directories are never read or rewritten
-        merged.write.mode("overwrite").partitionBy("_bucket").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    # dynamic overwrite cannot DELETE a partition: a bucket whose rows were
-    # all removed contributes no rows to `merged`, so its directory would
-    # survive untouched and the "deleted" rows would reappear on read-back.
-    # Explicitly drop affected buckets with zero surviving rows (with
-    # 64k-1M buckets at scale, single-row buckets — and hence emptied
-    # buckets — are the NORM, not an edge).
-    surviving = {r._bucket for r in merged.select("_bucket").distinct().collect()}
-    emptied = sorted(set(affected) - surviving)
+    # observe the post-write state. released_after drops the checkpoint's
+    # storage on exit — every consumer of `merged` is inside this block,
+    # and without the release the blocks outlive the call until Python GC
+    # (r6 verdict: unbounded in a long-lived ingest session).
+    from docarray_spark.plans.blocks import released_after
+
+    with released_after(spark):
+        merged = merged.localCheckpoint(eager=True)
+        rows_written = merged.count()
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # dynamic mode replaces ONLY the partitions present in `merged`
+            # — untouched buckets' directories are never read or rewritten
+            merged.write.mode("overwrite").partitionBy("_bucket").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # dynamic overwrite cannot DELETE a partition: a bucket whose rows
+        # were all removed contributes no rows to `merged`, so its directory
+        # would survive untouched and the "deleted" rows would reappear on
+        # read-back. Explicitly drop affected buckets with zero surviving
+        # rows (with 64k-1M buckets at scale, single-row buckets — and hence
+        # emptied buckets — are the NORM, not an edge).
+        surviving = {
+            r._bucket for r in merged.select("_bucket").distinct().collect()
+        }
+        emptied = sorted(set(affected) - surviving)
     for b in emptied:
         _delete_dir(f"{path}/_bucket={b}", spark)
     return {

@@ -462,15 +462,23 @@ def test_kmeans_source_scans_do_not_scale_with_iterations(spark):
 
 def test_kmeans_leaves_no_cached_blocks(spark):
     """ADVICE r3: operators must not leak persisted blocks into a
-    long-lived session — kmeans unpersists its iteration base."""
+    long-lived session — kmeans unpersists its iteration base.
+
+    Snapshot-diff, not emptiness (r6 verdict #1): ``clearCache()`` drops
+    only catalog-tracked entries, so ``localCheckpoint`` storage from
+    UNRELATED earlier tests survives it and made the empty-registry
+    assertion a suite-order flake. kmeans is only accountable for blocks
+    IT adds."""
     spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    before = {info.id() for info in jsc.getRDDStorageInfo()}
     df = spark.createDataFrame(
         [(i, [float(i), 0.0]) for i in range(20)], "id long, embedding array<float>"
     )
     _, assigned = kmeans(df, k=2, n_iter=2, id_col="id")
     assigned.count()
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getRDDStorageInfo() == () or len(jsc.getRDDStorageInfo()) == 0
+    added = {info.id() for info in jsc.getRDDStorageInfo()} - before
+    assert added == set()
 
 
 def test_split_into_chunks_covers_tokens_exactly(spark):
