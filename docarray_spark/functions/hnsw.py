@@ -177,6 +177,33 @@ class HNSWIndex:
 
     # ------------------------------------------------------------ surface
 
+    def __getstate__(self) -> dict:
+        """Pickle wire format: vectors travel float32 (halves the dominant
+        blob cost — r6 frontier note 5 measured the stored-HNSW segment
+        store at 2.2× raw corpus bytes with float64 internals) and the
+        derived ``_sq`` row norms are dropped entirely; growth slack is
+        trimmed. Search math stays float64 AFTER load (restored in
+        ``__setstate__``), so only the stored coordinates are rounded —
+        one f64→f32→f64 round-trip, identical for a rebuilt or reloaded
+        segment, keeping serialization deterministic for task retries."""
+        state = self.__dict__.copy()
+        state["_data"] = np.ascontiguousarray(
+            self._data[: self.n], dtype=np.float32
+        )
+        state.pop("_sq", None)
+        return state
+
+    def __setstate__(self, state: dict) -> None:
+        data = state.pop("_data")
+        sq = state.pop("_sq", None)  # pre-r7 blobs still carry it
+        self.__dict__.update(state)
+        self._data = np.asarray(data, dtype=np.float64)
+        self._sq = (
+            np.asarray(sq, dtype=np.float64)
+            if sq is not None
+            else np.einsum("ij,ij->i", self._data, self._data)
+        )
+
     def add(self, key, vec: np.ndarray) -> None:
         """Algorithm 1: insert one vector under ``key`` (level drawn from a
         hash of the key — deterministic rebuilds)."""

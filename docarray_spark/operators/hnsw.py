@@ -207,8 +207,9 @@ def hnsw_build_store(
             mat = mat / np.where(norms == 0.0, 1.0, norms)
         index = HNSWIndex(dim=mat.shape[1], M=mm, ef_construction=efc)
         index.add_batch(keys, mat)
-        index._data = index._data[: index.n]  # drop growth slack pre-pickle
-        index._sq = index._sq[: index.n]
+        # pickling trims growth slack, drops derived norms, and rounds the
+        # vectors to float32 (HNSWIndex.__getstate__) — the blob is ~half
+        # the float64 in-memory footprint
         yield pd.DataFrame(
             {
                 "part_id": [TaskContext.get().partitionId()],

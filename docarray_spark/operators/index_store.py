@@ -63,27 +63,37 @@ def _overwrite_segments(
     index_path: str,
     buckets: list[int] | None,
 ) -> int:
-    """Full build → static overwrite. Refresh → DELETE the affected
-    buckets' segment directories, then APPEND the rebuilt segments: the
-    write recreates exactly the buckets that still produce one, so a
-    bucket the merge emptied simply stays deleted (dynamic partition
-    overwrite cannot delete a partition, and its emptied-bucket
-    computation forced a localCheckpoint + a second execution of the
-    whole segment build — measured at 2× the refresh cost for the
-    postings-sized bm25 segments). Not atomic across the delete/append
-    pair, but idempotent: a retried refresh deletes and re-appends the
-    same buckets — consistent with the store's own single-writer
-    copy-on-write contract. Returns the number of emptied segments
-    (affected buckets whose directory no longer exists after the write,
-    an FS metadata check, not a job)."""
+    """Full build → static overwrite. Refresh → materialize the rebuilt
+    segments FIRST (eager local checkpoint — so a compute failure leaves
+    the previous segments untouched; ADVICE r6), then DELETE the affected
+    buckets' segment directories and APPEND from the checkpoint: the write
+    recreates exactly the buckets that still produce one, so a bucket the
+    merge emptied simply stays deleted (dynamic partition overwrite cannot
+    delete a partition, and its emptied-bucket computation forced a SECOND
+    execution of the whole segment build — measured at 2× the refresh cost
+    for the postings-sized bm25 segments; the checkpoint here runs the
+    build once and writes from storage). The crash window is now FS
+    delete/append only, and idempotent: a retried refresh deletes and
+    re-appends the same buckets — consistent with the store's own
+    single-writer copy-on-write contract. Checkpoint storage is released
+    on exit (``plans.blocks.released_after``). Returns the number of
+    emptied segments (affected buckets whose directory no longer exists
+    after the write, an FS metadata check, not a job)."""
     if buckets is None:
         segments.write.mode("overwrite").partitionBy("_bucket").parquet(index_path)
         return 0
+    from docarray_spark.plans.blocks import released_after
+
     affected = sorted({int(b) for b in buckets})
-    for b in affected:
-        _delete_dir(f"{index_path}/_bucket={b}", spark)
-    segments.write.mode("append").partitionBy("_bucket").parquet(index_path)
+    with released_after(spark):
+        seg = segments.localCheckpoint(eager=True)  # compute BEFORE delete
+        for b in affected:
+            _delete_dir(f"{index_path}/_bucket={b}", spark)
+        seg.write.mode("append").partitionBy("_bucket").parquet(index_path)
     return sum(1 for b in affected if not _dir_exists(f"{index_path}/_bucket={b}", spark))
+
+
+_SEGMENT_SCHEMA = "_bucket int, metric string, id_type string, n long, blob binary"
 
 
 def hnsw_refresh(
@@ -96,6 +106,7 @@ def hnsw_refresh(
     emb_col: str = "embedding",
     M: int = 16,
     ef_construction: int = 100,
+    mode: str = "rebuild",
 ) -> dict:
     """Build (``buckets=None``) or incrementally refresh (``buckets=
     summary["buckets"]`` from :func:`merge_parquet_store`) the bucket-
@@ -106,35 +117,48 @@ def hnsw_refresh(
     pure-numpy index (``functions/hnsw.py``) — a rebuilt segment is
     byte-reproducible, so task retries converge. Query with
     ``operators.hnsw.hnsw_match_stored(spark, index_path, ...)`` — the
-    searcher is segment-count-agnostic. → summary dict."""
+    searcher is segment-count-agnostic. → summary dict.
+
+    ``mode='insert'`` (r6 verdict #4): a refresh that REBUILDS every
+    touched bucket's graph costs O(bucket_size) per touched bucket even
+    for a single-row upsert — the 1M probe measured 16.3 s for a 100-row
+    batch, almost all rebuild. Insert mode instead LOADS each touched
+    bucket's stored graph and ``add``-s only the rows the store has that
+    the graph lacks (sorted by key — deterministic given the same prior
+    segment), making refresh cost O(batch·log bucket). Pure-insert
+    detection is per bucket and automatic: a bucket where any graph key
+    no longer exists in the store (delete) or any surviving key's stored
+    vector changed (embedding update — compared at the blob's float32
+    wire precision) falls back to a full rebuild of THAT bucket, because
+    HNSW graphs do not support unlink. Search recall is the construction
+    algorithm's either way — the same Algorithm 1 inserts, just resumed
+    instead of replayed. ``mode='insert'`` with ``buckets=None`` or no
+    existing index degrades to the full build."""
     if metric not in _METRICS:
         raise ValueError(f"hnsw_refresh supports {_METRICS}, got {metric!r}")
+    if mode not in ("rebuild", "insert"):
+        raise ValueError(f"hnsw_refresh mode must be rebuild|insert, got {mode!r}")
     df = _store_df(spark, store_path, buckets)
     id_type = df.schema[id_col].dataType.simpleString()
     mm, efc, met, idc, embc = M, ef_construction, metric, id_col, emb_col
 
-    def _build_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        import pickle
-
-        from docarray_spark.functions.hnsw import HNSWIndex
-
+    def _prep(pdf: pd.DataFrame):
         pdf = pdf[pdf[embc].notna()]
         if not len(pdf):
-            return pd.DataFrame(
-                {"_bucket": [], "metric": [], "id_type": [], "n": [], "blob": []}
-            )
+            return None, None
         keys = list(pdf[idc].to_numpy())
         mat = np.asarray([np.asarray(e, dtype=np.float64) for e in pdf[embc]])
         if met == "cosine":
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             mat = mat / np.where(norms == 0.0, 1.0, norms)
-        index = HNSWIndex(dim=mat.shape[1], M=mm, ef_construction=efc)
-        index.add_batch(keys, mat)
-        index._data = index._data[: index.n]  # drop growth slack pre-pickle
-        index._sq = index._sq[: index.n]
+        return keys, mat
+
+    def _segment_row(bucket: int, index) -> pd.DataFrame:
+        import pickle
+
         return pd.DataFrame(
             {
-                "_bucket": [int(pdf["_bucket"].iloc[0])],
+                "_bucket": [int(bucket)],
                 "metric": [met],
                 "id_type": [id_type],
                 "n": [index.n],
@@ -142,14 +166,65 @@ def hnsw_refresh(
             }
         )
 
-    segments = (
-        df.select("_bucket", id_col, emb_col)
-        .groupBy("_bucket")
-        .applyInPandas(
-            _build_one,
-            "_bucket int, metric string, id_type string, n long, blob binary",
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"_bucket": [], "metric": [], "id_type": [], "n": [], "blob": []}
         )
-    )
+
+    def _fit(keys, mat):
+        from docarray_spark.functions.hnsw import HNSWIndex
+
+        index = HNSWIndex(dim=mat.shape[1], M=mm, ef_construction=efc)
+        index.add_batch(keys, mat)
+        return index
+
+    def _build_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys, mat = _prep(pdf)
+        if keys is None:
+            return _empty()
+        return _segment_row(pdf["_bucket"].iloc[0], _fit(keys, mat))
+
+    def _insert_one(store_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
+        import pickle
+
+        keys, mat = _prep(store_pdf)
+        if keys is None:
+            return _empty()  # bucket emptied → its segment stays deleted
+        if not len(seg_pdf):
+            return _segment_row(store_pdf["_bucket"].iloc[0], _fit(keys, mat))
+        index = pickle.loads(seg_pdf["blob"].iloc[0])
+        pos = {key: i for i, key in enumerate(index.keys)}
+        key_set = set(keys)
+        rebuild = any(k not in key_set for k in pos)  # deletes → unlink needed
+        if not rebuild:
+            # surviving keys must carry UNCHANGED vectors (at the blob's
+            # f32 wire precision — both sides round identically there)
+            m32 = np.asarray(mat, dtype=np.float32)
+            old32 = np.asarray(index._data[: index.n], dtype=np.float32)
+            for j, k in enumerate(keys):
+                i = pos.get(k)
+                if i is not None and not np.array_equal(m32[j], old32[i]):
+                    rebuild = True
+                    break
+        if rebuild:
+            return _segment_row(store_pdf["_bucket"].iloc[0], _fit(keys, mat))
+        fresh = sorted(
+            (j for j, k in enumerate(keys) if k not in pos),
+            key=lambda j: keys[j],
+        )
+        index.add_batch([keys[j] for j in fresh], mat[fresh])
+        return _segment_row(store_pdf["_bucket"].iloc[0], index)
+
+    base = df.select("_bucket", id_col, emb_col)
+    if mode == "insert" and buckets is not None and _dir_exists(index_path, spark):
+        old = spark.read.parquet(index_path).filter(
+            F.col("_bucket").isin([int(b) for b in buckets])
+        )
+        segments = base.groupBy("_bucket").cogroup(old.groupBy("_bucket")).applyInPandas(
+            _insert_one, _SEGMENT_SCHEMA
+        )
+    else:
+        segments = base.groupBy("_bucket").applyInPandas(_build_one, _SEGMENT_SCHEMA)
     emptied = _overwrite_segments(spark, segments, index_path, buckets)
     return {
         "rebuilt_buckets": "all" if buckets is None else len(set(buckets)),
@@ -347,17 +422,24 @@ def bm25_match_stored(
     the query's terms (parquet row-group pruning via the per-segment
     token sort), per-term ``df`` is an agg over exactly those rows, and
     global ``n_docs``/``avgdl`` come from the ≤n_buckets stats rows.
-    Nothing here scales with corpus size except the pruned term lookup."""
+    Nothing here scales with corpus size except the pruned term lookup.
+
+    Serving-loop hygiene (r6 verdict #2): the top-k is materialized HERE
+    (an explicit ≤k-row collect) so the term-slice cache can be released
+    before returning — the old per-call eager checkpoint pinned one RDD's
+    blocks per query until Python GC, unbounded over a session's many
+    queries. The returned DataFrame is the k result rows, local."""
     qterms = sorted({t for t in query.lower().split() if t})
     posts = (
         spark.read.parquet(f"{index_path}/postings")
         .filter(F.col("token").isin(qterms))
         .select("token", id_col, "dl", "tf")
         # both the per-term df aggregation and the scoring read this tiny
-        # slice (≈ df(term)·|terms| rows): materialize it so the postings
+        # slice (≈ df(term)·|terms| rows): cache it so the postings
         # parquet is scanned ONCE per query, not once per consumer (the 1M
-        # probe measured the double scan at 2× query latency)
-        .localCheckpoint(eager=True)
+        # probe measured the double scan at 2× query latency); released
+        # below once the top-k is collected
+        .persist()
     )
     stats = (
         spark.read.parquet(f"{index_path}/stats")
@@ -381,46 +463,62 @@ def bm25_match_stored(
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     out = top.withColumn("rank", F.row_number().over(w))
     score = F.round("score", round_to) if round_to is not None else F.col("score")
-    return out.select(id_col, score.alias("score"), "rank")
+    out = out.select(id_col, score.alias("score"), "rank")
+    rows = out.collect()  # ≤ k rows — explicit budget
+    posts.unpersist(False)
+    return spark.createDataFrame(rows, schema=out.schema)
 
 
 def _bucket_mtimes(path: str, spark: SparkSession) -> dict[int, float]:
     """Newest file mtime (epoch seconds) under each ``_bucket=N``
-    directory — driver-side FS metadata only, no Spark job. Works on any
-    Hadoop-compatible filesystem; plain local paths short-circuit to os."""
+    directory — driver-side FS metadata only, no Spark job, and ONE
+    recursive listing call (``listFiles(path, recursive=true)``), grouped
+    by the ``_bucket=`` path segment client-side: a per-bucket
+    ``listStatus`` loop is 2·n_buckets RPC round-trips, which at the
+    recommended 64k-1M buckets on an object store is minutes for a
+    "no job" audit (r6 verdict #3; S3A answers a recursive listFiles
+    with flat paginated LIST requests, thousands of keys per round-trip).
+    Plain local paths short-circuit to one os.walk."""
     out: dict[int, float] = {}
+
+    def _note(fullpath: str, mtime: float) -> None:
+        for seg in fullpath.split("/"):
+            if seg.startswith("_bucket="):
+                b = int(seg.split("=", 1)[1])
+                if mtime > out.get(b, float("-inf")):
+                    out[b] = mtime
+                return
+
     if "://" not in path:
         import os
 
         if not os.path.isdir(path):
             return out
-        for d in os.listdir(path):
-            if not d.startswith("_bucket="):
-                continue
-            full = os.path.join(path, d)
-            files = [os.path.join(full, f) for f in os.listdir(full)]
-            if files:
-                out[int(d.split("=", 1)[1])] = max(os.path.getmtime(f) for f in files)
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                full = os.path.join(root, f)
+                try:
+                    _note(full, os.path.getmtime(full))
+                except OSError:
+                    pass  # raced a concurrent refresh's delete
         return out
     from docarray_spark.sources.registry import _hadoop_fs
 
     fs, jpath, jvm = _hadoop_fs(path, spark)
     if not fs.exists(jpath):
         return out
-    for st in fs.listStatus(jpath):
-        name = st.getPath().getName()
-        if not name.startswith("_bucket="):
-            continue
-        kids = fs.listStatus(st.getPath())
-        if kids:
-            out[int(name.split("=", 1)[1])] = max(
-                k.getModificationTime() for k in kids
-            ) / 1000.0
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        _note(st.getPath().toUri().getPath(), st.getModificationTime() / 1000.0)
     return out
 
 
 def index_status(
-    spark: SparkSession, store_path: str, index_path: str
+    spark: SparkSession,
+    store_path: str,
+    index_path: str,
+    stale_if_within: float = 0.0,
 ) -> DataFrame:
     """Per-bucket freshness audit of a segment index against its store —
     the operational "is this index safe to serve?" check for any of the
@@ -439,7 +537,19 @@ def index_status(
     → ``(bucket, store_mtime, index_mtime, status)``, one row per bucket
     present on either side, ordered by bucket. ``stale | missing |
     orphaned`` buckets are exactly the ``buckets=`` list to pass to the
-    family's refresh to repair the index."""
+    family's refresh to repair the index.
+
+    MTIME GRANULARITY CAVEAT (ADVICE r6): ``fresh`` means ``index_mtime >=
+    store_mtime``. On filesystems that round mtimes (HDFS: ms; some
+    object stores / FAT-ish mounts: 1 s), a merge landing in the SAME
+    granule as (or just after) the refresh ties the timestamps and is
+    reported fresh while actually stale — the dangerous direction for an
+    "is this index safe to serve" audit. Local ext4/tmpfs report ns so
+    the window is ~0 there. Where the granule matters, pass
+    ``stale_if_within=<granule seconds>`` (e.g. ``1.0``): buckets whose
+    index leads the store by LESS than that margin are conservatively
+    reported ``stale`` — a spurious re-refresh of a fresh bucket is
+    cheap; serving a stale index is not."""
     store_m = _bucket_mtimes(store_path, spark)
     index_m = _bucket_mtimes(index_path, spark)
     rows = []
@@ -449,7 +559,7 @@ def index_status(
             status = "orphaned"
         elif im is None:
             status = "missing"
-        elif im >= sm:
+        elif (im >= sm and stale_if_within <= 0.0) or (im - sm >= stale_if_within > 0.0):
             status = "fresh"
         else:
             status = "stale"

@@ -393,6 +393,42 @@ def test_hnsw_index_recall_and_determinism():
     assert all(idx.search(mat[i], 10) == idx2.search(mat[i], 10) for i in range(15))
 
 
+def test_hnsw_pickle_is_float32_and_preserves_search():
+    """r6 verdict #6: the blob wire format stores vectors float32 and
+    drops the derived row norms — the stored-segment cost halves — while
+    the reloaded index searches in float64 and keeps the graph verbatim.
+    Same top-k keys on well-separated data, blob strictly smaller than
+    the raw float64 payload, inserts still work after reload."""
+    import pickle
+
+    import numpy as np
+
+    from docarray_spark.functions.hnsw import HNSWIndex
+
+    rng = np.random.RandomState(7)
+    n, dim = 800, 32
+    mat = rng.randn(n, dim)
+    idx = HNSWIndex(dim, M=16, ef_construction=100)
+    idx.add_batch(range(n), mat)
+    blob = pickle.dumps(idx, protocol=5)
+    assert len(blob) < n * dim * 8  # vectors not stored at float64 width
+    back = pickle.loads(blob)
+    assert back._data.dtype == np.float64 and back._sq.shape[0] == back.n
+    for i in range(10):
+        want = [k for _, k in idx.search(mat[i], 10, ef=100)]
+        got = [k for _, k in back.search(mat[i], 10, ef=100)]
+        assert want == got
+    # the reloaded graph accepts further inserts (insert-mode refresh path);
+    # in-distribution point — a far outlier can lose its incoming links to
+    # the simple-shrink overflow rule regardless of (de)serialization
+    probe = mat[0] + 0.01
+    back.add(n + 1, probe)
+    assert back.search(probe, 1)[0][1] == n + 1
+    # re-serializing a loaded index is byte-stable (task-retry determinism)
+    blob2 = pickle.dumps(back, protocol=5)
+    assert pickle.dumps(pickle.loads(blob2), protocol=5) == blob2
+
+
 def test_hnsw_match_recall_and_shape(emb, queries, exact):
     """Distributed per-partition HNSW vs the exact operator on the sf
     embeddings (cosine via unit-normalized sqeuclidean)."""
@@ -713,3 +749,41 @@ def test_ivfpq_rerank_recall_floor_realistic_corpus(emb, queries):
         key = (r["query_id"], r["match_id"])
         if key in exact_scores:
             assert abs(r["score"] - exact_scores[key]) < 1e-6
+
+
+def test_ivfpq_encoded_rerank_recall_floor(emb, queries, tmp_path):
+    """r6 verdict #5: the SERVING form — ``ivfpq_match(encoded=...)`` over
+    a cell-partitioned prebuilt store — must obey the same rerank law the
+    build-and-query form pins above: at full probe a shortlist of factor
+    ≥ tie-class recovers what quantization lost (the 1M×128 frontier knee
+    is factor ~128 on 1000-member clusters; here factor 32 reaches the
+    exact top-k), strictly above the raw-ADC serving path."""
+    from docarray_spark.operators.ann import ivf_index
+    from docarray_spark.operators.match import match as exact_match
+    from docarray_spark.operators.pq import ivfpq_match, pq_encode, pq_train
+
+    spark = emb.sparkSession
+    books = pq_train(emb, m=8, ksub=64, sample=1000, n_iter=8)
+    cent, assigned = ivf_index(emb, n_cells=8, corpus_id_col="id")
+    trained = [(r.cell, list(r.centroid)) for r in cent.collect()]
+    path = str(tmp_path / "cells")
+    pq_encode(assigned, books, id_col="id", emb_col="v", keep_cols=["cell"]) \
+        .write.partitionBy("cell").parquet(path)
+    store = spark.read.parquet(path)
+
+    exact_sq = {
+        (r["query_id"], r["match_id"])
+        for r in exact_match(
+            emb, queries, k=10, metric="sqeuclidean", corpus_id_col="id", eps=0.0
+        ).collect()
+    }
+    kw = dict(
+        k=10, n_probe=8, metric="sqeuclidean",
+        encoded=store, codebooks=books, centroids=trained,
+    )
+    raw = ivfpq_match(emb, queries, **kw).collect()
+    rr32 = ivfpq_match(
+        emb, queries, rerank_corpus=emb, rerank_factor=32, **kw
+    ).collect()
+    assert _recall(rr32, exact_sq) >= 0.95
+    assert _recall(rr32, exact_sq) > _recall(raw, exact_sq)
