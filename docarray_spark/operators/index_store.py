@@ -23,7 +23,16 @@ n_buckets)``):
 
 Cost model: a batch of ``b`` upserts into an ``n_buckets`` store touches
 ``≤ b`` buckets, so refresh cost is ``O(b · bucket_size)`` independent of
-corpus size — the property that makes index-behind-CRUD viable at scale.
+corpus size — the property that makes index-behind-CRUD viable at scale
+(``hnsw_refresh(mode='insert')`` drops the touched-bucket cost further,
+to ``O(b)``). Each refresh call also pays a FIXED job overhead (~4 s
+measured at the 1M probe scale), so k tiny merges should NOT mean k
+refreshes: union the ``summary["buckets"]`` lists from successive merges
+and repair them in ONE refresh per family — or run no bookkeeping at all
+and periodically pass ``index_status``'s non-fresh bucket list. Both are
+exactly equivalent to refresh-per-merge (segments are deterministic
+functions of final bucket content; pinned byte-identical in
+``tests/test_index_store.py::test_refresh_batch_coalesce_equals_per_merge``).
 The search side is unchanged: ``hnsw_match_stored`` reads the bucketed
 segment store as-is (one task per segment row, k×segments merge), and the
 encoded table :func:`pq_refresh` maintains is exactly what

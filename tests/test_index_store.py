@@ -663,3 +663,110 @@ def test_hnsw_match_stored_filtered_by_allowed_ids(spark, tmp_path, store):
             spark, index, q, k=1, metric="cosine",
             allowed_ids=allowed, max_allowed_rows=10,
         )
+
+def test_refresh_batch_coalesce_equals_per_merge(spark, tmp_path, store):
+    """r6 verdict #8: each refresh pays ~a fixed job overhead, so k
+    single-row merges should be repaired with ONE refresh over the UNION
+    of their bucket lists, not k refreshes. Pin the equivalence the
+    amortization relies on: refresh(union of buckets) produces segment
+    blobs byte-identical to refresh-after-every-merge (rebuilds are
+    deterministic functions of final bucket content)."""
+    kw = dict(metric="cosine", M=8, ef_construction=64)
+    idx_per = str(tmp_path / "hnsw_per")
+    idx_unw = str(tmp_path / "hnsw_union")
+    hnsw_refresh(spark, store, idx_per, **kw)
+    hnsw_refresh(spark, store, idx_unw, **kw)
+
+    union: set[int] = set()
+    for i in range(3):
+        summary = _merge(spark, store, [(9500 + i, _vec(9500 + i))])
+        union |= set(summary["buckets"])
+        hnsw_refresh(spark, store, idx_per, buckets=summary["buckets"], **kw)
+    hnsw_refresh(spark, store, idx_unw, buckets=sorted(union), **kw)
+
+    def _blobs(path):
+        return {
+            r._bucket: bytes(r.blob)
+            for r in spark.read.parquet(path).select("_bucket", "blob").collect()
+        }
+
+    assert _blobs(idx_per) == _blobs(idx_unw)
+
+
+# Cardinality-sensitive store probes re-gated at sf0.1 (r6 verdict #7: all
+# three r6 probe-path defects were invisible at toy scale — deselect with
+# -k 'not second_scale' for quick loops).
+
+SF01_DOCS = "/root/testdata/sf0.1/documents.parquet"
+
+
+def test_dedup_store_probe_second_scale(spark, tmp_path):
+    """dedup-behind-CRUD on the full sf0.1 documents table with EXACT
+    expected counts: every planted copy flagged exact-dup, every novel
+    row clean, and a novel row admitted via merge+refresh is flagged by
+    the incrementally-maintained history on the next probe."""
+    if not os.path.exists(SF01_DOCS):
+        pytest.skip("sf0.1 not generated")
+    from docarray_spark.operators import dedup_against_store, dedup_refresh
+
+    docs = spark.read.parquet(SF01_DOCS).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    path = str(tmp_path / "docstore01")
+    init_parquet_store(docs, path, n_buckets=64)
+    hist = str(tmp_path / "hist01")
+    dedup_refresh(spark, path, hist)
+
+    copies = docs.filter("id % 100 = 7").select(
+        (F.col("id") + 100000).alias("id"), "text"
+    )
+    n_copies = copies.count()
+    assert n_copies == 50
+    novel = spark.createDataFrame(
+        [(200000 + i, " ".join(f"zzqx{i}t{j}" for j in range(10)))
+         for i in range(50)],
+        "id long, text string",
+    )
+    flags = dedup_against_store(
+        spark, copies.unionByName(novel), hist
+    ).collect()
+    assert sum(r.is_exact_dup for r in flags) == n_copies
+    assert all(r.is_exact_dup and r.n_band_hits == 8
+               for r in flags if r.id < 200000)
+    assert all(not r.is_exact_dup and r.n_band_hits == 0
+               for r in flags if r.id >= 200000)
+
+    # admit one novel row; the refreshed history must flag its next copy
+    first_novel = novel.filter("id = 200000")
+    summary = merge_parquet_store(spark, path, first_novel, n_buckets=64)
+    dedup_refresh(spark, path, hist, buckets=summary["buckets"])
+    again = dedup_against_store(spark, first_novel, hist).first()
+    assert again.is_exact_dup and again.n_band_hits == 8
+
+
+def test_bm25_stored_second_scale(spark, tmp_path):
+    """bm25-behind-CRUD at sf0.1: the stored-index scoring must equal the
+    ad-hoc corpus-path text_search EXACTLY (ids, ranks, rounded scores) —
+    df/avgdl reconstitution from 64 buckets is cardinality-sensitive."""
+    if not os.path.exists(SF01_DOCS):
+        pytest.skip("sf0.1 not generated")
+    from docarray_spark.operators import bm25_match_stored, bm25_refresh
+    from docarray_spark.operators.text import text_search
+
+    docs = spark.read.parquet(SF01_DOCS).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    path = str(tmp_path / "docstore01")
+    init_parquet_store(docs, path, n_buckets=64)
+    idx = str(tmp_path / "bm2501")
+    bm25_refresh(spark, path, idx)
+
+    for probe_id in (123, 4001):
+        q = " ".join(
+            docs.filter(f"id = {probe_id}").first().text.split()[:4]
+        )
+        want = [(r.id, r.rank, r.score) for r in text_search(
+            docs, q, k=20, round_to=6).collect()]
+        got = [(r.id, r.rank, r.score) for r in bm25_match_stored(
+            spark, idx, q, k=20, round_to=6).collect()]
+        assert got == want and len(got) == 20
