@@ -87,6 +87,33 @@ def _tree_cpu_ticks() -> int | None:
         return None
 
 
+def _cpu_ref() -> dict:
+    """Single-thread CPU calibration anchors, best of 3: a pure-python
+    loop (GIL-bound, BLAS/threading-immune) and a numpy GEMM. Cross-round
+    warm-total comparisons divide by these — the r7 reading showed windows
+    with ext_cores ≈ 0 yet absolute times ~35% above the r5 quiet-host
+    recording, which /proc/stat cannot explain (hypervisor throttling /
+    co-tenancy on shared silicon leaves no guest-visible busy ticks);
+    a per-run machine-speed anchor makes that visible instead of leaving
+    round-over-round deltas unexplainable."""
+    import numpy as np
+
+    py = 9e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(2_000_000):
+            x += i * i
+        py = min(py, time.perf_counter() - t0)
+    a = np.random.RandomState(0).randn(1024, 1024)
+    ge = 9e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (a @ a).sum()
+        ge = min(ge, time.perf_counter() - t0)
+    return {"pyloop_2e6_sec": round(py, 4), "gemm_1024_sec": round(ge, 4)}
+
+
 def _win_start() -> dict:
     return {
         "t": time.monotonic(),
@@ -177,6 +204,7 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     ambient_load = _read_loadavg()
+    cpu_ref = _cpu_ref()
     spark = get_spark(app_name="docarray_spark_bench", driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
 
     # JVM / codegen warm-up on a tiny scan, plus one tiny mapInPandas so the
@@ -245,6 +273,7 @@ def main() -> None:
             {
                 "sf": sf,
                 "ambient_load1": ambient_load,
+                "cpu_ref": cpu_ref,
                 "ext_cores_calm_threshold": EXT_CORES_CALM,
                 "queries_cold": calm_cold,
                 "queries_warm": calm_warm,
@@ -270,6 +299,7 @@ def main() -> None:
         "value_warm": round(sum(calm_warm.values()), 2),
         "value_raw": round(sum(raw_cold.values()), 2),
         "loaded_entries": loaded_entries,
+        "cpu_ref": cpu_ref,
         "sf": sf,
         "baseline_anchors": anchors,
     }

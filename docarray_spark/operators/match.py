@@ -350,7 +350,14 @@ def find_by_vectors(
     by storage class, here it's an argument): ``'exact'`` (default,
     brute-force ``match``), ``'lsh'``, ``'ivf'``, ``'hnsw'``. Extra
     kwargs flow to the chosen operator (e.g. ``num_tables`` for lsh,
-    ``n_probe`` for ivf, ``ef`` for hnsw)."""
+    ``n_probe`` for ivf, ``ef`` for hnsw).
+
+    ``backend='hnsw'`` + ``index_path=``: serve from PREBUILT graph
+    segments (``hnsw_build_store`` or the ``hnsw_refresh``-maintained
+    bucket-aligned store) instead of building graphs per call — the
+    vector twin of ``find(str, index_path=)``. The corpus DataFrame is
+    not read on that path; results reflect the store as of its last
+    build/refresh (audit with ``index_store.index_status``)."""
     spark = corpus.sparkSession
     vecs = np.asarray(vectors, dtype=float)
     if vecs.ndim == 1:
@@ -370,6 +377,13 @@ def find_by_vectors(
 
         return ivf_match(corpus, qdf, k=k, metric=metric, **kwargs)
     if backend == "hnsw":
+        index_path = kwargs.pop("index_path", None)
+        if index_path is not None:
+            from docarray_spark.operators.hnsw import hnsw_match_stored
+
+            return hnsw_match_stored(
+                spark, index_path, qdf, k=k, metric=metric, **kwargs
+            )
         from docarray_spark.operators.hnsw import hnsw_match
 
         return hnsw_match(corpus, qdf, k=k, metric=metric, **kwargs)

@@ -319,3 +319,24 @@ def test_unified_find_str_serves_from_stored_bm25_index(spark, tmp_path):
     got = [(r.id, r.rank) for r in ufind(
         docs, q, index_path=idx, k=5, round_to=6).collect()]
     assert got == want
+
+
+def test_find_by_vectors_hnsw_index_path(spark, tmp_path):
+    """backend='hnsw' + index_path= serves from prebuilt graph segments —
+    the vector twin of find(str, index_path=): corpus never re-indexed."""
+    import numpy as np
+
+    from docarray_spark.operators.hnsw import hnsw_build_store
+    from docarray_spark.operators.match import find_by_vectors
+
+    rows = [(i, [float(x) for x in np.random.RandomState(i).randn(8)])
+            for i in range(100)]
+    corpus = spark.createDataFrame(rows, "id long, embedding array<double>")
+    path = str(tmp_path / "graphs")
+    hnsw_build_store(corpus, path, metric="cosine", corpus_id_col="id")
+    got = find_by_vectors(
+        corpus, [rows[7][1]], k=3, metric="cosine",
+        backend="hnsw", index_path=path,
+    ).collect()
+    assert {r.query_id for r in got} == {0}  # query ids are row positions
+    assert min(got, key=lambda r: r.rank).match_id == 7

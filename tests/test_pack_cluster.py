@@ -257,6 +257,33 @@ def test_dedup_against_whitespace_normalized_exact(spark):
     assert dedup_against(new, seen).first().is_exact_dup
 
 
+def test_dedup_against_broadcast_gate_plans_agree(spark):
+    """ADVICE r6: the new-batch broadcast is gated on batch size. The
+    shuffle fallback (broadcast_new=False / auto over threshold) must
+    return row-identical flags to the broadcast-probe plan — same
+    operator, two physical strategies."""
+    from docarray_spark.operators.dedup import dedup_against_history, history_table
+
+    seen = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon token{i}") for i in range(40)],
+        "id long, text string",
+    )
+    hist = history_table(seen).select("_fp", "_mh")
+    new = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon token7"),   # exact dup of 7
+         (101, "alpha beta gamma delta epsilon omega"),    # near dup
+         (102, "unrelated words entirely different here")],
+        "id long, text string",
+    )
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    bcast = dedup_against_history(new, hist, broadcast_new=True).collect()
+    shuf = dedup_against_history(new, hist, broadcast_new=False).collect()
+    auto = dedup_against_history(new, hist, broadcast_threshold=0).collect()
+    assert key(bcast) == key(shuf) == key(auto)
+    out = {r[0]: r for r in bcast}
+    assert out[100].is_exact_dup and not out[102].is_near_dup
+
+
 # ---------------------------------------------------------------- pooling
 
 def test_pool_embeddings_modes(spark):
