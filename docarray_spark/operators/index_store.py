@@ -271,6 +271,39 @@ def pq_refresh(
     }
 
 
+def sq_refresh(
+    spark: SparkSession,
+    store_path: str,
+    encoded_path: str,
+    bounds: tuple[list[float], list[float]],
+    buckets: list[int] | None = None,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+) -> dict:
+    """Build or incrementally refresh the bucket-aligned SQ8-encoded table
+    (``operators/pq.sq_encode`` uint8 codes, partitioned by the store's
+    ``_bucket``) — the FIFTH maintained index family, for the compression
+    rung the r6 frontier recommends as the default quantized backend
+    (0.968 raw recall at 4× compression). Same contract as
+    :func:`pq_refresh`: encoding is map-only per row, refresh = pruned
+    scan + rewrite of exactly the touched segment directories; ``bounds``
+    are the TRAINED quantizer (``sq_train``) and must stay fixed across
+    refreshes — values drifting outside them saturate, retraining is a
+    full rebuild. Query with ``sq_match(spark.read.parquet(encoded_path),
+    ...)``."""
+    from docarray_spark.operators.pq import sq_encode
+
+    df = _store_df(spark, store_path, buckets)
+    encoded = sq_encode(
+        df, bounds, id_col=id_col, emb_col=emb_col, keep_cols=["_bucket"]
+    )
+    emptied = _overwrite_segments(spark, encoded, encoded_path, buckets)
+    return {
+        "rebuilt_buckets": "all" if buckets is None else len(set(buckets)),
+        "segments_emptied": emptied,
+    }
+
+
 def dedup_refresh(
     spark: SparkSession,
     store_path: str,

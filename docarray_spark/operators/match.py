@@ -348,9 +348,21 @@ def find_by_vectors(
     ``backend`` mirrors the reference's storage-dispatched ANN (the memory
     store is exact, annlite/qdrant/weaviate are HNSW — the reference picks
     by storage class, here it's an argument): ``'exact'`` (default,
-    brute-force ``match``), ``'lsh'``, ``'ivf'``, ``'hnsw'``. Extra
-    kwargs flow to the chosen operator (e.g. ``num_tables`` for lsh,
-    ``n_probe`` for ivf, ``ef`` for hnsw).
+    brute-force ``match``), ``'lsh'``, ``'ivf'``, ``'hnsw'``, and the
+    quantized ladder ``'sq8'`` / ``'pq'`` / ``'ivfpq'``. Extra kwargs flow
+    to the chosen operator (e.g. ``num_tables`` for lsh, ``n_probe`` for
+    ivf, ``ef`` for hnsw, ``rerank_corpus``/``rerank_factor`` for the
+    quantized backends — REQUIRED for real recall on clustered corpora,
+    factor ≥ the ADC tie-class size; see NOTES frontier).
+
+    ``'sq8'``/``'pq'`` accept a prebuilt quantizer (``bounds=`` /
+    ``codebooks=``) and a prebuilt ``encoded=`` table (e.g. the
+    ``sq_refresh``/``pq_refresh``-maintained stores) — without them the
+    corpus is trained and encoded inline (the ad-hoc convenience form).
+    ``'ivfpq'`` takes the same serving triplet (``encoded=``,
+    ``codebooks=``, ``centroids=``) natively. These backends score
+    sqeuclidean/inner — pass ``metric=`` accordingly (pre-normalize for
+    cosine semantics).
 
     ``backend='hnsw'`` + ``index_path=``: serve from PREBUILT graph
     segments (``hnsw_build_store`` or the ``hnsw_refresh``-maintained
@@ -387,6 +399,40 @@ def find_by_vectors(
         from docarray_spark.operators.hnsw import hnsw_match
 
         return hnsw_match(corpus, qdf, k=k, metric=metric, **kwargs)
+    if backend == "sq8":
+        from docarray_spark.operators.pq import sq_encode, sq_match, sq_train
+
+        bounds = kwargs.pop("bounds", None)
+        encoded = kwargs.pop("encoded", None)
+        cid = kwargs.get("corpus_id_col", "id")
+        emb = kwargs.pop("emb_col", "embedding")
+        if bounds is None:
+            bounds = sq_train(corpus, id_col=cid, emb_col=emb)
+        if encoded is None:
+            encoded = sq_encode(corpus, bounds, id_col=cid, emb_col=emb)
+        return sq_match(encoded, qdf, bounds, k=k, metric=metric, **kwargs)
+    if backend == "pq":
+        from docarray_spark.operators.pq import pq_encode, pq_match, pq_train
+
+        books = kwargs.pop("codebooks", None)
+        encoded = kwargs.pop("encoded", None)
+        cid = kwargs.get("corpus_id_col", "id")
+        emb = kwargs.pop("emb_col", "embedding")
+        train_kw = {
+            key: kwargs.pop(key)
+            for key in ("m", "ksub", "sample", "n_iter")
+            if key in kwargs
+        }
+        if books is None:
+            books = pq_train(corpus, id_col=cid, emb_col=emb, **train_kw)
+        if encoded is None:
+            encoded = pq_encode(corpus, books, id_col=cid, emb_col=emb)
+        return pq_match(encoded, qdf, books, k=k, metric=metric, **kwargs)
+    if backend == "ivfpq":
+        from docarray_spark.operators.pq import ivfpq_match
+
+        return ivfpq_match(corpus, qdf, k=k, metric=metric, **kwargs)
     raise ValueError(
-        f"backend must be one of ('exact', 'lsh', 'ivf', 'hnsw'), got {backend!r}"
+        f"backend must be one of ('exact', 'lsh', 'ivf', 'hnsw', 'sq8', "
+        f"'pq', 'ivfpq'), got {backend!r}"
     )

@@ -427,6 +427,13 @@ def test_hnsw_pickle_is_float32_and_preserves_search():
     # re-serializing a loaded index is byte-stable (task-retry determinism)
     blob2 = pickle.dumps(back, protocol=5)
     assert pickle.dumps(pickle.loads(blob2), protocol=5) == blob2
+    # pre-r7 blobs (full float64 __dict__ incl. _sq) still load: emulate
+    # the old wire state and run __setstate__'s compat branch
+    old_state = dict(idx.__dict__)  # _data float64, _sq present
+    legacy = HNSWIndex.__new__(HNSWIndex)
+    legacy.__setstate__(old_state)
+    assert [k for _, k in legacy.search(mat[3], 5)] == \
+           [k for _, k in idx.search(mat[3], 5)]
 
 
 def test_hnsw_match_recall_and_shape(emb, queries, exact):

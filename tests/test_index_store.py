@@ -216,9 +216,13 @@ def test_stream_upsert_parquet_store_with_index_refresh(spark, tmp_path):
 
     def _refresh(sp, summary):
         refreshed.append(summary["buckets"])
+        # mode='insert': batch 1 full-builds (no index yet), batch 2's new
+        # id resumes its bucket's graph while the CHANGED id-3 embedding
+        # trips the per-bucket rebuild fallback — the crawl loop runs the
+        # O(batch) path with correctness intact
         hnsw_refresh(sp, path, index,
                      buckets=None if not os.path.exists(index) else summary["buckets"],
-                     metric="cosine", M=8, ef_construction=64)
+                     metric="cosine", M=8, ef_construction=64, mode="insert")
 
     landing = tmp_path / "landing"
     landing.mkdir()
@@ -770,3 +774,31 @@ def test_bm25_stored_second_scale(spark, tmp_path):
         got = [(r.id, r.rank, r.score) for r in bm25_match_stored(
             spark, idx, q, k=20, round_to=6).collect()]
         assert got == want and len(got) == 20
+
+
+def test_sq_refresh_incremental(spark, tmp_path, store):
+    """SQ8-behind-CRUD (fifth index family): codes track the store after a
+    pruned refresh; untouched segments stay byte-identical."""
+    from docarray_spark.operators import sq_refresh
+    from docarray_spark.operators.pq import sq_match, sq_train
+
+    encoded = str(tmp_path / "sq_codes")
+    corpus = spark.read.parquet(store)
+    bounds = sq_train(corpus)
+    sq_refresh(spark, store, encoded, bounds)
+    q = spark.createDataFrame([(0, _vec(3))], "id long, embedding array<float>")
+
+    def top1():
+        enc = spark.read.parquet(encoded)
+        return sq_match(enc, q, bounds, k=1, metric="sqeuclidean").first().match_id
+
+    assert top1() == 3
+    summary = _merge(spark, store, [(3, [100.0] * DIM), (9000, _vec(3))])
+    before = _segment_bytes(encoded)
+    sq_refresh(spark, store, encoded, bounds, buckets=summary["buckets"])
+    assert top1() == 9000  # codes track the store
+    after = _segment_bytes(encoded)
+    touched = {f"_bucket={b}" for b in summary["buckets"]}
+    ub = {k: v for k, v in before.items() if k.split("/")[0] not in touched}
+    ua = {k: v for k, v in after.items() if k.split("/")[0] not in touched}
+    assert ub and ua == ub

@@ -340,3 +340,30 @@ def test_find_by_vectors_hnsw_index_path(spark, tmp_path):
     ).collect()
     assert {r.query_id for r in got} == {0}  # query ids are row positions
     assert min(got, key=lambda r: r.rank).match_id == 7
+
+
+def test_find_by_vectors_quantized_backends(spark):
+    """The quantized rungs of the backend ladder dispatch like the rest:
+    sq8 / pq / ivfpq each resolve the self-query top-1 (pq/ivfpq via the
+    exact rerank — the serving configuration), and unknown backends fail
+    loudly."""
+    rows = [(i, [float(x) for x in np.random.RandomState(i).randn(16)])
+            for i in range(300)]
+    corpus = spark.createDataFrame(rows, "id long, embedding array<double>")
+    vec = rows[42][1]
+    cfgs = (
+        ("sq8", {}),
+        ("pq", {"m": 4, "ksub": 32, "sample": 300, "n_iter": 4,
+                "rerank_corpus": corpus, "rerank_factor": 8}),
+        ("ivfpq", {"n_cells": 4, "n_probe": 4, "m": 4, "ksub": 32,
+                   "sample": 300, "n_iter": 4,
+                   "rerank_corpus": corpus, "rerank_factor": 8}),
+    )
+    for backend, kw in cfgs:
+        got = find_by_vectors(
+            corpus, [vec], k=5, metric="sqeuclidean", backend=backend, **kw
+        ).collect()
+        assert {r.query_id for r in got} == {0}, backend
+        assert min(got, key=lambda r: r.rank).match_id == 42, backend
+    with pytest.raises(ValueError, match="backend"):
+        find_by_vectors(corpus, [vec], backend="nope")
