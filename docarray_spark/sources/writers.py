@@ -171,8 +171,13 @@ def merge_parquet_store(
     Not transactional across concurrent writers (that is the part a real
     table format adds); single-writer copy-on-write is exactly the
     reference store's mutation model (``array/storage/base/setitem.py``
-    mutates in place, one process). → summary dict with bucket/row
-    counts."""
+    mutates in place, one process). Reader contract: a DataFrame created
+    over ``path`` BEFORE a merge holds the pre-merge file listing — the
+    rewrite replaces the touched buckets' files, so acting on the stale
+    frame afterwards raises FileNotFoundException (or silently reads old
+    rows from untouched buckets). Re-open (``spark.read.parquet(path)``)
+    after every merge; the maintained-index operators do this internally.
+    → summary dict with bucket/row counts."""
     bucket = lambda c: F.pmod(F.xxhash64(F.col(c).cast("string")), F.lit(n_buckets)).cast("int")  # noqa: E731
     up = updates.withColumn("_bucket", bucket(id_col))
     affected = [r._bucket for r in up.select("_bucket").distinct().collect()]
