@@ -182,3 +182,22 @@ def test_knn_graph_single_scan(emb):
     g = knn_graph(emb, k=5, n_blocks=4)
     assert scan_count(g) == 1, explain_str(g)
     assert not has_cartesian(g)
+
+
+def test_released_after_releases_only_new_blocks(spark):
+    """plans.blocks.released_after: blocks registered INSIDE the context
+    (persist or localCheckpoint) are unpersisted on exit; blocks persisted
+    before entry survive — the operator-internal checkpoint protocol."""
+    from docarray_spark.plans.blocks import persistent_rdd_ids, released_after
+
+    keep = spark.range(100).persist()
+    keep.count()
+    before = persistent_rdd_ids(spark)
+    assert before  # the outer persist is registered
+    with released_after(spark):
+        inner = spark.range(50).localCheckpoint(eager=True)
+        assert inner.count() == 50
+        assert persistent_rdd_ids(spark) - before  # checkpoint storage live
+    assert persistent_rdd_ids(spark) == before  # inner released, outer kept
+    assert keep.count() == 100  # outer cache still usable
+    keep.unpersist()
