@@ -802,3 +802,64 @@ def test_sq_refresh_incremental(spark, tmp_path, store):
     ub = {k: v for k, v in before.items() if k.split("/")[0] not in touched}
     ua = {k: v for k, v in after.items() if k.split("/")[0] not in touched}
     assert ub and ua == ub
+
+
+def test_five_family_lifecycle_one_merge_one_repair(spark, tmp_path):
+    """Capstone composition: one store, all FIVE maintained index families
+    (hnsw, pq, sq8, dedup, bm25) built; ONE merge staleness-audits
+    identically across families; one repair pass (driven purely by each
+    family's index_status non-fresh list) returns every family to fresh."""
+    import time
+
+    from docarray_spark.operators import (
+        bm25_refresh, dedup_refresh, hnsw_refresh, index_status,
+        pq_refresh, sq_refresh,
+    )
+    from docarray_spark.operators.pq import pq_train, sq_train
+
+    path = str(tmp_path / "store5")
+    df = spark.createDataFrame(
+        [(i, _vec(i), _text(i)) for i in range(120)],
+        "id long, embedding array<float>, text string",
+    )
+    init_parquet_store(df, path, n_buckets=N_BUCKETS)
+    corpus = spark.read.parquet(path)
+    books = pq_train(corpus, m=4, ksub=16, sample=120)
+    bounds = sq_train(corpus)
+    idx = {name: str(tmp_path / name)
+           for name in ("hnsw", "pq", "sq8", "dedup", "bm25")}
+    refresh = {
+        "hnsw": lambda b=None: hnsw_refresh(
+            spark, path, idx["hnsw"], buckets=b, M=8, ef_construction=64,
+            mode="insert"),
+        "pq": lambda b=None: pq_refresh(spark, path, idx["pq"], books, buckets=b),
+        "sq8": lambda b=None: sq_refresh(spark, path, idx["sq8"], bounds, buckets=b),
+        "dedup": lambda b=None: dedup_refresh(spark, path, idx["dedup"], buckets=b),
+        "bm25": lambda b=None: bm25_refresh(spark, path, idx["bm25"], buckets=b),
+    }
+    audit_path = {name: p if name != "bm25" else f"{p}/postings"
+                  for name, p in idx.items()}
+    for fn in refresh.values():
+        fn()
+
+    time.sleep(1.1)  # FS mtime granularity between build and merge
+    summary = merge_parquet_store(
+        spark, path,
+        spark.createDataFrame([(500, _vec(500), _text(500))],
+                              "id long, embedding array<float>, text string"),
+        id_col="id", n_buckets=N_BUCKETS,
+    )
+    stale_sets = {}
+    for name, p in audit_path.items():
+        stale_sets[name] = {
+            r.bucket for r in index_status(spark, path, p)
+            .filter("status <> 'fresh'").collect()
+        }
+    # every family sees the SAME staleness — the merge's bucket list
+    assert all(s == set(summary["buckets"]) for s in stale_sets.values()), stale_sets
+
+    for name, fn in refresh.items():
+        fn(sorted(stale_sets[name]))
+    for name, p in audit_path.items():
+        st = {r.status for r in index_status(spark, path, p).collect()}
+        assert st == {"fresh"}, (name, st)
