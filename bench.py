@@ -19,6 +19,16 @@ globally); the CALMEST window's numbers become the headline `value` /
 `value_warm`, the first attempt is kept as `value_raw`, and `loaded_entries`
 counts entries that never got a calm window — so a loaded recording is
 visibly loaded instead of silently wrong.
+
+PER-ENTRY CLOCK ANCHOR (r8, VERDICT r7 #2): co-tenancy at the HYPERVISOR
+level leaves zero guest-visible busy ticks — /proc/stat cannot see it, only
+a calibrated clock can (the r7 pyloop anchor measured 0.115 s vs 0.246 s an
+hour apart on an "idle" host). The run-start `cpu_ref` made that visible
+per RUN; now every entry window additionally samples the ~0.1 s pyloop
+anchor (min of one reading before the cold run and one after the warm reps)
+so a mid-run slowdown is attributable per entry: windows whose anchor reads
+> PYLOOP_SLOW_RATIO x the run's best trigger the same retry path as
+ext_cores, and the per-entry reading lands in BENCH_DETAIL's load rows.
 """
 
 from __future__ import annotations
@@ -32,6 +42,11 @@ import time
 # external load above this many CPU cores (32-core host) marks a window as
 # loaded; the judge-observed co-tenant episodes ran 5-13 cores
 EXT_CORES_CALM = 2.0
+# single-thread anchor this much slower than the run's best marks the window
+# as clock-degraded (hypervisor throttling/co-tenancy leaves NO guest-visible
+# busy ticks — the r7 ann_ivf cold outlier sat exactly in this blind spot;
+# VERDICT r7 #2: sample the anchor INSIDE each entry window, not once per run)
+PYLOOP_SLOW_RATIO = 1.5
 MAX_ATTEMPTS_PER_ENTRY = 3  # first measurement + up to 2 re-measures
 GLOBAL_RETRY_BUDGET = 14  # bounds worst-case bench runtime on a busy host
 
@@ -87,6 +102,17 @@ def _tree_cpu_ticks() -> int | None:
         return None
 
 
+def _pyloop_once() -> float:
+    """One ~0.1 s GIL-bound pure-python anchor sample — the per-window
+    machine-speed probe (BLAS/threading-immune, so co-tenant SMT pressure
+    and hypervisor clock throttling both show up in it)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += i * i
+    return time.perf_counter() - t0
+
+
 def _cpu_ref() -> dict:
     """Single-thread CPU calibration anchors, best of 3: a pure-python
     loop (GIL-bound, BLAS/threading-immune) and a numpy GEMM. Cross-round
@@ -98,13 +124,7 @@ def _cpu_ref() -> dict:
     round-over-round deltas unexplainable."""
     import numpy as np
 
-    py = 9e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        x = 0
-        for i in range(2_000_000):
-            x += i * i
-        py = min(py, time.perf_counter() - t0)
+    py = min(_pyloop_once() for _ in range(3))
     a = np.random.RandomState(0).randn(1024, 1024)
     ge = 9e9
     for _ in range(3):
@@ -143,8 +163,12 @@ def _win_end(w: dict) -> dict:
 
 def _measure_entry(spark, fn, sf_dir) -> dict:
     """One full measurement of an entry: cold run, then the clean-heap
-    best-of-reps warm protocol, wrapped in one load window."""
+    best-of-reps warm protocol, wrapped in one load window. The window
+    carries its own single-thread anchor reading (min of a sample before
+    the cold run and one after the warm reps) so a mid-run clock slowdown
+    is attributable PER ENTRY instead of run-forensically."""
     w = _win_start()
+    py_a = _pyloop_once()
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     cold = round(time.perf_counter() - t0, 4)
@@ -173,9 +197,11 @@ def _measure_entry(spark, fn, sf_dir) -> dict:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
+    py_b = _pyloop_once()
     out = _win_end(w)
     out["cold"] = cold
     out["warm"] = round(best, 4)
+    out["pyloop"] = round(min(py_a, py_b), 4)
     return out
 
 
@@ -216,8 +242,10 @@ def main() -> None:
     # executions the JVM's heap history (cached-block churn, GC debt)
     # added up to 10x jitter to the 1M-row anchor timings (r3 measurement)
     aw = _win_start()
+    a_py = _pyloop_once()
     anchors = _baseline_anchors(spark)
     anchors["window"] = _win_end(aw)
+    anchors["window"]["pyloop"] = round(min(a_py, _pyloop_once()), 4)
     spark.catalog.clearCache()
     spark.sparkContext._jvm.System.gc()
 
@@ -231,22 +259,38 @@ def main() -> None:
     calm_cold: dict[str, float] = {}
     calm_warm: dict[str, float] = {}
     detail: dict[str, dict] = {}
+    # run-best anchor: the floor the per-window readings are judged
+    # against; windows can only lower it (a slow start must not make later
+    # genuinely-slow windows look calm)
+    best_py = cpu_ref["pyloop_2e6_sec"]
+
+    def _is_loaded(a) -> bool:
+        if a["ext_cores"] is not None and a["ext_cores"] > EXT_CORES_CALM:
+            return True
+        return bool(a["pyloop"] > PYLOOP_SLOW_RATIO * best_py)
+
+    def _badness(a) -> tuple:
+        ext = a["ext_cores"] if a["ext_cores"] is not None else 0.0
+        return (max(0.0, ext / EXT_CORES_CALM - 1.0)
+                + max(0.0, a["pyloop"] / best_py - PYLOOP_SLOW_RATIO), ext)
+
     retries_left = GLOBAL_RETRY_BUDGET
     for name, fn in entry_mod.queries().items():
         attempts = [_measure_entry(spark, fn, sf_dir)]
         _entry_cleanup(spark)
+        best_py = min(best_py, attempts[-1]["pyloop"])
         while (
-            attempts[-1]["ext_cores"] is not None
-            and attempts[-1]["ext_cores"] > EXT_CORES_CALM
+            _is_loaded(attempts[-1])
             and len(attempts) < MAX_ATTEMPTS_PER_ENTRY
             and retries_left > 0
         ):
             retries_left -= 1
             attempts.append(_measure_entry(spark, fn, sf_dir))
             _entry_cleanup(spark)
+            best_py = min(best_py, attempts[-1]["pyloop"])
         # calmest window wins the headline; the first attempt stays as the
         # raw record so a fully-loaded host is still visible in the detail
-        calm = min(attempts, key=lambda a: a["ext_cores"] if a["ext_cores"] is not None else 0.0)
+        calm = min(attempts, key=_badness)
         raw_cold[name] = attempts[0]["cold"]
         raw_warm[name] = attempts[0]["warm"]
         calm_cold[name] = calm["cold"]
@@ -255,9 +299,8 @@ def main() -> None:
             "attempts": len(attempts),
             "load1": calm["load1"],
             "ext_cores": calm["ext_cores"],
-            "loaded": bool(
-                calm["ext_cores"] is not None and calm["ext_cores"] > EXT_CORES_CALM
-            ),
+            "pyloop": calm["pyloop"],
+            "loaded": _is_loaded(calm),
         }
 
     total_calm = round(sum(calm_cold.values()), 4)
@@ -275,6 +318,8 @@ def main() -> None:
                 "ambient_load1": ambient_load,
                 "cpu_ref": cpu_ref,
                 "ext_cores_calm_threshold": EXT_CORES_CALM,
+                "pyloop_slow_ratio": PYLOOP_SLOW_RATIO,
+                "pyloop_run_best": round(best_py, 4),
                 "queries_cold": calm_cold,
                 "queries_warm": calm_warm,
                 "queries_cold_raw": raw_cold,

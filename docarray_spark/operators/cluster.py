@@ -43,10 +43,15 @@ from docarray_spark.functions.distance import sqeuclidean_distance_col
 LITERAL_ARGMIN_MAX_KD = 2048
 
 
-def _assign_cells_literal(base: DataFrame, centroids: list[tuple[int, list[float]]]):
-    """base(id, v) + literal centroid fold → (cell, id, v). Strict ``<``
-    keeps the smallest cell id on exact distance ties (ORDER BY d, cell).
-    Whole-stage codegen, SQL-oracle-able — the default for small k·d."""
+def _assign_cells_literal(
+    base: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    keep_cols: tuple[str, ...] = (),
+):
+    """base(id, v) + literal centroid fold → (cell, id, v[, keep_cols]).
+    Strict ``<`` keeps the smallest cell id on exact distance ties (ORDER
+    BY d, cell). Whole-stage codegen, SQL-oracle-able — the default for
+    small k·d."""
     cents_lit = F.array(
         *[
             F.struct(
@@ -67,10 +72,14 @@ def _assign_cells_literal(base: DataFrame, centroids: list[tuple[int, list[float
         F.struct(F.lit(-1).alias("cell"), F.lit(float("inf")).alias("d")),
         lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
     )
-    return base.select(best["cell"].alias("cell"), "id", "v")
+    return base.select(best["cell"].alias("cell"), "id", "v", *keep_cols)
 
 
-def _assign_cells_broadcast(base: DataFrame, centroids: list[tuple[int, list[float]]]):
+def _assign_cells_broadcast(
+    base: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    keep_cols: tuple[str, ...] = (),
+):
     """Large-k·d assignment: the centroid matrix is BROADCAST once per
     executor and the argmin runs as an Arrow-batched pandas_udf (one BLAS
     ``X @ Cᵀ`` per batch) — same zero-shuffle map shape as the literal
@@ -97,23 +106,27 @@ def _assign_cells_broadcast(base: DataFrame, centroids: list[tuple[int, list[flo
         d2 = Cn_[None, :] - 2.0 * (X @ C_.T)
         return pd.Series(cells_[np.argmin(d2, axis=1)].astype("int32"))
 
-    return base.select(_argmin("v").alias("cell"), "id", "v")
+    return base.select(_argmin("v").alias("cell"), "id", "v", *keep_cols)
 
 
 def assign_cells(
     base: DataFrame,
     centroids: list[tuple[int, list[float]]],
     literal_budget: int = LITERAL_ARGMIN_MAX_KD,
+    keep_cols: tuple[str, ...] = (),
 ):
-    """Nearest-centroid assignment ``base(id, v) → (cell, id, v)``,
-    dispatching on k·d: codegen literal fold below ``literal_budget``,
-    broadcast-matrix pandas_udf argmin above it. Both are ZERO-SHUFFLE
-    maps over the corpus (pinned in tests/test_pack_cluster.py)."""
+    """Nearest-centroid assignment ``base(id, v) → (cell, id, v[,
+    keep_cols])``, dispatching on k·d: codegen literal fold below
+    ``literal_budget``, broadcast-matrix pandas_udf argmin above it. Both
+    are ZERO-SHUFFLE maps over the corpus (pinned in
+    tests/test_pack_cluster.py). ``keep_cols`` rides extra ``base``
+    columns through unchanged (``ivfpq_refresh`` keeps the store's
+    ``_bucket``)."""
     k = len(centroids)
     d = len(centroids[0][1]) if k else 0
     if k * d <= literal_budget:
-        return _assign_cells_literal(base, centroids)
-    return _assign_cells_broadcast(base, centroids)
+        return _assign_cells_literal(base, centroids, keep_cols)
+    return _assign_cells_broadcast(base, centroids, keep_cols)
 
 
 _assign_cells = assign_cells  # internal alias used by kmeans below

@@ -359,6 +359,8 @@ def find_by_vectors(
     ``codebooks=``) and a prebuilt ``encoded=`` table (e.g. the
     ``sq_refresh``/``pq_refresh``-maintained stores) — without them the
     corpus is trained and encoded inline (the ad-hoc convenience form).
+    ``encoded=`` WITHOUT the matching quantizer raises: codes are only
+    meaningful under the quantizer that produced them.
     ``'ivfpq'`` takes the same serving triplet (``encoded=``,
     ``codebooks=``, ``centroids=``) natively. These backends score
     sqeuclidean/inner — pass ``metric=`` accordingly (pre-normalize for
@@ -374,8 +376,14 @@ def find_by_vectors(
     vecs = np.asarray(vectors, dtype=float)
     if vecs.ndim == 1:
         vecs = vecs[None, :]
+    # Arrow ingestion (ADVICE r7 #3): a pandas frame of numpy rows ships to
+    # the JVM as Arrow record batches — the old row-by-row
+    # createDataFrame([(i, [float(x)…])…]) pickled a Python list-of-lists
+    # per query matrix, needless driver CPU for large offline query batches
+    # (100k×128 measured in NOTES r8).
     qdf = spark.createDataFrame(
-        [(i, [float(x) for x in row]) for i, row in enumerate(vecs)],
+        pd.DataFrame({"id": np.arange(len(vecs), dtype=np.int64),
+                      "embedding": list(vecs)}),
         schema="id bigint, embedding array<double>",
     )
     if backend == "exact":
@@ -406,6 +414,16 @@ def find_by_vectors(
         encoded = kwargs.pop("encoded", None)
         cid = kwargs.get("corpus_id_col", "id")
         emb = kwargs.pop("emb_col", "embedding")
+        if encoded is not None and bounds is None:
+            # ADVICE r7 #1 — mirror ivfpq's guard: scoring a prebuilt code
+            # table with a freshly-trained quantizer is silently wrong
+            # whenever the store was built from a different snapshot or
+            # train params (sq_refresh stores keep bounds FIXED while the
+            # corpus drifts).
+            raise ValueError(
+                "find_by_vectors(backend='sq8', encoded=...) needs the "
+                "bounds= the store was built with (sq_train output)"
+            )
         if bounds is None:
             bounds = sq_train(corpus, id_col=cid, emb_col=emb)
         if encoded is None:
@@ -418,6 +436,11 @@ def find_by_vectors(
         encoded = kwargs.pop("encoded", None)
         cid = kwargs.get("corpus_id_col", "id")
         emb = kwargs.pop("emb_col", "embedding")
+        if encoded is not None and books is None:
+            raise ValueError(
+                "find_by_vectors(backend='pq', encoded=...) needs the "
+                "codebooks= the store was built with (pq_train output)"
+            )
         train_kw = {
             key: kwargs.pop(key)
             for key in ("m", "ksub", "sample", "n_iter")

@@ -37,8 +37,19 @@ def released_after(spark: SparkSession):
     """Unpersist (non-blocking) every RDD the wrapped block registered —
     the explicit-release protocol for operator-internal eager checkpoints:
     materialize, consume fully INSIDE the block, release on exit. Leaves
-    RDDs persisted before entry untouched, so nested/concurrent operator
-    caches survive."""
+    RDDs persisted before entry untouched, so nested same-thread operator
+    caches survive.
+
+    SINGLE-THREADED-DRIVER ASSUMPTION (ADVICE r7 #4): the diff is against
+    the SESSION-GLOBAL persistent-RDD registry, so an RDD persisted by a
+    CONCURRENT thread of the same SparkSession during the block window
+    (a serving thread's bm25 term-slice cache, another operator's eager
+    localCheckpoint) is unpersisted on exit too — and for a concurrent
+    local checkpoint, whose lineage is truncated, that makes its data
+    unrecoverable mid-use. The store's single-WRITER contract does not
+    cover read-side queries: callers running concurrent driver threads
+    against one session must serialize them around refresh/merge calls
+    (or use separate sessions)."""
     before = persistent_rdd_ids(spark)
     try:
         yield
