@@ -366,6 +366,7 @@ def ivfpq_refresh(
     buckets: list[int] | None = None,
     id_col: str = "id",
     emb_col: str = "embedding",
+    group_buckets: int | None = None,
 ) -> dict:
     """Build or incrementally refresh the CELL-partitioned IVF-PQ encoded
     serving table — the SIXTH maintained index family, and the one whose
@@ -379,33 +380,63 @@ def ivfpq_refresh(
     the reference's ANN stores keep their index behind document CRUD the
     same way (``storage/annlite/backend.py:27-29``).
 
-    Layout: ``encoded_path/cell=C/_bucket=B/`` — ``cell`` outermost so
-    probes prune, the store's ``_bucket`` nested inside so a merge's
-    refresh rewrites exactly the touched buckets' leaf directories
-    (``cell=*/_bucket=B``, found via ONE recursive listing) and nothing
-    else; untouched leaves stay byte-identical and a bucket the merge
-    emptied simply stays deleted. A row whose new vector lands in a
-    DIFFERENT cell cannot go stale: all of its bucket's leaves are
-    dropped before the append. Refresh cost is O(batch·bucket_size)
-    scan + encode (map-only, zero shuffle) — never O(corpus).
+    Layout: ``encoded_path/cell=C/_bucket=L/`` — ``cell`` outermost so
+    probes prune, the CRUD leaf key nested inside so a merge's refresh
+    rewrites exactly the touched leaf directories (``cell=*/_bucket=L``,
+    found via ONE recursive listing) and nothing else; untouched leaves
+    stay byte-identical and a leaf the merge emptied simply stays
+    deleted. A row whose new vector lands in a DIFFERENT cell cannot go
+    stale: all of its leaf's directories are dropped before the append.
+    The computed rows are repartitioned ON the layout keys before the
+    write so every leaf is exactly one file (without it each map task
+    emits a file per (cell, leaf) combo it sees — the 1M probe produced
+    178k ~4 KB files, 140× byte amplification from footer overhead).
+
+    LEAF SIZING — ``group_buckets`` (the 100 TB knob): with the default
+    (leaf = store ``_bucket``) the leaf count is n_cells × n_buckets,
+    the PRODUCT of the query dial and the CRUD dial — at e.g. 1024 cells
+    × 64k buckets that is 67M leaf files of a few KB each, small-file
+    death for the serving scan. ``group_buckets=G`` coarsens the CRUD
+    leaf to ``_bucket % G``, making leaf count n_cells × G regardless of
+    the store's bucket count: pick ``G ≈ encoded_bytes / n_cells /
+    target_leaf_bytes`` (tens of MB per leaf, the same law as the bm25
+    postings segments). Cost: a refresh re-encodes every store bucket in
+    a touched GROUP — O(batch · corpus/G) instead of
+    O(batch · corpus/n_buckets) — the deliberate trade for a
+    query-optimized store refreshed on a slower, batch-coalesced cadence
+    (union many merges' bucket lists into one refresh; the store scan
+    stays partition-pruned because ``_bucket % G`` is an expression on
+    the store's partition column).
 
     ``centroids`` (``ann.ivf_index`` / ``cluster.kmeans``) and
     ``codebooks`` (``pq_train``) are the TRAINED quantizer and must stay
-    fixed across refreshes, exactly like ``sq_refresh``'s bounds —
-    retraining invalidates every leaf (that is a full rebuild). Serve
-    with ``find_by_vectors(backend='ivfpq',
+    fixed across refreshes — and so must ``group_buckets`` — exactly
+    like ``sq_refresh``'s bounds; retraining or re-grouping invalidates
+    every leaf (that is a full rebuild). Serve with
+    ``find_by_vectors(backend='ivfpq',
     encoded=spark.read.parquet(encoded_path), centroids=…, codebooks=…,
-    rerank_corpus=…)``; audit with :func:`index_status` (the ``_bucket=``
-    segments are found at any nesting depth)."""
+    rerank_corpus=…)`` — the serving scan never looks at the leaf key,
+    so grouped and ungrouped stores serve identically. Audit with
+    ``index_status(..., bucket_mod=group_buckets)``."""
     from docarray_spark.operators.cluster import assign_cells
     from docarray_spark.operators.pq import pq_encode
 
-    df = _store_df(spark, store_path, buckets)
+    df = _store_df(spark, store_path, None)
+    G = int(group_buckets) if group_buckets else None
+    if buckets is not None:
+        if G:
+            groups = sorted({int(b) % G for b in buckets})
+            # expression on the partition column — still partition-pruned
+            df = df.filter(F.pmod(F.col("_bucket"), F.lit(G)).isin(groups))
+        else:
+            groups = sorted({int(b) for b in buckets})
+            df = df.filter(F.col("_bucket").isin(groups))
+    leaf = F.pmod(F.col("_bucket"), F.lit(G)) if G else F.col("_bucket")
     cents = sorted((int(c), [float(x) for x in v]) for c, v in centroids)
     base = (
         df.filter(F.col(emb_col).isNotNull())
         .select(
-            "_bucket",
+            leaf.cast("int").alias("_bucket"),
             F.col(id_col).alias("id"),
             F.expr(f"transform({emb_col}, x -> cast(x as double))").alias("v"),
         )
@@ -413,7 +444,7 @@ def ivfpq_refresh(
     assigned = assign_cells(base, cents, keep_cols=("_bucket",))
     encoded = pq_encode(
         assigned, codebooks, id_col="id", emb_col="v", keep_cols=["cell", "_bucket"]
-    )
+    ).repartition("cell", "_bucket")  # one task → one file per leaf
     if buckets is None:
         encoded.write.mode("overwrite").partitionBy("cell", "_bucket").parquet(
             encoded_path
@@ -421,18 +452,17 @@ def ivfpq_refresh(
         return {"rebuilt_buckets": "all", "segments_emptied": 0}
     from docarray_spark.plans.blocks import released_after
 
-    affected = sorted({int(b) for b in buckets})
     leaves = _bucket_leaf_dirs(encoded_path, spark)
     with released_after(spark):
         seg = encoded.localCheckpoint(eager=True)  # compute BEFORE delete
-        for b in affected:
-            for rel in sorted(leaves.get(b, ())):
+        for g in groups:
+            for rel in sorted(leaves.get(g, ())):
                 _delete_dir(f"{encoded_path}/{rel}", spark)
         seg.write.mode("append").partitionBy("cell", "_bucket").parquet(encoded_path)
     present = _bucket_mtimes(encoded_path, spark)
     return {
-        "rebuilt_buckets": len(affected),
-        "segments_emptied": sum(1 for b in affected if b not in present),
+        "rebuilt_buckets": len(groups),
+        "segments_emptied": sum(1 for g in groups if g not in present),
     }
 
 
@@ -729,11 +759,14 @@ def index_status(
     store_path: str,
     index_path: str,
     stale_if_within: float = 0.0,
+    bucket_mod: int | None = None,
 ) -> DataFrame:
     """Per-bucket freshness audit of a segment index against its store —
     the operational "is this index safe to serve?" check for any of the
-    four maintained families (pass the ``hnsw``/``pq``/``dedup`` index
-    path, or ``<bm25>/postings``). Driver-side FS metadata only (bucket
+    six maintained families (pass the ``hnsw``/``pq``/``sq8``/``dedup``
+    index path, ``<bm25>/postings``, or the ``ivfpq`` encoded path — the
+    ``_bucket=`` segments are found at any nesting depth). Driver-side
+    FS metadata only (bucket
     directory mtimes; at the recommended 64k-1M buckets this is one
     directory listing, no job):
 
@@ -759,9 +792,23 @@ def index_status(
     ``stale_if_within=<granule seconds>`` (e.g. ``1.0``): buckets whose
     index leads the store by LESS than that margin are conservatively
     reported ``stale`` — a spurious re-refresh of a fresh bucket is
-    cheap; serving a stale index is not."""
+    cheap; serving a stale index is not.
+
+    ``bucket_mod``: for an index built with
+    ``ivfpq_refresh(group_buckets=G)``, whose leaves are keyed by
+    ``store_bucket % G`` — pass ``bucket_mod=G`` and the STORE side is
+    coarsened the same way (group mtime = max over its member buckets,
+    the conservative direction), so rows compare group-to-group and
+    ``bucket`` in the output is the group id."""
     store_m = _bucket_mtimes(store_path, spark)
     index_m = _bucket_mtimes(index_path, spark)
+    if bucket_mod:
+        grouped: dict[int, float] = {}
+        for b, m in store_m.items():
+            g = b % int(bucket_mod)
+            if m > grouped.get(g, float("-inf")):
+                grouped[g] = m
+        store_m = grouped
     rows = []
     for b in sorted(set(store_m) | set(index_m)):
         sm, im = store_m.get(b), index_m.get(b)

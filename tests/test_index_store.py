@@ -912,6 +912,68 @@ def test_ivfpq_refresh_drops_emptied_bucket(spark, tmp_path, store):
     assert victim not in st and set(st.values()) == {"fresh"}
 
 
+def test_ivfpq_refresh_grouped_leaves(spark, tmp_path, store):
+    """group_buckets decouples leaf count from the store's bucket count
+    (the 100 TB small-file knob): serving is identical to the ungrouped
+    layout, every leaf is exactly one file, a refresh rewrites only the
+    touched GROUPS' leaves, and index_status(bucket_mod=) audits
+    group-to-group."""
+    from docarray_spark.operators import index_status, ivfpq_refresh
+    from docarray_spark.operators.match import find_by_vectors
+
+    G = 4
+    cents, books = _ivfpq_quantizer(spark, store)
+    enc_u = str(tmp_path / "ivfpq_u")
+    enc_g = str(tmp_path / "ivfpq_g")
+    ivfpq_refresh(spark, store, enc_u, cents, books)
+    ivfpq_refresh(spark, store, enc_g, cents, books, group_buckets=G)
+
+    # leaf keys are group ids; every leaf directory holds exactly one file
+    leaf_vals = set()
+    for root, _dirs, files in os.walk(enc_g):
+        seg = os.path.basename(root)
+        if seg.startswith("_bucket="):
+            leaf_vals.add(int(seg.split("=")[1]))
+            assert len([f for f in files if f.endswith(".parquet")]) == 1, root
+    assert leaf_vals <= set(range(G)) and leaf_vals
+
+    def serve(enc_path, vec):
+        corpus = spark.read.parquet(store)
+        enc = spark.read.parquet(enc_path)
+        return [
+            (r.match_id, r.rank) for r in find_by_vectors(
+                corpus, [vec], k=5, metric="sqeuclidean", backend="ivfpq",
+                encoded=enc, centroids=cents, codebooks=books, n_probe=4,
+            ).orderBy("rank").collect()
+        ]
+
+    assert serve(enc_g, _vec(3)) == serve(enc_u, _vec(3))
+
+    summary = _merge(spark, store, [(9300, _vec(9300))])
+    st = {r.bucket: r.status for r in index_status(
+        spark, store, enc_g, stale_if_within=0.01, bucket_mod=G).collect()}
+    touched_groups = {b % G for b in summary["buckets"]}
+    assert {g for g, s in st.items() if s != "fresh"} == touched_groups
+
+    before = _leaf_bytes(enc_g)
+    ref = ivfpq_refresh(
+        spark, store, enc_g, cents, books,
+        buckets=summary["buckets"], group_buckets=G,
+    )
+    assert ref["rebuilt_buckets"] == len(touched_groups)
+    st = {r.status for r in index_status(
+        spark, store, enc_g, stale_if_within=0.01, bucket_mod=G).collect()}
+    assert st == {"fresh"}
+    untouched = {f"_bucket={g}" for g in range(G)} - {
+        f"_bucket={g}" for g in touched_groups
+    }
+    ub = {p: v for p, v in before.items() if set(p.split(os.sep)) & untouched}
+    ua = {p: v for p, v in _leaf_bytes(enc_g).items()
+          if set(p.split(os.sep)) & untouched}
+    assert ub and ua == ub
+    assert serve(enc_g, _vec(9300))[0][0] == 9300
+
+
 def test_ivfpq_encoded_serving_requires_quantizer(spark, store):
     """ADVICE r7 #1 (applies across the quantized ladder): a prebuilt
     encoded table without the quantizer it was built with must fail
