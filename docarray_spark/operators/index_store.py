@@ -357,12 +357,36 @@ def _bucket_leaf_dirs(path: str, spark: SparkSession) -> dict[int, set[str]]:
     return out
 
 
+def _normalize_quantizer(centroids, codebooks):
+    cents = sorted((int(c), [float(x) for x in v]) for c, v in centroids)
+    books = [[[float(x) for x in row] for row in book] for book in codebooks]
+    return cents, books
+
+
+def load_ivfpq_store(
+    spark: SparkSession, encoded_path: str
+) -> tuple[DataFrame, list[tuple[int, list[float]]], list[list[list[float]]]]:
+    """Open an :func:`ivfpq_refresh`-maintained store with the quantizer
+    it was built with → ``(encoded DataFrame, centroids, codebooks)`` —
+    the arguments ``ivfpq_match(encoded=…)`` needs, read from the store's
+    own ``_quantizer.json`` sidecar so serving can never pair the codes
+    with a foreign quantizer (the silent-wrong-distances failure the
+    ``encoded=``-without-quantizer guards exist for)."""
+    import json
+
+    from docarray_spark.sources.registry import _read_text
+
+    qz = json.loads(_read_text(f"{encoded_path}/_quantizer.json", spark))
+    cents = [(int(c), v) for c, v in qz["centroids"]]
+    return spark.read.parquet(encoded_path), cents, qz["codebooks"]
+
+
 def ivfpq_refresh(
     spark: SparkSession,
     store_path: str,
     encoded_path: str,
-    centroids: list[tuple[int, list[float]]],
-    codebooks: list[list[list[float]]],
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
     buckets: list[int] | None = None,
     id_col: str = "id",
     emb_col: str = "embedding",
@@ -412,14 +436,67 @@ def ivfpq_refresh(
     ``codebooks`` (``pq_train``) are the TRAINED quantizer and must stay
     fixed across refreshes — and so must ``group_buckets`` — exactly
     like ``sq_refresh``'s bounds; retraining or re-grouping invalidates
-    every leaf (that is a full rebuild). Serve with
-    ``find_by_vectors(backend='ivfpq',
-    encoded=spark.read.parquet(encoded_path), centroids=…, codebooks=…,
-    rerank_corpus=…)`` — the serving scan never looks at the leaf key,
-    so grouped and ungrouped stores serve identically. Audit with
+    every leaf (that is a full rebuild). The store is SELF-DESCRIBING:
+    the full build persists the quantizer + grouping in
+    ``<encoded_path>/_quantizer.json`` (``_``-prefixed → invisible to
+    the parquet scan); a refresh may omit all three and run with the
+    stored values, and a refresh that PASSES them validates exact
+    equality against the sidecar — a drifted quantizer fails loudly
+    instead of silently corrupting distances. Serve with
+    ``find_by_vectors(backend='ivfpq', index_path=encoded_path,
+    rerank_corpus=…)`` (loads codes + quantizer via
+    :func:`load_ivfpq_store`) — the serving scan never looks at the leaf
+    key, so grouped and ungrouped stores serve identically. Audit with
     ``index_status(..., bucket_mod=group_buckets)``."""
+    import json
+
     from docarray_spark.operators.cluster import assign_cells
     from docarray_spark.operators.pq import pq_encode
+    from docarray_spark.sources.registry import _read_text, _write_text
+
+    qz_path = f"{encoded_path}/_quantizer.json"
+    stored = None
+    if _dir_exists(qz_path, spark):
+        stored = json.loads(_read_text(qz_path, spark))
+    refresh = buckets is not None
+    if stored is not None and group_buckets is None:
+        group_buckets = stored["group_buckets"]
+    elif (
+        refresh
+        and stored is not None
+        and (
+            bool(group_buckets) != bool(stored["group_buckets"])
+            or (group_buckets
+                and int(group_buckets) != int(stored["group_buckets"]))
+        )
+    ):
+        raise ValueError(
+            f"ivfpq_refresh: group_buckets={group_buckets} differs from "
+            f"the {stored['group_buckets']} the store at {encoded_path!r} "
+            "was built with (re-grouping is a full rebuild: run with "
+            "buckets=None)"
+        )
+    if centroids is None or codebooks is None:
+        if stored is None:
+            raise ValueError(
+                "ivfpq_refresh: centroids/codebooks are required for the "
+                "first build (no _quantizer.json sidecar at "
+                f"{encoded_path!r} to load them from)"
+            )
+        cents = [(int(c), v) for c, v in stored["centroids"]]
+        codebooks = stored["codebooks"]
+    else:
+        cents, codebooks = _normalize_quantizer(centroids, codebooks)
+        if refresh and stored is not None and (
+            cents != [(int(c), v) for c, v in stored["centroids"]]
+            or codebooks != stored["codebooks"]
+        ):
+            raise ValueError(
+                "ivfpq_refresh: the passed centroids/codebooks differ from "
+                f"the quantizer the store at {encoded_path!r} was built "
+                "with — retraining invalidates every leaf (rebuild with "
+                "buckets=None)"
+            )
 
     df = _store_df(spark, store_path, None)
     G = int(group_buckets) if group_buckets else None
@@ -432,7 +509,6 @@ def ivfpq_refresh(
             groups = sorted({int(b) for b in buckets})
             df = df.filter(F.col("_bucket").isin(groups))
     leaf = F.pmod(F.col("_bucket"), F.lit(G)) if G else F.col("_bucket")
-    cents = sorted((int(c), [float(x) for x in v]) for c, v in centroids)
     base = (
         df.filter(F.col(emb_col).isNotNull())
         .select(
@@ -448,6 +524,13 @@ def ivfpq_refresh(
     if buckets is None:
         encoded.write.mode("overwrite").partitionBy("cell", "_bucket").parquet(
             encoded_path
+        )
+        # sidecar AFTER the overwrite (which wipes the directory)
+        _write_text(
+            qz_path,
+            json.dumps({"centroids": cents, "codebooks": codebooks,
+                        "group_buckets": G}),
+            spark,
         )
         return {"rebuilt_buckets": "all", "segments_emptied": 0}
     from docarray_spark.plans.blocks import released_after

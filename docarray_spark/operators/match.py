@@ -360,7 +360,10 @@ def find_by_vectors(
     ``sq_refresh``/``pq_refresh``-maintained stores) — without them the
     corpus is trained and encoded inline (the ad-hoc convenience form).
     ``encoded=`` WITHOUT the matching quantizer raises: codes are only
-    meaningful under the quantizer that produced them.
+    meaningful under the quantizer that produced them. ``backend='ivfpq'``
+    + ``index_path=`` serves an ``ivfpq_refresh``-maintained store with
+    the quantizer loaded from the store's own sidecar — the
+    mismatch-proof form.
     ``'ivfpq'`` takes the same serving triplet (``encoded=``,
     ``codebooks=``, ``centroids=``) natively. These backends score
     sqeuclidean/inner — pass ``metric=`` accordingly (pre-normalize for
@@ -454,6 +457,17 @@ def find_by_vectors(
     if backend == "ivfpq":
         from docarray_spark.operators.pq import ivfpq_match
 
+        index_path = kwargs.pop("index_path", None)
+        if index_path is not None:
+            # ivfpq_refresh-maintained store: codes + the quantizer they
+            # were built with come from the store's own sidecar — no way
+            # to pair them wrong
+            from docarray_spark.operators.index_store import load_ivfpq_store
+
+            enc, cents, books = load_ivfpq_store(spark, index_path)
+            kwargs.setdefault("encoded", enc)
+            kwargs.setdefault("centroids", cents)
+            kwargs.setdefault("codebooks", books)
         return ivfpq_match(corpus, qdf, k=k, metric=metric, **kwargs)
     raise ValueError(
         f"backend must be one of ('exact', 'lsh', 'ivf', 'hnsw', 'sq8', "

@@ -974,6 +974,51 @@ def test_ivfpq_refresh_grouped_leaves(spark, tmp_path, store):
     assert serve(enc_g, _vec(9300))[0][0] == 9300
 
 
+def test_ivfpq_store_is_self_describing(spark, tmp_path, store):
+    """The _quantizer.json sidecar makes the store self-describing: a
+    refresh may omit the quantizer (loaded from the sidecar), a refresh
+    passing a DIFFERENT quantizer or grouping fails loudly, and
+    find_by_vectors(backend='ivfpq', index_path=) serves codes paired
+    with the exact quantizer they were built with."""
+    from docarray_spark.operators import ivfpq_refresh
+    from docarray_spark.operators.match import find_by_vectors
+
+    cents, books = _ivfpq_quantizer(spark, store)
+    enc_path = str(tmp_path / "ivfpq_codes")
+    ivfpq_refresh(spark, store, enc_path, cents, books, group_buckets=4)
+
+    # serving straight from the path — no quantizer in caller hands
+    corpus = spark.read.parquet(store)
+    got = find_by_vectors(
+        corpus, [_vec(3)], k=1, metric="sqeuclidean", backend="ivfpq",
+        index_path=enc_path, n_probe=4, rerank_corpus=corpus, rerank_factor=8,
+    ).first()
+    assert got.match_id == 3
+
+    # refresh with NO quantizer args: loaded from the sidecar
+    summary = _merge(spark, store, [(9400, _vec(9400))])
+    ivfpq_refresh(spark, store, enc_path, buckets=summary["buckets"])
+    corpus = spark.read.parquet(store)
+    got = find_by_vectors(
+        corpus, [_vec(9400)], k=1, metric="sqeuclidean", backend="ivfpq",
+        index_path=enc_path, n_probe=4, rerank_corpus=corpus, rerank_factor=8,
+    ).first()
+    assert got.match_id == 9400
+
+    # a drifted quantizer fails loudly on refresh
+    bad_books = [[[v + 1.0 for v in row] for row in book] for book in books]
+    with pytest.raises(ValueError, match="differ from"):
+        ivfpq_refresh(spark, store, enc_path, cents, bad_books,
+                      buckets=summary["buckets"])
+    # so does a changed grouping
+    with pytest.raises(ValueError, match="group_buckets"):
+        ivfpq_refresh(spark, store, enc_path, cents, books,
+                      buckets=summary["buckets"], group_buckets=8)
+    # and a first build without a quantizer has nothing to load
+    with pytest.raises(ValueError, match="required for the first build"):
+        ivfpq_refresh(spark, store, str(tmp_path / "fresh"))
+
+
 def test_ivfpq_encoded_serving_requires_quantizer(spark, store):
     """ADVICE r7 #1 (applies across the quantized ladder): a prebuilt
     encoded table without the quantizer it was built with must fail
