@@ -718,7 +718,11 @@ def bm25_match_stored(
     postings ONCE for the union of all queries' terms and scores every
     query in that one job — per-query results are pinned identical to N
     single calls (the per-term df and corpus stats never depended on the
-    query). Reference anchor: the reference's text backends batch query
+    query). The per-query top-k runs under Spark's WindowGroupLimit
+    pushdown (``row_number() <= k`` → per-partition partial top-k BELOW
+    the exchange, plan-verified), so the shuffle ships ≤ k rows per
+    (query, partition) — never the full scored set to one task per
+    query. Reference anchor: the reference's text backends batch query
     execution the same way (``storage/elastic/find.py:74-114``).
 
     Serving-loop hygiene (r6 verdict #2): the top-k is materialized HERE
