@@ -60,6 +60,20 @@ def find(corpus: DataFrame, query: Any, **kwargs) -> DataFrame:
         # list of text queries → union of per-query results, tagged
         from pyspark.sql import functions as F
 
+        index_path = kwargs.pop("index_path", None)
+        if index_path is not None:
+            # stored-index path: ONE batched job for the whole list (one
+            # postings slice for the union of terms — 16.2x over the
+            # per-query loop at 20 queries, NOTES r8), tagged with the
+            # query string like the corpus path
+            from docarray_spark.operators.index_store import bm25_match_stored
+
+            spark = corpus.sparkSession
+            out = bm25_match_stored(spark, index_path, list(query), **kwargs)
+            qmap = spark.createDataFrame(
+                [(i, q) for i, q in enumerate(query)], "query_id int, query string"
+            )
+            return out.join(F.broadcast(qmap), "query_id").drop("query_id")
         from docarray_spark.operators.text import text_search
 
         out = None

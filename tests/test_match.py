@@ -321,6 +321,34 @@ def test_unified_find_str_serves_from_stored_bm25_index(spark, tmp_path):
     assert got == want
 
 
+def test_unified_find_list_of_str_batched_from_stored_index(spark, tmp_path):
+    """find(list[str], index_path=...) routes the WHOLE list to the
+    batched stored-bm25 path (one job) and returns per-query rankings
+    identical to the corpus-scoring path, tagged by query string."""
+    from docarray_spark.operators import bm25_refresh
+    from docarray_spark.operators.find import find as ufind
+    from docarray_spark.operators.text import text_search
+    from docarray_spark.sources.writers import init_parquet_store
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i % 7} common filler w{i}") for i in range(60)],
+        "id long, text string",
+    )
+    store, idx = str(tmp_path / "store"), str(tmp_path / "idx")
+    init_parquet_store(docs, store, n_buckets=4)
+    bm25_refresh(spark, store, idx)
+
+    qs = ["token3 common", "token5 filler", "zzz_nothing"]
+    got = ufind(docs, qs, index_path=idx, k=5, round_to=6).collect()
+    assert set(got[0].asDict()) == {"id", "score", "rank", "query"}
+    for q in qs:
+        want = [(r.id, r.rank, r.score) for r in text_search(
+            docs, q, id_col="id", k=5, round_to=6).collect()]
+        part = sorted(((r.id, r.rank, r.score) for r in got if r.query == q),
+                      key=lambda t: t[1])
+        assert part == want, q
+
+
 def test_find_by_vectors_hnsw_index_path(spark, tmp_path):
     """backend='hnsw' + index_path= serves from prebuilt graph segments —
     the vector twin of find(str, index_path=): corpus never re-indexed."""
