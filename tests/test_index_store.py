@@ -1019,6 +1019,67 @@ def test_ivfpq_store_is_self_describing(spark, tmp_path, store):
         ivfpq_refresh(spark, store, str(tmp_path / "fresh"))
 
 
+def test_stream_ingest_coalesced_ivfpq_refresh(spark, tmp_path):
+    """The query-optimized sixth family on its documented slower cadence:
+    the streaming crawl loop accumulates each micro-batch's touched
+    buckets and repairs the grouped ivfpq store in ONE coalesced refresh
+    (quantizer + grouping loaded from the store's own sidecar), after
+    which the maintained table serves the streamed rows."""
+    import json as _json
+
+    from docarray_spark.operators import index_status, ivfpq_refresh
+    from docarray_spark.operators.match import find_by_vectors
+    from docarray_spark.streaming.ops import stream_upsert_parquet_store
+
+    G = 4
+    path = str(tmp_path / "vstore")
+    df = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(200)], "id long, embedding array<float>"
+    )
+    init_parquet_store(df, path, n_buckets=N_BUCKETS)
+    cents, books = _ivfpq_quantizer(spark, path)
+    enc = str(tmp_path / "ivfpq")
+    ivfpq_refresh(spark, path, enc, cents, books, group_buckets=G)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for f in range(3):
+        rows = [{"id": 1000 + 10 * f + j, "embedding": _vec(5000 + 10 * f + j)}
+                for j in range(5)]
+        (landing / f"{f}.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows))
+
+    pending: set[int] = set()
+
+    sdf = (
+        spark.readStream.schema("id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    q = stream_upsert_parquet_store(
+        sdf, path, id_col="id", n_buckets=N_BUCKETS,
+        checkpoint=str(tmp_path / "ckpt"),
+        refresh=lambda sp, summary: pending.update(summary["buckets"]),
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(path).count() == 215
+
+    st = index_status(spark, path, enc, stale_if_within=0.01, bucket_mod=G)
+    stale = {r.bucket for r in st.filter("status <> 'fresh'").collect()}
+    assert stale == {b % G for b in pending} and stale
+
+    ivfpq_refresh(spark, path, enc, buckets=sorted(pending))  # sidecar-driven
+    st = {r.status for r in index_status(
+        spark, path, enc, stale_if_within=0.01, bucket_mod=G).collect()}
+    assert st == {"fresh"}
+    corpus = spark.read.parquet(path)
+    got = find_by_vectors(
+        corpus, [_vec(5014)], k=1, metric="sqeuclidean", backend="ivfpq",
+        index_path=enc, n_probe=4, rerank_corpus=corpus, rerank_factor=8,
+    ).first()
+    assert got.match_id == 1014
+
+
 def test_ivfpq_encoded_serving_requires_quantizer(spark, store):
     """ADVICE r7 #1 (applies across the quantized ladder): a prebuilt
     encoded table without the quantizer it was built with must fail
