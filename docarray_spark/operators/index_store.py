@@ -255,11 +255,64 @@ def hnsw_refresh(
     }
 
 
+def _load_sidecar(spark: SparkSession, encoded_path: str) -> dict | None:
+    """The store's ``_quantizer.json`` (``_``-prefixed → invisible to the
+    parquet scan), or None if absent."""
+    import json
+
+    from docarray_spark.sources.registry import _read_text
+
+    qz_path = f"{encoded_path}/_quantizer.json"
+    if not _dir_exists(qz_path, spark):
+        return None
+    return json.loads(_read_text(qz_path, spark))
+
+
+def _write_sidecar(spark: SparkSession, encoded_path: str, payload: dict) -> None:
+    import json
+
+    from docarray_spark.sources.registry import _write_text
+
+    _write_text(f"{encoded_path}/_quantizer.json", json.dumps(payload), spark)
+
+
+def _resolve_quantizer(
+    spark: SparkSession,
+    encoded_path: str,
+    key: str,
+    given,
+    refresh: bool,
+    op_name: str,
+):
+    """Shared sidecar protocol for the quantized store families: the full
+    build REQUIRES the quantizer and persists it; a refresh may omit it
+    (loaded from the sidecar) and, when it passes one, must pass exactly
+    the quantizer the store was built with — a drifted quantizer fails
+    loudly instead of silently corrupting every distance. Returns the
+    resolved (json-normalized) value."""
+    stored = _load_sidecar(spark, encoded_path)
+    if given is None:
+        if stored is None:
+            raise ValueError(
+                f"{op_name}: {key} is required for the first build (no "
+                f"_quantizer.json sidecar at {encoded_path!r} to load it "
+                "from)"
+            )
+        return stored[key]
+    if refresh and stored is not None and given != stored[key]:
+        raise ValueError(
+            f"{op_name}: the passed {key} differ from the quantizer the "
+            f"store at {encoded_path!r} was built with — retraining "
+            "invalidates every segment (rebuild with buckets=None)"
+        )
+    return given
+
+
 def pq_refresh(
     spark: SparkSession,
     store_path: str,
     encoded_path: str,
-    codebooks: list[list[list[float]]],
+    codebooks: list[list[list[float]]] | None = None,
     buckets: list[int] | None = None,
     id_col: str = "id",
     emb_col: str = "embedding",
@@ -270,26 +323,49 @@ def pq_refresh(
     scan of the affected buckets plus a rewrite of exactly their
     segment directories — nothing else is read or written. The codebooks are the
     TRAINED quantizer and must stay fixed across refreshes (retraining
-    invalidates every segment; that is a full rebuild). Query the result
-    with ``pq_match(spark.read.parquet(encoded_path), ...)``."""
+    invalidates every segment; that is a full rebuild) — they persist in
+    the store's ``_quantizer.json`` sidecar like :func:`ivfpq_refresh`'s,
+    so refreshes may omit them and a drifted quantizer fails loudly.
+    Query with ``find_by_vectors(backend='pq', index_path=encoded_path)``
+    (codes + codebooks loaded together) or
+    ``pq_match(spark.read.parquet(encoded_path), ...)``."""
     from docarray_spark.operators.pq import pq_encode
 
+    books = codebooks
+    if books is not None:
+        books = [[[float(x) for x in row] for row in book] for book in books]
+    books = _resolve_quantizer(
+        spark, encoded_path, "codebooks", books, buckets is not None, "pq_refresh"
+    )
     df = _store_df(spark, store_path, buckets)
     encoded = pq_encode(
-        df, codebooks, id_col=id_col, emb_col=emb_col, keep_cols=["_bucket"]
+        df, books, id_col=id_col, emb_col=emb_col, keep_cols=["_bucket"]
     )
     emptied = _overwrite_segments(spark, encoded, encoded_path, buckets)
+    if buckets is None:
+        _write_sidecar(spark, encoded_path, {"codebooks": books})
     return {
         "rebuilt_buckets": "all" if buckets is None else len(set(buckets)),
         "segments_emptied": emptied,
     }
 
 
+def load_pq_store(
+    spark: SparkSession, encoded_path: str
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Open a :func:`pq_refresh`-maintained store with the codebooks it
+    was built with → ``(encoded DataFrame, codebooks)``."""
+    qz = _load_sidecar(spark, encoded_path)
+    if qz is None:
+        raise ValueError(f"no _quantizer.json sidecar at {encoded_path!r}")
+    return spark.read.parquet(encoded_path), qz["codebooks"]
+
+
 def sq_refresh(
     spark: SparkSession,
     store_path: str,
     encoded_path: str,
-    bounds: tuple[list[float], list[float]],
+    bounds: tuple[list[float], list[float]] | None = None,
     buckets: list[int] | None = None,
     id_col: str = "id",
     emb_col: str = "embedding",
@@ -303,19 +379,40 @@ def sq_refresh(
     scan + rewrite of exactly the touched segment directories; ``bounds``
     are the TRAINED quantizer (``sq_train``) and must stay fixed across
     refreshes — values drifting outside them saturate, retraining is a
-    full rebuild. Query with ``sq_match(spark.read.parquet(encoded_path),
-    ...)``."""
+    full rebuild. They persist in the ``_quantizer.json`` sidecar, so
+    refreshes may omit them and a drifted quantizer fails loudly. Query
+    with ``find_by_vectors(backend='sq8', index_path=encoded_path)`` or
+    ``sq_match(spark.read.parquet(encoded_path), ...)``."""
     from docarray_spark.operators.pq import sq_encode
 
+    b = bounds
+    if b is not None:
+        b = [[float(x) for x in b[0]], [float(x) for x in b[1]]]
+    b = _resolve_quantizer(
+        spark, encoded_path, "bounds", b, buckets is not None, "sq_refresh"
+    )
     df = _store_df(spark, store_path, buckets)
     encoded = sq_encode(
-        df, bounds, id_col=id_col, emb_col=emb_col, keep_cols=["_bucket"]
+        df, (b[0], b[1]), id_col=id_col, emb_col=emb_col, keep_cols=["_bucket"]
     )
     emptied = _overwrite_segments(spark, encoded, encoded_path, buckets)
+    if buckets is None:
+        _write_sidecar(spark, encoded_path, {"bounds": b})
     return {
         "rebuilt_buckets": "all" if buckets is None else len(set(buckets)),
         "segments_emptied": emptied,
     }
+
+
+def load_sq_store(
+    spark: SparkSession, encoded_path: str
+) -> tuple[DataFrame, tuple[list[float], list[float]]]:
+    """Open a :func:`sq_refresh`-maintained store with the bounds it was
+    built with → ``(encoded DataFrame, (mins, maxs))``."""
+    qz = _load_sidecar(spark, encoded_path)
+    if qz is None:
+        raise ValueError(f"no _quantizer.json sidecar at {encoded_path!r}")
+    return spark.read.parquet(encoded_path), (qz["bounds"][0], qz["bounds"][1])
 
 
 def _bucket_leaf_dirs(path: str, spark: SparkSession) -> dict[int, set[str]]:
@@ -372,11 +469,9 @@ def load_ivfpq_store(
     own ``_quantizer.json`` sidecar so serving can never pair the codes
     with a foreign quantizer (the silent-wrong-distances failure the
     ``encoded=``-without-quantizer guards exist for)."""
-    import json
-
-    from docarray_spark.sources.registry import _read_text
-
-    qz = json.loads(_read_text(f"{encoded_path}/_quantizer.json", spark))
+    qz = _load_sidecar(spark, encoded_path)
+    if qz is None:
+        raise ValueError(f"no _quantizer.json sidecar at {encoded_path!r}")
     cents = [(int(c), v) for c, v in qz["centroids"]]
     return spark.read.parquet(encoded_path), cents, qz["codebooks"]
 
@@ -448,16 +543,10 @@ def ivfpq_refresh(
     :func:`load_ivfpq_store`) — the serving scan never looks at the leaf
     key, so grouped and ungrouped stores serve identically. Audit with
     ``index_status(..., bucket_mod=group_buckets)``."""
-    import json
-
     from docarray_spark.operators.cluster import assign_cells
     from docarray_spark.operators.pq import pq_encode
-    from docarray_spark.sources.registry import _read_text, _write_text
 
-    qz_path = f"{encoded_path}/_quantizer.json"
-    stored = None
-    if _dir_exists(qz_path, spark):
-        stored = json.loads(_read_text(qz_path, spark))
+    stored = _load_sidecar(spark, encoded_path)
     refresh = buckets is not None
     if stored is not None and group_buckets is None:
         group_buckets = stored["group_buckets"]
@@ -526,12 +615,9 @@ def ivfpq_refresh(
             encoded_path
         )
         # sidecar AFTER the overwrite (which wipes the directory)
-        _write_text(
-            qz_path,
-            json.dumps({"centroids": cents, "codebooks": codebooks,
-                        "group_buckets": G}),
-            spark,
-        )
+        _write_sidecar(spark, encoded_path, {
+            "centroids": cents, "codebooks": codebooks, "group_buckets": G,
+        })
         return {"rebuilt_buckets": "all", "segments_emptied": 0}
     from docarray_spark.plans.blocks import released_after
 

@@ -360,10 +360,11 @@ def find_by_vectors(
     ``sq_refresh``/``pq_refresh``-maintained stores) — without them the
     corpus is trained and encoded inline (the ad-hoc convenience form).
     ``encoded=`` WITHOUT the matching quantizer raises: codes are only
-    meaningful under the quantizer that produced them. ``backend='ivfpq'``
-    + ``index_path=`` serves an ``ivfpq_refresh``-maintained store with
-    the quantizer loaded from the store's own sidecar — the
-    mismatch-proof form.
+    meaningful under the quantizer that produced them. Each quantized
+    backend also takes ``index_path=`` — an
+    ``sq_refresh``/``pq_refresh``/``ivfpq_refresh``-maintained store
+    served with the quantizer loaded from the store's own
+    ``_quantizer.json`` sidecar, the mismatch-proof form.
     ``'ivfpq'`` takes the same serving triplet (``encoded=``,
     ``codebooks=``, ``centroids=``) natively. These backends score
     sqeuclidean/inner — pass ``metric=`` accordingly (pre-normalize for
@@ -415,6 +416,13 @@ def find_by_vectors(
 
         bounds = kwargs.pop("bounds", None)
         encoded = kwargs.pop("encoded", None)
+        index_path = kwargs.pop("index_path", None)
+        if index_path is not None:
+            # sq_refresh-maintained store: codes + their bounds from the
+            # store's own sidecar — the mismatch-proof form
+            from docarray_spark.operators.index_store import load_sq_store
+
+            encoded, bounds = load_sq_store(spark, index_path)
         cid = kwargs.get("corpus_id_col", "id")
         emb = kwargs.pop("emb_col", "embedding")
         if encoded is not None and bounds is None:
@@ -437,6 +445,11 @@ def find_by_vectors(
 
         books = kwargs.pop("codebooks", None)
         encoded = kwargs.pop("encoded", None)
+        index_path = kwargs.pop("index_path", None)
+        if index_path is not None:
+            from docarray_spark.operators.index_store import load_pq_store
+
+            encoded, books = load_pq_store(spark, index_path)
         cid = kwargs.get("corpus_id_col", "id")
         emb = kwargs.pop("emb_col", "embedding")
         if encoded is not None and books is None:

@@ -1019,6 +1019,59 @@ def test_ivfpq_store_is_self_describing(spark, tmp_path, store):
         ivfpq_refresh(spark, store, str(tmp_path / "fresh"))
 
 
+def test_sq_pq_stores_self_describing_and_serve_by_index_path(
+    spark, tmp_path, store
+):
+    """The sidecar protocol spans the whole quantized ladder: sq8 and pq
+    stores persist their quantizer, refreshes may omit it, a drifted
+    quantizer fails loudly, and find_by_vectors(backend=, index_path=)
+    serves codes paired with the quantizer they were built with."""
+    from docarray_spark.operators import pq_refresh, sq_refresh
+    from docarray_spark.operators.match import find_by_vectors
+    from docarray_spark.operators.pq import sq_train
+
+    corpus = spark.read.parquet(store)
+    bounds = sq_train(corpus)
+    books = pq_train(corpus, m=4, ksub=16, sample=400)
+    sq_path = str(tmp_path / "sq")
+    pq_path = str(tmp_path / "pq")
+    sq_refresh(spark, store, sq_path, bounds)
+    pq_refresh(spark, store, pq_path, books)
+
+    def top1(backend, path, vec, **kw):
+        c = spark.read.parquet(store)
+        return find_by_vectors(
+            c, [vec], k=1, metric="sqeuclidean", backend=backend,
+            index_path=path, **kw,
+        ).first().match_id
+
+    assert top1("sq8", sq_path, _vec(3)) == 3
+    assert top1("pq", pq_path, _vec(3),
+                rerank_corpus=corpus, rerank_factor=8) == 3
+
+    # refresh with NO quantizer args: loaded from the sidecar
+    summary = _merge(spark, store, [(9500, _vec(9500))])
+    sq_refresh(spark, store, sq_path, buckets=summary["buckets"])
+    pq_refresh(spark, store, pq_path, buckets=summary["buckets"])
+    corpus2 = spark.read.parquet(store)
+    assert top1("sq8", sq_path, _vec(9500)) == 9500
+    assert top1("pq", pq_path, _vec(9500),
+                rerank_corpus=corpus2, rerank_factor=8) == 9500
+
+    # drifted quantizers fail loudly on refresh
+    bad_bounds = ([b - 1.0 for b in bounds[0]], [b + 1.0 for b in bounds[1]])
+    with pytest.raises(ValueError, match="differ from"):
+        sq_refresh(spark, store, sq_path, bad_bounds,
+                   buckets=summary["buckets"])
+    bad_books = [[[v + 1.0 for v in row] for row in book] for book in books]
+    with pytest.raises(ValueError, match="differ from"):
+        pq_refresh(spark, store, pq_path, bad_books,
+                   buckets=summary["buckets"])
+    # first build still requires the quantizer
+    with pytest.raises(ValueError, match="required for the first build"):
+        sq_refresh(spark, store, str(tmp_path / "fresh_sq"))
+
+
 def test_stream_ingest_coalesced_ivfpq_refresh(spark, tmp_path):
     """The query-optimized sixth family on its documented slower cadence:
     the streaming crawl loop accumulates each micro-batch's touched
