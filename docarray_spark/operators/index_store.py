@@ -875,7 +875,9 @@ def bm25_match_stored(
         )
         score = F.round("score", round_to) if round_to is not None else F.col("score")
         cols = ([] if single else ["query_id"]) + [id_col]
-        out = out.select(*cols, score.alias("score"), "rank")
+        out = out.select(*cols, score.alias("score"), "rank").orderBy(
+            *([] if single else ["query_id"]), "rank"
+        )  # rank order is part of the output contract, not shuffle luck
         rows = out.collect()  # ≤ k·n_queries rows — explicit budget
     finally:
         posts.unpersist(False)
