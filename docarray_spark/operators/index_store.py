@@ -37,6 +37,18 @@ The search side is unchanged: ``hnsw_match_stored`` reads the bucketed
 segment store as-is (one task per segment row, k×segments merge), and the
 encoded table :func:`pq_refresh` maintains is exactly what
 ``pq_match``/``sq_match`` scan.
+
+SIX maintained families share the lifecycle: ``hnsw_refresh`` (graph
+blobs), ``pq_refresh`` / ``sq_refresh`` (quantized code tables),
+``ivfpq_refresh`` (the CELL-partitioned query-optimized serving table —
+the one family whose partitioning prunes on the QUERY side, with a
+``group_buckets`` knob decoupling its leaf count from the store's bucket
+count), ``dedup_refresh`` (fingerprint + MinHash history), and
+``bm25_refresh`` (postings + per-bucket stats). The quantized families
+are SELF-DESCRIBING: their trained quantizer persists in a
+``_quantizer.json`` sidecar, refreshes may omit it, a drifted quantizer
+raises, and ``find_by_vectors(backend=…, index_path=…)`` serves codes
+paired with the quantizer they were built with.
 """
 
 from __future__ import annotations
