@@ -632,6 +632,128 @@ def embedding_dup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    k_clusters: int = 16,
+    eps: float = 0.05,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+    n_iter: int = 3,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    block_elems: int = 33_554_432,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — the published
+    semantic-dedup recipe for web-scale training corpora): k-means the
+    embedding space, then search for near-duplicates WITHIN each cluster
+    only — pairwise work drops from O(n²) to O(Σ cell²) with cells
+    bounded by ``k_clusters``, the approximation the paper validates
+    (cross-cluster semantic dups are rare by construction).
+
+    → ``(id, cell, dup_group, centroid_dist, keep)``, one row per input
+    row: ``dup_group`` labels the connected component of the within-cell
+    ``cosine_dist < eps`` graph (smallest member id — singletons label
+    themselves); ``keep`` marks the member retained per the paper's
+    keep-LOW-similarity-to-centroid policy (the component member with the
+    LARGEST cosine distance to its cluster centroid; deterministic id
+    tie-break). ``filter("keep")`` IS the deduplicated corpus;
+    ``filter(NOT keep)`` is the semantic-dup drop set.
+
+    Execution shape (Spark-first): ``cluster.kmeans`` trains the
+    centroids (deterministic hash-sample init) unless ``centroids=`` is
+    passed; assignment is the zero-shuffle ``assign_cells`` map; the per-
+    cell pairwise pass is ONE ``applyInPandas`` over ``groupBy(cell)`` —
+    inside, the gram matrix is computed in row blocks capped at
+    ``block_elems`` elements (memory O(block × cell), never O(cell²)
+    at once) feeding a numpy union-find. SIZING: a cell must fit one
+    executor (the same per-group contract as every grouped-map operator
+    here) — pick ``k_clusters ≈ n / target_cell_rows``; the paper runs
+    50k clusters at web scale for exactly this reason."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from docarray_spark.operators.cluster import assign_cells, kmeans
+
+    spark = df.sparkSession
+    emb_d = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    base = (
+        df.select(F.col(id_col).alias("id"), emb_d.alias("v"))
+        .filter(F.col("v").isNotNull() & (F.size("v") > 0))
+    )
+    if centroids is None:
+        cent_df, _ = kmeans(df, k=k_clusters, n_iter=n_iter,
+                            id_col=id_col, emb_col=emb_col)
+        centroids = [
+            (r.cell, [float(x) for x in r.centroid]) for r in cent_df.collect()
+        ]  # ≤ k_clusters rows — bounded driver state
+    cents = sorted((int(c), [float(x) for x in v]) for c, v in centroids)
+    assigned = assign_cells(base, cents)  # (cell, id, v), zero-shuffle
+    bc = spark.sparkContext.broadcast(
+        {c: np.asarray(v, dtype=np.float64) for c, v in cents}
+    )
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("id", id_type),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("dup_group", id_type),
+        T.StructField("centroid_dist", T.DoubleType()),
+        T.StructField("keep", T.BooleanType()),
+    ])
+    sim_floor = 1.0 - float(eps)
+
+    def _cell_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = list(pdf["id"])
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        n = len(ids)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        Xn = X / np.where(norms == 0.0, 1.0, norms)
+        cell = int(pdf["cell"].iloc[0])
+        cv = bc.value[cell]
+        cn = np.linalg.norm(cv)
+        cdist = 1.0 - (Xn @ (cv / cn if cn else cv))
+        # union-find over within-cell near-dup pairs, gram in row blocks
+        parent = np.arange(n)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        bs = max(1, min(n, block_elems // max(1, n)))
+        for lo in range(0, n, bs):
+            hi = min(n, lo + bs)
+            S = Xn[lo:hi] @ Xn.T  # (bs, n)
+            ii, jj = np.nonzero(S >= sim_floor)
+            for i, j in zip(ii + lo, jj):
+                if i < j:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        roots = np.asarray([find(i) for i in range(n)])
+        # group label = smallest member id; keep = largest centroid_dist
+        # (paper's keep-low-similarity-to-centroid), id tie-break
+        order = sorted(range(n), key=lambda i: ids[i])
+        group_label: dict[int, object] = {}
+        for i in order:
+            group_label.setdefault(int(roots[i]), ids[i])
+        keep_of: dict[int, int] = {}
+        for i in order:  # id-ascending → first max wins the tie
+            r = int(roots[i])
+            if r not in keep_of or cdist[i] > cdist[keep_of[r]]:
+                keep_of[r] = i
+        kept = {keep_of[r] for r in keep_of}
+        return pd.DataFrame({
+            "id": ids,
+            "cell": [cell] * n,
+            "dup_group": [group_label[int(roots[i])] for i in range(n)],
+            "centroid_dist": cdist,
+            "keep": [i in kept for i in range(n)],
+        })
+
+    return assigned.groupBy("cell").applyInPandas(_cell_dedup, out_schema)
+
+
 # ------------------------------------------------------- incremental dedup
 
 

@@ -376,3 +376,46 @@ def test_duplicate_spans_blank_docs_zero_tokens(spark):
         "id", F.size(F.array_remove(tokens_col("text"), "")).alias("n")
     )
     assert {r.id: r.n for r in ntok.collect()} == {1: 0, 2: 0, 3: 8}
+
+
+def test_semantic_dedup_groups_and_keep_policy(spark):
+    """SemDeDup composition: tight trios of near-identical embeddings
+    collapse to one within-cell dup group each; exactly one member is
+    kept (the largest centroid distance, id tie-break); the result is
+    partitioning-invariant; an eps below the trio spread keeps everything."""
+    import numpy as np
+
+    from docarray_spark.operators import semantic_dedup
+
+    rows = []
+    for d in range(10):
+        base = np.random.RandomState(100 + d).randn(8)
+        for c in range(3):
+            v = base + 0.001 * np.random.RandomState(1000 + d * 3 + c).randn(8)
+            rows.append((d * 3 + c, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+
+    out = semantic_dedup(df, k_clusters=3, eps=0.05).toPandas()
+    assert len(out) == 30 and out["id"].nunique() == 30
+    # each trio is one group labelled by its smallest id
+    for d in range(10):
+        grp = out[out["id"].isin([d * 3, d * 3 + 1, d * 3 + 2])]
+        assert set(grp["dup_group"]) == {d * 3}, d
+        kept = grp[grp["keep"]]
+        assert len(kept) == 1
+        # keep policy: the member farthest from its cluster centroid
+        assert kept["centroid_dist"].iloc[0] == grp["centroid_dist"].max()
+    assert out["keep"].sum() == 10
+
+    # partitioning invariance (per-cell math must not depend on input split)
+    a = semantic_dedup(df.repartition(1), k_clusters=3, eps=0.05).toPandas()
+    b = semantic_dedup(df.repartition(7), k_clusters=3, eps=0.05).toPandas()
+    cols = ["id", "cell", "dup_group", "keep"]
+    assert (
+        a[cols].sort_values("id").reset_index(drop=True).equals(
+            b[cols].sort_values("id").reset_index(drop=True))
+    )
+
+    # eps below the trio spread → everything is its own group, all kept
+    solo = semantic_dedup(df, k_clusters=3, eps=1e-12).toPandas()
+    assert solo["keep"].all() and solo["dup_group"].nunique() == 30
