@@ -661,13 +661,19 @@ def semantic_dedup(
     Execution shape (Spark-first): ``cluster.kmeans`` trains the
     centroids (deterministic hash-sample init) unless ``centroids=`` is
     passed; assignment is the zero-shuffle ``assign_cells`` map; the per-
-    cell pairwise pass is ONE ``applyInPandas`` over ``groupBy(cell)`` —
-    inside, the gram matrix is computed in row blocks capped at
-    ``block_elems`` elements (memory O(block × cell), never O(cell²)
-    at once) feeding a numpy union-find. SIZING: a cell must fit one
-    executor (the same per-group contract as every grouped-map operator
-    here) — pick ``k_clusters ≈ n / target_cell_rows``; the paper runs
-    50k clusters at web scale for exactly this reason."""
+    cell pairwise pass is ONE ``applyInPandas`` over ``groupBy(cell)``.
+    Inside, components are labelled by BLOCKWISE min-label propagation:
+    per sweep, each row-block's gram slice (capped at ``block_elems``
+    elements — memory O(block × cell), never O(cell²) at once) masks a
+    vectorized neighbor-min, then labels pointer-jump; sweeps repeat to
+    fixpoint. No per-pair Python loop and no pair materialization — the
+    dup-DENSE cell (every member pairwise-similar, i.e. the exact
+    workload dedup targets, with O(cell²) pairs) converges in 2 sweeps;
+    only long similarity CHAINS need more (≤ log-diameter with the
+    pointer jumping). SIZING: a cell must fit one executor (the same
+    per-group contract as every grouped-map operator here) — pick
+    ``k_clusters ≈ n / target_cell_rows``; the paper runs 50k clusters
+    at web scale for exactly this reason."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -711,26 +717,25 @@ def semantic_dedup(
         cv = bc.value[cell]
         cn = np.linalg.norm(cv)
         cdist = 1.0 - (Xn @ (cv / cn if cn else cv))
-        # union-find over within-cell near-dup pairs, gram in row blocks
-        parent = np.arange(n)
-
-        def find(i):
-            while parent[i] != i:
-                parent[i] = parent[parent[i]]
-                i = parent[i]
-            return i
-
+        # blockwise min-label propagation (vectorized; no per-pair loop):
+        # labels start as row indices; each sweep takes, per row, the min
+        # label over its >=sim_floor neighbors (diag sim = 1 keeps self),
+        # then pointer-jumps. A dup-dense clique converges in one sweep
+        # (+1 to detect the fixpoint); chains in <= log-diameter sweeps.
+        labels = np.arange(n, dtype=np.int64)
         bs = max(1, min(n, block_elems // max(1, n)))
-        for lo in range(0, n, bs):
-            hi = min(n, lo + bs)
-            S = Xn[lo:hi] @ Xn.T  # (bs, n)
-            ii, jj = np.nonzero(S >= sim_floor)
-            for i, j in zip(ii + lo, jj):
-                if i < j:
-                    ri, rj = find(i), find(j)
-                    if ri != rj:
-                        parent[max(ri, rj)] = min(ri, rj)
-        roots = np.asarray([find(i) for i in range(n)])
+        while True:
+            new = labels.copy()
+            for lo in range(0, n, bs):
+                hi = min(n, lo + bs)
+                S = Xn[lo:hi] @ Xn.T  # (bs, n)
+                nbr = np.where(S >= sim_floor, labels[None, :], n).min(axis=1)
+                np.minimum(new[lo:hi], nbr, out=new[lo:hi])
+            new = new[new]  # pointer jumping halves label chains
+            if (new == labels).all():
+                break
+            labels = new
+        roots = labels
         # group label = smallest member id; keep = largest centroid_dist
         # (paper's keep-low-similarity-to-centroid), id tie-break
         order = sorted(range(n), key=lambda i: ids[i])
