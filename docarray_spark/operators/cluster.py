@@ -228,7 +228,9 @@ def kmeans(
     # (replaces the r3 posexplode form, which widened the corpus d-fold —
     # sf0.1: 6.4M exploded rows — before the shuffle).
     d = len(cents[0][1]) if cents else 0
-    for _ in range(n_iter):
+    for _ in range(n_iter if cents else 0):  # empty corpus → no centroids,
+        # no iterations — callers get an empty centroid table, not an
+        # AxisError from a (0,)-shaped centroid matrix
         new_rows = (
             _lloyd_partials(base, cents)
             .groupBy("cell", "dim")
@@ -245,6 +247,10 @@ def kmeans(
     cent_df = spark.createDataFrame(
         [(c, v) for c, v in cents], "cell int, centroid array<double>"
     )
+    if not cents:
+        # empty corpus: zero-centroid assignment is unrepresentable in the
+        # literal fold (empty argmin) — return the empty tables directly
+        return cent_df, base.select(F.lit(0).alias("cell"), "id").limit(0)
     assigned = _assign_cells(base, cents).select("cell", "id")
     return cent_df, assigned
 

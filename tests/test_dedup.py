@@ -419,3 +419,51 @@ def test_semantic_dedup_groups_and_keep_policy(spark):
     # eps below the trio spread → everything is its own group, all kept
     solo = semantic_dedup(df, k_clusters=3, eps=1e-12).toPandas()
     assert solo["keep"].all() and solo["dup_group"].nunique() == 30
+
+
+def test_semantic_dedup_null_embeddings_and_guards(spark):
+    """ADVICE r8 #4 + VERDICT r8 #2: rows with null/empty embeddings come
+    back as keep=true singletons (one row per input row — a missing
+    embedding never silently deletes a document); k_clusters=0 / an empty
+    centroids list raises instead of KeyErroring in the grouped pass; a
+    cell over max_cell_rows raises with the k_clusters sizing law instead
+    of OOMing the executor."""
+    import numpy as np
+
+    from docarray_spark.operators import semantic_dedup
+
+    rows = []
+    for d in range(4):
+        base = np.random.RandomState(100 + d).randn(8)
+        for c in range(2):
+            v = base + 0.001 * np.random.RandomState(77 + d * 2 + c).randn(8)
+            rows.append((d * 2 + c, [float(x) for x in v]))
+    rows += [(100, None), (101, [])]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+
+    out = semantic_dedup(df, k_clusters=2, eps=0.05).toPandas()
+    assert len(out) == 10 and out["id"].nunique() == 10  # one row per input row
+    nul = out[out["id"].isin([100, 101])].set_index("id")
+    assert nul["keep"].all()
+    assert (nul["dup_group"] == nul.index).all()
+    assert nul["cell"].isna().all() and nul["centroid_dist"].isna().all()
+    # the comparable rows still dedup normally
+    assert out[~out["id"].isin([100, 101])]["keep"].sum() == 4
+
+    with pytest.raises(ValueError, match="k_clusters must be"):
+        semantic_dedup(df, k_clusters=0)
+    with pytest.raises(ValueError, match="no centroids"):
+        semantic_dedup(df, centroids=[])
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no non-empty embeddings"):
+        semantic_dedup(all_null, k_clusters=2)
+
+    # cell-size guard: everything lands in one cell of 8 > max_cell_rows=4
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError),
+                       match="max_cell_rows"):
+        semantic_dedup(df, k_clusters=1, max_cell_rows=4).collect()

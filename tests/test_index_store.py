@@ -1337,3 +1337,116 @@ def test_six_family_lifecycle_one_merge_one_repair(spark, tmp_path):
         st = {r.status for r in index_status(
             spark, path, p, stale_if_within=MARGIN).collect()}
         assert st == {"fresh"}, (name, st)
+
+
+def test_bootstrap_via_refresh_writes_sidecar(spark, tmp_path, store):
+    """ADVICE r8 #3: a store bootstrapped purely via BUCKETED refreshes
+    against a fresh path (quantizer passed, no sidecar yet) must still
+    end up self-describing — otherwise later drifted-quantizer refreshes
+    pass unvalidated and index_path= serving raises 'no sidecar'."""
+    from docarray_spark.operators import ivfpq_refresh, sq_refresh
+    from docarray_spark.operators.index_store import _load_sidecar
+    from docarray_spark.operators.match import find_by_vectors
+    from docarray_spark.operators.pq import sq_train
+
+    corpus = spark.read.parquet(store)
+    bounds = sq_train(corpus)
+    books = pq_train(corpus, m=4, ksub=16, sample=400)
+    cents, ibooks = _ivfpq_quantizer(spark, store)
+    buckets = list(range(N_BUCKETS))  # bucketed call — NOT a full build
+    sq_path = str(tmp_path / "boot_sq")
+    pq_path = str(tmp_path / "boot_pq")
+    ivf_path = str(tmp_path / "boot_ivf")
+    sq_refresh(spark, store, sq_path, bounds, buckets=buckets)
+    pq_refresh(spark, store, pq_path, books, buckets=buckets)
+    ivfpq_refresh(spark, store, ivf_path, cents, ibooks,
+                  buckets=buckets, group_buckets=4)
+    for p in (sq_path, pq_path, ivf_path):
+        assert _load_sidecar(spark, p) is not None, p
+
+    # a later drifted-quantizer refresh now fails loudly instead of
+    # passing unvalidated against a sidecar-less store
+    bad_bounds = ([b - 1.0 for b in bounds[0]], [b + 1.0 for b in bounds[1]])
+    with pytest.raises(ValueError, match="differ from"):
+        sq_refresh(spark, store, sq_path, bad_bounds, buckets=[0])
+    bad_books = [[[v + 1.0 for v in row] for row in book] for book in books]
+    with pytest.raises(ValueError, match="differ from"):
+        pq_refresh(spark, store, pq_path, bad_books, buckets=[0])
+
+    # and index_path= serving works off the bootstrapped stores
+    assert find_by_vectors(
+        corpus, [_vec(3)], k=1, metric="sqeuclidean",
+        backend="sq8", index_path=sq_path,
+    ).first().match_id == 3
+    assert find_by_vectors(
+        corpus, [_vec(3)], k=1, metric="sqeuclidean", backend="ivfpq",
+        index_path=ivf_path, n_probe=4,
+        rerank_corpus=corpus, rerank_factor=8,
+    ).first().match_id == 3
+
+
+def test_index_path_rejects_explicit_quantizer_args(spark, tmp_path, store):
+    """ADVICE r8 #1: index_path= means "serve with the store's OWN
+    sidecar quantizer/codes"; combining it with explicit quantizer or
+    encoded args must raise uniformly across sq8/pq/ivfpq — silent
+    caller-wins serves foreign-quantizer distances, silent sidecar-wins
+    discards what the caller thought they were using."""
+    from docarray_spark.operators import ivfpq_refresh, sq_refresh
+    from docarray_spark.operators.match import find_by_vectors
+    from docarray_spark.operators.pq import sq_train
+
+    corpus = spark.read.parquet(store)
+    bounds = sq_train(corpus)
+    books = pq_train(corpus, m=4, ksub=16, sample=400)
+    cents, ibooks = _ivfpq_quantizer(spark, store)
+    sq_path = str(tmp_path / "x_sq")
+    pq_path = str(tmp_path / "x_pq")
+    ivf_path = str(tmp_path / "x_ivf")
+    sq_refresh(spark, store, sq_path, bounds)
+    pq_refresh(spark, store, pq_path, books)
+    ivfpq_refresh(spark, store, ivf_path, cents, ibooks)
+
+    with pytest.raises(ValueError, match="sidecar.*bounds"):
+        find_by_vectors(corpus, [_vec(3)], k=1, metric="sqeuclidean",
+                        backend="sq8", index_path=sq_path, bounds=bounds)
+    with pytest.raises(ValueError, match="sidecar.*codebooks"):
+        find_by_vectors(corpus, [_vec(3)], k=1, metric="sqeuclidean",
+                        backend="pq", index_path=pq_path, codebooks=books)
+    with pytest.raises(ValueError, match="sidecar.*centroids"):
+        find_by_vectors(corpus, [_vec(3)], k=1, metric="sqeuclidean",
+                        backend="ivfpq", index_path=ivf_path,
+                        centroids=cents, rerank_corpus=corpus)
+    with pytest.raises(ValueError, match="sidecar.*codebooks"):
+        find_by_vectors(corpus, [_vec(3)], k=1, metric="sqeuclidean",
+                        backend="ivfpq", index_path=ivf_path,
+                        codebooks=ibooks, rerank_corpus=corpus)
+
+
+def test_hnsw_insert_mode_dim_change_degrades_to_rebuild(spark, tmp_path):
+    """ADVICE r8 #2: if a bucket's embedding dimensionality changed
+    between refreshes, the vectorized surviving-key compare must degrade
+    to a rebuild (like any changed vector), not raise a numpy broadcast
+    error."""
+    import pickle
+
+    path = str(tmp_path / "dimstore")
+    rows = [(i, _vec(i, 16)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    init_parquet_store(df, path, n_buckets=2)
+    index = str(tmp_path / "dim_idx")
+    hnsw_refresh(spark, path, index, metric="cosine", M=8, ef_construction=64)
+
+    # rewrite EVERY row with dim-8 vectors (same ids → same buckets)
+    upd = spark.createDataFrame(
+        [(i, _vec(i, 8)) for i in range(40)], "id long, embedding array<float>"
+    )
+    summary = merge_parquet_store(spark, path, upd, id_col="id", n_buckets=2)
+    hnsw_refresh(
+        spark, path, index, buckets=summary["buckets"],
+        metric="cosine", M=8, ef_construction=64, mode="insert",
+    )
+    seg = spark.read.parquet(index).collect()
+    assert len(seg) == 2
+    for r in seg:
+        graph = pickle.loads(bytes(r.blob))
+        assert graph._data.shape[1] == 8  # rebuilt on the new dim

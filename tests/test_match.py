@@ -348,6 +348,14 @@ def test_unified_find_list_of_str_batched_from_stored_index(spark, tmp_path):
                       key=lambda t: t[1])
         assert part == want, q
 
+    # ADVICE r8 #5: the list branch gets the same explanatory text_col
+    # guard as the single-string path — not an opaque unexpected-keyword
+    # TypeError from inside bm25_match_stored
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="text_col applies only"):
+        ufind(docs, qs, index_path=idx, text_col="text", k=5)
+
 
 def test_find_by_vectors_hnsw_index_path(spark, tmp_path):
     """backend='hnsw' + index_path= serves from prebuilt graph segments —
