@@ -1556,6 +1556,35 @@ def q_roundtrip_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.unionByName(jg).unionByName(pb).unionByName(nd)
 
 
+def q_semantic_dedup_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.semantic_dedup, Abbas et al. 2023) with
+    FIXED centroids (the first 4 embedding rows) so the whole pipeline —
+    sqeuclidean cell assignment, within-cell cosine components, keep-low-
+    centroid-similarity policy — is deterministic and SQL-replayable
+    (VERDICT r8 #2: the one dedup family that wasn't oracle-gated).
+    Corpus = embeddings ∪ perturbed copies (every 20th vector +0.01), so
+    each copy forms a two-member dup group with its source."""
+    from docarray_spark.operators import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    copies = emb.filter(F.col("id") % 20 == 0).select(
+        (F.col("id") + 100000).alias("id"),
+        F.expr("transform(embedding, x -> x + 0.01d)").alias("embedding"),
+    )
+    base = emb.unionByName(copies)
+    cents = [
+        (int(r.id), [float(x) for x in r.embedding])
+        for r in emb.filter("id < 4").collect()  # 4 rows — bounded
+    ]
+    return semantic_dedup(
+        base, centroids=cents, eps=0.05, id_col="id", emb_col="embedding",
+        round_to=6,
+    )
+
+
 def q_dedup_embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged r3: embedding-cosine near-dup pairs, both gates — the
     'exact_gate' part (thr 0.01, 12 planes × 8 tables) is oracle-checked
@@ -1563,10 +1592,20 @@ def q_dedup_embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     part (thr 0.05, 12 planes × 4 tables) is checked against an oracle
     that mirrors the LSH bucketing itself (pins candidate generation —
     r3 raised it from 8 planes: 8 put ~200 ids in every bucket at sf0.1,
-    a 21M-pair verify join for no extra gate strength)."""
+    a 21M-pair verify join for no extra gate strength). r9 adds the
+    'semantic' part: the full SemDeDup output (cells, dup groups, keep
+    policy) hash-checked against a DuckDB transitive-closure replay."""
     a = q_dedup_embedding(spark, sf_dir).select(F.lit("exact_gate").alias("part"), "*")
     b = q_dedup_embedding_lsh(spark, sf_dir).select(F.lit("bucket_gate").alias("part"), "*")
-    return a.unionByName(b)
+    c = q_semantic_dedup_part(spark, sf_dir).select(F.lit("semantic").alias("part"), "*")
+    # keep rides as INT: a null BOOLEAN stringifies engine-dependently
+    # (None vs NaN) while null numerics agree — hash-safe like the other
+    # suites' NULL pad columns
+    return (
+        a.unionByName(b)
+        .unionByName(c.withColumn("keep", F.col("keep").cast("int")),
+                     allowMissingColumns=True)
+    )
 
 
 def q_dedup_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3434,6 +3473,51 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
             ORDER BY d.doc_id
         """,
+        "semantic_dedup": """
+            WITH RECURSIVE b0 AS (
+              SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x + 0.01)
+              FROM embeddings WHERE vec_id % 20 = 0
+            ),
+            cents AS (
+              SELECT vec_id::INT AS cell, embedding::DOUBLE[] AS cv
+              FROM embeddings WHERE vec_id < 4
+            ),
+            asg AS (
+              SELECT b0.id, b0.v,
+                     (SELECT cell FROM cents
+                      ORDER BY list_distance(b0.v, cv) ASC, cell ASC
+                      LIMIT 1) AS cell
+              FROM b0
+            ),
+            wd AS (
+              SELECT a.id, a.v, a.cell,
+                     round(1 - list_cosine_similarity(a.v, c.cv), 6)
+                       AS centroid_dist
+              FROM asg a JOIN cents c USING (cell)
+            ),
+            edges AS (
+              SELECT a.id AS src, b.id AS dst
+              FROM wd a JOIN wd b ON a.cell = b.cell AND a.id <> b.id
+              WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95
+            ),
+            reach(id, m) AS (
+              SELECT id, id FROM wd
+              UNION
+              SELECT e.dst, r.m FROM reach r JOIN edges e ON r.id = e.src
+            ),
+            comp AS (SELECT id, MIN(m) AS dup_group FROM reach GROUP BY id),
+            scored AS (
+              SELECT w.id, w.cell, c.dup_group, w.centroid_dist,
+                     row_number() OVER (PARTITION BY c.dup_group
+                                        ORDER BY w.centroid_dist DESC,
+                                                 w.id ASC) AS rn
+              FROM wd w JOIN comp c USING (id)
+            )
+            SELECT id, cell, dup_group, centroid_dist, rn = 1 AS keep
+            FROM scored
+        """,
         "dedup_embedding": """
             WITH base AS (
               SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
@@ -3735,11 +3819,29 @@ def oracle_sql() -> dict[str, str]:
             "'<f4' AS lang, 'pb_ndarray' AS source, "
             "CAST(len(embedding) AS BIGINT) AS n_chars FROM embeddings"
         ),
-        "dedup_embedding": u(
-            [
-                ("exact_gate", s["dedup_embedding"]),
-                ("bucket_gate", s["dedup_embedding_lsh"]),
-            ]
+        "dedup_embedding": (
+            u(
+                [
+                    ("exact_gate", s["dedup_embedding"]),
+                    ("bucket_gate", s["dedup_embedding_lsh"]),
+                ],
+                cols=(
+                    "id_a, id_b, cosine_dist, CAST(NULL AS BIGINT) AS id, "
+                    "CAST(NULL AS INT) AS cell, "
+                    "CAST(NULL AS BIGINT) AS dup_group, "
+                    "CAST(NULL AS DOUBLE) AS centroid_dist, "
+                    "CAST(NULL AS INT) AS keep"
+                ),
+            )
+            + "\nUNION ALL\n"
+            + (
+                "SELECT 'semantic' AS part, CAST(NULL AS BIGINT) AS id_a, "
+                "CAST(NULL AS BIGINT) AS id_b, "
+                "CAST(NULL AS DOUBLE) AS cosine_dist, "
+                "id, cell, dup_group, centroid_dist, "
+                "CAST(keep AS INT) AS keep "
+                f"FROM (\n{s['semantic_dedup']}\n)"
+            )
         ),
         "dedup_text_pairs": u(
             [

@@ -642,6 +642,7 @@ def semantic_dedup(
     centroids: list[tuple[int, list[float]]] | None = None,
     block_elems: int = 33_554_432,
     max_cell_rows: int = 1_000_000,
+    round_to: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — the published
     semantic-dedup recipe for web-scale training corpora): k-means the
@@ -683,7 +684,13 @@ def semantic_dedup(
     inside the grouped pass, so the guard costs no extra corpus scan)
     instead of silently OOMing the executor in the gram step (VERDICT
     r8 #2) — raise ``max_cell_rows`` explicitly only if the executor
-    can hold O(cell·d) + O(block_elems) doubles."""
+    can hold O(cell·d) + O(block_elems) doubles.
+
+    ``round_to`` rounds every cosine similarity before the ``eps``
+    threshold compare and every ``centroid_dist`` before the keep-policy
+    compare (and in the output) — the same decimal pin the other gated
+    operators use, so threshold/argmax decisions are reproducible across
+    engines (required for the DuckDB oracle gate)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -755,6 +762,8 @@ def semantic_dedup(
         cv = bc.value[cell]
         cn = np.linalg.norm(cv)
         cdist = 1.0 - (Xn @ (cv / cn if cn else cv))
+        if round_to is not None:
+            cdist = np.round(cdist, round_to)
         # blockwise min-label propagation (vectorized; no per-pair loop):
         # labels start as row indices; each sweep takes, per row, the min
         # label over its >=sim_floor neighbors (diag sim = 1 keeps self),
@@ -767,6 +776,8 @@ def semantic_dedup(
             for lo in range(0, n, bs):
                 hi = min(n, lo + bs)
                 S = Xn[lo:hi] @ Xn.T  # (bs, n)
+                if round_to is not None:
+                    S = np.round(S, round_to)
                 nbr = np.where(S >= sim_floor, labels[None, :], n).min(axis=1)
                 np.minimum(new[lo:hi], nbr, out=new[lo:hi])
             new = new[new]  # pointer jumping halves label chains
