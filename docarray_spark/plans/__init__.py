@@ -7,6 +7,8 @@ from docarray_spark.plans.audit import (
     explain_str,
     has_cartesian,
     has_take_ordered,
+    has_window_group_limit,
+    partition_filters,
     pushed_filters,
     read_schemas,
     scan_count,
@@ -21,6 +23,8 @@ __all__ = [
     "explain_str",
     "has_cartesian",
     "has_take_ordered",
+    "has_window_group_limit",
+    "partition_filters",
     "persistent_rdd_ids",
     "pushed_filters",
     "read_schemas",

@@ -102,6 +102,27 @@ def codegen_span_count(df: DataFrame) -> int:
     return len(ids)
 
 
+def has_window_group_limit(df: DataFrame) -> bool:
+    """True when a ``row_number() <= k`` window filter compiled to Spark 4's
+    WindowGroupLimit partial/final pushdown — per-partition top-k BELOW the
+    exchange, so the shuffle ships ≤ k rows per (key, partition) instead of
+    the full scored set (the batched bm25 serving claim, VERDICT r8 #1)."""
+    return "WindowGroupLimit" in explain_str(df)
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """Every ``PartitionFilters: [...]`` entry across the plan's file
+    scans — the partition-pruning evidence (e.g. the grouped ivfpq
+    refresh's ``pmod(_bucket, G)`` expression must land here, or the
+    store scan reads every bucket)."""
+    out = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", explain_str(df)):
+        entry = m.group(1).strip()
+        if entry:
+            out.append(entry)
+    return out
+
+
 def has_take_ordered(df: DataFrame) -> bool:
     """True when a global top-k compiles to TakeOrderedAndProject (the
     distributed per-partition top-k + merge) instead of a full sort."""

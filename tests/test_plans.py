@@ -201,3 +201,72 @@ def test_released_after_releases_only_new_blocks(spark):
     assert persistent_rdd_ids(spark) == before  # inner released, outer kept
     assert keep.count() == 100  # outer cache still usable
     keep.unpersist()
+
+
+def test_bm25_stored_batched_topk_uses_window_group_limit(spark, tmp_path_factory):
+    """VERDICT r8 #1a: the batched stored-bm25 per-query top-k must
+    compile to Spark 4's WindowGroupLimit partial/final pushdown — the
+    exchange then ships ≤ k rows per (query, partition), never a query's
+    full scored set to one task. Pinned on the pre-collect subtree."""
+    from docarray_spark.operators import bm25_refresh
+    from docarray_spark.operators.index_store import _bm25_stored_topk
+    from docarray_spark.plans import has_window_group_limit
+    from docarray_spark.sources.writers import init_parquet_store
+
+    tmp = tmp_path_factory.mktemp("wgl")
+    docs = spark.createDataFrame(
+        [(i, f"token{i % 7} common filler w{i}") for i in range(60)],
+        "id long, text string",
+    )
+    store, idx = str(tmp / "store"), str(tmp / "idx")
+    init_parquet_store(docs, store, n_buckets=4)
+    bm25_refresh(spark, store, idx)
+    out, posts = _bm25_stored_topk(
+        spark, idx, ["token3 common", "token5 filler"],
+        "id", 5, 1.2, 0.75, None, False,
+    )
+    try:
+        assert has_window_group_limit(out)
+        # and the full public path still answers from that plan
+        assert out.count() > 0
+    finally:
+        posts.unpersist(False)
+
+
+def test_ivfpq_grouped_refresh_scan_partition_prunes_on_pmod(
+    spark, tmp_path_factory
+):
+    """VERDICT r8 #1b: the grouped ivfpq refresh filters the store scan
+    with pmod(_bucket, G) IN groups — an EXPRESSION on the partition
+    column. Pin that the expression lands in the scan's PartitionFilters
+    (partition pruning), so a grouped refresh reads only the touched
+    groups' directories, never the whole store."""
+    import numpy as np
+
+    from docarray_spark.operators.index_store import _pruned_store_scan
+    from docarray_spark.plans import partition_filters
+    from docarray_spark.sources.writers import init_parquet_store
+
+    tmp = tmp_path_factory.mktemp("pmod")
+    store = str(tmp / "store")
+    rows = [
+        (i, [float(x) for x in np.random.RandomState(i).randn(8)])
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    init_parquet_store(df, store, n_buckets=8)
+
+    scan, G, groups = _pruned_store_scan(spark, store, buckets=[1, 9, 3], group_buckets=4)
+    assert G == 4 and groups == [1, 3]
+    pf = partition_filters(scan)
+    assert pf, "grouped store scan lost partition pruning"
+    assert any("pmod" in f and "_bucket" in f for f in pf), pf
+    # the filter selects exactly the two groups' buckets
+    got = sorted({r._bucket for r in scan.select("_bucket").distinct().collect()})
+    assert got == [b for b in range(8) if b % 4 in (1, 3)]
+
+    # ungrouped form still prunes with a plain IN on the partition column
+    scan2, G2, groups2 = _pruned_store_scan(spark, store, buckets=[2, 5], group_buckets=None)
+    assert G2 is None and groups2 == [2, 5]
+    pf2 = partition_filters(scan2)
+    assert pf2 and any("_bucket" in f for f in pf2), pf2
