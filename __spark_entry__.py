@@ -1303,7 +1303,10 @@ def _stream_partitions(spark: SparkSession, n: str = "8"):
 
 def _events_stream(spark: SparkSession, sf_dir: str):
     """events → a temp landing dir → file-source stream (availableNow).
-    The landing copy is written once per (process, sf_dir)."""
+    The landing copy is written once per (process, sf_dir), and carries
+    ONLY the columns the streaming entries consume — the unused ``props``
+    JSON string was 5/6 of the landing write (5.8 s → 1.1 s at sf0.1,
+    r9 cold-tail profile; VERDICT r8 #3)."""
     import os
     import tempfile
 
@@ -1312,7 +1315,9 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     landing = _LANDING_CACHE.get(sf_dir)
     if landing is None or not os.path.isdir(landing):
         landing = tempfile.mkdtemp(prefix="sg_stream_")
-        _t(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(landing)
+        _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        ).repartition(4).write.mode("overwrite").parquet(landing)
         _LANDING_CACHE[sf_dir] = landing
     return read_stream(spark, landing, spark.read.parquet(landing).schema)
 

@@ -400,16 +400,23 @@ def find_by_vectors(
     vecs = np.asarray(vectors, dtype=float)
     if vecs.ndim == 1:
         vecs = vecs[None, :]
-    # Arrow ingestion (ADVICE r7 #3): a pandas frame of numpy rows ships to
-    # the JVM as Arrow record batches — the old row-by-row
-    # createDataFrame([(i, [float(x)…])…]) pickled a Python list-of-lists
-    # per query matrix, needless driver CPU for large offline query batches
-    # (100k×128 measured in NOTES r8).
-    qdf = spark.createDataFrame(
-        pd.DataFrame({"id": np.arange(len(vecs), dtype=np.int64),
-                      "embedding": list(vecs)}),
-        schema="id bigint, embedding array<double>",
-    )
+    # Arrow ingestion (ADVICE r7 #3, residual closed r9): the query matrix
+    # ships as ONE pyarrow ListArray built directly over the contiguous
+    # float64 buffer — zero per-row Python objects anywhere. The r8
+    # pandas-of-numpy-rows form still boxed every row into an object
+    # column (only 1.5× over the r7 row loop at 100k×128, NOTES r8); the
+    # buffer-backed table is pure memcpy on the driver.
+    import pyarrow as pa
+
+    n, d = vecs.shape
+    offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+    qtbl = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.ListArray.from_arrays(
+            offsets, pa.array(np.ascontiguousarray(vecs).ravel(), type=pa.float64())
+        ),
+    })
+    qdf = spark.createDataFrame(qtbl, schema="id bigint, embedding array<double>")
     if backend == "exact":
         return match(corpus, qdf, k=k, metric=metric, **kwargs)
     if backend == "lsh":
