@@ -229,6 +229,18 @@ def main() -> None:
     from docarray_spark import get_spark
     import __spark_entry__ as entry_mod
 
+    # previous recording, read BEFORE this run overwrites it — feeds the
+    # per-entry delta_vs_prev (VERDICT r8 #7) so regression adjudication is
+    # mechanical instead of cross-referencing warm tables by hand
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path) as f:
+            prev = json.load(f)
+    except Exception:
+        prev = None
+
     ambient_load = _read_loadavg()
     cpu_ref = _cpu_ref()
     spark = get_spark(app_name="docarray_spark_bench", driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
@@ -237,6 +249,38 @@ def main() -> None:
     # Python UDF workers exist before any timed query needs them
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     spark.range(64).mapInPandas(lambda it: it, "id long").count()
+    # streaming-engine warm-up: the first availableNow drain in a process
+    # pays one-time init (state-store maintenance pool, microbatch thread,
+    # temp checkpoint plumbing) that otherwise lands on the FIRST streaming
+    # entry's cold time (r9 cold-tail profile: ~3 s of stream_counts_dedup's
+    # cold-minus-warm was exactly this). Same per-process one-time class as
+    # the codegen/UDF-worker warm-ups above.
+    import tempfile
+
+    from pyspark.sql import functions as _F
+
+    _sdir = tempfile.mkdtemp(prefix="bench_warm_stream_")
+    spark.range(64).select(
+        "id", _F.timestamp_seconds("id").alias("ts")
+    ).write.mode("overwrite").parquet(_sdir)
+    _old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # 8 state partitions,
+    # matching the entries' _stream_partitions scope — state-store init is
+    # per shuffle partition
+    try:
+        _wq = (
+            spark.readStream.schema(spark.read.parquet(_sdir).schema)
+            .parquet(_sdir)
+            .withWatermark("ts", "1 minute")
+            .groupBy(_F.window("ts", "10 seconds")).count()
+            .writeStream.format("noop").outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _wq.awaitTermination(60)
+        _wq.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", _old_sp)
 
     # Baseline anchors run FIRST, on a fresh heap: after 2x50 entry
     # executions the JVM's heap history (cached-block churn, GC debt)
@@ -306,6 +350,31 @@ def main() -> None:
     total_calm = round(sum(calm_cold.values()), 4)
     loaded_entries = sum(1 for d in detail.values() if d["loaded"])
 
+    # Per-entry speed-normalized delta vs the previous recording (VERDICT
+    # r8 #7): current time is re-expressed in the PREVIOUS window's clock
+    # units via the pyloop ratio (prev_pyloop / cur_pyloop) before
+    # dividing — a ratio > 1 is a genuine regression, not a slower host.
+    delta_vs_prev = {}
+    if prev:
+        p_cold = prev.get("queries_cold", {})
+        p_warm = prev.get("queries_warm", {})
+        p_load = prev.get("load", {})
+        for name in calm_cold:
+            if name not in p_cold or name not in p_warm:
+                continue
+            ppy = (p_load.get(name) or {}).get("pyloop") or prev.get(
+                "pyloop_run_best"
+            )
+            cpy = detail[name]["pyloop"]
+            norm = (ppy / cpy) if ppy and cpy else 1.0
+            delta_vs_prev[name] = {
+                "cold_ratio": round(calm_cold[name] * norm / p_cold[name], 3)
+                if p_cold[name] else None,
+                "warm_ratio": round(calm_warm[name] * norm / p_warm[name], 3)
+                if p_warm[name] else None,
+                "clock_norm": round(norm, 3),
+            }
+
     # Full cold+warm per-query detail goes to a repo file (the driver's
     # stdout capture keeps only the LAST 2000 BYTES — r02's line overflowed
     # it and recorded parsed:null). The printed line stays compact:
@@ -330,6 +399,12 @@ def main() -> None:
                 "total_cold_raw": round(sum(raw_cold.values()), 4),
                 "total_warm_raw": round(sum(raw_warm.values()), 4),
                 "loaded_entries": loaded_entries,
+                "delta_vs_prev": delta_vs_prev,
+                "prev_totals": {
+                    "total_cold": prev.get("total_cold"),
+                    "total_warm": prev.get("total_warm"),
+                    "pyloop_run_best": prev.get("pyloop_run_best"),
+                } if prev else None,
                 "baseline_anchors": anchors,
             },
             f,

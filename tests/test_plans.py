@@ -227,6 +227,13 @@ def test_bm25_stored_batched_topk_uses_window_group_limit(spark, tmp_path_factor
     )
     try:
         assert has_window_group_limit(out)
+        # the query-side tables stay broadcast (driver-bounded: qmap rows =
+        # sum of per-query term counts, dfreq rows = distinct slice terms —
+        # both scale with the QUERY batch, never the corpus), so the only
+        # shuffles are the score groupBy and the per-query window
+        from docarray_spark.plans import broadcast_join_count
+
+        assert broadcast_join_count(out) >= 2
         # and the full public path still answers from that plan
         assert out.count() > 0
     finally:
