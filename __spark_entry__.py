@@ -401,11 +401,18 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docarray_spark.operators import gopher_quality, repetition_signals
 
     docs = _t(spark, sf_dir, "documents")
-    rules = gopher_quality(docs, id_col="doc_id", text_col="text", extra_cols=["text"])
-    rep = repetition_signals(rules, id_col="doc_id", text_col="text")
-    return rep.drop("text").withColumn(
-        "keep_all", F.col("keep") & F.col("rep_keep")
+    # Arrow pass FIRST on the bare (id, text) pair, Catalyst projection on
+    # top: the r6 order shipped gopher's ten computed columns through the
+    # Python worker round-trip for no reason (r9: 3.7 s → 2.75 s warm at
+    # sf0.1). Still one scan, zero shuffles.
+    rep = repetition_signals(
+        docs.select("doc_id", "text"), id_col="doc_id", text_col="text"
     )
+    rules = gopher_quality(
+        rep, id_col="doc_id", text_col="text",
+        extra_cols=[c for c in rep.columns if c not in ("doc_id", "text")],
+    )
+    return rules.withColumn("keep_all", F.col("keep") & F.col("rep_keep"))
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
