@@ -26,13 +26,27 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from docarray_spark.operators.dedup import word_shingles_col
+from docarray_spark.operators.dedup import with_word_shingles
 
 
-def _gram_hashes(text: Column | str, n: int) -> Column:
-    """Distinct md5-hashed word n-grams of the text (whole text as one gram
-    when shorter than n words — a short eval doc still decontaminates)."""
-    return F.transform(word_shingles_col(text, n), lambda g: F.md5(g))
+def _exploded_gram_hashes(df: DataFrame, text: str, n: int, *keep) -> DataFrame:
+    """``(*keep, _gh)`` — one row per distinct word n-gram of the text
+    (whole text as one gram when shorter than n words — a short eval doc
+    still decontaminates). Shingles come from the staged single-pass form
+    (``with_word_shingles``, 3× the zip_with chain at n=8) and the md5
+    runs AFTER the explode — whole-stage codegen, one hash per output
+    row, never inside an interpreted HOF lambda. ``explode_outer`` +
+    post-generate null filter, NOT plain explode: the optimizer's
+    InferFiltersFromGenerate would add a size(...)>0 filter below a plain
+    explode and predicate pushdown inlines the whole staged shingle
+    expression into it — the O(W²) re-split-per-element rebuild the
+    staging avoids (r9: 1.93 s → 0.71 s for the sf0.1 corpus grams)."""
+    return (
+        with_word_shingles(df, text, n, out_col="_ga")
+        .select(*keep, F.explode_outer("_ga").alias("_g"))
+        .filter(F.col("_g").isNotNull())
+        .select(*keep, F.md5("_g").alias("_gh"))
+    )
 
 
 def decontaminate_report(
@@ -54,15 +68,12 @@ def decontaminate_report(
     severity, not raw repetition.
     """
     etc = eval_text_col or text_col
-    eval_grams = (
-        eval_set.select(F.explode(_gram_hashes(etc, ngram_n)).alias("_gh"))
-        .distinct()
-    )
+    eval_grams = _exploded_gram_hashes(eval_set, etc, ngram_n).distinct()
     # word_shingles_col is per-doc distinct already — no corpus-wide
     # .distinct() (that would be a full shuffle of every gram; the per-doc
     # distinctness is all the count below needs).
-    corpus_grams = corpus.select(
-        F.col(id_col), F.explode(_gram_hashes(text_col, ngram_n)).alias("_gh")
+    corpus_grams = _exploded_gram_hashes(
+        corpus, text_col, ngram_n, F.col(id_col)
     )
     hits = (
         corpus_grams.join(F.broadcast(eval_grams), "_gh", "inner")

@@ -96,6 +96,38 @@ def word_shingles_col(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def with_word_shingles(
+    df: DataFrame, text_col: str, n: int, out_col: str = "_sh"
+) -> DataFrame:
+    """``df`` + ``out_col`` = the same distinct word n-gram shingles as
+    :func:`word_shingles_col`, built the fast way available when a
+    DataFrame (not just a Column) is in hand: the token array is STAGED
+    as a materialized column, then ONE ``transform`` over start indices
+    slices it per gram. Interpreted HOF eval re-computes lambda-referenced
+    expression SUBTREES per element but evaluates ATTRIBUTE references
+    once per row (the winnow/gopher staging exemption), so this is safe
+    and single-pass — the pure-Column zip_with chain materializes n-1
+    intermediate gram arrays with progressively longer strings (measured
+    3×: 1.58 s → 0.52 s for n=8 over the 5k sf0.1 docs, r9). Values are
+    identical; callers that only have an expression keep using
+    :func:`word_shingles_col`."""
+    tok = f"__{out_col}_toks"
+    toks = F.col(tok)
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
+    )
+    grams = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+    return (
+        df.withColumn(tok, tokens_col(text_col))
+        .withColumn(out_col, F.array_distinct(grams))
+        .drop(tok)
+    )
+
+
 def jaccard_col(a: Column, b: Column) -> Column:
     """Jaccard similarity of two (distinct-element) arrays."""
     inter = F.size(F.array_intersect(a, b))
@@ -174,13 +206,13 @@ def minhash_dedup_pairs(
     verification, so it's persisted (memory-and-disk) by default — at
     petabyte scale pass ``persist=False`` and materialize it to storage
     yourself instead."""
-    base = (
-        _ensure_parallelism(df)
-        .select(
-            F.col(id_col).alias("_id"),
-            word_shingles_col(text_col, shingle_n).alias("_sh"),
-        )
-        .filter(F.col("_sh").isNotNull())
+    # no _sh null-filter: the shingle array is never null (empty/null text
+    # → empty array, minima → [NULL]×bands, matches nothing), and a filter
+    # on it would be predicate-pushed BELOW the staging projection with the
+    # whole gram expression inlined — the O(W²) re-split-per-element
+    # rebuild with_word_shingles exists to avoid (r9 plan forensics)
+    base = with_word_shingles(_ensure_parallelism(df), text_col, shingle_n).select(
+        F.col(id_col).alias("_id"), "_sh"
     )
     if persist:
         from pyspark import StorageLevel
@@ -291,17 +323,18 @@ def ngram_jaccard_exact_pairs(
     dropped shingles are then missed AND surviving pairs' Jaccard is
     computed on the filtered sets — exactness only holds with
     ``max_df=None``."""
-    base = (
-        _ensure_parallelism(df)
-        .select(
-            F.col(id_col).alias("_id"),
-            word_shingles_col(text_col, shingle_n).alias("_sh"),
-        )
-        .filter(F.col("_sh").isNotNull())
+    # explode_outer, NOT explode: InferFiltersFromGenerate would add a
+    # size(...)>0 filter below a plain explode, and predicate pushdown
+    # inlines the whole staged shingle expression into it — the O(W²)
+    # re-split-per-element rebuild (r9 plan forensics; outer generates are
+    # exempt from the inference). The post-generate null filter restores
+    # the exact row set (empty arrays emit one null row).
+    base = with_word_shingles(_ensure_parallelism(df), text_col, shingle_n).select(
+        F.col(id_col).alias("_id"), "_sh"
     )
     posting = base.select(
-        "_id", F.size("_sh").alias("_sz"), F.explode("_sh").alias("_s")
-    )
+        "_id", F.size("_sh").alias("_sz"), F.explode_outer("_sh").alias("_s")
+    ).filter(F.col("_s").isNotNull())
     if max_df is not None:
         keep = (
             posting.groupBy("_s")
@@ -857,11 +890,11 @@ def history_table(
 
     from docarray_spark.operators.text import fingerprint_col
 
-    sh = df.select(
+    sh = with_word_shingles(df, text_col, shingle_n).select(
         *(keep_cols or []),
         F.col(id_col),
         fingerprint_col(text_col).alias("_fp"),
-        word_shingles_col(text_col, shingle_n).alias("_sh"),
+        "_sh",
     )
     hv = sh.withColumn(
         "_hv",
