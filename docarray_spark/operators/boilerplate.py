@@ -57,15 +57,22 @@ def remove_frequent_units(
     document; survivors re-join in original order (empty string when a doc
     was pure boilerplate)."""
     u = F.col(units) if isinstance(units, str) else units
-    exploded = df.select(
-        F.col(id_col), F.posexplode(u).alias("_pos", "_unit")
-    ).withColumn("_uh", F.md5("_unit"))
+    # outer generates + post-generate null filters: the caller's `units`
+    # is usually an expensive block-building expression, and the inferred
+    # size filter below a plain (pos)explode would push down and evaluate
+    # it a second time per row (explode-inlining trap, NOTES r9)
+    exploded = (
+        df.select(F.col(id_col), F.posexplode_outer(u).alias("_pos", "_unit"))
+        .filter(F.col("_unit").isNotNull())
+        .withColumn("_uh", F.md5("_unit"))
+    )
 
     # doc-frequency per unit hash; array_distinct BEFORE the explode makes a
     # unit repeated WITHIN one doc count once without any (id, hash)
     # pre-shuffle — the count shuffle ships only (hash, partial_count)
     freq = (
-        df.select(F.explode(F.array_distinct(u)).alias("_unit"))
+        df.select(F.explode_outer(F.array_distinct(u)).alias("_unit"))
+        .filter(F.col("_unit").isNotNull())
         .groupBy(F.md5("_unit").alias("_uh"))
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") >= min_df)

@@ -1104,16 +1104,21 @@ def duplicate_spans(
         .select(F.col(id_col).alias("id"), toks.alias("_t"))
         .filter(F.size("_t") >= window)
     )
-    # (id, start, whash): hash of the W-token run starting at `start`
+    # (id, start, whash): hash of the W-token run starting at `start`.
+    # posexplode_OUTER: a plain posexplode gets an inferred size(...)>0
+    # filter below the Generate, and pushdown inlines _t's tokenize
+    # expression into the slice lambda — re-tokenizing per WINDOW, O(W²)
+    # per doc (the explode-inlining trap, r9 NOTES). Outer generates are
+    # exempt; base's size filter already guarantees ≥1 window per row.
     wins = base.select(
         "id",
-        F.posexplode(
+        F.posexplode_outer(
             F.expr(
                 f"transform(sequence(0, size(_t) - {window}), s -> "
                 f"array_join(slice(_t, s + 1, {window}), ' '))"
             )
         ).alias("start", "_wtext"),
-    ).select(
+    ).filter(F.col("_wtext").isNotNull()).select(
         "id", "start",
         F.expr(hash_bits_sql("_wtext", 60, hash_method)).alias("whash"),
     )

@@ -808,8 +808,14 @@ def bm25_refresh(
         df.select("_bucket", F.col(id_col), tokens_col(text_col).alias("_toks"))
         .withColumn("_dl", F.size("_toks"))
     )
+    # explode_outer: the inferred size filter below a plain explode would
+    # push down and re-tokenize every doc a second time (the
+    # explode-inlining trap, r9 NOTES — measured 43% off this shape)
     tf = (
-        base.select("_bucket", id_col, "_dl", F.explode("_toks").alias("token"))
+        base.select(
+            "_bucket", id_col, "_dl", F.explode_outer("_toks").alias("token")
+        )
+        .filter(F.col("token").isNotNull())
         .groupBy("_bucket", "token", id_col, "_dl")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

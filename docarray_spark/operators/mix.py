@@ -82,7 +82,9 @@ def bigram_lm_score(
     _k = (lambda c: F.xxhash64(c)) if key_mode == "hashed" else (lambda c: c)
     big = toks.select(
         "_id",
-        F.explode(
+        F.explode_outer(  # outer: skip the inferred size filter, which
+            # would evaluate the whole zip_with chain a second time per
+            # row (explode-inlining trap, NOTES r9)
             F.when(
                 F.size("_t") >= 2,
                 F.zip_with(
@@ -92,7 +94,9 @@ def bigram_lm_score(
                 ),
             ).otherwise(F.array())
         ).alias("bg"),
-    ).select("_id", _k(F.col("bg.w1")).alias("w1"), _k(F.col("bg.w2")).alias("w2"))
+    ).filter(F.col("bg").isNotNull()).select(
+        "_id", _k(F.col("bg.w1")).alias("w1"), _k(F.col("bg.w2")).alias("w2")
+    )
 
     uni = (
         toks.select(F.explode("_t").alias("_w"))

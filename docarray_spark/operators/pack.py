@@ -194,9 +194,14 @@ def split_into_chunks(
     chunks = F.transform(
         starts, lambda s: F.slice(F.col("_toks"), s + 1, chunk_tokens)
     )
+    # posexplode_OUTER: the inferred size(...)>0 filter below a plain
+    # posexplode would inline _toks' tokenize into the slice lambda via
+    # pushdown — re-tokenizing per chunk (the explode-inlining trap, r9
+    # NOTES). The n_tokens >= min_tokens filter already drops the null
+    # row an empty chunk array would emit (size(NULL) is NULL).
     out = (
         staged.filter(nt > 0)
-        .select("parent_id", F.posexplode(chunks).alias("chunk_idx", "_ctoks"))
+        .select("parent_id", F.posexplode_outer(chunks).alias("chunk_idx", "_ctoks"))
         .withColumn("n_tokens", F.size("_ctoks"))
         .filter(F.col("n_tokens") >= min_tokens)
     )

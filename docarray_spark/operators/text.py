@@ -128,8 +128,12 @@ def vocabulary(
     (count desc, token asc) key is unique per row."""
     from docarray_spark.operators.group import distributed_row_number
 
+    # explode_outer (trap note in NOTES r9): the != "" filter on the
+    # generated column already drops the null row an empty array emits,
+    # and outer generates skip the inferred size filter whose pushdown
+    # would tokenize every doc twice
     counts = (
-        df.select(F.explode(tokens_col(text_col)).alias("token"))
+        df.select(F.explode_outer(tokens_col(text_col)).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("count"))
@@ -160,7 +164,9 @@ def text_to_tensor(
     ``broadcast_vocab=False`` for vocabularies too large to ship to every
     executor (uncapped web-corpus vocabs) — the join falls back to a hash
     shuffle on the token key."""
-    toks = df.select(id_col, F.posexplode(tokens_col(text_col)).alias("pos", "token"))
+    toks = df.select(
+        id_col, F.posexplode_outer(tokens_col(text_col)).alias("pos", "token")
+    ).filter(F.col("token").isNotNull())  # explode-inlining trap, NOTES r9
     v = vocab.select("token", "token_id")
     joined = toks.join(F.broadcast(v) if broadcast_vocab else v, "token", "left")
     seq = (
@@ -215,7 +221,10 @@ def text_search(
     stats = base.agg(
         F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
     )
-    toks = base.select("_id", "_dl", F.explode("_toks").alias("t")).filter(
+    # explode_outer: the isin filter drops the null row an empty token
+    # array emits, and outer skips the inferred size filter whose
+    # pushdown would tokenize every doc twice (trap note, NOTES r9)
+    toks = base.select("_id", "_dl", F.explode_outer("_toks").alias("t")).filter(
         F.col("t").isin(qterms)
     )
     # tf is tiny (query-term matches only) but feeds BOTH the df aggregate
@@ -272,7 +281,8 @@ def bm25_index(
         F.count(F.lit(1)).alias("n_docs"), F.avg("_dl").alias("avgdl")
     )
     tf = (
-        base.select("_id", "_dl", F.explode("_toks").alias("token"))
+        base.select("_id", "_dl", F.explode_outer("_toks").alias("token"))
+        .filter(F.col("token").isNotNull())  # explode-inlining trap, NOTES r9
         .groupBy("token", "_id", "_dl")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -634,7 +644,8 @@ def ngram_counts(
     → ``(gram, n_occurrences)``; deterministic order (count desc, gram asc)
     when ``top`` is set."""
     counts = (
-        df.select(F.explode(word_ngrams_col(text_col, n)).alias("gram"))
+        df.select(F.explode_outer(word_ngrams_col(text_col, n)).alias("gram"))
+        .filter(F.col("gram").isNotNull())  # explode-inlining trap, NOTES r9
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= min_count)
@@ -671,8 +682,8 @@ def tfidf_vectors(
     from docarray_spark.operators.group import distributed_row_number
 
     toks = df.select(
-        F.col(id_col), F.explode(tokens_col(text_col)).alias("token")
-    ).filter(F.col("token") != "")
+        F.col(id_col), F.explode_outer(tokens_col(text_col)).alias("token")
+    ).filter(F.col("token") != "")  # explode-inlining trap, NOTES r9
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     # tf feeds both the token-stats aggregation and the final weight join;
     # persist so the corpus-sized (id, token) aggregation runs once

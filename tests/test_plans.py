@@ -277,3 +277,32 @@ def test_ivfpq_grouped_refresh_scan_partition_prunes_on_pmod(
     assert G2 is None and groups2 == [2, 5]
     pf2 = partition_filters(scan2)
     assert pf2 and any("_bucket" in f for f in pf2), pf2
+
+
+def test_staged_shingle_explode_keeps_staging(spark):
+    """The explode-inlining trap (r9): a plain explode over a staged
+    expensive array gets an InferFiltersFromGenerate size filter, and
+    predicate pushdown inlines the WHOLE staged expression into it —
+    including the token split re-evaluated per lambda element (O(W²)).
+    The shipped shape (explode_outer + post-generate null filter) must
+    keep the optimized plan free of any inlined shingle expression in a
+    Filter; this pins that a Spark upgrade re-introducing the inference
+    for outer generates (or a refactor back to plain explode) fails CI."""
+    from docarray_spark.operators.dedup import with_word_shingles
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h i j k"), (1, "")], "id long, text string"
+    )
+    df = (
+        with_word_shingles(docs, "text", 8, out_col="_ga")
+        .select("id", F.explode_outer("_ga").alias("_g"))
+        .filter(F.col("_g").isNotNull())
+        .select("id", F.md5("_g").alias("_gh"))
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # no Filter anywhere re-evaluating the gram construction
+    assert "size(array_distinct" not in plan, plan
+    # the staging projection survived (tokens materialized once per row)
+    assert "_toks" in plan, plan
+    # and the md5 runs on the generated attribute, not inside a lambda
+    assert "md5(cast(_g#" in plan, plan
