@@ -47,6 +47,12 @@ EXT_CORES_CALM = 2.0
 # busy ticks — the r7 ann_ivf cold outlier sat exactly in this blind spot;
 # VERDICT r7 #2: sample the anchor INSIDE each entry window, not once per run)
 PYLOOP_SLOW_RATIO = 1.5
+# MULTICORE anchor (one ~4 ms 1024² GEMM, all BLAS threads): r9 caught a
+# window where pyloop read ~1.1× but every 32-thread entry ran 2× slow and
+# the 1M kNN anchor 5× — SMT/co-tenant pressure on shared siblings squeezes
+# parallel throughput while a single pinned thread stays near-full-speed.
+# The GEMM sample sees exactly that dimension.
+GEMM_SLOW_RATIO = 1.8
 MAX_ATTEMPTS_PER_ENTRY = 3  # first measurement + up to 2 re-measures
 GLOBAL_RETRY_BUDGET = 14  # bounds worst-case bench runtime on a busy host
 
@@ -113,6 +119,27 @@ def _pyloop_once() -> float:
     return time.perf_counter() - t0
 
 
+_GEMM_A = None
+
+
+def _gemm_once() -> float:
+    """One ~4 ms all-core 1024² GEMM sample — the per-window MULTICORE
+    speed probe. pyloop alone is blind to parallel-throughput degradation
+    (r9: a window with pyloop ≈ 1.1× ran every 32-thread entry 2× slow);
+    best of 2 back-to-back multiplies filters one-off scheduler blips."""
+    global _GEMM_A
+    import numpy as np
+
+    if _GEMM_A is None:
+        _GEMM_A = np.random.RandomState(0).randn(1024, 1024)
+    best = 9e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        (_GEMM_A @ _GEMM_A).sum()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def _cpu_ref() -> dict:
     """Single-thread CPU calibration anchors, best of 3: a pure-python
     loop (GIL-bound, BLAS/threading-immune) and a numpy GEMM. Cross-round
@@ -169,6 +196,7 @@ def _measure_entry(spark, fn, sf_dir) -> dict:
     is attributable PER ENTRY instead of run-forensically."""
     w = _win_start()
     py_a = _pyloop_once()
+    ge_a = _gemm_once()
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     cold = round(time.perf_counter() - t0, 4)
@@ -198,10 +226,12 @@ def _measure_entry(spark, fn, sf_dir) -> dict:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     py_b = _pyloop_once()
+    ge_b = _gemm_once()
     out = _win_end(w)
     out["cold"] = cold
     out["warm"] = round(best, 4)
     out["pyloop"] = round(min(py_a, py_b), 4)
+    out["gemm"] = round(min(ge_a, ge_b), 4)
     return out
 
 
@@ -287,9 +317,11 @@ def main() -> None:
     # added up to 10x jitter to the 1M-row anchor timings (r3 measurement)
     aw = _win_start()
     a_py = _pyloop_once()
+    a_ge = _gemm_once()
     anchors = _baseline_anchors(spark)
     anchors["window"] = _win_end(aw)
     anchors["window"]["pyloop"] = round(min(a_py, _pyloop_once()), 4)
+    anchors["window"]["gemm"] = round(min(a_ge, _gemm_once()), 4)
     spark.catalog.clearCache()
     spark.sparkContext._jvm.System.gc()
 
@@ -307,22 +339,27 @@ def main() -> None:
     # against; windows can only lower it (a slow start must not make later
     # genuinely-slow windows look calm)
     best_py = cpu_ref["pyloop_2e6_sec"]
+    best_ge = cpu_ref["gemm_1024_sec"]
 
     def _is_loaded(a) -> bool:
         if a["ext_cores"] is not None and a["ext_cores"] > EXT_CORES_CALM:
             return True
-        return bool(a["pyloop"] > PYLOOP_SLOW_RATIO * best_py)
+        if a["pyloop"] > PYLOOP_SLOW_RATIO * best_py:
+            return True
+        return bool(a["gemm"] > GEMM_SLOW_RATIO * best_ge)
 
     def _badness(a) -> tuple:
         ext = a["ext_cores"] if a["ext_cores"] is not None else 0.0
         return (max(0.0, ext / EXT_CORES_CALM - 1.0)
-                + max(0.0, a["pyloop"] / best_py - PYLOOP_SLOW_RATIO), ext)
+                + max(0.0, a["pyloop"] / best_py - PYLOOP_SLOW_RATIO)
+                + max(0.0, a["gemm"] / best_ge - GEMM_SLOW_RATIO), ext)
 
     retries_left = GLOBAL_RETRY_BUDGET
     for name, fn in entry_mod.queries().items():
         attempts = [_measure_entry(spark, fn, sf_dir)]
         _entry_cleanup(spark)
         best_py = min(best_py, attempts[-1]["pyloop"])
+        best_ge = min(best_ge, attempts[-1]["gemm"])
         while (
             _is_loaded(attempts[-1])
             and len(attempts) < MAX_ATTEMPTS_PER_ENTRY
@@ -332,6 +369,7 @@ def main() -> None:
             attempts.append(_measure_entry(spark, fn, sf_dir))
             _entry_cleanup(spark)
             best_py = min(best_py, attempts[-1]["pyloop"])
+            best_ge = min(best_ge, attempts[-1]["gemm"])
         # calmest window wins the headline; the first attempt stays as the
         # raw record so a fully-loaded host is still visible in the detail
         calm = min(attempts, key=_badness)
@@ -344,6 +382,7 @@ def main() -> None:
             "load1": calm["load1"],
             "ext_cores": calm["ext_cores"],
             "pyloop": calm["pyloop"],
+            "gemm": calm["gemm"],
             "loaded": _is_loaded(calm),
         }
 
@@ -388,7 +427,9 @@ def main() -> None:
                 "cpu_ref": cpu_ref,
                 "ext_cores_calm_threshold": EXT_CORES_CALM,
                 "pyloop_slow_ratio": PYLOOP_SLOW_RATIO,
+                "gemm_slow_ratio": GEMM_SLOW_RATIO,
                 "pyloop_run_best": round(best_py, 4),
+                "gemm_run_best": round(best_ge, 4),
                 "queries_cold": calm_cold,
                 "queries_warm": calm_warm,
                 "queries_cold_raw": raw_cold,
