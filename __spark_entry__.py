@@ -540,14 +540,79 @@ def q_text_to_tensor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HYBRID_QUERIES = {
+    0: "key value scan table",
+    1: "merge join window group",
+    2: "vector stream batch data",
+}
+
+
 def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 full-text search (reference find(str), Elasticsearch-only —
-    storage/elastic/find.py:74-114) as pure DataFrame algebra; top-20 via
-    distributed TakeOrderedAndProject."""
+    """BM25 full-text search + hybrid retrieval, four parts:
+
+    - ``bm25``: single-query corpus BM25 (reference find(str),
+      Elasticsearch-only — storage/elastic/find.py:74-114) as pure
+      DataFrame algebra; top-20 via distributed TakeOrderedAndProject.
+    - ``multi``: batched multi-query BM25 — 3 queries, ONE corpus
+      tokenize, per-query top-15 via WindowGroupLimit.
+    - ``rrf``: hybrid lexical+vector fusion — Reciprocal Rank Fusion
+      (Cormack et al. 2009) of the multi-query BM25 list and exact cosine
+      kNN over the same query ids (doc_id == vec_id id space), k=10.
+    - ``wsum``: weighted min-max score fusion (CombSUM), text 0.4 /
+      vector 0.6.
+
+    The fusion inputs are queries × fetch_k rows — broadcast-sized no
+    matter the corpus; the corpus-scale work stays in the two modality
+    top-k operators."""
+    from docarray_spark.operators import hybrid_search
+
     docs = _t(spark, sf_dir, "documents")
-    return text_search(
+    dtext = docs.select("doc_id", "text")
+    single = text_search(
         docs, "key value scan table", id_col="doc_id", k=20, round_to=6
     )
+    parts = [
+        single.select(
+            F.lit("bm25").alias("part"),
+            F.lit(-1).cast("long").alias("query_id"),
+            "doc_id", "score", "rank",
+        )
+    ]
+    from docarray_spark.operators import text_search_multi
+
+    multi = text_search_multi(
+        dtext, HYBRID_QUERIES, id_col="doc_id", k=15, round_to=6
+    )
+    parts.append(
+        multi.select(
+            F.lit("multi").alias("part"), "query_id", "doc_id", "score", "rank"
+        )
+    )
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    qvecs = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    # alpha=0.25: both weights (0.25, 1-0.25=0.75) are exact dyadic
+    # doubles, so the SQL literals 0.25/0.75 replay them bit-identically
+    for method, alpha in (("rrf", 0.5), ("wsum", 0.25)):
+        fused = hybrid_search(
+            dtext, emb, HYBRID_QUERIES, qvecs, id_col="doc_id", k=10,
+            method=method, alpha=alpha,
+        )
+        parts.append(
+            fused.select(
+                F.lit(method).alias("part"), "query_id",
+                F.col("match_id").alias("doc_id"), "score", "rank",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def q_nested_set(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2890,9 +2955,13 @@ def oracle_sql() -> dict[str, str]:
             ),
             stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM b2),
             toks AS (SELECT doc_id, dl, unnest(toks) AS t FROM b2),
+            qt(query_id, t) AS (VALUES
+              (0, 'key'), (0, 'value'), (0, 'scan'), (0, 'table'),
+              (1, 'merge'), (1, 'join'), (1, 'window'), (1, 'group'),
+              (2, 'vector'), (2, 'stream'), (2, 'batch'), (2, 'data')),
             tf AS (
               SELECT doc_id, dl, t, count(*) AS tf FROM toks
-              WHERE t IN ('key', 'value', 'scan', 'table')
+              WHERE t IN (SELECT t FROM qt)
               GROUP BY doc_id, dl, t
             ),
             dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
@@ -2902,11 +2971,91 @@ def oracle_sql() -> dict[str, str]:
                          * (tf.tf * (1.2 + 1))
                          / (tf.tf + 1.2 * ((1 - 0.75) + (0.75 * tf.dl) / s.avgdl))) AS score
               FROM tf JOIN dfreq d ON tf.t = d.t CROSS JOIN stats s
+              WHERE tf.t IN ('key', 'value', 'scan', 'table')
               GROUP BY tf.doc_id
+            ),
+            single AS (
+              SELECT doc_id, round(score, 6) AS score,
+                     (row_number() OVER (ORDER BY score DESC, doc_id ASC))::INT AS rank
+              FROM scored ORDER BY score DESC, doc_id LIMIT 20
+            ),
+            mscored AS (
+              SELECT q.query_id, tf.doc_id,
+                     sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                         * (tf.tf * (1.2 + 1))
+                         / (tf.tf + 1.2 * ((1 - 0.75) + (0.75 * tf.dl) / s.avgdl))) AS score
+              FROM tf JOIN qt q ON tf.t = q.t
+              JOIN dfreq d ON tf.t = d.t CROSS JOIN stats s
+              GROUP BY q.query_id, tf.doc_id
+            ),
+            mrank AS (
+              SELECT query_id, doc_id, score,
+                     (row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, doc_id ASC))::INT AS rank
+              FROM mscored
+            ),
+            textk AS (SELECT query_id, doc_id, round(score, 6) AS score, rank
+                      FROM mrank WHERE rank <= 40),
+            qv AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < 3),
+            vd AS (
+              SELECT qv.query_id, e.vec_id AS doc_id,
+                     1 - list_cosine_similarity(e.embedding::DOUBLE[], qv.qe::DOUBLE[]) AS dist
+              FROM embeddings e CROSS JOIN qv
+            ),
+            vrank AS (
+              SELECT query_id, doc_id, dist,
+                     (row_number() OVER (PARTITION BY query_id
+                        ORDER BY dist ASC, doc_id ASC))::INT AS rank
+              FROM vd
+            ),
+            veck AS (SELECT query_id, doc_id, round(dist, 6) AS score, rank
+                     FROM vrank WHERE rank <= 40),
+            rrfs AS (
+              SELECT query_id, doc_id, sum(c) AS score FROM (
+                SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c FROM textk
+                UNION ALL
+                SELECT query_id, doc_id, 1.0 / (60.0 + rank) FROM veck
+              ) GROUP BY query_id, doc_id
+            ),
+            rrfr AS (
+              SELECT query_id, doc_id, round(score, 9) AS score,
+                     (row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, doc_id ASC))::INT AS rank
+              FROM rrfs
+            ),
+            tmm AS (SELECT query_id, min(score) AS mn, max(score) AS mx
+                    FROM textk GROUP BY query_id),
+            vmm AS (SELECT query_id, min(score) AS mn, max(score) AS mx
+                    FROM veck GROUP BY query_id),
+            wss AS (
+              SELECT query_id, doc_id, sum(c) AS score FROM (
+                SELECT t.query_id, t.doc_id,
+                       0.25 * ((t.score - m.mn) / (m.mx - m.mn + 1e-7)) AS c
+                FROM textk t JOIN tmm m ON t.query_id = m.query_id
+                UNION ALL
+                SELECT v.query_id, v.doc_id,
+                       0.75 * (1.0 - ((v.score - m.mn) / (m.mx - m.mn + 1e-7)))
+                FROM veck v JOIN vmm m ON v.query_id = m.query_id
+              ) GROUP BY query_id, doc_id
+            ),
+            wsr AS (
+              SELECT query_id, doc_id, round(score, 6) AS score,
+                     (row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, doc_id ASC))::INT AS rank
+              FROM wss
             )
-            SELECT doc_id, round(score, 6) AS score,
-                   (row_number() OVER (ORDER BY score DESC, doc_id ASC))::INT AS rank
-            FROM scored ORDER BY score DESC, doc_id LIMIT 20
+            SELECT 'bm25' AS part, -1::BIGINT AS query_id, doc_id, score, rank
+            FROM single
+            UNION ALL
+            SELECT 'multi', query_id::BIGINT, doc_id, score, rank
+            FROM textk WHERE rank <= 15
+            UNION ALL
+            SELECT 'rrf', query_id::BIGINT, doc_id, score, rank
+            FROM rrfr WHERE rank <= 10
+            UNION ALL
+            SELECT 'wsum', query_id::BIGINT, doc_id, score, rank
+            FROM wsr WHERE rank <= 10
         """,
         "nested_set": """
             WITH roots AS (SELECT doc_id::VARCHAR AS id, text FROM documents),

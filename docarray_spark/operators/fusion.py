@@ -1,0 +1,213 @@
+"""Rank/score fusion for hybrid retrieval (text BM25 + vector kNN).
+
+The reference exposes lexical search (``find(str)`` →
+``/root/reference/docarray/storage/elastic/find.py:74-114``) and vector
+search (``find(ndarray)`` → ``storage/memory/find.py:92-181``) as separate
+calls; combining them is left to the caller. At corpus scale the fusion
+itself must be an engine operator — the per-modality top-k lists are tiny
+(queries × k rows), so fusion is a broadcast-sized aggregate, never a
+corpus shuffle: run each modality's distributed top-k, then fuse the
+rank lists.
+
+Two standard fusers, both deterministic across engines (and therefore
+oracle-replayable in ANSI SQL):
+
+- :func:`rrf_fuse` — Reciprocal Rank Fusion (Cormack/Clarke/Buettcher,
+  SIGIR 2009): ``score(d) = Σ_lists w_l / (k0 + rank_l(d))``. Rank-only,
+  so it composes lists whose raw scores live on different scales without
+  normalization. With two lists the per-doc sum has at most two IEEE
+  addends — bit-identical in any engine regardless of aggregation order.
+- :func:`minmax_fuse` — per-query min-max score normalization to [0, 1]
+  then a weighted sum (the classic CombSUM on normalized scores). Callers
+  should pre-round the input scores (``round_to`` on the producing
+  operators) so last-ulp jitter in upstream distributed sums can't flip
+  fused ranks between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tagged_union(
+    lists: list[DataFrame],
+    query_col: str,
+    id_col: str,
+    cols: list[str],
+) -> DataFrame:
+    out = None
+    for i, df in enumerate(lists):
+        part = df.select(
+            F.lit(i).alias("_list"),
+            F.col(query_col).alias("_qid"),
+            F.col(id_col).alias("_mid"),
+            *cols,
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("no ranked lists to fuse")
+    return out
+
+
+def rrf_fuse(
+    lists: list[DataFrame],
+    query_col: str = "query_id",
+    id_col: str = "match_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int | None = 10,
+    weights: list[float] | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion over per-query ranked lists.
+
+    Each input carries ``(query_col, id_col, rank_col)`` with rank 1 =
+    best. Returns ``(query_col, id_col, score, rank)`` — fused score
+    descending, deterministic id tie-break. A document absent from a list
+    simply contributes no term for it (standard RRF).
+
+    Scale shape: inputs are top-k lists (``n_queries × k`` rows each), so
+    the whole fusion — union, groupBy, window — runs on broadcast-sized
+    data no matter the corpus size; the heavy lifting stayed in the
+    per-modality operators.
+    """
+    if weights is not None and len(weights) != len(lists):
+        raise ValueError(f"{len(weights)} weights for {len(lists)} lists")
+    u = _tagged_union(lists, query_col, id_col, [F.col(rank_col).alias("_r")])
+    if weights is None:
+        contrib = F.lit(1.0) / (F.lit(float(k0)) + F.col("_r"))
+    else:
+        wmap = F.array(*[F.lit(float(w)) for w in weights])
+        contrib = wmap[F.col("_list")] / (F.lit(float(k0)) + F.col("_r"))
+    fused = (
+        u.withColumn("_c", contrib)
+        .groupBy("_qid", "_mid")
+        .agg(F.sum("_c").alias("score"))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("score").desc(), F.col("_mid").asc())
+    out = fused.withColumn("rank", F.row_number().over(w))
+    if k is not None:
+        out = out.filter(F.col("rank") <= k)
+    score = F.round("score", round_to) if round_to is not None else F.col("score")
+    return out.select(
+        F.col("_qid").alias(query_col),
+        F.col("_mid").alias(id_col),
+        score.alias("score"),
+        "rank",
+    )
+
+
+def minmax_fuse(
+    lists: list[DataFrame],
+    weights: list[float],
+    query_col: str = "query_id",
+    id_col: str = "match_id",
+    score_col: str = "score",
+    higher_is_better: list[bool] | None = None,
+    k: int | None = 10,
+    eps: float = 1e-7,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Weighted sum of per-query min-max-normalized scores (CombSUM).
+
+    Each list's score is normalized to [0, 1] within its (list, query)
+    group: ``(s - min) / (max - min + eps)``; lists flagged
+    ``higher_is_better=False`` (distances) are flipped to ``1 - norm`` so
+    1 is always best. A document missing from a list contributes 0 for it.
+    Returns ``(query_col, id_col, score, rank)``.
+
+    Determinism contract: feed pre-rounded scores (the producing
+    operators' ``round_to``/``round_scores``) — normalization and the
+    ≤len(lists)-addend weighted sum are then bit-stable across engines.
+    """
+    if len(weights) != len(lists):
+        raise ValueError(f"{len(weights)} weights for {len(lists)} lists")
+    hib = higher_is_better or [True] * len(lists)
+    if len(hib) != len(lists):
+        raise ValueError(f"{len(hib)} higher_is_better flags for {len(lists)} lists")
+    u = _tagged_union(lists, query_col, id_col, [F.col(score_col).alias("_s")])
+    grp = Window.partitionBy("_list", "_qid")
+    norm = (F.col("_s") - F.min("_s").over(grp)) / (
+        F.max("_s").over(grp) - F.min("_s").over(grp) + F.lit(eps)
+    )
+    flip = F.array(*[F.lit(bool(h)) for h in hib])
+    wmap = F.array(*[F.lit(float(w)) for w in weights])
+    contrib = wmap[F.col("_list")] * F.when(
+        flip[F.col("_list")], norm
+    ).otherwise(F.lit(1.0) - norm)
+    fused = (
+        u.withColumn("_c", contrib)
+        .groupBy("_qid", "_mid")
+        .agg(F.sum("_c").alias("score"))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("score").desc(), F.col("_mid").asc())
+    out = fused.withColumn("rank", F.row_number().over(w))
+    if k is not None:
+        out = out.filter(F.col("rank") <= k)
+    score = F.round("score", round_to) if round_to is not None else F.col("score")
+    return out.select(
+        F.col("_qid").alias(query_col),
+        F.col("_mid").alias(id_col),
+        score.alias("score"),
+        "rank",
+    )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    corpus: DataFrame,
+    text_queries: dict[int, str] | list[tuple[int, str]],
+    query_vectors: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    on: str = "embedding",
+    k: int = 10,
+    fetch_k: int | None = None,
+    method: str = "rrf",
+    k0: int = 60,
+    alpha: float = 0.5,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    round_to: int = 6,
+    eps: float = 0.0,
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval: batched corpus BM25
+    (:func:`~docarray_spark.operators.text.text_search_multi`) and exact
+    kNN (:func:`~docarray_spark.operators.match.match`) over the same
+    query ids, fused with RRF (``method='rrf'``) or weighted min-max
+    (``method='wsum'``, text weight ``alpha``). ``fetch_k`` (default
+    ``4*k``) is each modality's candidate depth.
+
+    ``docs`` and ``corpus`` may be the same table or two tables sharing
+    the id space (text store + embedding store). Both modality top-k's
+    are distributed; the fusion runs on queries × fetch_k rows.
+    """
+    from .match import match
+    from .text import text_search_multi
+
+    fetch_k = fetch_k or 4 * k
+    text_ranks = text_search_multi(
+        docs, text_queries, id_col=id_col, text_col=text_col,
+        k=fetch_k, round_to=round_to,
+    ).withColumnRenamed(id_col, "match_id")
+    # eps defaults to 0.0 (not match()'s reference-parity 1e-7 smoothing):
+    # the unsmoothed ratio is what ANSI-SQL cosine replays bit-for-bit
+    vec_ranks = match(
+        corpus, query_vectors, k=fetch_k, metric=metric, on=on,
+        corpus_id_col=id_col, query_id_col=query_id_col,
+        round_scores=round_to, eps=eps,
+    ).select("query_id", "match_id", "score", "rank")
+    if method == "rrf":
+        return rrf_fuse(
+            [text_ranks, vec_ranks], k0=k0, k=k, round_to=round_to + 3
+        )
+    if method == "wsum":
+        return minmax_fuse(
+            [text_ranks, vec_ranks],
+            weights=[alpha, 1.0 - alpha],
+            higher_is_better=[True, False],  # BM25 score vs distance
+            k=k,
+            round_to=round_to,
+        )
+    raise ValueError(f"unknown fusion method {method!r} (rrf|wsum)")

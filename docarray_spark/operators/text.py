@@ -258,6 +258,83 @@ def text_search(
     return out.select(F.col("_id").alias(id_col), score.alias("score"), "rank")
 
 
+def text_search_multi(
+    df: DataFrame,
+    queries: dict[int, str] | list[tuple[int, str]],
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Batched multi-query BM25 over the corpus — N queries, ONE corpus
+    tokenize (the corpus-path twin of the stored-index
+    ``bm25_match_stored`` batch serving, ``index_store.py``). Same scoring
+    as :func:`text_search` (reference ``find(str)``,
+    ``/root/reference/docarray/storage/elastic/find.py:74-114``); returns
+    ``(query_id, {id_col}, score, rank)`` with rank 1 = best per query,
+    ties broken by id.
+
+    Scale shape: the query→term table is a handful of literal rows
+    broadcast into the postings join; document frequencies aggregate over
+    the UNION of all queries' terms only; per-query top-k is a rank-filter
+    window that Spark rewrites to WindowGroupLimit (per-partition partial
+    top-k below the exchange) — the corpus is tokenized and scanned once
+    for the whole batch, never per query.
+    """
+    pairs = list(queries.items()) if isinstance(queries, dict) else list(queries)
+    qterm_rows = sorted(
+        {(int(qid), t) for qid, q in pairs for t in q.lower().split() if t}
+    )
+    if not qterm_rows:
+        raise ValueError("no non-empty query terms")
+    spark = df.sparkSession
+    qterms = spark.createDataFrame(qterm_rows, "query_id long, t string")
+    allterms = sorted({t for _, t in qterm_rows})
+
+    base = df.select(
+        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+    # explode_outer + isin: same inlining-trap shape as text_search
+    toks = base.select("_id", "_dl", F.explode_outer("_toks").alias("t")).filter(
+        F.col("t").isin(allterms)
+    )
+    # (doc, term) tf is query-independent — computed once for the batch
+    tf = toks.groupBy("_id", "_dl", "t").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(qterms), "t")
+        .join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(F.lit(1.0) + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))),
+        )
+        .groupBy("query_id", "_id")
+        .agg(F.sum("_s").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("_id").asc()
+    )
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    score = F.round("score", round_to) if round_to is not None else F.col("score")
+    return out.select(
+        "query_id", F.col("_id").alias(id_col), score.alias("score"), "rank"
+    )
+
+
 def bm25_index(
     df: DataFrame,
     id_col: str = "id",

@@ -95,7 +95,12 @@ BUDGETS = {
     "decontaminate": (3, 2, False),
     "fingerprint_winnow": (0, 1, False),
     "doc_summary": (2, 1, False),
-    "text_search_bm25": (5, 3, True),
+    # r9 four-part hybrid suite: single bm25 (5/3) + batched multi-query
+    # (tf persisted subtree counts its source scans pre-materialization) +
+    # rrf/wsum fusions, each fusing two tiny top-k lists (window + agg
+    # exchanges run on queries×fetch_k rows, never corpus-sized);
+    # cartesian = the broadcast 1-row corpus-stats replicate per BM25 pass
+    "text_search_bm25": (19, 11, True),
     "nested_set": (3, 15, False),
     "dedup_exact": (1, 1, False),
     # minhash LSH path + the exact inverted-index ground-truth path

@@ -1,0 +1,229 @@
+"""Hybrid retrieval: batched multi-query BM25 and rank/score fusion.
+
+The reference exposes find(str) (elastic/find.py:74-114) and find(ndarray)
+(memory/find.py:92-181) as separate modalities; fusion composes their
+top-k lists. RRF per Cormack et al. 2009."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from docarray_spark.operators import (
+    hybrid_search,
+    match,
+    minmax_fuse,
+    rrf_fuse,
+    text_search,
+    text_search_multi,
+)
+from docarray_spark.plans.audit import (
+    broadcast_join_count,
+    has_window_group_limit,
+    scan_count,
+)
+
+def load(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+QUERIES = {
+    0: "key value scan table",
+    1: "merge join window group",
+    2: "vector stream batch data",
+}
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def _ranked(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id long, match_id long, score double, rank int"
+    )
+
+
+class TestTextSearchMulti:
+    def test_equals_n_single_searches(self, spark, docs):
+        multi = text_search_multi(
+            docs, QUERIES, id_col="doc_id", k=15, round_to=6
+        ).toPandas()
+        for qid, q in QUERIES.items():
+            single = text_search(
+                docs, q, id_col="doc_id", k=15, round_to=6
+            ).toPandas()
+            part = (
+                multi[multi.query_id == qid]
+                .sort_values("rank", ignore_index=True)
+                .drop(columns="query_id")
+            )
+            single = single.sort_values("rank", ignore_index=True)
+            assert part.doc_id.tolist() == single.doc_id.tolist(), qid
+            assert part.score.tolist() == single.score.tolist(), qid
+            assert part["rank"].tolist() == single["rank"].tolist(), qid
+
+    def test_plan_one_scan_window_group_limit(self, docs):
+        out = text_search_multi(docs, QUERIES, id_col="doc_id", k=15)
+        # per-query top-k is a rank-filter window -> WindowGroupLimit
+        # (per-partition partial top-k below the exchange), and the corpus
+        # is tokenized/scanned once for the whole batch
+        assert has_window_group_limit(out)
+        # pre-materialization the persisted (doc, term) tf subtree still
+        # shows its source scans; the batch never scans once PER QUERY
+        assert scan_count(out) <= 3
+        # qterms / dfreq hash-broadcast; the 1-row stats crossJoin rides a
+        # broadcast nested loop (benign at any scale) — no corpus-sized
+        # shuffle beyond the (doc, term) aggregate
+        assert broadcast_join_count(out) >= 2
+
+    def test_empty_queries_raise(self, docs):
+        with pytest.raises(ValueError, match="query terms"):
+            text_search_multi(docs, {0: "  "}, id_col="doc_id")
+
+
+class TestRrfFuse:
+    def test_hand_computed(self, spark):
+        # doc 10 is rank 1 in both lists; doc 11 only in list a; doc 12
+        # only in list b (rank 2)
+        a = _ranked(spark, [(0, 10, 5.0, 1), (0, 11, 4.0, 2)])
+        b = _ranked(spark, [(0, 10, 0.1, 1), (0, 12, 0.2, 2)])
+        out = rrf_fuse([a, b], k0=60, k=10).toPandas().set_index("match_id")
+        assert out.loc[10, "score"] == pytest.approx(2 / 61)
+        assert out.loc[11, "score"] == pytest.approx(1 / 62)
+        assert out.loc[12, "score"] == pytest.approx(1 / 62)
+        assert out.loc[10, "rank"] == 1
+        # tie between 11 and 12 broken by id
+        assert out.loc[11, "rank"] == 2
+        assert out.loc[12, "rank"] == 3
+
+    def test_weights(self, spark):
+        a = _ranked(spark, [(0, 10, 5.0, 1)])
+        b = _ranked(spark, [(0, 11, 0.1, 1)])
+        out = (
+            rrf_fuse([a, b], k0=0, k=2, weights=[2.0, 1.0])
+            .toPandas()
+            .set_index("match_id")
+        )
+        assert out.loc[10, "score"] == pytest.approx(2.0)
+        assert out.loc[11, "score"] == pytest.approx(1.0)
+
+    def test_weights_arity(self, spark):
+        a = _ranked(spark, [(0, 10, 5.0, 1)])
+        with pytest.raises(ValueError, match="weights"):
+            rrf_fuse([a], weights=[1.0, 2.0])
+
+    def test_per_query_partitioning(self, spark):
+        a = _ranked(spark, [(0, 10, 5.0, 1), (1, 20, 5.0, 1)])
+        b = _ranked(spark, [(0, 10, 0.1, 1), (1, 21, 0.1, 1)])
+        out = rrf_fuse([a, b], k=1).toPandas()
+        top = {r.query_id: r.match_id for r in out.itertuples()}
+        assert top == {0: 10, 1: 20}  # 20 beats 21 by id tie-break
+
+
+class TestMinmaxFuse:
+    def test_hand_computed_with_flip(self, spark):
+        # text scores higher-better: 10 -> 1.0 norm, 11 -> 0.0 norm
+        a = _ranked(spark, [(0, 10, 8.0, 1), (0, 11, 4.0, 2)])
+        # distances lower-better: 10 -> dist 0.0 -> best
+        b = _ranked(spark, [(0, 10, 0.0, 1), (0, 11, 1.0, 2)])
+        out = (
+            minmax_fuse(
+                [a, b], weights=[0.5, 0.5], higher_is_better=[True, False], k=5
+            )
+            .toPandas()
+            .set_index("match_id")
+        )
+        # norm uses (s-min)/(max-min+eps): max lands just under 1.0
+        assert out.loc[10, "score"] == pytest.approx(1.0, abs=1e-6)
+        assert out.loc[11, "score"] == pytest.approx(0.0, abs=1e-6)
+        assert out.loc[10, "rank"] == 1
+
+    def test_missing_doc_contributes_zero(self, spark):
+        a = _ranked(spark, [(0, 10, 8.0, 1), (0, 11, 4.0, 2)])
+        b = _ranked(spark, [(0, 12, 0.0, 1), (0, 13, 1.0, 2)])
+        out = (
+            minmax_fuse(
+                [a, b], weights=[0.5, 0.5], higher_is_better=[True, False], k=5
+            )
+            .toPandas()
+            .set_index("match_id")
+        )
+        assert out.loc[10, "score"] == pytest.approx(0.5, abs=1e-6)
+        assert out.loc[12, "score"] == pytest.approx(0.5, abs=1e-6)
+        assert out.loc[11, "score"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_flags_arity(self, spark):
+        a = _ranked(spark, [(0, 10, 5.0, 1)])
+        with pytest.raises(ValueError, match="higher_is_better"):
+            minmax_fuse([a], weights=[1.0], higher_is_better=[True, False])
+
+
+class TestHybridSearch:
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        return load(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+
+    @pytest.fixture(scope="class")
+    def qvecs(self, spark, sf_dir):
+        return (
+            load(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < 3)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+
+    def test_rrf_end_to_end(self, docs, emb, qvecs):
+        out = hybrid_search(
+            docs, emb, QUERIES, qvecs, id_col="doc_id", k=10, method="rrf"
+        ).toPandas()
+        assert set(out.query_id) == {0, 1, 2}
+        for qid in QUERIES:
+            part = out[out.query_id == qid]
+            assert len(part) == 10
+            assert sorted(part["rank"]) == list(range(1, 11))
+        # the query's own vector is in the corpus: strong vector rank-1
+        # signal should keep the self doc in every fused top-10
+        assert all(
+            qid in set(out[out.query_id == qid].match_id) for qid in QUERIES
+        )
+
+    def test_rrf_matches_manual_fusion(self, docs, emb, qvecs):
+        fetch_k = 40
+        text_ranks = text_search_multi(
+            docs, QUERIES, id_col="doc_id", k=fetch_k, round_to=6
+        ).withColumnRenamed("doc_id", "match_id")
+        vec_ranks = match(
+            emb, qvecs, k=fetch_k, metric="cosine", corpus_id_col="doc_id",
+            query_id_col="query_id", round_scores=6,
+        ).select("query_id", "match_id", "score", "rank")
+        manual = (
+            rrf_fuse([text_ranks, vec_ranks], k=10, round_to=9)
+            .toPandas()
+            .sort_values(["query_id", "rank"], ignore_index=True)
+        )
+        auto = (
+            hybrid_search(
+                docs, emb, QUERIES, qvecs, id_col="doc_id", k=10, method="rrf"
+            )
+            .toPandas()
+            .sort_values(["query_id", "rank"], ignore_index=True)
+        )
+        assert manual.match_id.tolist() == auto.match_id.tolist()
+        assert manual.score.tolist() == auto.score.tolist()
+
+    def test_wsum_end_to_end(self, docs, emb, qvecs):
+        out = hybrid_search(
+            docs, emb, QUERIES, qvecs, id_col="doc_id", k=10, method="wsum",
+            alpha=0.4,
+        ).toPandas()
+        for qid in QUERIES:
+            part = out[out.query_id == qid]
+            assert len(part) == 10
+            assert part.score.between(0.0, 1.0 + 1e-9).all()
+
+    def test_unknown_method(self, docs, emb, qvecs):
+        with pytest.raises(ValueError, match="fusion method"):
+            hybrid_search(
+                docs, emb, QUERIES, qvecs, id_col="doc_id", method="borda"
+            )
