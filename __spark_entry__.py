@@ -563,8 +563,11 @@ def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The fusion inputs are queries × fetch_k rows — broadcast-sized no
     matter the corpus; the corpus-scale work stays in the two modality
-    top-k operators."""
-    from docarray_spark.operators import hybrid_search
+    top-k operators, each computed ONCE and shared: the multi part is the
+    rank≤15 slice of the same fetch_k=40 list the fusions consume
+    (identical scoring/ranking, same equivalence hybrid_search relies
+    on), so the entry pays one batched corpus tokenize + one kNN pass."""
+    from docarray_spark.operators import minmax_fuse, rrf_fuse, text_search_multi
 
     docs = _t(spark, sf_dir, "documents")
     dtext = docs.select("doc_id", "text")
@@ -578,13 +581,11 @@ def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "score", "rank",
         )
     ]
-    from docarray_spark.operators import text_search_multi
-
-    multi = text_search_multi(
-        dtext, HYBRID_QUERIES, id_col="doc_id", k=15, round_to=6
-    )
+    tr40 = text_search_multi(
+        dtext, HYBRID_QUERIES, id_col="doc_id", k=40, round_to=6
+    ).persist()
     parts.append(
-        multi.select(
+        tr40.filter(F.col("rank") <= 15).select(
             F.lit("multi").alias("part"), "query_id", "doc_id", "score", "rank"
         )
     )
@@ -596,15 +597,24 @@ def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < 3)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    # alpha=0.25: both weights (0.25, 1-0.25=0.75) are exact dyadic
-    # doubles, so the SQL literals 0.25/0.75 replay them bit-identically
-    for method, alpha in (("rrf", 0.5), ("wsum", 0.25)):
-        fused = hybrid_search(
-            dtext, emb, HYBRID_QUERIES, qvecs, id_col="doc_id", k=10,
-            method=method, alpha=alpha,
-        )
+    text_ranks = tr40.withColumnRenamed("doc_id", "match_id")
+    # eps=0.0: the unsmoothed cosine ratio SQL replays bit-for-bit
+    vec40 = match(
+        emb, qvecs, k=40, metric="cosine", corpus_id_col="doc_id",
+        query_id_col="query_id", round_scores=6, eps=0.0,
+    ).select("query_id", "match_id", "score", "rank").persist()
+    fused = {
+        "rrf": rrf_fuse([text_ranks, vec40], k=10, round_to=9),
+        # alpha=0.25: both weights (0.25, 1-0.25=0.75) are exact dyadic
+        # doubles, so SQL literals 0.25/0.75 replay them bit-identically
+        "wsum": minmax_fuse(
+            [text_ranks, vec40], weights=[0.25, 0.75],
+            higher_is_better=[True, False], k=10, round_to=6,
+        ),
+    }
+    for method, f in fused.items():
         parts.append(
-            fused.select(
+            f.select(
                 F.lit(method).alias("part"), "query_id",
                 F.col("match_id").alias("doc_id"), "score", "rank",
             )
@@ -1513,18 +1523,20 @@ def q_knn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merged r3: the five deterministic samplers as (part, doc_id) rows —
-    md5-threshold hash sample, per-source stratified fractions, quality-
-    weighted resampling, per-source cap, and train/val/test split labels.
-    The split part gates EVERY doc's split assignment — stronger than the
-    old per-split count rollup. All parts except cap are map-only md5
-    predicates fused into the scan; cap is one group-key exchange."""
+    """Merged r3 (+r9 shard part): the deterministic samplers as
+    (part, doc_id) rows — md5-threshold hash sample, per-source stratified
+    fractions, quality-weighted resampling, per-source cap, train/val/test
+    split labels, and the save_shards sink's md5 shard assignment. The
+    split and shard parts gate EVERY doc's assignment. All parts except
+    cap are map-only md5 expressions fused into the scan; cap is one
+    group-key exchange."""
     from docarray_spark.operators import (
         cap_per_group,
         stratified_hash_sample,
         weighted_hash_sample,
         with_split,
     )
+    from docarray_spark.sources import shard_col
 
     docs = _t(spark, sf_dir, "documents")
     parts = [
@@ -1548,6 +1560,14 @@ def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_split(
             docs, {"train": 0.98, "val": 0.01, "test": 0.01}, id_col="doc_id"
         ).select(F.concat(F.lit("split_"), F.col("split")).alias("part"), "doc_id"),
+        # r9: deterministic training-shard assignment (the save_shards
+        # sink's md5 layout, sources/writers.py) — gates every doc's shard
+        docs.select(
+            F.concat(
+                F.lit("shard_"), shard_col("doc_id", 8).cast("string")
+            ).alias("part"),
+            "doc_id",
+        ),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3952,6 +3972,12 @@ def oracle_sql() -> dict[str, str]:
                      WHEN substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)
                           < 'fd70a3d7' THEN 'train'
                      ELSE 'val' END AS part,
+                   doc_id
+            FROM documents
+            UNION ALL
+            SELECT 'shard_' ||
+                   (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 8)::VARCHAR AS part,
                    doc_id
             FROM documents
         """,

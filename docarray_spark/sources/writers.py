@@ -246,6 +246,121 @@ def merge_parquet_store(
     }
 
 
+def shard_col(id_col, n_shards: int, hash_method: str = "md5"):
+    """Deterministic shard assignment ``hash(id) % n_shards`` as a Column.
+
+    ``md5`` (default) is engine-portable — the assignment replays in ANSI
+    SQL, so a downstream system can verify which shard holds an id without
+    Spark. ``xxhash64`` is the ~3x cheaper production hash (same
+    determinism across runs/partitionings, not SQL-portable)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    sid = F.col(id_col).cast("string")
+    if hash_method == "xxhash64":
+        return F.pmod(F.xxhash64(sid), F.lit(n_shards)).cast("int")
+    if hash_method != "md5":
+        raise ValueError(f"unknown hash_method {hash_method!r} (md5|xxhash64)")
+    h = F.conv(F.substring(F.md5(sid), 1, 8), 16, 10).cast("long")
+    return (h % n_shards).cast("int")
+
+
+def save_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "id",
+    order_within: list[str] | None = None,
+    hash_method: str = "md5",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Training-shard export: write ``df`` as exactly one file per shard
+    under ``path/shard=N/`` and return a verification manifest.
+
+    The export sink a training-data pipeline hands to a dataloader fleet:
+    deterministic hash sharding (:func:`shard_col` — re-runs and
+    re-partitionings land every id in the same shard), optional
+    ``order_within`` for sorted-within-shard layouts (e.g. curriculum or
+    doc-id locality), one file per shard so the consumer's file list IS
+    the shard list.
+
+    The manifest is computed from the WRITTEN data (one read-back
+    aggregate), not from ``df`` — it gates the sink, not the plan:
+    ``(shard, rows, id_min, id_max, content_sum, files, bytes)`` where
+    ``content_sum`` is an order-independent sum of a 32-bit md5 prefix of
+    each row's JSON (re-runnable integrity check), and files/bytes come
+    from a driver-side listing of the ``n_shards`` directories (bounded).
+
+    Scale shape: ``repartition(n_shards, shard)`` puts each shard wholly
+    in one task (a shard is one consumer file by contract — size shards
+    via n_shards, not files-per-shard); the manifest aggregate is one
+    pass over the written store, and no driver state exceeds n_shards
+    rows."""
+    spark = df.sparkSession
+    data_cols = list(df.columns)
+    out = df.withColumn("shard", shard_col(id_col, n_shards, hash_method))
+    w = out.repartition(n_shards, "shard")
+    if order_within:
+        w = w.sortWithinPartitions("shard", *order_within)
+    w.write.mode(mode).partitionBy("shard").parquet(path)
+
+    back = spark.read.parquet(path)
+    fp = F.conv(
+        F.substring(F.md5(F.to_json(F.struct(*data_cols))), 1, 8), 16, 10
+    ).cast("long")
+    manifest = (
+        back.groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min(id_col).alias("id_min"),
+            F.max(id_col).alias("id_max"),
+            F.sum(fp).alias("content_sum"),
+        )
+    )
+    sizes = _shard_sizes(path, spark)
+    pdf = manifest.toPandas()  # n_shards rows — driver-bounded
+    pdf["files"] = pdf["shard"].map(lambda s: sizes.get(int(s), (0, 0))[0])
+    pdf["bytes"] = pdf["shard"].map(lambda s: sizes.get(int(s), (0, 0))[1])
+    return spark.createDataFrame(pdf).orderBy("shard")
+
+
+def _shard_sizes(path: str, spark: SparkSession) -> dict[int, tuple[int, int]]:
+    """(files, bytes) per shard directory — driver loop over the bounded
+    ``shard=N`` listing, local or any Hadoop-compatible filesystem."""
+    out: dict[int, tuple[int, int]] = {}
+    if "://" not in path:
+        import os
+
+        for name in os.listdir(path):
+            if not name.startswith("shard="):
+                continue
+            shard = int(name.split("=", 1)[1])
+            files = 0
+            nbytes = 0
+            d = os.path.join(path, name)
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    files += 1
+                    nbytes += os.path.getsize(os.path.join(d, f))
+            out[shard] = (files, nbytes)
+        return out
+    from .registry import _hadoop_fs
+
+    fs, jpath, _ = _hadoop_fs(path, spark)
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not name.startswith("shard="):
+            continue
+        shard = int(name.split("=", 1)[1])
+        files = 0
+        nbytes = 0
+        for f in fs.listStatus(st.getPath()):
+            if f.getPath().getName().endswith(".parquet"):
+                files += 1
+                nbytes += f.getLen()
+        out[shard] = (files, nbytes)
+    return out
+
+
 def _delete_dir(path: str, spark: SparkSession) -> None:
     """Remove one store partition directory on any Hadoop-compatible
     filesystem (plain local paths short-circuit to shutil)."""

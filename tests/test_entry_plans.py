@@ -27,9 +27,9 @@ BUDGETS = {
     "kmeans_clusters": (2, 2, False),
     # cumsum window exchange (reused by the rollup) + output sort
     "pack_sequences": (2, 1, False),
-    # hash/stratified/weighted/split parts are map-only scan-fused
-    # predicates; cap contributes the single group-key exchange
-    "sampling_suite": (1, 5, False),
+    # hash/stratified/weighted/split/shard parts are map-only scan-fused
+    # md5 expressions; cap contributes the single group-key exchange
+    "sampling_suite": (1, 6, False),
     # units part: unit window exchange + output agg; spans part (r5):
     # window-hash count exchange, island windows by doc, span join +
     # token rebuild — the linear cost of exact-substring semantics
@@ -95,12 +95,12 @@ BUDGETS = {
     "decontaminate": (3, 2, False),
     "fingerprint_winnow": (0, 1, False),
     "doc_summary": (2, 1, False),
-    # r9 four-part hybrid suite: single bm25 (5/3) + batched multi-query
-    # (tf persisted subtree counts its source scans pre-materialization) +
-    # rrf/wsum fusions, each fusing two tiny top-k lists (window + agg
-    # exchanges run on queries×fetch_k rows, never corpus-sized);
-    # cartesian = the broadcast 1-row corpus-stats replicate per BM25 pass
-    "text_search_bm25": (19, 11, True),
+    # r9 four-part hybrid suite: single bm25 (5/3) + ONE shared batched
+    # multi-query pass (persisted fetch_k=40 list sliced for the multi
+    # part and both fusions) + ONE kNN pass; fusion windows/aggs run on
+    # queries×fetch_k rows, never corpus-sized; cartesian = the broadcast
+    # 1-row corpus-stats replicate per BM25 pass
+    "text_search_bm25": (15, 6, True),
     "nested_set": (3, 15, False),
     "dedup_exact": (1, 1, False),
     # minhash LSH path + the exact inverted-index ground-truth path

@@ -1,0 +1,159 @@
+"""save_shards: deterministic training-shard export with manifest.
+
+The sink counterpart of the dataloader/sampling family — one file per
+shard by contract, md5 assignment replayable in ANSI SQL (gated in the
+sampling_suite entry's shard parts)."""
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from docarray_spark.sources import save_shards, shard_col
+
+
+def load(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+N = 8
+
+
+@pytest.fixture(scope="module")
+def written(docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("shards") / "docs")
+    manifest = save_shards(
+        docs, path, n_shards=N, id_col="doc_id", order_within=["doc_id"]
+    )
+    return path, manifest.toPandas()
+
+
+class TestSaveShards:
+    def test_roundtrip_exact(self, spark, docs, written):
+        path, _ = written
+        back = spark.read.parquet(path).drop("shard")
+        a = docs.toPandas().sort_values("doc_id", ignore_index=True)
+        b = back.toPandas()[a.columns.tolist()].sort_values(
+            "doc_id", ignore_index=True
+        )
+        assert a.equals(b)
+
+    def test_one_file_per_shard(self, written):
+        path, m = written
+        dirs = sorted(d for d in os.listdir(path) if d.startswith("shard="))
+        assert len(dirs) == len(m)  # every written shard has a manifest row
+        for d in dirs:
+            files = [
+                f for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, d
+        assert (m["files"] == 1).all()
+        assert (m["bytes"] > 0).all()
+
+    def test_manifest_aggregates(self, spark, docs, written):
+        path, m = written
+        assert m["rows"].sum() == docs.count()
+        # id ranges and content sum recompute from the written store
+        back = spark.read.parquet(path)
+        fp = F.conv(
+            F.substring(
+                F.md5(
+                    F.to_json(
+                        F.struct("doc_id", "text", "lang", "source", "n_chars")
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        chk = (
+            back.groupBy(F.col("shard").cast("int").alias("shard"))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min("doc_id").alias("id_min"),
+                F.max("doc_id").alias("id_max"),
+                F.sum(fp).alias("content_sum"),
+            )
+            .orderBy("shard")
+            .toPandas()
+        )
+        got = m[["shard", "rows", "id_min", "id_max", "content_sum"]].reset_index(
+            drop=True
+        )
+        assert got.astype("int64").equals(chk.astype("int64"))
+
+    def test_order_within_shard(self, spark, written):
+        path, _ = written
+        import pyarrow.parquet as pq
+
+        d = os.path.join(path, "shard=0")
+        f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+        ids = pq.read_table(os.path.join(d, f), columns=["doc_id"])[
+            "doc_id"
+        ].to_pylist()
+        assert ids == sorted(ids)
+
+    def test_assignment_deterministic_and_sql_portable(self, spark, docs):
+        a = docs.select(
+            "doc_id", shard_col("doc_id", N).alias("shard")
+        ).toPandas()
+        b = (
+            docs.repartition(17)
+            .select("doc_id", shard_col("doc_id", N).alias("shard"))
+            .toPandas()
+        )
+        am = dict(zip(a.doc_id, a.shard))
+        bm = dict(zip(b.doc_id, b.shard))
+        assert am == bm  # partitioning-invariant
+        con = duckdb.connect()
+        con.register("t", a[["doc_id"]])
+        sql = con.execute(
+            "SELECT doc_id, CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 8)) "
+            f"AS BIGINT) % {N} AS shard FROM t"
+        ).df()
+        assert dict(zip(sql.doc_id, sql.shard)) == am
+
+    def test_xxhash_variant_deterministic(self, docs):
+        a = docs.select(
+            "doc_id", shard_col("doc_id", N, "xxhash64").alias("shard")
+        ).toPandas()
+        b = docs.repartition(5).select(
+            "doc_id", shard_col("doc_id", N, "xxhash64").alias("shard")
+        ).toPandas()
+        assert dict(zip(a.doc_id, a.shard)) == dict(zip(b.doc_id, b.shard))
+        assert a.shard.between(0, N - 1).all()
+
+    def test_bad_args(self, docs, tmp_path):
+        with pytest.raises(ValueError, match="n_shards"):
+            shard_col("doc_id", 0)
+        with pytest.raises(ValueError, match="hash_method"):
+            shard_col("doc_id", 4, "crc32")
+
+    def test_consumer_prunes_to_one_shard(self, spark, written):
+        """The dataloader contract at scale: a consumer reading its shard
+        scans ONE directory — the shard predicate lands in the scan's
+        PartitionFilters, not a post-scan filter over all shards."""
+        from docarray_spark.plans.audit import partition_filters
+
+        path, _ = written
+        one = spark.read.parquet(path).filter(F.col("shard") == 3)
+        pf = " ".join(partition_filters(one))
+        assert "shard" in pf
+        assert one.count() > 0
+
+    def test_rewrite_idempotent(self, docs, tmp_path):
+        path = str(tmp_path / "re")
+        m1 = save_shards(docs, path, n_shards=4, id_col="doc_id").toPandas()
+        m2 = save_shards(docs, path, n_shards=4, id_col="doc_id").toPandas()
+        assert m1[["shard", "rows", "content_sum"]].equals(
+            m2[["shard", "rows", "content_sum"]]
+        )
