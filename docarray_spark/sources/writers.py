@@ -303,7 +303,93 @@ def save_shards(
         w = w.sortWithinPartitions("shard", *order_within)
     w.write.mode(mode).partitionBy("shard").parquet(path)
 
+    return _shard_manifest(spark, path, data_cols, id_col)
+
+
+def merge_shards(
+    df_new: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "id",
+    order_within: list[str] | None = None,
+    hash_method: str = "md5",
+    delete_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental maintenance of a :func:`save_shards` export: upsert
+    ``df_new`` (new rows win by id) and optionally drop ``delete_ids``,
+    rewriting ONLY the shard directories the batch hashes into — untouched
+    shards' files are never read or rewritten, and the one-file-per-shard
+    contract is preserved for the rewritten shards. Returns the refreshed
+    manifest rows for the TOUCHED shards (join against the stored manifest
+    to refresh it; untouched rows are unchanged by construction).
+
+    The shard-layout twin of :func:`merge_parquet_store`'s copy-on-write
+    MERGE: the new batch determines the affected shard list (≤ n_shards,
+    driver-bounded), the current-store read partition-prunes to those
+    shards, and dynamic partition overwrite replaces just those
+    directories. Cost is O(batch + touched-shard rows) no matter the
+    export size. ``n_shards`` and ``hash_method`` must match the original
+    :func:`save_shards` call — a different assignment would scatter ids
+    across shards (same contract as the store's ``n_buckets``)."""
+    spark = df_new.sparkSession
+    data_cols = list(df_new.columns)
+    up = df_new.withColumn("shard", shard_col(id_col, n_shards, hash_method))
+    affected = {r.shard for r in up.select("shard").distinct().collect()}
+    if delete_ids is not None:
+        dl = delete_ids.withColumn(
+            "shard", shard_col(id_col, n_shards, hash_method)
+        )
+        affected |= {r.shard for r in dl.select("shard").distinct().collect()}
+    affected = sorted(affected)
+    current = spark.read.parquet(path).filter(F.col("shard").isin(affected))
+    merged = current.join(
+        up.select(F.col(id_col).alias("_uid")).distinct(),
+        current[id_col] == F.col("_uid"),
+        "left_anti",
+    ).unionByName(up)
+    if delete_ids is not None:
+        merged = merged.join(
+            dl.select(F.col(id_col).alias("_did")).distinct(),
+            merged[id_col] == F.col("_did"),
+            "left_anti",
+        )
+    merged = merged.repartition(max(1, len(affected)), "shard")
+    if order_within:
+        merged = merged.sortWithinPartitions("shard", *order_within)
+    from docarray_spark.plans.blocks import released_after
+
+    with released_after(spark):
+        # the plan reads the same path it overwrites — checkpoint the
+        # touched-shard rows (bounded by batch locality) first
+        merged = merged.localCheckpoint(eager=True)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("shard").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        surviving = {
+            r.shard for r in merged.select("shard").distinct().collect()
+        }
+    # dynamic overwrite can't DELETE a partition: drop emptied shard dirs
+    for s in sorted(set(affected) - surviving):
+        _delete_dir(f"{path}/shard={s}", spark)
+    return _shard_manifest(spark, path, data_cols, id_col, shards=affected)
+
+
+def _shard_manifest(
+    spark: SparkSession,
+    path: str,
+    data_cols: list[str],
+    id_col: str,
+    shards: list[int] | None = None,
+) -> DataFrame:
+    """Verification manifest from the WRITTEN data: one read-back
+    aggregate + a driver-side directory listing, both bounded by the
+    shard count (never corpus-sized driver state)."""
     back = spark.read.parquet(path)
+    if shards is not None:
+        back = back.filter(F.col("shard").isin(sorted(shards)))
     fp = F.conv(
         F.substring(F.md5(F.to_json(F.struct(*data_cols))), 1, 8), 16, 10
     ).cast("long")
@@ -317,10 +403,16 @@ def save_shards(
         )
     )
     sizes = _shard_sizes(path, spark)
-    pdf = manifest.toPandas()  # n_shards rows — driver-bounded
+    pdf = manifest.toPandas()  # ≤ n_shards rows — driver-bounded
     pdf["files"] = pdf["shard"].map(lambda s: sizes.get(int(s), (0, 0))[0])
     pdf["bytes"] = pdf["shard"].map(lambda s: sizes.get(int(s), (0, 0))[1])
-    return spark.createDataFrame(pdf).orderBy("shard")
+    id_type = manifest.schema["id_min"].dataType.simpleString()
+    schema = (
+        f"shard int, rows bigint, id_min {id_type}, id_max {id_type}, "
+        "content_sum bigint, files bigint, bytes bigint"
+    )  # explicit: a delete-only merge can empty every affected shard,
+    # and an empty pandas frame has no inferable schema
+    return spark.createDataFrame(pdf, schema).orderBy("shard")
 
 
 def _shard_sizes(path: str, spark: SparkSession) -> dict[int, tuple[int, int]]:

@@ -10,7 +10,7 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
-from docarray_spark.sources import save_shards, shard_col
+from docarray_spark.sources import merge_shards, save_shards, shard_col
 
 
 def load(spark, sf_dir, name):
@@ -157,3 +157,111 @@ class TestSaveShards:
         assert m1[["shard", "rows", "content_sum"]].equals(
             m2[["shard", "rows", "content_sum"]]
         )
+
+
+def _file_states(path):
+    """(name, size, mtime_ns) per shard parquet file."""
+    out = {}
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("shard="):
+            continue
+        for f in os.listdir(os.path.join(path, d)):
+            if f.endswith(".parquet"):
+                st = os.stat(os.path.join(path, d, f))
+                out.setdefault(d, []).append((f, st.st_size, st.st_mtime_ns))
+    return out
+
+
+class TestMergeShards:
+    N = 8
+
+    @pytest.fixture()
+    def store(self, docs, tmp_path):
+        path = str(tmp_path / "ms")
+        save_shards(docs, path, n_shards=self.N, id_col="doc_id",
+                    order_within=["doc_id"])
+        return path
+
+    def test_upsert_touches_only_affected_shards(self, spark, docs, store):
+        before = _file_states(store)
+        batch = docs.filter(F.col("doc_id") < 5).withColumn(
+            "text", F.lit("UPDATED")
+        )
+        touched = {
+            r.shard
+            for r in batch.select(
+                shard_col("doc_id", self.N).alias("shard")
+            ).distinct().collect()
+        }
+        m = merge_shards(batch, store, n_shards=self.N, id_col="doc_id",
+                         order_within=["doc_id"]).toPandas()
+        assert set(m.shard) == touched  # manifest covers touched shards only
+        after = _file_states(store)
+        for d, files in before.items():
+            s = int(d.split("=")[1])
+            if s not in touched:
+                assert after[d] == files, f"untouched {d} was rewritten"
+            else:
+                assert len(after[d]) == 1  # one-file contract preserved
+        back = spark.read.parquet(store)
+        assert back.count() == docs.count()  # pure upsert, no dup ids
+        assert (
+            back.filter(F.col("doc_id") < 5)
+            .filter(F.col("text") == "UPDATED").count() == 5
+        )
+
+    def test_insert_new_ids_and_delete(self, spark, docs, store):
+        n0 = docs.count()
+        new = docs.limit(3).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+        dels = docs.filter(F.col("doc_id").isin([7, 11])).select("doc_id")
+        merge_shards(new, store, n_shards=self.N, id_col="doc_id",
+                     delete_ids=dels)
+        back = spark.read.parquet(store)
+        assert back.count() == n0 + 3 - 2
+        assert back.filter(F.col("doc_id") >= 1_000_000).count() == 3
+        assert back.filter(F.col("doc_id").isin([7, 11])).count() == 0
+
+    def test_merge_equals_full_rewrite(self, spark, docs, store, tmp_path):
+        """The incremental path must converge to what a from-scratch
+        save_shards of the merged corpus produces (same rows per shard,
+        same content sums)."""
+        batch = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+            "text", F.upper("text")
+        )
+        merge_shards(batch, store, n_shards=self.N, id_col="doc_id")
+        merged_corpus = docs.join(
+            batch.select("doc_id"), "doc_id", "left_anti"
+        ).unionByName(batch)
+        full = str(tmp_path / "full")
+        m_full = save_shards(
+            merged_corpus, full, n_shards=self.N, id_col="doc_id"
+        ).toPandas()
+        from docarray_spark.sources.writers import _shard_manifest
+
+        m_inc = _shard_manifest(
+            spark, store, ["doc_id", "text", "lang", "source", "n_chars"],
+            "doc_id",
+        ).toPandas()
+        cols = ["shard", "rows", "content_sum"]
+        assert m_inc[cols].reset_index(drop=True).equals(
+            m_full[cols].reset_index(drop=True)
+        )
+
+    def test_emptied_shard_dir_dropped(self, spark, docs, store):
+        # delete every id of shard 2 -> its directory must disappear
+        ids2 = (
+            spark.read.parquet(store)
+            .filter(F.col("shard") == 2)
+            .select("doc_id")
+        )
+        merge_shards(
+            docs.limit(0),  # empty upsert batch, delete-only merge
+            store, n_shards=self.N, id_col="doc_id", delete_ids=ids2,
+        )
+        assert not os.path.isdir(os.path.join(store, "shard=2"))
+        assert spark.read.parquet(store).filter(
+            F.col("shard") == 2
+        ).count() == 0
