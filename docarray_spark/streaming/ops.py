@@ -491,3 +491,64 @@ def stream_upsert_parquet_store(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_merge_shards(
+    sdf: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "id",
+    order_within: list[str] | None = None,
+    hash_method: str = "md5",
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    gate: "Callable[[SparkSession, DataFrame], DataFrame] | None" = None,
+):
+    """Streaming maintenance of a :func:`~docarray_spark.sources.writers.
+    save_shards` training-shard export: every micro-batch upserts into the
+    sharded layout via :func:`~docarray_spark.sources.writers.
+    merge_shards`, rewriting only the shard directories the batch hashes
+    into — the continuously-refreshed dataloader feed (crawl → gate →
+    shards) rather than a periodic full re-export.
+
+    Per-batch cost is O(batch + touched-shard rows); a batch of ``b`` ids
+    touches ≤ min(b, n_shards) shards. Replay-safe the same way the store
+    upsert is: the merge is idempotent per batch (same rows → same shard
+    state). ``gate`` slots admission control (quality filter, dedup
+    probe) before the merge, after per-batch id dedup. First batch
+    against an empty path initializes the export. Returns the started
+    StreamingQuery."""
+    import os
+
+    from docarray_spark.sources.registry import _exists
+    from docarray_spark.sources.writers import merge_shards, save_shards
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        b = batch_df.dropDuplicates([id_col])
+        if b.isEmpty():
+            return
+        if gate is not None:
+            b = gate(spark, b)
+            if b.isEmpty():
+                return
+        fresh = not _exists(path, spark) or (
+            "://" not in path and not os.listdir(path)
+        )
+        if fresh:
+            save_shards(
+                b, path, n_shards, id_col=id_col,
+                order_within=order_within, hash_method=hash_method,
+            )
+        else:
+            merge_shards(
+                b, path, n_shards, id_col=id_col,
+                order_within=order_within, hash_method=hash_method,
+            )
+
+    w = sdf.writeStream.foreachBatch(_merge)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -250,6 +250,43 @@ class TestMergeShards:
             m_full[cols].reset_index(drop=True)
         )
 
+    def test_streaming_merge_equals_batch_export(self, spark, docs, tmp_path):
+        """Crawl-to-dataloader loop: a docs stream drained through
+        stream_merge_shards (micro-batched foreachBatch merges) converges
+        to exactly what one batch save_shards of the same corpus writes —
+        same shards, same per-shard rows and content sums."""
+        from docarray_spark.sources.writers import _shard_manifest
+        from docarray_spark.streaming import read_stream, stream_merge_shards
+
+        landing = str(tmp_path / "landing")
+        # 4 files -> maxFilesPerTrigger=1 gives 4 micro-batches (first
+        # initializes, three merge)
+        docs.repartition(4).write.parquet(landing)
+        sdf = (
+            spark.readStream.schema(spark.read.parquet(landing).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        out = str(tmp_path / "stream_shards")
+        q = stream_merge_shards(
+            sdf, out, n_shards=4, id_col="doc_id",
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        q.stop()
+        batch = str(tmp_path / "batch_shards")
+        cols = ["doc_id", "text", "lang", "source", "n_chars"]
+        m_batch = save_shards(
+            docs, batch, n_shards=4, id_col="doc_id"
+        ).toPandas()
+        m_stream = _shard_manifest(spark, out, cols, "doc_id").toPandas()
+        keys = ["shard", "rows", "content_sum"]
+        assert m_stream[keys].reset_index(drop=True).equals(
+            m_batch[keys].reset_index(drop=True)
+        )
+        # one file per shard survived the incremental path
+        assert (m_stream["files"] == 1).all()
+
     def test_emptied_shard_dir_dropped(self, spark, docs, store):
         # delete every id of shard 2 -> its directory must disappear
         ids2 = (
