@@ -84,13 +84,23 @@ def find(corpus: DataFrame, query: Any, **kwargs) -> DataFrame:
                 [(i, q) for i, q in enumerate(query)], "query_id int, query string"
             )
             return out.join(F.broadcast(qmap), "query_id").drop("query_id")
-        from docarray_spark.operators.text import text_search
+        # corpus path: ONE batched job for the whole list (one corpus
+        # tokenize for N queries — text_search_multi; pinned ≡ N single
+        # text_search calls in test_fusion), tagged like the stored path.
+        # A repeated query string keeps one result set under its tag.
+        from docarray_spark.operators.text import text_search_multi
 
-        out = None
-        for q in query:
-            part = text_search(corpus, q, **kwargs).withColumn("query", F.lit(q))
-            out = part if out is None else out.unionByName(part)
-        return out
+        uniq = list(dict.fromkeys(query))
+        id_col = kwargs.get("id_col", "id")
+        out = text_search_multi(
+            corpus, dict(enumerate(uniq)),
+            **{k: v for k, v in kwargs.items() if k != "id_col"},
+            id_col=id_col,
+        )
+        qmap = corpus.sparkSession.createDataFrame(
+            [(i, q) for i, q in enumerate(uniq)], "query_id long, query string"
+        )
+        return out.join(F.broadcast(qmap), "query_id").drop("query_id")
     if isinstance(query, np.ndarray) or (
         isinstance(query, (list, tuple))
         and query

@@ -81,6 +81,31 @@ class TestTextSearchMulti:
             text_search_multi(docs, {0: "  "}, id_col="doc_id")
 
 
+class TestFindListDispatch:
+    def test_corpus_list_routes_to_batched_path(self, spark, docs):
+        """find(list[str]) without index_path: one batched corpus job,
+        tagged with the query string — values ≡ per-query text_search,
+        duplicate query strings collapse to one result set per tag."""
+        from docarray_spark.operators.find import find as ufind
+
+        qs = [QUERIES[0], QUERIES[1], QUERIES[0]]  # duplicate on purpose
+        got = (
+            ufind(docs, qs, id_col="doc_id", k=5, round_to=6)
+            .toPandas()
+            .sort_values(["query", "rank"], ignore_index=True)
+        )
+        assert set(got["query"]) == {QUERIES[0], QUERIES[1]}
+        for q in set(qs):
+            exp = (
+                text_search(docs, q, id_col="doc_id", k=5, round_to=6)
+                .toPandas()
+                .sort_values("rank", ignore_index=True)
+            )
+            part = got[got["query"] == q].reset_index(drop=True)
+            assert part.doc_id.tolist() == exp.doc_id.tolist()
+            assert part.score.tolist() == exp.score.tolist()
+
+
 class TestRrfFuse:
     def test_hand_computed(self, spark):
         # doc 10 is rank 1 in both lists; doc 11 only in list a; doc 12
