@@ -198,6 +198,21 @@ def hybrid_search(
         corpus_id_col=id_col, query_id_col=query_id_col,
         round_scores=round_to, eps=eps,
     ).select("query_id", "match_id", "score", "rank")
+    return _fuse_modalities(
+        text_ranks, vec_ranks, method=method, k=k, k0=k0, alpha=alpha,
+        round_to=round_to,
+    )
+
+
+def _fuse_modalities(
+    text_ranks: DataFrame,
+    vec_ranks: DataFrame,
+    method: str,
+    k: int,
+    k0: int,
+    alpha: float,
+    round_to: int,
+) -> DataFrame:
     if method == "rrf":
         return rrf_fuse(
             [text_ranks, vec_ranks], k0=k0, k=k, round_to=round_to + 3
@@ -211,3 +226,65 @@ def hybrid_search(
             round_to=round_to,
         )
     raise ValueError(f"unknown fusion method {method!r} (rrf|wsum)")
+
+
+def hybrid_search_stored(
+    spark,
+    text_index_path: str,
+    query_texts: list[str],
+    query_vectors,
+    vector_index_path: str | None = None,
+    vector_backend: str = "hnsw",
+    corpus: DataFrame | None = None,
+    id_col: str = "id",
+    k: int = 10,
+    fetch_k: int | None = None,
+    method: str = "rrf",
+    k0: int = 60,
+    alpha: float = 0.5,
+    round_to: int = 6,
+    **vector_kwargs,
+) -> DataFrame:
+    """Hybrid retrieval served entirely from MAINTAINED indexes: the text
+    side is one batched :func:`~docarray_spark.operators.index_store.
+    bm25_match_stored` call against a ``bm25_refresh``-maintained index
+    (one postings slice for the union of all queries' terms), the vector
+    side is :func:`~docarray_spark.operators.match.find_by_vectors`
+    against a stored ANN backend (``hnsw``/``sq8``/``pq``/``ivfpq`` with
+    ``vector_index_path``, quantizers loaded from the store's sidecar) —
+    the serving-path form of :func:`hybrid_search`, for when the corpus
+    lives behind the CRUD store and neither modality should re-scan it.
+
+    ``query_texts[i]`` pairs with ``query_vectors[i]`` (both sides tag
+    results with the list position as ``query_id``). ``corpus`` is only
+    needed by quantized backends that rerank against raw embeddings
+    (pass ``rerank_corpus=`` through ``vector_kwargs`` instead where
+    supported); with a pure stored serve it can be omitted.
+
+    Fusion is rank-based (``rrf``, default) or score-normalized
+    (``wsum``) — rrf composes the stored backends' heterogeneous score
+    scales (BM25 vs ADC sqeuclidean vs graph cosine) without caring."""
+    from .index_store import bm25_match_stored
+    from .match import find_by_vectors
+
+    fetch_k = fetch_k or 4 * k
+    text_ranks = bm25_match_stored(
+        spark, text_index_path, list(query_texts), id_col=id_col,
+        k=fetch_k, round_to=round_to,
+    ).select(
+        "query_id", F.col(id_col).alias("match_id"), "score", "rank"
+    )
+    if corpus is None:
+        corpus = spark.createDataFrame(
+            [], f"{id_col} bigint, embedding array<float>"
+        )
+    if vector_index_path is not None:
+        vector_kwargs["index_path"] = vector_index_path
+    vec_ranks = find_by_vectors(
+        corpus, query_vectors, k=fetch_k, backend=vector_backend,
+        round_scores=round_to, **vector_kwargs,
+    ).select("query_id", "match_id", "score", "rank")
+    return _fuse_modalities(
+        text_ranks, vec_ranks, method=method, k=k, k0=k0, alpha=alpha,
+        round_to=round_to,
+    )

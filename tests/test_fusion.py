@@ -252,3 +252,107 @@ class TestHybridSearch:
             hybrid_search(
                 docs, emb, QUERIES, qvecs, id_col="doc_id", method="borda"
             )
+
+
+class TestHybridStored:
+    """hybrid_search_stored: both modality top-k's served from MAINTAINED
+    indexes (bm25_refresh text index + stored HNSW graphs) — the
+    serving-path twin of the corpus-scanning hybrid."""
+
+    @pytest.fixture(scope="class")
+    def stores(self, spark, docs, sf_dir, tmp_path_factory):
+        import numpy as np
+
+        from docarray_spark.operators import bm25_refresh
+        from docarray_spark.operators.hnsw import hnsw_build_store
+        from docarray_spark.sources.writers import init_parquet_store
+
+        root = tmp_path_factory.mktemp("hybrid_stores")
+        text_store = str(root / "text_store")
+        init_parquet_store(
+            docs.select(F.col("doc_id").alias("id"), "text"),
+            text_store, n_buckets=8,
+        )
+        text_idx = str(root / "bm25_idx")
+        bm25_refresh(spark, text_store, text_idx)
+        emb = load(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id"), "embedding"
+        )
+        vec_idx = str(root / "hnsw_store")
+        hnsw_build_store(
+            emb, vec_idx, metric="cosine", corpus_id_col="id",
+            M=16, ef_construction=200,
+        )
+        qv = np.asarray(
+            [r.embedding for r in emb.filter(F.col("id") < 3)
+             .orderBy("id").collect()],
+            dtype=np.float64,
+        )
+        return text_idx, vec_idx, qv
+
+    def test_matches_manual_stored_fusion(self, spark, stores):
+        """Plumbing: the composed call equals fusing the two stored
+        serving calls by hand."""
+        from docarray_spark.operators import bm25_match_stored, find_by_vectors
+        from docarray_spark.operators.fusion import hybrid_search_stored
+
+        text_idx, vec_idx, qv = stores
+        texts = [QUERIES[0], QUERIES[1], QUERIES[2]]
+        got = hybrid_search_stored(
+            spark, text_idx, texts, qv, vector_index_path=vec_idx,
+            vector_backend="hnsw", k=10, ef=200,
+        ).toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+        tr = bm25_match_stored(
+            spark, text_idx, texts, k=40, round_to=6
+        ).select("query_id", F.col("id").alias("match_id"), "score", "rank")
+        vr = find_by_vectors(
+            spark.createDataFrame([], "id bigint, embedding array<float>"),
+            qv, k=40, backend="hnsw", index_path=vec_idx, ef=200,
+            round_scores=6,
+        ).select("query_id", "match_id", "score", "rank")
+        want = (
+            rrf_fuse([tr, vr], k=10, round_to=9)
+            .toPandas()
+            .sort_values(["query_id", "rank"], ignore_index=True)
+        )
+        assert got.match_id.tolist() == want.match_id.tolist()
+        assert got.score.tolist() == want.score.tolist()
+
+    def test_agrees_with_exact_hybrid(self, spark, docs, stores, sf_dir):
+        """Served fusion recalls what the exact corpus-path hybrid finds
+        (hnsw at ef=200 over 500 vectors is effectively exact; BM25 from
+        the store is pinned identical to the corpus path elsewhere)."""
+        from docarray_spark.operators.fusion import hybrid_search_stored
+
+        text_idx, vec_idx, qv = stores
+        emb = load(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        qvecs = (
+            load(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < 3)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        exact = hybrid_search(
+            docs, emb, QUERIES, qvecs, id_col="doc_id", k=10, method="rrf"
+        ).toPandas()
+        stored = hybrid_search_stored(
+            spark, text_idx, [QUERIES[0], QUERIES[1], QUERIES[2]], qv,
+            vector_index_path=vec_idx, vector_backend="hnsw", k=10, ef=200,
+        ).toPandas()
+        for qid in QUERIES:
+            a = set(exact[exact.query_id == qid].match_id)
+            b = set(stored[stored.query_id == qid].match_id)
+            assert len(a & b) >= 8, (qid, a, b)  # ≥0.8 overlap @10
+
+    def test_wsum_method(self, spark, stores):
+        from docarray_spark.operators.fusion import hybrid_search_stored
+
+        text_idx, vec_idx, qv = stores
+        out = hybrid_search_stored(
+            spark, text_idx, [QUERIES[0]], qv[:1],
+            vector_index_path=vec_idx, vector_backend="hnsw", k=5,
+            method="wsum", alpha=0.5, ef=200,
+        ).toPandas()
+        assert len(out) == 5
+        assert out.score.between(0.0, 1.0 + 1e-9).all()
