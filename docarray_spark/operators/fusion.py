@@ -267,6 +267,18 @@ def hybrid_search_stored(
     from .index_store import bm25_match_stored
     from .match import find_by_vectors
 
+    if corpus is None and (
+        vector_index_path is None
+        or vector_backend in ("exact", "lsh", "ivf")
+    ):
+        # exact/lsh/ivf score the corpus DataFrame directly (no stored
+        # form) — with the 0-row placeholder the vector list would come
+        # back EMPTY and the fusion silently degrade to text-only
+        raise ValueError(
+            f"vector_backend={vector_backend!r} needs a corpus DataFrame "
+            "(it has no stored serving form); pass corpus=, or use a "
+            "stored backend (hnsw/sq8/pq/ivfpq) with vector_index_path="
+        )
     fetch_k = fetch_k or 4 * k
     text_ranks = bm25_match_stored(
         spark, text_index_path, list(query_texts), id_col=id_col,

@@ -345,6 +345,23 @@ class TestHybridStored:
             b = set(stored[stored.query_id == qid].match_id)
             assert len(a & b) >= 8, (qid, a, b)  # ≥0.8 overlap @10
 
+    def test_corpusless_scan_backend_raises(self, spark, stores):
+        """exact/lsh/ivf have no stored form: without a corpus the vector
+        list would be empty and fusion silently text-only — must raise."""
+        from docarray_spark.operators.fusion import hybrid_search_stored
+
+        text_idx, vec_idx, qv = stores
+        with pytest.raises(ValueError, match="needs a corpus"):
+            hybrid_search_stored(
+                spark, text_idx, [QUERIES[0]], qv[:1],
+                vector_backend="exact", k=5,
+            )
+        with pytest.raises(ValueError, match="needs a corpus"):
+            hybrid_search_stored(
+                spark, text_idx, [QUERIES[0]], qv[:1],
+                vector_index_path=vec_idx, vector_backend="lsh", k=5,
+            )
+
     def test_wsum_method(self, spark, stores):
         from docarray_spark.operators.fusion import hybrid_search_stored
 
