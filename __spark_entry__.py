@@ -581,9 +581,11 @@ def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "score", "rank",
         )
     ]
+    # text_search_multi returns collected rows (its tf cache released) —
+    # the local result feeds three parts with no recompute and no persist
     tr40 = text_search_multi(
         dtext, HYBRID_QUERIES, id_col="doc_id", k=40, round_to=6
-    ).persist()
+    )
     parts.append(
         tr40.filter(F.col("rank") <= 15).select(
             F.lit("multi").alias("part"), "query_id", "doc_id", "score", "rank"

@@ -409,11 +409,15 @@ def simhash_col(text_col: str, bits: int = 16) -> Column:
     The earlier per-bit outer aggregate re-evaluated the whole
     split+md5 subtree once PER BIT under interpreted HOF eval — 32× the
     hashing work (measured 2.2 s → 0.26 s per 5k-doc streaming drain at
-    sf0.1); values are bit-identical (same counts, same c > 0 test)."""
+    sf0.1); values are bit-identical (same counts, same c > 0 test).
+    NULL text keeps the old form's fingerprint 0 (its per-bit IF(NULL > 0)
+    always took the else branch); the aggregate-over-NULL-array here
+    yields NULL, so the coalesce restores it — a streaming dedup state
+    store keyed on this column must not see the key change."""
     hx = _simhash_hex_chars(bits)
     return F.expr(
         f"""
-        aggregate(
+        coalesce(aggregate(
           transform(
             split(lower(trim({text_col})), '\\\\s+'),
             t -> cast(conv(substring(md5(t), 1, {hx}), 16, 10) as bigint)
@@ -427,7 +431,7 @@ def simhash_col(text_col: str, bits: int = 16) -> Column:
             0L,
             (a, b) -> a + b
           )
-        )
+        ), 0L)
         """
     )
 
@@ -848,7 +852,12 @@ def semantic_dedup(
     labelled = assigned.groupBy("cell").applyInPandas(_cell_dedup, out_schema)
     # rows the base filter excluded (null/empty embedding) come back as
     # keep=true singletons — "one row per input row" holds, and a missing
-    # embedding never silently deletes a document (ADVICE r8 #4)
+    # embedding never silently deletes a document (ADVICE r8 #4).
+    # Deliberately a SECOND map-only pass over df (columns pruned to
+    # id+embedding), not a cell=-1 route through the grouped pass: a
+    # corpus where a large fraction of rows lack embeddings would land
+    # them all in ONE pandas group — the exact single-executor blowup
+    # max_cell_rows exists to prevent — whereas this filter streams.
     dropped = (
         df.select(F.col(id_col).alias("id"), emb_d.alias("v"))
         .filter(~(F.col("v").isNotNull() & (F.size("v") > 0)))

@@ -87,20 +87,18 @@ def find(corpus: DataFrame, query: Any, **kwargs) -> DataFrame:
         # corpus path: ONE batched job for the whole list (one corpus
         # tokenize for N queries — text_search_multi; pinned ≡ N single
         # text_search calls in test_fusion), tagged like the stored path.
-        # A repeated query string keeps one result set under its tag.
+        # Duplicates compute once but keep PER-OCCURRENCE rows — the old
+        # per-query loop and the index_path branch both emit one result
+        # set per list position, and the two serving modes of the same
+        # call must agree on cardinality.
         from docarray_spark.operators.text import text_search_multi
 
         uniq = list(dict.fromkeys(query))
-        id_col = kwargs.get("id_col", "id")
-        out = text_search_multi(
-            corpus, dict(enumerate(uniq)),
-            **{k: v for k, v in kwargs.items() if k != "id_col"},
-            id_col=id_col,
+        out = text_search_multi(corpus, dict(enumerate(uniq)), **kwargs)
+        occ = corpus.sparkSession.createDataFrame(
+            [(uniq.index(q), q) for q in query], "query_id long, query string"
         )
-        qmap = corpus.sparkSession.createDataFrame(
-            [(i, q) for i, q in enumerate(uniq)], "query_id long, query string"
-        )
-        return out.join(F.broadcast(qmap), "query_id").drop("query_id")
+        return out.join(F.broadcast(occ), "query_id").drop("query_id")
     if isinstance(query, np.ndarray) or (
         isinstance(query, (list, tuple))
         and query

@@ -80,22 +80,7 @@ def rrf_fuse(
     else:
         wmap = F.array(*[F.lit(float(w)) for w in weights])
         contrib = wmap[F.col("_list")] / (F.lit(float(k0)) + F.col("_r"))
-    fused = (
-        u.withColumn("_c", contrib)
-        .groupBy("_qid", "_mid")
-        .agg(F.sum("_c").alias("score"))
-    )
-    w = Window.partitionBy("_qid").orderBy(F.col("score").desc(), F.col("_mid").asc())
-    out = fused.withColumn("rank", F.row_number().over(w))
-    if k is not None:
-        out = out.filter(F.col("rank") <= k)
-    score = F.round("score", round_to) if round_to is not None else F.col("score")
-    return out.select(
-        F.col("_qid").alias(query_col),
-        F.col("_mid").alias(id_col),
-        score.alias("score"),
-        "rank",
-    )
+    return _rank_fused(u, contrib, query_col, id_col, k, round_to)
 
 
 def minmax_fuse(
@@ -136,6 +121,21 @@ def minmax_fuse(
     contrib = wmap[F.col("_list")] * F.when(
         flip[F.col("_list")], norm
     ).otherwise(F.lit(1.0) - norm)
+    return _rank_fused(u, contrib, query_col, id_col, k, round_to)
+
+
+def _rank_fused(
+    u: DataFrame,
+    contrib,
+    query_col: str,
+    id_col: str,
+    k: int | None,
+    round_to: int | None,
+) -> DataFrame:
+    """Shared fusion tail: sum per-(query, doc) contributions, rank with
+    the deterministic id tie-break, slice to k, round for output (rank is
+    computed on the RAW fused score — rounding is presentation only,
+    mirroring the modality operators)."""
     fused = (
         u.withColumn("_c", contrib)
         .groupBy("_qid", "_mid")
@@ -267,17 +267,45 @@ def hybrid_search_stored(
     from .index_store import bm25_match_stored
     from .match import find_by_vectors
 
-    if corpus is None and (
-        vector_index_path is None
-        or vector_backend in ("exact", "lsh", "ivf")
-    ):
-        # exact/lsh/ivf score the corpus DataFrame directly (no stored
-        # form) — with the 0-row placeholder the vector list would come
-        # back EMPTY and the fusion silently degrade to text-only
+    if isinstance(query_texts, str):
+        # list(query_texts) would silently iterate a bare string into
+        # one-character "queries"
+        raise TypeError("query_texts must be a list of strings, got str")
+    query_texts = list(query_texts)
+    import numpy as np
+
+    qmat = np.asarray(query_vectors, dtype=float)
+    if qmat.ndim == 1:
+        qmat = qmat[None, :]
+    if len(query_texts) != len(qmat):
+        # both sides tag results with the list POSITION — a length
+        # mismatch would silently fuse misaligned or single-modality rows
         raise ValueError(
-            f"vector_backend={vector_backend!r} needs a corpus DataFrame "
-            "(it has no stored serving form); pass corpus=, or use a "
-            "stored backend (hnsw/sq8/pq/ivfpq) with vector_index_path="
+            f"{len(query_texts)} query_texts but {len(qmat)} query_vectors "
+            "— query_texts[i] must pair with query_vectors[i]"
+        )
+    if vector_backend in ("exact", "lsh", "ivf"):
+        if vector_index_path is not None:
+            # these backends score the corpus directly — forwarding
+            # index_path would die as an opaque unexpected-keyword
+            # TypeError inside match()/lsh_match()/ivf_match()
+            raise ValueError(
+                f"vector_backend={vector_backend!r} has no stored serving "
+                "form — vector_index_path= applies only to "
+                "hnsw/sq8/pq/ivfpq"
+            )
+        if corpus is None:
+            # with the 0-row placeholder the vector list would come back
+            # EMPTY and the fusion silently degrade to text-only
+            raise ValueError(
+                f"vector_backend={vector_backend!r} needs a corpus "
+                "DataFrame (it scores the corpus directly); pass corpus=, "
+                "or use a stored backend with vector_index_path="
+            )
+    elif corpus is None and vector_index_path is None:
+        raise ValueError(
+            f"vector_backend={vector_backend!r} needs vector_index_path= "
+            "(stored serve) or corpus= (build inline)"
         )
     fetch_k = fetch_k or 4 * k
     text_ranks = bm25_match_stored(
@@ -293,7 +321,7 @@ def hybrid_search_stored(
     if vector_index_path is not None:
         vector_kwargs["index_path"] = vector_index_path
     vec_ranks = find_by_vectors(
-        corpus, query_vectors, k=fetch_k, backend=vector_backend,
+        corpus, qmat, k=fetch_k, backend=vector_backend,
         round_scores=round_to, **vector_kwargs,
     ).select("query_id", "match_id", "score", "rank")
     return _fuse_modalities(

@@ -909,12 +909,6 @@ def _bm25_stored_topk(
         spark.read.parquet(f"{index_path}/postings")
         .filter(F.col("token").isin(all_terms))
         .select("token", id_col, "dl", "tf")
-        # both the per-term df aggregation and the scoring read this tiny
-        # slice (≈ df(term)·|terms| rows): cache it so the postings
-        # parquet is scanned ONCE per batch, not once per consumer (the 1M
-        # probe measured the double scan at 2× query latency); released
-        # by the caller once the top-k is collected
-        .persist()
     )
     stats = (
         spark.read.parquet(f"{index_path}/stats")
@@ -960,6 +954,15 @@ def _bm25_stored_topk(
     out = out.select(*cols, score.alias("score"), "rank").orderBy(
         *([] if single else ["query_id"]), "rank"
     )  # rank order is part of the output contract, not shuffle luck
+    # persist LAST: both the df aggregation and the scoring read the tiny
+    # term slice (≈ df(term)·|terms| rows), and caching it keeps the
+    # postings parquet to ONE scan per batch (the 1M probe measured the
+    # double scan at 2× query latency). Registering the cache as the
+    # final step means an exception anywhere above (e.g. a missing stats
+    # directory) cannot leak the registration — the caller's try/finally
+    # releases it after the collect. Cache substitution is by PLAN, so
+    # the references built above hit it at execution.
+    posts.persist()
     return out, posts
 
 

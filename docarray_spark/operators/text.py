@@ -282,7 +282,39 @@ def text_search_multi(
     window that Spark rewrites to WindowGroupLimit (per-partition partial
     top-k below the exchange) — the corpus is tokenized and scanned once
     for the whole batch, never per query.
+
+    Returns COLLECTED rows (≤ k·n_queries, the explicit budget) so the
+    internal (doc, term) tf cache can be released before returning — the
+    same serving-loop hygiene as ``bm25_match_stored``: a long-lived
+    session calling this per batch must not accumulate one pinned cache
+    entry per call. The plan-shape pins live on the lazy subtree
+    (:func:`_text_search_multi_topk`, ``tests/test_fusion.py``).
     """
+    out, tf = _text_search_multi_topk(
+        df, queries, id_col=id_col, text_col=text_col, k=k, k1=k1, b=b,
+        round_to=round_to,
+    )
+    try:
+        rows = out.collect()  # ≤ k·n_queries rows — explicit budget
+    finally:
+        tf.unpersist(False)
+    return df.sparkSession.createDataFrame(rows, schema=out.schema)
+
+
+def _text_search_multi_topk(
+    df: DataFrame,
+    queries: dict[int, str] | list[tuple[int, str]],
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int | None = None,
+):
+    """The batched scoring PLAN for :func:`text_search_multi` → ``(out,
+    tf)`` where ``out`` is the lazy per-query top-k and ``tf`` the
+    persisted (doc, term) slice the caller MUST unpersist after
+    materializing ``out``."""
     pairs = list(queries.items()) if isinstance(queries, dict) else list(queries)
     qterm_rows = sorted(
         {(int(qid), t) for qid, q in pairs for t in q.lower().split() if t}
@@ -304,7 +336,7 @@ def text_search_multi(
         F.col("t").isin(allterms)
     )
     # (doc, term) tf is query-independent — computed once for the batch
-    tf = toks.groupBy("_id", "_dl", "t").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = toks.groupBy("_id", "_dl", "t").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(qterms), "t")
@@ -330,9 +362,16 @@ def text_search_multi(
         F.col("rank") <= k
     )
     score = F.round("score", round_to) if round_to is not None else F.col("score")
-    return out.select(
+    out = out.select(
         "query_id", F.col("_id").alias(id_col), score.alias("score"), "rank"
     )
+    # persist LAST (the bm25_match_stored lesson): dfreq and the scoring
+    # join both read tf, so the cache keeps the corpus tokenize+explode to
+    # one pass — and registering it as the final step means an exception
+    # during plan construction cannot leak the registration. Substitution
+    # is by PLAN, so the references above hit it at execution.
+    tf.persist()
+    return out, tf
 
 
 def bm25_index(

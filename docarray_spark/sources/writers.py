@@ -321,7 +321,10 @@ def merge_shards(
     shards' files are never read or rewritten, and the one-file-per-shard
     contract is preserved for the rewritten shards. Returns the refreshed
     manifest rows for the TOUCHED shards (join against the stored manifest
-    to refresh it; untouched rows are unchanged by construction).
+    to refresh it; untouched rows are unchanged by construction) — a
+    touched shard the merge EMPTIED comes back as an explicit
+    rows=0/files=0 tombstone row, so the refresh join cannot leave a
+    stale entry pointing at a deleted directory.
 
     The shard-layout twin of :func:`merge_parquet_store`'s copy-on-write
     MERGE: the new batch determines the affected shard list (≤ n_shards,
@@ -385,7 +388,10 @@ def merge_shards(
     # dynamic overwrite can't DELETE a partition: drop emptied shard dirs
     for s in sorted(set(affected) - surviving):
         _delete_dir(f"{path}/shard={s}", spark)
-    return _shard_manifest(spark, path, data_cols, id_col, shards=affected)
+    id_type = df_new.schema[id_col].dataType.simpleString()
+    return _shard_manifest(
+        spark, path, data_cols, id_col, shards=affected, id_type=id_type
+    )
 
 
 def _shard_manifest(
@@ -394,35 +400,73 @@ def _shard_manifest(
     data_cols: list[str],
     id_col: str,
     shards: list[int] | None = None,
+    id_type: str | None = None,
 ) -> DataFrame:
     """Verification manifest from the WRITTEN data: one read-back
     aggregate + a driver-side directory listing, both bounded by the
-    shard count (never corpus-sized driver state)."""
-    back = spark.read.parquet(path)
-    if shards is not None:
-        back = back.filter(F.col("shard").isin(sorted(shards)))
-    fp = F.conv(
-        F.substring(F.md5(F.to_json(F.struct(*data_cols))), 1, 8), 16, 10
-    ).cast("long")
-    manifest = (
-        back.groupBy(F.col("shard").cast("int").alias("shard"))
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.min(id_col).alias("id_min"),
-            F.max(id_col).alias("id_max"),
-            F.sum(fp).alias("content_sum"),
-        )
-    )
+    shard count (never corpus-sized driver state). With ``shards``, a
+    requested shard that no longer holds any rows gets an explicit
+    rows=0/files=0 tombstone row — callers refreshing a stored manifest
+    by joining the returned rows must see the emptying, not keep the
+    stale pre-delete entry (and a delete-only merge that empties every
+    affected shard must still return, even if no parquet files remain
+    to infer a schema from — hence the ``id_type`` fallback)."""
     sizes = _shard_sizes(path, spark)
-    pdf = manifest.toPandas()  # ≤ n_shards rows — driver-bounded
+    try:
+        back = spark.read.parquet(path)
+        if shards is not None:
+            back = back.filter(F.col("shard").isin(sorted(shards)))
+        fp = F.conv(
+            F.substring(F.md5(F.to_json(F.struct(*data_cols))), 1, 8), 16, 10
+        ).cast("long")
+        manifest = (
+            back.groupBy(F.col("shard").cast("int").alias("shard"))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min(id_col).alias("id_min"),
+                F.max(id_col).alias("id_max"),
+                F.sum(fp).alias("content_sum"),
+            )
+        )
+        pdf = manifest.toPandas()  # ≤ n_shards rows — driver-bounded
+        id_type = id_type or manifest.schema["id_min"].dataType.simpleString()
+    except Exception:
+        # every shard emptied and dropped: nothing left to read
+        import pandas as pd
+
+        if id_type is None:
+            raise
+        pdf = pd.DataFrame(
+            columns=["shard", "rows", "id_min", "id_max", "content_sum"]
+        )
     pdf["files"] = pdf["shard"].map(lambda s: sizes.get(int(s), (0, 0))[0])
     pdf["bytes"] = pdf["shard"].map(lambda s: sizes.get(int(s), (0, 0))[1])
-    id_type = manifest.schema["id_min"].dataType.simpleString()
+    if shards is not None:
+        import pandas as pd
+
+        missing = sorted(set(shards) - set(int(s) for s in pdf["shard"]))
+        if missing:
+            pdf = pd.concat(
+                [
+                    pdf,
+                    pd.DataFrame(
+                        {
+                            "shard": missing,
+                            "rows": 0,
+                            "id_min": None,
+                            "id_max": None,
+                            "content_sum": 0,
+                            "files": 0,
+                            "bytes": 0,
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
     schema = (
         f"shard int, rows bigint, id_min {id_type}, id_max {id_type}, "
         "content_sum bigint, files bigint, bytes bigint"
-    )  # explicit: a delete-only merge can empty every affected shard,
-    # and an empty pandas frame has no inferable schema
+    )
     return spark.createDataFrame(pdf, schema).orderBy("shard")
 
 

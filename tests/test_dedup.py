@@ -104,6 +104,13 @@ def test_simhash_value_and_pairs(spark, corpus):
     found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
     assert ("d00", "dup1") in found  # identical text → hamming 0
     assert (pairs.hamming <= 3).all()
+    # NULL text fingerprints to 0 — the pre-r9 per-bit form's value; a
+    # streaming dedup state store keyed on this column must not see the
+    # key change across the single-pass rewrite (review r9)
+    nul = spark.createDataFrame(
+        [("x", None)], "id string, text string"
+    ).select(simhash_col("text", 16).alias("sh")).first()
+    assert nul.sh == 0
 
 
 @pytest.fixture(scope="module")

@@ -96,11 +96,12 @@ BUDGETS = {
     "fingerprint_winnow": (0, 1, False),
     "doc_summary": (2, 1, False),
     # r9 four-part hybrid suite: single bm25 (5/3) + ONE shared batched
-    # multi-query pass (persisted fetch_k=40 list sliced for the multi
-    # part and both fusions) + ONE kNN pass; fusion windows/aggs run on
-    # queries×fetch_k rows, never corpus-sized; cartesian = the broadcast
-    # 1-row corpus-stats replicate per BM25 pass
-    "text_search_bm25": (15, 6, True),
+    # multi-query pass (text_search_multi collects its fetch_k=40 list —
+    # a LocalTableScan here — and is sliced for the multi part and both
+    # fusions) + ONE kNN pass; fusion windows/aggs run on queries×fetch_k
+    # rows, never corpus-sized; cartesian = the broadcast 1-row
+    # corpus-stats replicate per BM25 pass
+    "text_search_bm25": (10, 6, True),
     "nested_set": (3, 15, False),
     "dedup_exact": (1, 1, False),
     # minhash LSH path + the exact inverted-index ground-truth path

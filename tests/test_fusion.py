@@ -63,18 +63,35 @@ class TestTextSearchMulti:
             assert part["rank"].tolist() == single["rank"].tolist(), qid
 
     def test_plan_one_scan_window_group_limit(self, docs):
-        out = text_search_multi(docs, QUERIES, id_col="doc_id", k=15)
-        # per-query top-k is a rank-filter window -> WindowGroupLimit
-        # (per-partition partial top-k below the exchange), and the corpus
-        # is tokenized/scanned once for the whole batch
-        assert has_window_group_limit(out)
-        # pre-materialization the persisted (doc, term) tf subtree still
-        # shows its source scans; the batch never scans once PER QUERY
-        assert scan_count(out) <= 3
-        # qterms / dfreq hash-broadcast; the 1-row stats crossJoin rides a
-        # broadcast nested loop (benign at any scale) — no corpus-sized
-        # shuffle beyond the (doc, term) aggregate
-        assert broadcast_join_count(out) >= 2
+        # the public operator collects (its plan is a LocalTableScan);
+        # the plan pins live on the lazy subtree, bm25_match_stored-style
+        from docarray_spark.operators.text import _text_search_multi_topk
+
+        out, tf = _text_search_multi_topk(docs, QUERIES, id_col="doc_id", k=15)
+        try:
+            # per-query top-k is a rank-filter window -> WindowGroupLimit
+            # (per-partition partial top-k below the exchange), and the
+            # corpus is tokenized/scanned once for the whole batch
+            assert has_window_group_limit(out)
+            # pre-materialization the persisted (doc, term) tf subtree
+            # still shows its source scans; never one scan PER QUERY
+            assert scan_count(out) <= 3
+            # qterms / dfreq hash-broadcast; the 1-row stats crossJoin
+            # rides a broadcast nested loop (benign at any scale) — no
+            # corpus-sized shuffle beyond the (doc, term) aggregate
+            assert broadcast_join_count(out) >= 2
+        finally:
+            tf.unpersist(False)
+
+    def test_tf_cache_released(self, spark, docs):
+        """Serving-loop hygiene: the public operator must leave ZERO new
+        entries in the cache manager (the internal tf persist is released
+        before returning — bm25_match_stored precedent)."""
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getRDDStorageInfo()
+        text_search_multi(docs, QUERIES, id_col="doc_id", k=5).count()
+        after = jsc.getRDDStorageInfo()
+        assert len(after) == len(before)
 
     def test_empty_queries_raise(self, docs):
         with pytest.raises(ValueError, match="query terms"):
@@ -84,8 +101,9 @@ class TestTextSearchMulti:
 class TestFindListDispatch:
     def test_corpus_list_routes_to_batched_path(self, spark, docs):
         """find(list[str]) without index_path: one batched corpus job,
-        tagged with the query string — values ≡ per-query text_search,
-        duplicate query strings collapse to one result set per tag."""
+        tagged with the query string — values ≡ per-query text_search.
+        Duplicate strings compute once but keep PER-OCCURRENCE rows (the
+        old per-query loop's and the index_path branch's cardinality)."""
         from docarray_spark.operators.find import find as ufind
 
         qs = [QUERIES[0], QUERIES[1], QUERIES[0]]  # duplicate on purpose
@@ -95,13 +113,19 @@ class TestFindListDispatch:
             .sort_values(["query", "rank"], ignore_index=True)
         )
         assert set(got["query"]) == {QUERIES[0], QUERIES[1]}
-        for q in set(qs):
+        assert len(got) == 15  # 3 occurrences x k=5, duplicate kept
+        for q, mult in ((QUERIES[0], 2), (QUERIES[1], 1)):
             exp = (
                 text_search(docs, q, id_col="doc_id", k=5, round_to=6)
                 .toPandas()
                 .sort_values("rank", ignore_index=True)
             )
-            part = got[got["query"] == q].reset_index(drop=True)
+            part = (
+                got[got["query"] == q]
+                .drop_duplicates()
+                .reset_index(drop=True)
+            )
+            assert len(got[got["query"] == q]) == mult * len(exp)
             assert part.doc_id.tolist() == exp.doc_id.tolist()
             assert part.score.tolist() == exp.score.tolist()
 
@@ -356,10 +380,20 @@ class TestHybridStored:
                 spark, text_idx, [QUERIES[0]], qv[:1],
                 vector_backend="exact", k=5,
             )
-        with pytest.raises(ValueError, match="needs a corpus"):
+        with pytest.raises(ValueError, match="no stored serving form"):
             hybrid_search_stored(
                 spark, text_idx, [QUERIES[0]], qv[:1],
                 vector_index_path=vec_idx, vector_backend="lsh", k=5,
+            )
+        with pytest.raises(ValueError, match="query_vectors"):
+            hybrid_search_stored(
+                spark, text_idx, [QUERIES[0], QUERIES[1]], qv[:1],
+                vector_index_path=vec_idx, k=5,
+            )
+        with pytest.raises(TypeError, match="list of strings"):
+            hybrid_search_stored(
+                spark, text_idx, QUERIES[0], qv[:1],
+                vector_index_path=vec_idx, k=5,
             )
 
     def test_wsum_method(self, spark, stores):
