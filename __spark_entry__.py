@@ -548,7 +548,7 @@ HYBRID_QUERIES = {
 
 
 def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 full-text search + hybrid retrieval, four parts:
+    """BM25 full-text search + hybrid retrieval + MMR rerank, five parts:
 
     - ``bm25``: single-query corpus BM25 (reference find(str),
       Elasticsearch-only — storage/elastic/find.py:74-114) as pure
@@ -558,8 +558,11 @@ def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``rrf``: hybrid lexical+vector fusion — Reciprocal Rank Fusion
       (Cormack et al. 2009) of the multi-query BM25 list and exact cosine
       kNN over the same query ids (doc_id == vec_id id space), k=10.
-    - ``wsum``: weighted min-max score fusion (CombSUM), text 0.4 /
-      vector 0.6.
+    - ``wsum``: weighted min-max score fusion (CombSUM), text 0.25 /
+      vector 0.75.
+    - ``mmr``: Maximal Marginal Relevance diversity rerank of the vector
+      candidates (λ=0.5, k=5) — rank is the greedy pick order, replayed
+      in SQL as unrolled argmax CTEs.
 
     The fusion inputs are queries × fetch_k rows — broadcast-sized no
     matter the corpus; the corpus-scale work stays in the two modality
@@ -621,6 +624,25 @@ def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("match_id").alias("doc_id"), "score", "rank",
             )
         )
+    # fifth part: MMR diversity rerank of the vector candidate list
+    # (Carbonell & Goldstein 1998) — rank = pick order; λ=0.5 keeps every
+    # arithmetic step an exact dyadic double, and the SQL oracle replays
+    # the greedy argmax UNROLLED (k=5 pick CTEs over the shared veck list)
+    from docarray_spark.operators import mmr_rerank
+
+    mmr_cand = vec40.select(
+        "query_id", "match_id",
+        (F.lit(1.0) - F.col("score")).alias("rel"),
+    )
+    mmr = mmr_rerank(
+        mmr_cand, emb, k=5, lam=0.5, emb_id_col="doc_id", round_to=6
+    )
+    parts.append(
+        mmr.select(
+            F.lit("mmr").alias("part"), "query_id",
+            F.col("match_id").alias("doc_id"), "score", "rank",
+        )
+    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -3066,7 +3088,116 @@ def oracle_sql() -> dict[str, str]:
                      (row_number() OVER (PARTITION BY query_id
                         ORDER BY score DESC, doc_id ASC))::INT AS rank
               FROM wss
-            )
+            ),
+            mc AS (
+              SELECT query_id, doc_id, round(1 - score, 6) AS rel FROM veck
+            ),
+            msim AS (
+              SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+                     round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                                  eb.embedding::DOUBLE[]), 6) AS s
+              FROM mc a JOIN mc b
+                ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+              JOIN embeddings ea ON ea.vec_id = a.doc_id
+              JOIN embeddings eb ON eb.vec_id = b.doc_id
+            ),
+            p1 AS (
+              SELECT query_id, doc_id, mmr FROM (
+                SELECT query_id, doc_id, 0.5 * rel AS mmr,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY 0.5 * rel DESC, doc_id ASC) AS rn
+                FROM mc
+              ) WHERE rn = 1
+            ),
+            sel1 AS (SELECT query_id, doc_id FROM p1),
+            p2 AS (
+              SELECT query_id, doc_id, mmr FROM (
+                SELECT query_id, doc_id, mmr,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY mmr DESC, doc_id ASC) AS rn
+                FROM (
+                  SELECT m.query_id, m.doc_id,
+                         0.5 * m.rel - 0.5 * coalesce((
+                           SELECT max(x.s) FROM msim x
+                           JOIN sel1 s ON x.query_id = s.query_id
+                                          AND x.db = s.doc_id
+                           WHERE x.query_id = m.query_id
+                             AND x.da = m.doc_id), 0.0) AS mmr
+                  FROM mc m
+                  WHERE NOT EXISTS (SELECT 1 FROM sel1 s
+                                    WHERE s.query_id = m.query_id
+                                      AND s.doc_id = m.doc_id)
+                )
+              ) WHERE rn = 1
+            ),
+            sel2 AS (SELECT query_id, doc_id FROM sel1
+                       UNION ALL SELECT query_id, doc_id FROM p2),
+            p3 AS (
+              SELECT query_id, doc_id, mmr FROM (
+                SELECT query_id, doc_id, mmr,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY mmr DESC, doc_id ASC) AS rn
+                FROM (
+                  SELECT m.query_id, m.doc_id,
+                         0.5 * m.rel - 0.5 * coalesce((
+                           SELECT max(x.s) FROM msim x
+                           JOIN sel2 s ON x.query_id = s.query_id
+                                          AND x.db = s.doc_id
+                           WHERE x.query_id = m.query_id
+                             AND x.da = m.doc_id), 0.0) AS mmr
+                  FROM mc m
+                  WHERE NOT EXISTS (SELECT 1 FROM sel2 s
+                                    WHERE s.query_id = m.query_id
+                                      AND s.doc_id = m.doc_id)
+                )
+              ) WHERE rn = 1
+            ),
+            sel3 AS (SELECT query_id, doc_id FROM sel2
+                       UNION ALL SELECT query_id, doc_id FROM p3),
+            p4 AS (
+              SELECT query_id, doc_id, mmr FROM (
+                SELECT query_id, doc_id, mmr,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY mmr DESC, doc_id ASC) AS rn
+                FROM (
+                  SELECT m.query_id, m.doc_id,
+                         0.5 * m.rel - 0.5 * coalesce((
+                           SELECT max(x.s) FROM msim x
+                           JOIN sel3 s ON x.query_id = s.query_id
+                                          AND x.db = s.doc_id
+                           WHERE x.query_id = m.query_id
+                             AND x.da = m.doc_id), 0.0) AS mmr
+                  FROM mc m
+                  WHERE NOT EXISTS (SELECT 1 FROM sel3 s
+                                    WHERE s.query_id = m.query_id
+                                      AND s.doc_id = m.doc_id)
+                )
+              ) WHERE rn = 1
+            ),
+            sel4 AS (SELECT query_id, doc_id FROM sel3
+                       UNION ALL SELECT query_id, doc_id FROM p4),
+            p5 AS (
+              SELECT query_id, doc_id, mmr FROM (
+                SELECT query_id, doc_id, mmr,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY mmr DESC, doc_id ASC) AS rn
+                FROM (
+                  SELECT m.query_id, m.doc_id,
+                         0.5 * m.rel - 0.5 * coalesce((
+                           SELECT max(x.s) FROM msim x
+                           JOIN sel4 s ON x.query_id = s.query_id
+                                          AND x.db = s.doc_id
+                           WHERE x.query_id = m.query_id
+                             AND x.da = m.doc_id), 0.0) AS mmr
+                  FROM mc m
+                  WHERE NOT EXISTS (SELECT 1 FROM sel4 s
+                                    WHERE s.query_id = m.query_id
+                                      AND s.doc_id = m.doc_id)
+                )
+              ) WHERE rn = 1
+            ),
+            sel5 AS (SELECT query_id, doc_id FROM sel4
+                       UNION ALL SELECT query_id, doc_id FROM p5)
             SELECT 'bm25' AS part, -1::BIGINT AS query_id, doc_id, score, rank
             FROM single
             UNION ALL
@@ -3078,6 +3209,21 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'wsum', query_id::BIGINT, doc_id, score, rank
             FROM wsr WHERE rank <= 10
+            UNION ALL
+            SELECT 'mmr', query_id::BIGINT, doc_id, round(mmr, 6) AS score,
+                   1::INT AS rank FROM p1
+            UNION ALL
+            SELECT 'mmr', query_id::BIGINT, doc_id, round(mmr, 6) AS score,
+                   2::INT AS rank FROM p2
+            UNION ALL
+            SELECT 'mmr', query_id::BIGINT, doc_id, round(mmr, 6) AS score,
+                   3::INT AS rank FROM p3
+            UNION ALL
+            SELECT 'mmr', query_id::BIGINT, doc_id, round(mmr, 6) AS score,
+                   4::INT AS rank FROM p4
+            UNION ALL
+            SELECT 'mmr', query_id::BIGINT, doc_id, round(mmr, 6) AS score,
+                   5::INT AS rank FROM p5
         """,
         "nested_set": """
             WITH roots AS (SELECT doc_id::VARCHAR AS id, text FROM documents),

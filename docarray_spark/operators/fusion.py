@@ -154,6 +154,100 @@ def _rank_fused(
     )
 
 
+def mmr_rerank(
+    candidates: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    query_col: str = "query_id",
+    id_col: str = "match_id",
+    rel_col: str = "rel",
+    emb_id_col: str = "id",
+    emb_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR
+    1998): greedily pick ``k`` results per query trading relevance
+    against redundancy —
+
+        pick_t = argmax_d  λ·rel(d) − (1−λ)·max_{s∈selected} cos_sim(d, s)
+
+    over a per-query CANDIDATE list (the first pick maximizes ``rel``
+    alone; the diversity term is 0 with nothing selected). Returns
+    ``(query_col, id_col, score, rank)`` where ``rank`` is the PICK ORDER
+    (1 = first selected) and ``score`` the pick's MMR value.
+
+    Scale shape: this is a post-top-k rerank — ``candidates`` is
+    queries × fetch_k rows, so the embedding join broadcasts the
+    candidate side into the corpus scan and the greedy loop runs on tiny
+    per-query pandas groups (``applyInPandas``), never corpus-sized.
+
+    Determinism contract (SQL-oracle-able at fixed k, unlike open-ended
+    greedy selection): ``rel`` and every pairwise similarity are rounded
+    to ``round_to`` before compares; argmax ties break on ascending id;
+    λ should be an exact dyadic double (0.5, 0.25, …) if an external
+    engine must replay the arithmetic bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    cand = candidates.select(
+        F.col(query_col).alias("_qid"),
+        F.col(id_col).alias("_mid"),
+        F.round(F.col(rel_col), round_to).alias("_rel"),
+    )
+    joined = embeddings.select(
+        F.col(emb_id_col).alias("_mid"),
+        F.transform(F.col(emb_col), lambda x: x.cast("double")).alias("_v"),
+    ).join(F.broadcast(cand), "_mid")
+    qid_type = candidates.schema[query_col].dataType
+    mid_type = candidates.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("_qid", qid_type),
+        T.StructField("_mid", mid_type),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("rank", T.IntegerType()),
+    ])
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_mid", ignore_index=True)  # id tie-break:
+        # np.argmax returns the FIRST max, which is the smallest id here
+        rel = pdf["_rel"].to_numpy(dtype=np.float64)
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        Xn = X / np.where(norms == 0.0, 1.0, norms)
+        n = len(pdf)
+        picked: list[int] = []
+        scores: list[float] = []
+        avail = np.ones(n, dtype=bool)
+        maxsim = np.zeros(n, dtype=np.float64)
+        for _ in range(min(k, n)):
+            mmr = lam * rel - (1.0 - lam) * maxsim
+            mmr = np.where(avail, mmr, -np.inf)
+            i = int(np.argmax(mmr))
+            picked.append(i)
+            scores.append(float(mmr[i]))
+            avail[i] = False
+            sims = np.round(Xn @ Xn[i], round_to)
+            np.maximum(maxsim, sims, out=maxsim)
+        return pd.DataFrame({
+            "_qid": pdf["_qid"].iloc[picked].to_numpy(),
+            "_mid": pdf["_mid"].iloc[picked].to_numpy(),
+            "score": np.round(np.asarray(scores), round_to),
+            "rank": np.arange(1, len(picked) + 1, dtype=np.int32),
+        })
+
+    out = joined.groupBy("_qid").applyInPandas(_mmr, out_schema)
+    return out.select(
+        F.col("_qid").alias(query_col),
+        F.col("_mid").alias(id_col),
+        "score",
+        "rank",
+    )
+
+
 def hybrid_search(
     docs: DataFrame,
     corpus: DataFrame,

@@ -101,7 +101,9 @@ BUDGETS = {
     # fusions) + ONE kNN pass; fusion windows/aggs run on queries×fetch_k
     # rows, never corpus-sized; cartesian = the broadcast 1-row
     # corpus-stats replicate per BM25 pass
-    "text_search_bm25": (10, 6, True),
+    # +1 shuffle/+1 scan r9b: the mmr part's per-query applyInPandas over
+    # the broadcast candidate-embedding join
+    "text_search_bm25": (11, 7, True),
     "nested_set": (3, 15, False),
     "dedup_exact": (1, 1, False),
     # minhash LSH path + the exact inverted-index ground-truth path

@@ -278,6 +278,66 @@ class TestHybridSearch:
             )
 
 
+class TestMmrRerank:
+    def _fixture(self, spark):
+        cand = spark.createDataFrame(
+            [(0, 1, 0.9), (0, 2, 0.8), (0, 3, 0.5)],
+            "query_id long, match_id long, rel double",
+        )
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+            "id long, embedding array<double>",
+        )
+        return cand, emb
+
+    def test_hand_computed_diversity_beats_redundancy(self, spark):
+        """docs 1,2 identical direction (sim 1), doc 3 orthogonal: MMR at
+        λ=.5 picks 1 (best rel), then 3 (0.25 beats 2's −0.1), then 2."""
+        from docarray_spark.operators import mmr_rerank
+
+        cand, emb = self._fixture(spark)
+        out = (
+            mmr_rerank(cand, emb, k=3, lam=0.5, rel_col="rel")
+            .toPandas().sort_values("rank", ignore_index=True)
+        )
+        assert out.match_id.tolist() == [1, 3, 2]
+        assert out.score.tolist() == pytest.approx([0.45, 0.25, -0.1])
+        assert out["rank"].tolist() == [1, 2, 3]
+
+    def test_lam_one_is_pure_relevance(self, spark):
+        from docarray_spark.operators import mmr_rerank
+
+        cand, emb = self._fixture(spark)
+        out = (
+            mmr_rerank(cand, emb, k=3, lam=1.0, rel_col="rel")
+            .toPandas().sort_values("rank", ignore_index=True)
+        )
+        assert out.match_id.tolist() == [1, 2, 3]  # rel order, no diversity
+
+    def test_k_exceeds_candidates_and_tie_break(self, spark):
+        from docarray_spark.operators import mmr_rerank
+
+        cand = spark.createDataFrame(
+            [(0, 7, 0.5), (0, 4, 0.5)], "query_id long, match_id long, rel double"
+        )
+        emb = spark.createDataFrame(
+            [(7, [1.0, 0.0]), (4, [0.0, 1.0])], "id long, embedding array<double>"
+        )
+        out = (
+            mmr_rerank(cand, emb, k=10, lam=1.0, rel_col="rel")
+            .toPandas().sort_values("rank", ignore_index=True)
+        )
+        assert len(out) == 2  # stops at the candidate count
+        assert out.match_id.tolist() == [4, 7]  # equal rel -> smaller id first
+
+    def test_bad_lam(self, spark):
+        from docarray_spark.operators import mmr_rerank
+
+        cand, emb = self._fixture(spark)
+        with pytest.raises(ValueError, match="lam"):
+            mmr_rerank(cand, emb, lam=1.5, rel_col="rel")
+
+
 class TestHybridStored:
     """hybrid_search_stored: both modality top-k's served from MAINTAINED
     indexes (bm25_refresh text index + stored HNSW graphs) — the
