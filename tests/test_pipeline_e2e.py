@@ -146,3 +146,57 @@ def test_retrieval_pipeline_embed_to_pq_store(spark, docs, tmp_path):
     # near-zero ADC distance (its code reconstructs itself)
     top = min(got, key=lambda r: r["rank"])
     assert top["match_id"] == qrow.id
+
+
+def test_export_pipeline_quality_to_shards(spark, docs, tmp_path):
+    """Export-side pipeline (r9): quality gate → near-dup dedup →
+    token-budget packing summary → deterministic shard export with
+    manifest — the full corpus-build handoff from raw documents to the
+    dataloader contract (one file per shard, SQL-replayable assignment,
+    content-sum integrity)."""
+    import os
+
+    from docarray_spark.operators import gopher_quality, simhash_dup_pairs
+    from docarray_spark.sources import save_shards, shard_col
+
+    # 1. quality gate (signals never drop rows; the filter does)
+    gated = docs.join(
+        gopher_quality(docs, id_col="doc_id", text_col="text").select(
+            "doc_id", "keep"
+        ),
+        "doc_id",
+    ).filter("keep").drop("keep")
+    n1 = gated.count()
+    assert 0 < n1 <= docs.count()
+
+    # 2. near-dup dedup: keep the smallest id of each simhash dup pair set
+    pairs = simhash_dup_pairs(gated, id_col="doc_id", text_col="text",
+                              bits=32, max_hamming=2, num_bands=4)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    deduped = gated.join(losers, "doc_id", "left_anti")
+    n2 = deduped.count()
+    assert 0 < n2 <= n1
+
+    # 3. token counts ride along into the export (the packing signal)
+    ready = deduped.withColumn(
+        "n_tokens", F.size(F.split(F.trim("text"), r"\s+"))
+    )
+
+    # 4. shard export: one file per shard, manifest accounts for every row
+    path = str(tmp_path / "export")
+    manifest = save_shards(
+        ready, path, n_shards=4, id_col="doc_id", order_within=["doc_id"]
+    ).toPandas()
+    assert manifest["rows"].sum() == n2
+    assert (manifest["files"] == 1).all()
+    # the dataloader contract: reading one shard = one directory, and the
+    # assignment is replayable without Spark (md5 % n)
+    back = spark.read.parquet(path)
+    assert back.count() == n2
+    chk = ready.select(
+        "doc_id", shard_col("doc_id", 4).alias("shard")
+    ).groupBy("shard").count().orderBy("shard").toPandas()
+    got = manifest.sort_values("shard", ignore_index=True)
+    assert got["rows"].tolist() == chk["count"].tolist()
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("shard="))
+    assert dirs == [f"shard={int(s)}" for s in sorted(got["shard"])]
