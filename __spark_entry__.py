@@ -3019,9 +3019,12 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY tf.doc_id
             ),
             single AS (
+              -- rank on the ROUNDED score (id tie-break): raw-sum ulp
+              -- ties must not pick engine- or run-specific winners
               SELECT doc_id, round(score, 6) AS score,
-                     (row_number() OVER (ORDER BY score DESC, doc_id ASC))::INT AS rank
-              FROM scored ORDER BY score DESC, doc_id LIMIT 20
+                     (row_number() OVER (ORDER BY round(score, 6) DESC,
+                                         doc_id ASC))::INT AS rank
+              FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20
             ),
             mscored AS (
               SELECT q.query_id, tf.doc_id,
@@ -3035,7 +3038,7 @@ def oracle_sql() -> dict[str, str]:
             mrank AS (
               SELECT query_id, doc_id, score,
                      (row_number() OVER (PARTITION BY query_id
-                        ORDER BY score DESC, doc_id ASC))::INT AS rank
+                        ORDER BY round(score, 6) DESC, doc_id ASC))::INT AS rank
               FROM mscored
             ),
             textk AS (SELECT query_id, doc_id, round(score, 6) AS score, rank

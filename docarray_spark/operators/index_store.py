@@ -943,8 +943,12 @@ def _bm25_stored_topk(
     )
     from pyspark.sql import Window
 
+    # rank on the ROUNDED score (r5 PQ lesson, hit again r9 in the
+    # bm25_query-equivalence pin): BM25 sums that tie at round_to decimals
+    # differ only in float sum-order ulps across code paths/runs
+    skey = F.round("score", round_to) if round_to is not None else F.col("score")
     w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
+        skey.desc(), F.col(id_col).asc()
     )
     out = scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k

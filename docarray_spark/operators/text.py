@@ -251,11 +251,21 @@ def text_search(
     # per-partition top-k + driver merge, NOT a single-partition sort (which
     # a global row_number window would force); rank is then assigned on the
     # k surviving rows only.
-    top = scored.orderBy(F.col("score").desc(), F.col("_id").asc()).limit(k)
-    w = Window.orderBy(F.col("score").desc(), F.col("_id").asc())
+    # Rank on the ROUNDED score (r5 PQ lesson, hit again r9): two docs
+    # whose BM25 sums tie at round_to decimals differ only in float
+    # sum-order ulps, so ranking raw makes the tie order a per-run
+    # artifact; rounded + id tie-break is deterministic in any engine.
+    skey = _rank_key("score", round_to)
+    top = scored.orderBy(skey.desc(), F.col("_id").asc()).limit(k)
+    w = Window.orderBy(skey.desc(), F.col("_id").asc())
     out = top.withColumn("rank", F.row_number().over(w))
     score = F.round("score", round_to) if round_to is not None else F.col("score")
     return out.select(F.col("_id").alias(id_col), score.alias("score"), "rank")
+
+
+def _rank_key(col: str, round_to: int | None):
+    """BM25 ranking key: the ROUNDED score when rounding is requested."""
+    return F.round(col, round_to) if round_to is not None else F.col(col)
 
 
 def text_search_multi(
@@ -355,8 +365,9 @@ def _text_search_multi_topk(
         .groupBy("query_id", "_id")
         .agg(F.sum("_s").alias("score"))
     )
+    # rounded rank key: raw-sum ulp ties must not pick per-run winners
     w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("_id").asc()
+        _rank_key("score", round_to).desc(), F.col("_id").asc()
     )
     out = scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
@@ -441,8 +452,10 @@ def bm25_query(
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
     scored = hit.withColumn("_s", s).groupBy(id_col).agg(F.sum("_s").alias("score"))
-    top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    # rounded rank key: raw-sum ulp ties must not pick per-run winners
+    skey = _rank_key("score", round_to)
+    top = scored.orderBy(skey.desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(skey.desc(), F.col(id_col).asc())
     out = top.withColumn("rank", F.row_number().over(w))
     score = F.round("score", round_to) if round_to is not None else F.col("score")
     return out.select(id_col, score.alias("score"), "rank")
