@@ -3366,7 +3366,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, match_id, rnk::INT AS rank, round(score, 6) AS score,
                    'cosine' AS metric_name
             FROM (SELECT *, row_number() OVER (
-                    PARTITION BY query_id ORDER BY score, match_id) AS rnk FROM s)
+                    PARTITION BY query_id
+                    ORDER BY round(score, 6), match_id) AS rnk FROM s)
             WHERE rnk <= 10
         """,
         "ann_ivf_cosine": """

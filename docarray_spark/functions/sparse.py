@@ -126,7 +126,14 @@ def sparse_match(
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("match_id").asc())
+    # rank on the ROUNDED score when rounding is requested (r5 PQ / r9
+    # BM25 lesson): the dot is a shuffle-summed aggregate, so two pairs
+    # tied at round_scores decimals differ only in sum-order ulps and a
+    # raw rank key would pick per-run winners
+    skey = (
+        F.round("score", round_scores) if round_scores is not None else F.col("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(skey.asc(), F.col("match_id").asc())
     out = dots.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
     score = F.round("score", round_scores) if round_scores is not None else F.col("score")
     return out.select(
