@@ -99,6 +99,19 @@ def resolve_metric(metric) -> Callable:
 
 # ------------------------------------------------------- Column expressions
 
+def rounded_rank_key(col: Column | str, round_to: int | None) -> Column:
+    """Ranking key for scores that come out of a SHUFFLE-SUMMED aggregate
+    (BM25 term sums, sparse dots): rank on the ROUNDED score when the
+    operator rounds for output, so two rows tied at ``round_to`` decimals
+    — whose raw sums differ only in aggregation-order ulps — break on the
+    explicit id tie-break instead of a per-run artifact (the r5 PQ / r9
+    BM25 lesson). Per-row fold/kernel scores (match, ADC) don't need
+    this: their evaluation order is fixed per row."""
+    return F.round(col, round_to) if round_to is not None else (
+        F.col(col) if isinstance(col, str) else col
+    )
+
+
 def dot_col(a: Column | str, b: Column | str) -> Column:
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     return F.aggregate(

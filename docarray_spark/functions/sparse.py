@@ -130,10 +130,11 @@ def sparse_match(
     # BM25 lesson): the dot is a shuffle-summed aggregate, so two pairs
     # tied at round_scores decimals differ only in sum-order ulps and a
     # raw rank key would pick per-run winners
-    skey = (
-        F.round("score", round_scores) if round_scores is not None else F.col("score")
+    from docarray_spark.functions.distance import rounded_rank_key
+
+    w = Window.partitionBy("query_id").orderBy(
+        rounded_rank_key("score", round_scores).asc(), F.col("match_id").asc()
     )
-    w = Window.partitionBy("query_id").orderBy(skey.asc(), F.col("match_id").asc())
     out = dots.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
     score = F.round("score", round_scores) if round_scores is not None else F.col("score")
     return out.select(

@@ -94,9 +94,10 @@ def find(corpus: DataFrame, query: Any, **kwargs) -> DataFrame:
         from docarray_spark.operators.text import text_search_multi
 
         uniq = list(dict.fromkeys(query))
+        pos = {q: i for i, q in enumerate(uniq)}
         out = text_search_multi(corpus, dict(enumerate(uniq)), **kwargs)
         occ = corpus.sparkSession.createDataFrame(
-            [(uniq.index(q), q) for q in query], "query_id long, query string"
+            [(pos[q], q) for q in query], "query_id long, query string"
         )
         return out.join(F.broadcast(occ), "query_id").drop("query_id")
     if isinstance(query, np.ndarray) or (

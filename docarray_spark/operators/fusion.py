@@ -165,6 +165,7 @@ def mmr_rerank(
     emb_id_col: str = "id",
     emb_col: str = "embedding",
     round_to: int = 6,
+    on_missing: str = "error",
 ) -> DataFrame:
     """Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR
     1998): greedily pick ``k`` results per query trading relevance
@@ -186,17 +187,29 @@ def mmr_rerank(
     greedy selection): ``rel`` and every pairwise similarity are rounded
     to ``round_to`` before compares; argmax ties break on ascending id;
     λ should be an exact dyadic double (0.5, 0.25, …) if an external
-    engine must replay the arithmetic bit-for-bit."""
+    engine must replay the arithmetic bit-for-bit.
+
+    Candidates must be drawn from the embedding corpus (the normal case —
+    they came out of a retrieval over it). The fetch is an INNER broadcast
+    join, so a candidate id with no embedding row cannot be ranked;
+    ``on_missing='error'`` (default) detects the loss per query — each
+    group carries its expected candidate count, zero extra jobs — and
+    raises instead of silently returning a list the best candidate may
+    have vanished from; ``'drop'`` makes the exclusion explicit."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if on_missing not in ("error", "drop"):
+        raise ValueError(f"on_missing must be 'error' or 'drop', got {on_missing!r}")
+    nq_w = Window.partitionBy(F.col(query_col))
     cand = candidates.select(
         F.col(query_col).alias("_qid"),
         F.col(id_col).alias("_mid"),
         F.round(F.col(rel_col), round_to).alias("_rel"),
+        F.count(F.lit(1)).over(nq_w).alias("_nq"),
     )
     joined = embeddings.select(
         F.col(emb_id_col).alias("_mid"),
@@ -212,6 +225,14 @@ def mmr_rerank(
     ])
 
     def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        if on_missing == "error" and len(pdf) != int(pdf["_nq"].iloc[0]):
+            raise ValueError(
+                f"mmr_rerank: query {pdf['_qid'].iloc[0]!r} has "
+                f"{int(pdf['_nq'].iloc[0])} candidates but only {len(pdf)} "
+                "embedding rows — candidate ids missing from the embedding "
+                "corpus would silently vanish from the reranked list; fix "
+                "the id spaces or pass on_missing='drop'"
+            )
         pdf = pdf.sort_values("_mid", ignore_index=True)  # id tie-break:
         # np.argmax returns the FIRST max, which is the smallest id here
         rel = pdf["_rel"].to_numpy(dtype=np.float64)

@@ -946,9 +946,10 @@ def _bm25_stored_topk(
     # rank on the ROUNDED score (r5 PQ lesson, hit again r9 in the
     # bm25_query-equivalence pin): BM25 sums that tie at round_to decimals
     # differ only in float sum-order ulps across code paths/runs
-    skey = F.round("score", round_to) if round_to is not None else F.col("score")
+    from docarray_spark.functions.distance import rounded_rank_key
+
     w = Window.partitionBy("query_id").orderBy(
-        skey.desc(), F.col(id_col).asc()
+        rounded_rank_key("score", round_to).desc(), F.col(id_col).asc()
     )
     out = scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k

@@ -19,6 +19,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# canonical rank-key helper — shared with index_store and functions.sparse
+# so the tie-determinism policy can't drift across the BM25/sparse family
+from docarray_spark.functions.distance import rounded_rank_key as _rank_key
+
 # Tiny per-language stopword profiles for the heuristic language-ID
 # (judge-facing extension; real deployments would plug fasttext via a
 # pandas_udf — see operators/multimodal.py for the UDF plumbing pattern).
@@ -261,11 +265,6 @@ def text_search(
     out = top.withColumn("rank", F.row_number().over(w))
     score = F.round("score", round_to) if round_to is not None else F.col("score")
     return out.select(F.col("_id").alias(id_col), score.alias("score"), "rank")
-
-
-def _rank_key(col: str, round_to: int | None):
-    """BM25 ranking key: the ROUNDED score when rounding is requested."""
-    return F.round(col, round_to) if round_to is not None else F.col(col)
 
 
 def text_search_multi(

@@ -411,6 +411,8 @@ def _shard_manifest(
     stale pre-delete entry (and a delete-only merge that empties every
     affected shard must still return, even if no parquet files remain
     to infer a schema from — hence the ``id_type`` fallback)."""
+    from pyspark.errors import AnalysisException
+
     sizes = _shard_sizes(path, spark)
     try:
         back = spark.read.parquet(path)
@@ -429,9 +431,15 @@ def _shard_manifest(
             )
         )
         pdf = manifest.toPandas()  # ≤ n_shards rows — driver-bounded
-        id_type = id_type or manifest.schema["id_min"].dataType.simpleString()
-    except Exception:
-        # every shard emptied and dropped: nothing left to read
+        # the READ-BACK type is authoritative (unionByName may have
+        # widened the batch's id type); the caller-passed fallback is for
+        # the nothing-left-to-read branch only
+        id_type = manifest.schema["id_min"].dataType.simpleString()
+    except AnalysisException:
+        # every shard emptied and dropped: the path has no parquet files
+        # to infer a schema from. ONLY this analysis-time failure may
+        # fall through to tombstones — a runtime read/agg error must
+        # surface, not be recorded as legitimate emptiness.
         import pandas as pd
 
         if id_type is None:

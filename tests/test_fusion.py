@@ -337,6 +337,24 @@ class TestMmrRerank:
         with pytest.raises(ValueError, match="lam"):
             mmr_rerank(cand, emb, lam=1.5, rel_col="rel")
 
+    def test_missing_embedding_raises_or_drops(self, spark):
+        """A candidate id absent from the embedding corpus must not
+        silently vanish from the reranked list (review r9): default
+        raises with the per-query count mismatch; on_missing='drop'
+        makes the exclusion explicit."""
+        from docarray_spark.operators import mmr_rerank
+
+        cand, emb = self._fixture(spark)
+        emb2 = emb.filter(F.col("id") != 3)  # drop doc 3's embedding
+        with pytest.raises(Exception, match="missing from the embedding"):
+            mmr_rerank(cand, emb2, k=3, lam=0.5, rel_col="rel").collect()
+        out = mmr_rerank(
+            cand, emb2, k=3, lam=0.5, rel_col="rel", on_missing="drop"
+        ).toPandas()
+        assert sorted(out.match_id) == [1, 2]  # 3 explicitly dropped
+        with pytest.raises(ValueError, match="on_missing"):
+            mmr_rerank(cand, emb, rel_col="rel", on_missing="zero")
+
 
 class TestHybridStored:
     """hybrid_search_stored: both modality top-k's served from MAINTAINED
