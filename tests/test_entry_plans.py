@@ -101,9 +101,11 @@ BUDGETS = {
     # fusions) + ONE kNN pass; fusion windows/aggs run on queries×fetch_k
     # rows, never corpus-sized; cartesian = the broadcast 1-row
     # corpus-stats replicate per BM25 pass
-    # +1 shuffle/+1 scan r9b: the mmr part's per-query applyInPandas over
-    # the broadcast candidate-embedding join
-    "text_search_bm25": (11, 7, True),
+    # +2 shuffles/+1 scan r9b: the mmr part's per-query applyInPandas
+    # over the broadcast candidate-embedding join, plus the expected-count
+    # window on the tiny candidate side (the on_missing guard) — both run
+    # on queries×fetch_k rows, never corpus-sized
+    "text_search_bm25": (12, 7, True),
     "nested_set": (3, 15, False),
     "dedup_exact": (1, 1, False),
     # minhash LSH path + the exact inverted-index ground-truth path
