@@ -603,11 +603,16 @@ def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     text_ranks = tr40.withColumnRenamed("doc_id", "match_id")
-    # eps=0.0: the unsmoothed cosine ratio SQL replays bit-for-bit
-    vec40 = match(
+    # eps=0.0: the unsmoothed cosine ratio SQL replays bit-for-bit.
+    # Collect the queries×40 list and rebuild it as a LOCAL DataFrame (the
+    # text_search_multi pattern): the kNN corpus pass runs exactly once and
+    # nothing stays pinned in the session cache after the entry returns —
+    # a persist() here would leak one cache entry per invocation (r9 review)
+    vec40_plan = match(
         emb, qvecs, k=40, metric="cosine", corpus_id_col="doc_id",
         query_id_col="query_id", round_scores=6, eps=0.0,
-    ).select("query_id", "match_id", "score", "rank").persist()
+    ).select("query_id", "match_id", "score", "rank")
+    vec40 = spark.createDataFrame(vec40_plan.collect(), vec40_plan.schema)
     fused = {
         "rrf": rrf_fuse([text_ranks, vec40], k=10, round_to=9),
         # alpha=0.25: both weights (0.25, 1-0.25=0.75) are exact dyadic

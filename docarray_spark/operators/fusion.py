@@ -174,9 +174,13 @@ def mmr_rerank(
         pick_t = argmax_d  λ·rel(d) − (1−λ)·max_{s∈selected} cos_sim(d, s)
 
     over a per-query CANDIDATE list (the first pick maximizes ``rel``
-    alone; the diversity term is 0 with nothing selected). Returns
-    ``(query_col, id_col, score, rank)`` where ``rank`` is the PICK ORDER
-    (1 = first selected) and ``score`` the pick's MMR value.
+    alone; the diversity term is 0 ONLY while nothing is selected —
+    afterwards it is the TRUE max similarity to the selected set, which
+    can be NEGATIVE in real embedding spaces, making anti-correlated
+    candidates MORE attractive, exactly as Carbonell & Goldstein define
+    it). Returns ``(query_col, id_col, score, rank)`` where ``rank`` is
+    the PICK ORDER (1 = first selected) and ``score`` the pick's MMR
+    value.
 
     Scale shape: this is a post-top-k rerank — ``candidates`` is
     queries × fetch_k rows, so the embedding join broadcasts the
@@ -193,9 +197,12 @@ def mmr_rerank(
     they came out of a retrieval over it). The fetch is an INNER broadcast
     join, so a candidate id with no embedding row cannot be ranked;
     ``on_missing='error'`` (default) detects the loss per query — each
-    group carries its expected candidate count, zero extra jobs — and
-    raises instead of silently returning a list the best candidate may
-    have vanished from; ``'drop'`` makes the exclusion explicit."""
+    group carries its expected candidate count, and one null-embedding
+    sentinel row per query rides the same broadcast-sized plan so a query
+    whose EVERY candidate is missing still reaches its pandas group
+    instead of being dropped whole by the inner join — and raises instead
+    of silently returning a list the best candidate (or an entire query)
+    may have vanished from; ``'drop'`` makes the exclusion explicit."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -217,6 +224,21 @@ def mmr_rerank(
     ).join(F.broadcast(cand), "_mid")
     qid_type = candidates.schema[query_col].dataType
     mid_type = candidates.schema[id_col].dataType
+    if on_missing == "error":
+        # broadcast-hash joins can't preserve the small side in Spark
+        # (right-outer builds left), so an all-missing query would vanish
+        # from the inner join with no group to raise in. One sentinel row
+        # per query (null embedding, filtered out before the greedy loop)
+        # guarantees every query reaches _mmr; it adds a groupBy over the
+        # already-broadcast-sized candidate list, nothing corpus-scale.
+        sentinel = cand.groupBy("_qid").agg(F.max("_nq").alias("_nq")).select(
+            F.lit(None).cast(mid_type).alias("_mid"),
+            "_qid",
+            F.lit(None).cast("double").alias("_rel"),
+            "_nq",
+            F.lit(None).cast("array<double>").alias("_v"),
+        )
+        joined = joined.unionByName(sentinel)
     out_schema = T.StructType([
         T.StructField("_qid", qid_type),
         T.StructField("_mid", mid_type),
@@ -225,14 +247,24 @@ def mmr_rerank(
     ])
 
     def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
-        if on_missing == "error" and len(pdf) != int(pdf["_nq"].iloc[0]):
+        nq = int(pdf["_nq"].iloc[0])
+        qid = pdf["_qid"].iloc[0]
+        pdf = pdf[pdf["_v"].notna()]  # drop the sentinel (and nothing else
+        # — the inner join can't produce a null embedding for a real row)
+        if on_missing == "error" and len(pdf) != nq:
             raise ValueError(
-                f"mmr_rerank: query {pdf['_qid'].iloc[0]!r} has "
-                f"{int(pdf['_nq'].iloc[0])} candidates but only {len(pdf)} "
-                "embedding rows — candidate ids missing from the embedding "
-                "corpus would silently vanish from the reranked list; fix "
-                "the id spaces or pass on_missing='drop'"
+                f"mmr_rerank: query {qid!r} has {nq} candidates but only "
+                f"{len(pdf)} embedding rows — candidate ids missing from "
+                "the embedding corpus would silently vanish from the "
+                "reranked list; fix the id spaces or pass on_missing='drop'"
             )
+        if len(pdf) == 0:
+            return pd.DataFrame({
+                "_qid": pd.Series([], dtype=object),
+                "_mid": pd.Series([], dtype=object),
+                "score": np.array([], dtype=np.float64),
+                "rank": np.array([], dtype=np.int32),
+            })
         pdf = pdf.sort_values("_mid", ignore_index=True)  # id tie-break:
         # np.argmax returns the FIRST max, which is the smallest id here
         rel = pdf["_rel"].to_numpy(dtype=np.float64)
@@ -243,9 +275,15 @@ def mmr_rerank(
         picked: list[int] = []
         scores: list[float] = []
         avail = np.ones(n, dtype=bool)
-        maxsim = np.zeros(n, dtype=np.float64)
+        # -inf = "nothing selected yet": the diversity term is 0 only for
+        # the FIRST pick; afterwards it is the true max similarity to the
+        # selected set, negative included — flooring at 0 would diverge
+        # from the canonical formula (and the SQL oracle, which coalesces
+        # only the empty-set case) on anti-correlated candidates
+        maxsim = np.full(n, -np.inf, dtype=np.float64)
         for _ in range(min(k, n)):
-            mmr = lam * rel - (1.0 - lam) * maxsim
+            div = np.where(np.isneginf(maxsim), 0.0, maxsim)
+            mmr = lam * rel - (1.0 - lam) * div
             mmr = np.where(avail, mmr, -np.inf)
             i = int(np.argmax(mmr))
             picked.append(i)

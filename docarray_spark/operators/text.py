@@ -217,7 +217,40 @@ def text_search(
     Scale shape: corpus stats (N, avgdl) come from a 1-row aggregate
     cross-joined in (no driver collect); document frequencies are a
     per-term aggregate over only the query's terms (the filter prunes the
-    token explosion before any shuffle); everything else is map-side."""
+    token explosion before any shuffle); everything else is map-side.
+
+    Returns COLLECTED rows (≤ k, the explicit budget) so the internal
+    (doc, term) tf cache can be released before returning — the same
+    serving-loop hygiene as :func:`text_search_multi` and
+    ``bm25_match_stored`` (r10 review: the single-query path was the last
+    BM25 form leaving one pinned cache entry per call in a long-lived
+    session). The plan-shape pins live on the lazy subtree
+    (:func:`_text_search_topk`, ``tests/test_plans.py``)."""
+    out, tf = _text_search_topk(
+        df, query, id_col=id_col, text_col=text_col, k=k, k1=k1, b=b,
+        round_to=round_to,
+    )
+    try:
+        rows = out.collect()  # ≤ k rows — explicit budget
+    finally:
+        tf.unpersist(False)
+    return df.sparkSession.createDataFrame(rows, schema=out.schema)
+
+
+def _text_search_topk(
+    df: DataFrame,
+    query: str,
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int | None = None,
+) -> "tuple[DataFrame, DataFrame]":
+    """Lazy single-query BM25 top-k subtree behind :func:`text_search`:
+    returns ``(out, tf)`` where ``tf`` is the internally persisted
+    (doc, term) slice the caller MUST unpersist after materializing
+    ``out`` (the wrapper does; plan tests pin shapes on ``out``)."""
     qterms = sorted({t for t in query.lower().split() if t})
     base = df.select(
         F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
@@ -264,7 +297,8 @@ def text_search(
     w = Window.orderBy(skey.desc(), F.col("_id").asc())
     out = top.withColumn("rank", F.row_number().over(w))
     score = F.round("score", round_to) if round_to is not None else F.col("score")
-    return out.select(F.col("_id").alias(id_col), score.alias("score"), "rank")
+    out = out.select(F.col("_id").alias(id_col), score.alias("score"), "rank")
+    return out, tf
 
 
 def text_search_multi(

@@ -92,6 +92,10 @@ class TestTextSearchMulti:
         text_search_multi(docs, QUERIES, id_col="doc_id", k=5).count()
         after = jsc.getRDDStorageInfo()
         assert len(after) == len(before)
+        # same contract for the single-query path (r10: last BM25 form
+        # that left one pinned entry per call)
+        text_search(docs, QUERIES[0], id_col="doc_id", k=5).count()
+        assert len(jsc.getRDDStorageInfo()) == len(before)
 
     def test_empty_queries_raise(self, docs):
         with pytest.raises(ValueError, match="query terms"):
@@ -336,6 +340,140 @@ class TestMmrRerank:
         cand, emb = self._fixture(spark)
         with pytest.raises(ValueError, match="lam"):
             mmr_rerank(cand, emb, lam=1.5, rel_col="rel")
+
+    def test_negative_similarity_rewards_antiparallel(self, spark):
+        """The diversity term is the TRUE max similarity to the selected
+        set — negative for anti-parallel candidates, which makes them MORE
+        attractive (review r10): doc 2 (rel 0, embedding opposite to pick
+        1) scores 0.5·0 − 0.5·(−1) = +0.5 and beats doc 3's 0.25. A floor
+        at 0 would pick 3 second."""
+        from docarray_spark.operators import mmr_rerank
+
+        cand = spark.createDataFrame(
+            [(0, 1, 0.9), (0, 2, 0.0), (0, 3, 0.5)],
+            "query_id long, match_id long, rel double",
+        )
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [-1.0, 0.0]), (3, [0.0, 1.0])],
+            "id long, embedding array<double>",
+        )
+        out = (
+            mmr_rerank(cand, emb, k=3, lam=0.5, rel_col="rel")
+            .toPandas().sort_values("rank", ignore_index=True)
+        )
+        assert out.match_id.tolist() == [1, 2, 3]
+        assert out.score.tolist() == pytest.approx([0.45, 0.5, 0.25])
+
+    def test_negative_similarity_matches_sql_oracle(self, spark):
+        """Engine ≡ the entry's unrolled-argmax SQL oracle on inputs with
+        NEGATIVE pairwise similarities — the oracle takes the true
+        (possibly negative) max over the selected set and coalesces only
+        the empty-set case, and the engine must replay that bit-for-bit."""
+        import duckdb
+        from docarray_spark.operators import mmr_rerank
+
+        cand = spark.createDataFrame(
+            [
+                (0, 1, 0.9), (0, 2, 0.0), (0, 3, 0.5), (0, 4, 0.4),
+                (1, 1, 0.1), (1, 2, 0.8), (1, 4, 0.7),
+            ],
+            "query_id long, match_id long, rel double",
+        )
+        emb = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0]), (2, [-1.0, 0.0]),
+                (3, [0.0, 1.0]), (4, [0.6, -0.8]),
+            ],
+            "id long, embedding array<double>",
+        )
+        got = (
+            mmr_rerank(cand, emb, k=3, lam=0.5, rel_col="rel")
+            .toPandas()
+            .sort_values(["query_id", "rank"], ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("cand", cand.toPandas())
+        con.register("emb", emb.toPandas())
+        pick = """
+          SELECT query_id, match_id, mmr FROM (
+            SELECT query_id, match_id, mmr,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY mmr DESC, match_id ASC) AS rn
+            FROM (
+              SELECT m.query_id, m.match_id,
+                     0.5 * round(m.rel, 6) - 0.5 * coalesce((
+                       SELECT max(x.s) FROM msim x
+                       JOIN {sel} s ON x.query_id = s.query_id
+                                      AND x.db = s.match_id
+                       WHERE x.query_id = m.query_id
+                         AND x.da = m.match_id), 0.0) AS mmr
+              FROM cand m
+              WHERE NOT EXISTS (SELECT 1 FROM {sel} s
+                                WHERE s.query_id = m.query_id
+                                  AND s.match_id = m.match_id)
+            )
+          ) WHERE rn = 1
+        """
+        oracle = con.execute(
+            """
+            WITH msim AS (
+              SELECT a.query_id, a.match_id AS da, b.match_id AS db,
+                     round(list_cosine_similarity(ea.embedding, eb.embedding),
+                           6) AS s
+              FROM cand a JOIN cand b
+                ON a.query_id = b.query_id AND a.match_id <> b.match_id
+              JOIN emb ea ON ea.id = a.match_id
+              JOIN emb eb ON eb.id = b.match_id
+            ),
+            p1 AS (
+              SELECT query_id, match_id, mmr FROM (
+                SELECT query_id, match_id, 0.5 * round(rel, 6) AS mmr,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY 0.5 * round(rel, 6) DESC, match_id ASC)
+                         AS rn
+                FROM cand
+              ) WHERE rn = 1
+            ),
+            sel1 AS (SELECT query_id, match_id FROM p1),
+            p2 AS ({p2}),
+            sel2 AS (SELECT query_id, match_id FROM sel1
+                       UNION ALL SELECT query_id, match_id FROM p2),
+            p3 AS ({p3})
+            SELECT query_id, match_id, round(mmr, 6) AS score, 1 AS rank
+            FROM p1
+            UNION ALL
+            SELECT query_id, match_id, round(mmr, 6), 2 FROM p2
+            UNION ALL
+            SELECT query_id, match_id, round(mmr, 6), 3 FROM p3
+            ORDER BY query_id, rank
+            """.format(p2=pick.format(sel="sel1"), p3=pick.format(sel="sel2"))
+        ).df()
+        assert got.match_id.tolist() == oracle.match_id.tolist()
+        assert got.score.tolist() == pytest.approx(oracle.score.tolist())
+
+    def test_all_candidates_missing_raises(self, spark):
+        """A query whose EVERY candidate id lacks an embedding row must
+        raise under on_missing='error', not silently vanish from the
+        output (review r10 — the inner join alone would drop the whole
+        group before the per-group count check could fire)."""
+        from docarray_spark.operators import mmr_rerank
+
+        cand = spark.createDataFrame(
+            [(0, 1, 0.9), (0, 3, 0.5), (7, 101, 0.9), (7, 102, 0.4)],
+            "query_id long, match_id long, rel double",
+        )
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (3, [0.0, 1.0])],
+            "id long, embedding array<double>",
+        )
+        with pytest.raises(Exception, match="missing from the embedding"):
+            mmr_rerank(cand, emb, k=2, lam=0.5, rel_col="rel").collect()
+        # drop mode: the whole query is explicitly excluded, query 0 intact
+        out = mmr_rerank(
+            cand, emb, k=2, lam=0.5, rel_col="rel", on_missing="drop"
+        ).toPandas()
+        assert sorted(out.query_id.unique()) == [0]
+        assert len(out) == 2
 
     def test_missing_embedding_raises_or_drops(self, spark):
         """A candidate id absent from the embedding corpus must not

@@ -75,8 +75,15 @@ def test_match_prefilter_pushes_below_knn(emb, spark, sf_dir):
 
 
 def test_bm25_topk_is_take_ordered(docs):
-    q = text_search(docs, "key value scan", id_col="doc_id", k=10)
-    assert has_take_ordered(q), explain_str(q)
+    # plan pins live on the lazy subtree — the public text_search collects
+    # its ≤k rows so the tf cache can be released (serving-loop hygiene)
+    from docarray_spark.operators.text import _text_search_topk
+
+    q, tf = _text_search_topk(docs, "key value scan", id_col="doc_id", k=10)
+    try:
+        assert has_take_ordered(q), explain_str(q)
+    finally:
+        tf.unpersist(False)
 
 
 def test_update_by_id_broadcasts(spark, docs):
