@@ -264,6 +264,27 @@ def shard_col(id_col, n_shards: int, hash_method: str = "md5"):
     return (h % n_shards).cast("int")
 
 
+def _sub_split_col(id_col: str, files_per_shard: int):
+    """Deterministic within-shard file split ``xxhash64(id, 'sub') %
+    files_per_shard`` — the salt literal decorrelates it from a
+    ``hash_method='xxhash64'`` shard assignment on the same id."""
+    return F.pmod(
+        F.xxhash64(F.col(id_col).cast("string"), F.lit("sub")),
+        F.lit(files_per_shard),
+    ).cast("int")
+
+
+def _check_shard_layout(files_per_shard: int, max_rows_per_file) -> None:
+    if files_per_shard < 1:
+        raise ValueError(
+            f"files_per_shard must be >= 1, got {files_per_shard}"
+        )
+    if max_rows_per_file is not None and max_rows_per_file < 1:
+        raise ValueError(
+            f"max_rows_per_file must be >= 1, got {max_rows_per_file}"
+        )
+
+
 def save_shards(
     df: DataFrame,
     path: str,
@@ -272,36 +293,71 @@ def save_shards(
     order_within: list[str] | None = None,
     hash_method: str = "md5",
     mode: str = "overwrite",
+    files_per_shard: int = 1,
+    max_rows_per_file: int | None = None,
 ) -> DataFrame:
-    """Training-shard export: write ``df`` as exactly one file per shard
-    under ``path/shard=N/`` and return a verification manifest.
+    """Training-shard export: write ``df`` under ``path/shard=N/`` and
+    return a verification manifest. By default each shard is exactly one
+    parquet file; ``files_per_shard``/``max_rows_per_file`` relax that
+    for exports too large for one task's write (below).
 
     The export sink a training-data pipeline hands to a dataloader fleet:
     deterministic hash sharding (:func:`shard_col` — re-runs and
     re-partitionings land every id in the same shard), optional
     ``order_within`` for sorted-within-shard layouts (e.g. curriculum or
-    doc-id locality), one file per shard so the consumer's file list IS
-    the shard list.
+    doc-id locality), one file per shard (default) so the consumer's file
+    list IS the shard list.
+
+    Shard-size wall at the 100 TB extreme (r9 review): ``n_shards`` is
+    fixed by the CONSUMER (dataloader world size, typically 256–4096), so
+    a one-file-per-shard 100 TB export means tens-of-GB files each
+    written by a SINGLE task — a straggler / row-group wall no n_shards
+    choice can fix. ``files_per_shard=F`` splits each shard into F
+    deterministic sub-files (``xxhash64(id,'sub') % F``) written by F
+    PARALLEL tasks, so task count decouples from the consumer's world
+    size; a consumer's unit becomes the ``shard=N/`` DIRECTORY it already
+    globs (partition pruning unchanged — the reference's own streamed
+    binary IO is likewise splittable by frame, ``io/binary.py:92-142``,
+    one consumer unit need not be one file). ``max_rows_per_file`` bounds
+    rows per written file WITHIN a task (Spark's maxRecordsPerFile) —
+    caps file size without extra parallelism; combine both for
+    parallel-and-bounded. Manifests aggregate per shard either way, and
+    ``content_sum`` is layout-independent, so a single-file and a
+    multi-file export of the same rows verify identically.
 
     The manifest is computed from the WRITTEN data (one read-back
     aggregate), not from ``df`` — it gates the sink, not the plan:
     ``(shard, rows, id_min, id_max, content_sum, files, bytes)`` where
     ``content_sum`` is an order-independent sum of a 32-bit md5 prefix of
-    each row's JSON (re-runnable integrity check), and files/bytes come
-    from a driver-side listing of the ``n_shards`` directories (bounded).
+    each row's JSON over the SORTED column set (re-runnable integrity
+    check whose value doesn't depend on the caller's column order — a
+    later merge batch with reordered columns must refresh comparably),
+    and files/bytes come from a driver-side listing of the ``n_shards``
+    directories (bounded).
 
-    Scale shape: ``repartition(n_shards, shard)`` puts each shard wholly
-    in one task (a shard is one consumer file by contract — size shards
-    via n_shards, not files-per-shard); the manifest aggregate is one
-    pass over the written store, and no driver state exceeds n_shards
-    rows."""
+    Scale shape: ``repartition(n_shards·files_per_shard, shard, sub)``
+    puts each (shard, sub-file) wholly in one task; with ``order_within``
+    rows are sorted within each written FILE (whole-shard global order
+    needs files_per_shard=1). The manifest aggregate is one pass over the
+    written store, and no driver state exceeds n_shards rows."""
+    _check_shard_layout(files_per_shard, max_rows_per_file)
     spark = df.sparkSession
     data_cols = list(df.columns)
     out = df.withColumn("shard", shard_col(id_col, n_shards, hash_method))
-    w = out.repartition(n_shards, "shard")
+    if files_per_shard > 1:
+        w = out.repartition(
+            n_shards * files_per_shard,
+            F.col("shard"),
+            _sub_split_col(id_col, files_per_shard),
+        )
+    else:
+        w = out.repartition(n_shards, "shard")
     if order_within:
         w = w.sortWithinPartitions("shard", *order_within)
-    w.write.mode(mode).partitionBy("shard").parquet(path)
+    writer = w.write.mode(mode)
+    if max_rows_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_rows_per_file)
+    writer.partitionBy("shard").parquet(path)
 
     return _shard_manifest(spark, path, data_cols, id_col)
 
@@ -314,6 +370,9 @@ def merge_shards(
     order_within: list[str] | None = None,
     hash_method: str = "md5",
     delete_ids: DataFrame | None = None,
+    files_per_shard: int = 1,
+    max_rows_per_file: int | None = None,
+    full_rewrite_at: float = 1.0,
 ) -> DataFrame:
     """Incremental maintenance of a :func:`save_shards` export: upsert
     ``df_new`` (new rows win by id) and optionally drop ``delete_ids``,
@@ -340,34 +399,93 @@ def merge_shards(
     fraction — ``n_shards`` is bounded by the CONSUMER (dataloader world
     size), so scattered ids fan out fast: a 100-id batch touched 83/256
     shards (32% of the export rewritten, 4.9 s); 10k ids touched all 256
-    (≈ full rewrite, 5.9 s vs the 10.1 s fresh export). Incremental
-    merging pays off for SMALL or shard-local batches; for sustained
-    high-rate ingest, micro-batch (``stream_merge_shards``) to amortize,
-    or accumulate and re-export — past ~n_shards scattered ids per merge
-    the full rewrite costs the same and is simpler."""
+    (≈ full rewrite). Incremental merging pays off for SMALL or
+    shard-local batches; for sustained high-rate ingest, micro-batch
+    (``stream_merge_shards``) to amortize.
+
+    The operator enforces its own advice (r9 review): the copy-on-write
+    path must eagerly localCheckpoint the merged touched-shard rows
+    (the plan reads the path it overwrites), which in the scattered
+    regime materializes ≈ the whole export in executor block-manager
+    storage. When the batch touches ``>= full_rewrite_at · n_shards``
+    shards (default 1.0 — all of them), the merge routes to the
+    :func:`save_shards` full-rewrite path instead: the merged corpus
+    streams to a sibling temp directory (no checkpoint, no
+    read-overwrite hazard) which then atomically replaces ``path``. The
+    returned manifest then covers EVERY shard (they were all rewritten —
+    files/bytes change even where rows didn't), still ≤ n_shards rows.
+
+    ``files_per_shard`` / ``max_rows_per_file`` follow :func:`save_shards`;
+    pass the original export's values to preserve its layout (untouched
+    shards keep theirs regardless)."""
+    _check_shard_layout(files_per_shard, max_rows_per_file)
     spark = df_new.sparkSession
     data_cols = list(df_new.columns)
     up = df_new.withColumn("shard", shard_col(id_col, n_shards, hash_method))
     affected = {r.shard for r in up.select("shard").distinct().collect()}
+    dl = None
     if delete_ids is not None:
         dl = delete_ids.withColumn(
             "shard", shard_col(id_col, n_shards, hash_method)
         )
         affected |= {r.shard for r in dl.select("shard").distinct().collect()}
     affected = sorted(affected)
-    current = spark.read.parquet(path).filter(F.col("shard").isin(affected))
-    merged = current.join(
-        up.select(F.col(id_col).alias("_uid")).distinct(),
-        current[id_col] == F.col("_uid"),
-        "left_anti",
-    ).unionByName(up)
-    if delete_ids is not None:
-        merged = merged.join(
-            dl.select(F.col(id_col).alias("_did")).distinct(),
-            merged[id_col] == F.col("_did"),
+
+    def _apply_batch(base: DataFrame) -> DataFrame:
+        merged = base.join(
+            up.select(F.col(id_col).alias("_uid")).distinct(),
+            base[id_col] == F.col("_uid"),
             "left_anti",
+        ).unionByName(up)
+        if dl is not None:
+            merged = merged.join(
+                dl.select(F.col(id_col).alias("_did")).distinct(),
+                merged[id_col] == F.col("_did"),
+                "left_anti",
+            )
+        return merged
+
+    id_type = df_new.schema[id_col].dataType.simpleString()
+    if affected and len(affected) >= full_rewrite_at * n_shards:
+        # scattered regime: rewrite the whole export through a temp
+        # sibling (streamed, nothing pinned in block-manager storage)
+        merged = _apply_batch(spark.read.parquet(path))
+        if files_per_shard > 1:
+            merged = merged.repartition(
+                n_shards * files_per_shard,
+                F.col("shard"),
+                _sub_split_col(id_col, files_per_shard),
+            )
+        else:
+            merged = merged.repartition(n_shards, "shard")
+        if order_within:
+            merged = merged.sortWithinPartitions("shard", *order_within)
+        tmp = path.rstrip("/") + ".__rewrite__"
+        _delete_dir(tmp, spark)
+        writer = merged.write.mode("overwrite")
+        if max_rows_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", max_rows_per_file)
+        writer.partitionBy("shard").parquet(tmp)
+        _delete_dir(path, spark)
+        _rename_dir(tmp, path, spark)
+        # every shard was rewritten — refresh them all (file names/bytes
+        # changed even where rows didn't), tombstones for emptied ones
+        all_shards = sorted(set(affected) | set(_shard_sizes(path, spark)))
+        return _shard_manifest(
+            spark, path, data_cols, id_col, shards=all_shards,
+            id_type=id_type,
         )
-    merged = merged.repartition(max(1, len(affected)), "shard")
+
+    current = spark.read.parquet(path).filter(F.col("shard").isin(affected))
+    merged = _apply_batch(current)
+    if files_per_shard > 1:
+        merged = merged.repartition(
+            max(1, len(affected)) * files_per_shard,
+            F.col("shard"),
+            _sub_split_col(id_col, files_per_shard),
+        )
+    else:
+        merged = merged.repartition(max(1, len(affected)), "shard")
     if order_within:
         merged = merged.sortWithinPartitions("shard", *order_within)
     from docarray_spark.plans.blocks import released_after
@@ -379,7 +497,10 @@ def merge_shards(
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            merged.write.mode("overwrite").partitionBy("shard").parquet(path)
+            writer = merged.write.mode("overwrite")
+            if max_rows_per_file is not None:
+                writer = writer.option("maxRecordsPerFile", max_rows_per_file)
+            writer.partitionBy("shard").parquet(path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         surviving = {
@@ -388,7 +509,6 @@ def merge_shards(
     # dynamic overwrite can't DELETE a partition: drop emptied shard dirs
     for s in sorted(set(affected) - surviving):
         _delete_dir(f"{path}/shard={s}", spark)
-    id_type = df_new.schema[id_col].dataType.simpleString()
     return _shard_manifest(
         spark, path, data_cols, id_col, shards=affected, id_type=id_type
     )
@@ -418,8 +538,14 @@ def _shard_manifest(
         back = spark.read.parquet(path)
         if shards is not None:
             back = back.filter(F.col("shard").isin(sorted(shards)))
+        # canonical fingerprint column order (r9 review): a merge_shards
+        # batch with the same columns in a DIFFERENT order than the
+        # original save_shards must produce content_sums comparable with
+        # the stored manifest — the integrity-refresh join breaks
+        # otherwise. sorted() is the one order every caller agrees on.
         fp = F.conv(
-            F.substring(F.md5(F.to_json(F.struct(*data_cols))), 1, 8), 16, 10
+            F.substring(F.md5(F.to_json(F.struct(*sorted(data_cols)))), 1, 8),
+            16, 10,
         ).cast("long")
         manifest = (
             back.groupBy(F.col("shard").cast("int").alias("shard"))
@@ -514,6 +640,23 @@ def _shard_sizes(path: str, spark: SparkSession) -> dict[int, tuple[int, int]]:
                 nbytes += f.getLen()
         out[shard] = (files, nbytes)
     return out
+
+
+def _rename_dir(src: str, dst: str, spark: SparkSession) -> None:
+    """Move a directory into place on any Hadoop-compatible filesystem
+    (plain local paths short-circuit to os.rename) — metadata-only on
+    HDFS/local; object stores fall back to the FS connector's copy."""
+    if "://" not in src:
+        import os
+
+        os.rename(src, dst)
+        return
+    from .registry import _hadoop_fs
+
+    fs, jsrc, _ = _hadoop_fs(src, spark)
+    _, jdst, _ = _hadoop_fs(dst, spark)
+    if not fs.rename(jsrc, jdst):
+        raise IOError(f"rename {src} -> {dst} failed")
 
 
 def _delete_dir(path: str, spark: SparkSession) -> None:

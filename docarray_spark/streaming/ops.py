@@ -503,6 +503,9 @@ def stream_merge_shards(
     checkpoint: str | None = None,
     available_now: bool = True,
     gate: "Callable[[SparkSession, DataFrame], DataFrame] | None" = None,
+    files_per_shard: int = 1,
+    max_rows_per_file: int | None = None,
+    full_rewrite_at: float = 1.0,
 ):
     """Streaming maintenance of a :func:`~docarray_spark.sources.writers.
     save_shards` training-shard export: every micro-batch upserts into the
@@ -539,11 +542,16 @@ def stream_merge_shards(
             save_shards(
                 b, path, n_shards, id_col=id_col,
                 order_within=order_within, hash_method=hash_method,
+                files_per_shard=files_per_shard,
+                max_rows_per_file=max_rows_per_file,
             )
         else:
             merge_shards(
                 b, path, n_shards, id_col=id_col,
                 order_within=order_within, hash_method=hash_method,
+                files_per_shard=files_per_shard,
+                max_rows_per_file=max_rows_per_file,
+                full_rewrite_at=full_rewrite_at,
             )
 
     w = sdf.writeStream.foreachBatch(_merge)

@@ -64,11 +64,13 @@ class TestSaveShards:
         assert m["rows"].sum() == docs.count()
         # id ranges and content sum recompute from the written store
         back = spark.read.parquet(path)
+        # fingerprint column order is CANONICAL (sorted), so manifests from
+        # save/merge/stream calls with different caller column orders agree
         fp = F.conv(
             F.substring(
                 F.md5(
                     F.to_json(
-                        F.struct("doc_id", "text", "lang", "source", "n_chars")
+                        F.struct("doc_id", "lang", "n_chars", "source", "text")
                     )
                 ),
                 1, 8,
@@ -159,6 +161,102 @@ class TestSaveShards:
         )
 
 
+class TestMultiFileShards:
+    """files_per_shard / max_rows_per_file: the 100 TB export escape hatch
+    (r9 review) — n_shards is consumer-fixed, so shard size must decouple
+    from one task's write. A shard becomes the shard=N/ DIRECTORY the
+    consumer already globs; manifests are layout-independent."""
+
+    def test_multi_file_export_roundtrip_and_manifest(
+        self, spark, docs, tmp_path
+    ):
+        single = str(tmp_path / "single")
+        multi = str(tmp_path / "multi")
+        m1 = save_shards(docs, single, n_shards=4, id_col="doc_id").toPandas()
+        m3 = save_shards(
+            docs, multi, n_shards=4, id_col="doc_id", files_per_shard=3
+        ).toPandas()
+        # >1 file per shard actually written, in parallel tasks
+        assert (m3["files"] > 1).any()
+        assert m3["files"].sum() > len(m3)
+        # manifest is layout-independent: same rows, ids, content sums
+        cols = ["shard", "rows", "id_min", "id_max", "content_sum"]
+        assert m3[cols].equals(m1[cols])
+        # exact roundtrip and shard assignment unchanged
+        back = spark.read.parquet(multi)
+        a = docs.toPandas().sort_values("doc_id", ignore_index=True)
+        b = back.drop("shard").toPandas()[a.columns.tolist()].sort_values(
+            "doc_id", ignore_index=True
+        )
+        assert a.equals(b)
+        one = back.filter(F.col("shard") == 2)
+        want = docs.select(
+            "doc_id", shard_col("doc_id", 4).alias("s")
+        ).filter(F.col("s") == 2)
+        assert one.count() == want.count()
+
+    def test_sub_split_deterministic(self, docs):
+        from docarray_spark.sources.writers import _sub_split_col
+
+        a = docs.select("doc_id", _sub_split_col("doc_id", 3).alias("sub"))
+        b = docs.repartition(11).select(
+            "doc_id", _sub_split_col("doc_id", 3).alias("sub")
+        )
+        am = {r.doc_id: r.sub for r in a.collect()}
+        bm = {r.doc_id: r.sub for r in b.collect()}
+        assert am == bm
+        assert set(am.values()) == {0, 1, 2}
+
+    def test_max_rows_per_file_bounds_files(self, spark, docs, tmp_path):
+        import pyarrow.parquet as pq
+
+        path = str(tmp_path / "capped")
+        m = save_shards(
+            docs, path, n_shards=2, id_col="doc_id", max_rows_per_file=100
+        ).toPandas()
+        assert (m["files"] > 1).all()  # ~500 rows/shard at sf0.001
+        for d in os.listdir(path):
+            if not d.startswith("shard="):
+                continue
+            for f in os.listdir(os.path.join(path, d)):
+                if f.endswith(".parquet"):
+                    n = pq.read_metadata(os.path.join(path, d, f)).num_rows
+                    assert n <= 100, (d, f, n)
+
+    def test_consumer_pruning_survives_multi_file(self, spark, docs, tmp_path):
+        from docarray_spark.plans.audit import partition_filters
+
+        path = str(tmp_path / "pruned")
+        save_shards(docs, path, n_shards=4, id_col="doc_id",
+                    files_per_shard=3)
+        one = spark.read.parquet(path).filter(F.col("shard") == 1)
+        assert "shard" in " ".join(partition_filters(one))
+        assert one.count() > 0
+
+    def test_merge_preserves_multi_file_layout(self, spark, docs, tmp_path):
+        path = str(tmp_path / "mlayout")
+        save_shards(docs, path, n_shards=4, id_col="doc_id",
+                    files_per_shard=3)
+        batch = docs.filter(F.col("doc_id") < 3).withColumn(
+            "text", F.lit("UPDATED")
+        )
+        m = merge_shards(
+            batch, path, n_shards=4, id_col="doc_id", files_per_shard=3
+        ).toPandas()
+        assert (m["files"] > 1).any()
+        back = spark.read.parquet(path)
+        assert back.count() == docs.count()
+        assert back.filter(F.col("text") == "UPDATED").count() == 3
+
+    def test_bad_layout_args(self, docs, tmp_path):
+        with pytest.raises(ValueError, match="files_per_shard"):
+            save_shards(docs, str(tmp_path / "x"), n_shards=2,
+                        id_col="doc_id", files_per_shard=0)
+        with pytest.raises(ValueError, match="max_rows_per_file"):
+            save_shards(docs, str(tmp_path / "y"), n_shards=2,
+                        id_col="doc_id", max_rows_per_file=0)
+
+
 def _file_states(path):
     """(name, size, mtime_ns) per shard parquet file."""
     out = {}
@@ -224,6 +322,30 @@ class TestMergeShards:
         assert back.filter(F.col("doc_id") >= 1_000_000).count() == 3
         assert back.filter(F.col("doc_id").isin([7, 11])).count() == 0
 
+    def test_merge_with_reordered_columns_keeps_content_sum(
+        self, spark, docs, store
+    ):
+        """The fingerprint column order is canonical (sorted), so a merge
+        batch carrying the same columns in a DIFFERENT order than the
+        original save_shards refreshes content_sums comparable with a
+        from-the-store recompute — the integrity-refresh join depends on
+        it (r9 review)."""
+        from docarray_spark.sources.writers import _shard_manifest
+
+        batch = docs.filter(F.col("doc_id") < 5).select(
+            "text", "lang", "source", "n_chars", "doc_id"  # reordered
+        )
+        m = merge_shards(
+            batch, store, n_shards=self.N, id_col="doc_id"
+        ).toPandas()
+        chk = _shard_manifest(
+            spark, store, ["doc_id", "text", "lang", "source", "n_chars"],
+            "doc_id",
+        ).toPandas()
+        chk = chk[chk.shard.isin(m.shard)].reset_index(drop=True)
+        cols = ["shard", "rows", "content_sum"]
+        assert m[cols].reset_index(drop=True).equals(chk[cols])
+
     def test_merge_equals_full_rewrite(self, spark, docs, store, tmp_path):
         """The incremental path must converge to what a from-scratch
         save_shards of the merged corpus produces (same rows per shard,
@@ -286,6 +408,95 @@ class TestMergeShards:
         )
         # one file per shard survived the incremental path
         assert (m_stream["files"] == 1).all()
+
+    def test_full_rewrite_fallback_fires_and_matches_cow(
+        self, spark, docs, tmp_path, monkeypatch
+    ):
+        """When a batch touches >= full_rewrite_at * n_shards shards the
+        merge must route to the save_shards rewrite path — NO
+        localCheckpoint of the whole export (the r9 memory cliff) — and
+        produce exactly what the copy-on-write path produces."""
+        # patch the CONCRETE class (pyspark 4: pyspark.sql.classic
+        # .dataframe.DataFrame overrides the abstract base's method)
+        cls = type(docs)
+        calls = []
+        orig = cls.localCheckpoint
+
+        def counting(self, *a, **kw):
+            calls.append(1)
+            return orig(self, *a, **kw)
+
+        monkeypatch.setattr(cls, "localCheckpoint", counting)
+
+        a_path, b_path = str(tmp_path / "a"), str(tmp_path / "b")
+        for p in (a_path, b_path):
+            save_shards(docs, p, n_shards=4, id_col="doc_id",
+                        order_within=["doc_id"])
+        batch = docs.withColumn("text", F.upper("text"))  # touches all 4
+
+        m_fall = merge_shards(  # default full_rewrite_at=1.0 -> fallback
+            batch, a_path, n_shards=4, id_col="doc_id",
+            order_within=["doc_id"],
+        ).toPandas()
+        assert calls == [], "fallback path must not checkpoint"
+        m_cow = merge_shards(  # threshold 2.0 can never fire -> COW path
+            batch, b_path, n_shards=4, id_col="doc_id",
+            order_within=["doc_id"], full_rewrite_at=2.0,
+        ).toPandas()
+        assert calls, "COW path still checkpoints"
+        cols = ["shard", "rows", "id_min", "id_max", "content_sum"]
+        assert m_fall[cols].reset_index(drop=True).equals(
+            m_cow[cols].reset_index(drop=True)
+        )
+        pa = spark.read.parquet(a_path).toPandas().sort_values(
+            "doc_id", ignore_index=True
+        )
+        pb = spark.read.parquet(b_path).toPandas().sort_values(
+            "doc_id", ignore_index=True
+        )
+        assert pa[sorted(pa.columns)].equals(pb[sorted(pb.columns)])
+        assert not os.path.isdir(a_path + ".__rewrite__")  # temp swapped in
+
+    def test_full_rewrite_threshold_fraction(self, spark, docs, store):
+        """full_rewrite_at below 1.0: a partial-coverage batch crosses the
+        threshold, every shard is rewritten, and the manifest covers ALL
+        shards (files/bytes changed everywhere, not just where rows did)."""
+        before = _file_states(store)
+        batch = docs.filter(F.col("doc_id") < 10).withColumn(
+            "text", F.lit("REWRITE")
+        )  # md5 lands ids 0..9 in 6 of the 8 shards — partial coverage
+        touched = {
+            r.shard
+            for r in batch.select(
+                shard_col("doc_id", self.N).alias("shard")
+            ).distinct().collect()
+        }
+        assert 0 < len(touched) < self.N  # genuinely partial coverage
+        m = merge_shards(
+            batch, store, n_shards=self.N, id_col="doc_id",
+            full_rewrite_at=len(touched) / self.N,
+        ).toPandas()
+        assert set(m.shard) == set(range(self.N))  # manifest covers all
+        after = _file_states(store)
+        for d in before:  # every shard dir rewritten (new file names)
+            assert after[d] != before[d], d
+        back = spark.read.parquet(store)
+        assert back.count() == docs.count()
+        assert back.filter(F.col("text") == "REWRITE").count() == 10
+
+    def test_full_rewrite_emptied_shard_tombstone(self, spark, docs, store):
+        ids2 = (
+            spark.read.parquet(store)
+            .filter(F.col("shard") == 2)
+            .select("doc_id")
+        )
+        m = merge_shards(
+            docs.limit(0), store, n_shards=self.N, id_col="doc_id",
+            delete_ids=ids2, full_rewrite_at=0.0,
+        ).toPandas()
+        assert not os.path.isdir(os.path.join(store, "shard=2"))
+        row = m[m.shard == 2].iloc[0]
+        assert row["rows"] == 0 and row["files"] == 0
 
     def test_emptied_shard_dir_dropped(self, spark, docs, store):
         # delete every id of shard 2 -> its directory must disappear
