@@ -132,6 +132,70 @@ def assign_cells(
 _assign_cells = assign_cells  # internal alias used by kmeans below
 
 
+def assign_cells_multi(
+    base: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int,
+    round_to: int | None = None,
+):
+    """Multi-probe assignment ``base(id, v) → (cell, _probe, id, v,
+    centroid_dist)``: each row lands in its ``n_probe`` NEAREST centroids'
+    cells (same euclidean argmin metric and smallest-cell-id tie-break as
+    :func:`assign_cells`; ``_probe`` 0 = primary). ``centroid_dist`` is
+    the COSINE distance to the PRIMARY centroid (null on secondary
+    probes) — semantic_dedup's keep policy needs it exactly once per row.
+
+    One zero-shuffle ``mapInPandas`` over the corpus emitting n_probe
+    rows per input row (the probe fan-out is the operator's documented
+    ~p× cell-work cost, never a shuffle)."""
+    from pyspark.sql import types as T
+
+    p = max(1, min(int(n_probe), len(centroids)))
+    cents = sorted(centroids)
+    cells = np.asarray([c for c, _ in cents], dtype=np.int64)
+    C = np.asarray([v for _, v in cents], dtype=np.float64)  # (k, d)
+    Cn = (C * C).sum(axis=1)
+    cn = np.linalg.norm(C, axis=1)
+    Ccos = C / np.where(cn == 0.0, 1.0, cn)[:, None]
+    bc = base.sparkSession.sparkContext.broadcast((cells, C, Cn, Ccos))
+    in_schema = base.select("id", "v").schema
+    out_schema = T.StructType([
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("_probe", T.IntegerType()),
+        in_schema["id"],
+        in_schema["v"],
+        T.StructField("centroid_dist", T.DoubleType()),
+    ])
+
+    def _gen(batches):
+        cells_, C_, Cn_, Ccos_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(e, dtype=np.float64) for e in pdf["v"]])
+            d2 = Cn_[None, :] - 2.0 * (X @ C_.T)
+            # stable argsort: exact ties keep centroid (= cell-id) order,
+            # matching assign_cells' first-minimum tie-break at _probe=0
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :p]
+            norms = np.linalg.norm(X, axis=1, keepdims=True)
+            Xn = X / np.where(norms == 0.0, 1.0, norms)
+            cd = 1.0 - (Xn * Ccos_[idx[:, 0]]).sum(axis=1)
+            if round_to is not None:
+                cd = np.round(cd, round_to)
+            n = len(pdf)
+            yield pd.DataFrame({
+                "cell": cells_[idx.ravel()].astype("int32"),
+                "_probe": np.tile(np.arange(p, dtype=np.int32), n),
+                "id": pdf["id"].to_numpy().repeat(p),
+                "v": pdf["v"].to_numpy().repeat(p),
+                "centroid_dist": np.where(
+                    np.tile(np.arange(p), n) == 0, cd.repeat(p), np.nan
+                ),
+            })
+
+    return base.select("id", "v").mapInPandas(_gen, out_schema)
+
+
 def _lloyd_partials(base: DataFrame, centroids: list[tuple[int, list[float]]]):
     """One fused Lloyd's step for NON-final iterations: argmin assignment
     **and** per-cell partial sums/counts in a single ``mapInPandas`` pass

@@ -676,6 +676,33 @@ def embedding_dup_pairs(
     )
 
 
+def _propagate_min_labels(Xn, sim_floor, round_to, block_elems):
+    """Blockwise min-label propagation over the ``>= sim_floor`` cosine
+    similarity graph of the rows of unit-normalized ``Xn`` → int64 root
+    label per row (row indices; see semantic_dedup's docstring for the
+    memory/sweep analysis). Shared by the single-cell and multi-probe
+    passes."""
+    import numpy as np
+
+    n = len(Xn)
+    labels = np.arange(n, dtype=np.int64)
+    bs = max(1, min(n, block_elems // max(1, n)))
+    while True:
+        new = labels.copy()
+        for lo in range(0, n, bs):
+            hi = min(n, lo + bs)
+            S = Xn[lo:hi] @ Xn.T  # (bs, n)
+            if round_to is not None:
+                S = np.round(S, round_to)
+            nbr = np.where(S >= sim_floor, labels[None, :], n).min(axis=1)
+            np.minimum(new[lo:hi], nbr, out=new[lo:hi])
+        new = new[new]  # pointer jumping halves label chains
+        if (new == labels).all():
+            break
+        labels = new
+    return labels
+
+
 def semantic_dedup(
     df: DataFrame,
     k_clusters: int = 16,
@@ -687,6 +714,7 @@ def semantic_dedup(
     block_elems: int = 33_554_432,
     max_cell_rows: int = 1_000_000,
     round_to: int | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — the published
     semantic-dedup recipe for web-scale training corpora): k-means the
@@ -734,7 +762,21 @@ def semantic_dedup(
     threshold compare and every ``centroid_dist`` before the keep-policy
     compare (and in the output) — the same decimal pin the other gated
     operators use, so threshold/argmax decisions are reproducible across
-    engines (required for the DuckDB oracle gate)."""
+    engines (required for the DuckDB oracle gate).
+
+    ``n_probe`` > 1 cuts the paper's cross-cell miss rate: each row is
+    assigned to its ``n_probe`` nearest centroids
+    (:func:`~docarray_spark.operators.cluster.assign_cells_multi`), the
+    within-cell pass runs in every probed cell, and the per-cell group
+    labels are unioned into GLOBAL connected components before the keep
+    policy — a near-dup pair split across a cell boundary is caught
+    whenever any probed cell contains both. Cost is ~n_probe× cell work
+    (the fan-out is a map, never a shuffle; the component resolution runs
+    on (id, group-label) edges, linear in rows — no all-pairs risk);
+    output columns are unchanged (``cell``/``centroid_dist`` are the
+    PRIMARY assignment's). Requires an integral ``id_col`` (component
+    resolution labels by min id); ``n_probe=1`` is the paper's recipe,
+    supports any id type, and remains the oracle-gated contract."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -813,22 +855,7 @@ def semantic_dedup(
         # label over its >=sim_floor neighbors (diag sim = 1 keeps self),
         # then pointer-jumps. A dup-dense clique converges in one sweep
         # (+1 to detect the fixpoint); chains in <= log-diameter sweeps.
-        labels = np.arange(n, dtype=np.int64)
-        bs = max(1, min(n, block_elems // max(1, n)))
-        while True:
-            new = labels.copy()
-            for lo in range(0, n, bs):
-                hi = min(n, lo + bs)
-                S = Xn[lo:hi] @ Xn.T  # (bs, n)
-                if round_to is not None:
-                    S = np.round(S, round_to)
-                nbr = np.where(S >= sim_floor, labels[None, :], n).min(axis=1)
-                np.minimum(new[lo:hi], nbr, out=new[lo:hi])
-            new = new[new]  # pointer jumping halves label chains
-            if (new == labels).all():
-                break
-            labels = new
-        roots = labels
+        roots = _propagate_min_labels(Xn, sim_floor, round_to, block_elems)
         # group label = smallest member id; keep = largest centroid_dist
         # (paper's keep-low-similarity-to-centroid), id tie-break
         order = sorted(range(n), key=lambda i: ids[i])
@@ -849,7 +876,6 @@ def semantic_dedup(
             "keep": [i in kept for i in range(n)],
         })
 
-    labelled = assigned.groupBy("cell").applyInPandas(_cell_dedup, out_schema)
     # rows the base filter excluded (null/empty embedding) come back as
     # keep=true singletons — "one row per input row" holds, and a missing
     # embedding never silently deletes a document (ADVICE r8 #4).
@@ -869,7 +895,92 @@ def semantic_dedup(
             F.lit(True).alias("keep"),
         )
     )
+    if n_probe > 1:
+        return _semantic_dedup_multi(
+            base, cents, n_probe, id_type, sim_floor, round_to,
+            block_elems, max_cell_rows,
+        ).unionByName(dropped)
+    labelled = assigned.groupBy("cell").applyInPandas(_cell_dedup, out_schema)
     return labelled.unionByName(dropped)
+
+
+def _semantic_dedup_multi(
+    base: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    n_probe: int,
+    id_type,
+    sim_floor: float,
+    round_to: int | None,
+    block_elems: int,
+    max_cell_rows: int,
+) -> DataFrame:
+    """The ``n_probe > 1`` path of :func:`semantic_dedup`: multi-probe
+    assignment → per-probed-cell min-label propagation emitting
+    ``(id, label)`` group edges (label = the cell-group's smallest member
+    id, so edges are id→id and LINEAR in probed rows — no pair
+    materialization) → global connected components → the paper's keep
+    policy as a window over the merged groups."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from docarray_spark.operators.cluster import assign_cells_multi
+    from docarray_spark.operators.components import connected_components
+
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            "semantic_dedup: n_probe > 1 requires an integral id column "
+            "(cross-cell components label by min id); got "
+            f"{id_type.simpleString()} — use n_probe=1 or map ids first"
+        )
+    multi = assign_cells_multi(base, cents, n_probe, round_to=round_to)
+    lbl_schema = T.StructType([
+        T.StructField("id", id_type), T.StructField("label", id_type)
+    ])
+
+    def _cell_labels(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_cell_rows:
+            raise ValueError(
+                f"semantic_dedup: cell {int(pdf['cell'].iloc[0])} holds "
+                f"{n} probed rows > max_cell_rows={max_cell_rows} "
+                "(multi-probe fans each row into n_probe cells). Size "
+                "k_clusters ≈ n_probe · n_rows / target_cell_rows, or "
+                "raise max_cell_rows only if one executor can hold "
+                "O(cell·d)+O(block_elems) doubles"
+            )
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        Xn = X / np.where(norms == 0.0, 1.0, norms)
+        roots = _propagate_min_labels(Xn, sim_floor, round_to, block_elems)
+        ids = pdf["id"].to_numpy()
+        lab = pd.Series(ids).groupby(roots).transform("min").to_numpy()
+        return pd.DataFrame({"id": ids, "label": lab})
+
+    labels = multi.groupBy("cell").applyInPandas(_cell_labels, lbl_schema)
+    edges = labels.filter(F.col("id") != F.col("label"))
+    comp = connected_components(edges, src="id", dst="label")
+    prim = multi.filter(F.col("_probe") == 0).select(
+        "id", "cell", "centroid_dist"
+    )
+    idt = id_type.simpleString()
+    out = (
+        prim.join(comp, prim["id"] == comp["node"], "left")
+        .select(
+            prim["id"].alias("id"),
+            "cell",
+            F.coalesce(F.col("component"), prim["id"].cast("long"))
+            .cast(idt).alias("dup_group"),
+            "centroid_dist",
+        )
+    )
+    wkeep = Window.partitionBy("dup_group").orderBy(
+        F.col("centroid_dist").desc(), F.col("id").asc()
+    )
+    return out.withColumn("keep", F.row_number().over(wkeep) == 1)
 
 
 # ------------------------------------------------------- incremental dedup

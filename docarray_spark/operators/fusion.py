@@ -468,8 +468,17 @@ def hybrid_search_stored(
         "query_id", F.col(id_col).alias("match_id"), "score", "rank"
     )
     if corpus is None:
+        # 0-row placeholder for stored backends that never read it — but
+        # its id TYPE must still agree with the store's (a string-id store
+        # growing a rerank path through a hardcoded-bigint placeholder
+        # would type-clash, r9 review): derive it from the text index's
+        # postings schema, a parquet-footer read, no job
+        id_type = (
+            spark.read.parquet(f"{text_index_path}/postings")
+            .schema[id_col].dataType.simpleString()
+        )
         corpus = spark.createDataFrame(
-            [], f"{id_col} bigint, embedding array<float>"
+            [], f"{id_col} {id_type}, embedding array<float>"
         )
     if vector_index_path is not None:
         vector_kwargs["index_path"] = vector_index_path

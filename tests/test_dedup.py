@@ -428,6 +428,81 @@ def test_semantic_dedup_groups_and_keep_policy(spark):
     assert solo["keep"].all() and solo["dup_group"].nunique() == 30
 
 
+def test_semantic_dedup_multi_probe_catches_cross_cell_dup(spark):
+    """VERDICT r9 #4: a near-dup pair straddling a cell boundary is the
+    paper's documented approximation miss at n_probe=1; assigning each
+    row to its 2 nearest centroids and unioning the per-cell group labels
+    into global components catches it. Fixed centroids pin the boundary;
+    the planted pair (ids 0, 1) sits at cos-sim ≈ 0.9963 (> 1−eps) but
+    with PRIMARY cells on opposite sides."""
+    import numpy as np
+
+    from docarray_spark.operators import semantic_dedup
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    rows = [
+        (0, [0.74, 0.6786]),  # primary cell 0, second-nearest cell 1
+        (1, [0.6786, 0.74]),  # primary cell 1 — the cross-boundary twin
+        (2, [1.0, 0.05]),     # deep in cell 0
+        (3, [0.05, 1.0]),     # deep in cell 1
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+
+    p1 = semantic_dedup(
+        df, centroids=cents, eps=0.01, round_to=6
+    ).toPandas().set_index("id").sort_index()
+    p2 = semantic_dedup(
+        df, centroids=cents, eps=0.01, round_to=6, n_probe=2
+    ).toPandas().set_index("id").sort_index()
+
+    # n_probe=1 misses the pair (separate cells -> separate groups)
+    assert p1.loc[0, "dup_group"] == 0 and p1.loc[1, "dup_group"] == 1
+    assert p1["keep"].all()
+    # n_probe=2 merges it; singletons and primary cells are untouched
+    assert p2.loc[0, "dup_group"] == 0 and p2.loc[1, "dup_group"] == 0
+    assert p2.loc[[0, 1], "keep"].sum() == 1  # one survivor per group
+    assert p2.loc[2, "dup_group"] == 2 and p2.loc[3, "dup_group"] == 3
+    assert p2.loc[2, "keep"] and p2.loc[3, "keep"]
+    assert p2["cell"].tolist() == [0, 1, 0, 1]  # PRIMARY assignment
+    assert len(p2) == 4
+    # centroid_dist is the primary-cell cosine distance, same as p=1's
+    assert np.allclose(p2["centroid_dist"], p1["centroid_dist"])
+
+    # partitioning invariance of the multi-probe path
+    a = semantic_dedup(
+        df.repartition(1), centroids=cents, eps=0.01, round_to=6, n_probe=2
+    ).toPandas().sort_values("id", ignore_index=True)
+    b = semantic_dedup(
+        df.repartition(5), centroids=cents, eps=0.01, round_to=6, n_probe=2
+    ).toPandas().sort_values("id", ignore_index=True)
+    assert a[["id", "cell", "dup_group", "keep"]].equals(
+        b[["id", "cell", "dup_group", "keep"]]
+    )
+
+    # with no cross-cell dups, n_probe=2 reduces to the n_probe=1 result
+    trio_rows = []
+    for d in range(6):
+        base = np.random.RandomState(100 + d).randn(8)
+        for c in range(3):
+            v = base + 0.001 * np.random.RandomState(500 + d * 3 + c).randn(8)
+            trio_rows.append((d * 3 + c, [float(x) for x in v]))
+    trio = spark.createDataFrame(trio_rows, "id long, embedding array<double>")
+    cols = ["id", "cell", "dup_group", "keep"]
+    one = semantic_dedup(trio, k_clusters=3, eps=0.05).toPandas()[
+        cols].sort_values("id", ignore_index=True)
+    two = semantic_dedup(trio, k_clusters=3, eps=0.05, n_probe=2).toPandas()[
+        cols].sort_values("id", ignore_index=True)
+    assert one.equals(two)
+
+    # n_probe>1 labels components by min id -> integral ids required
+    sdf = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "id string, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        semantic_dedup(sdf, centroids=cents, n_probe=2)
+
+
 def test_semantic_dedup_null_embeddings_and_guards(spark):
     """ADVICE r8 #4 + VERDICT r8 #2: rows with null/empty embeddings come
     back as keep=true singletons (one row per input row — a missing

@@ -612,6 +612,116 @@ class TestHybridStored:
                 vector_index_path=vec_idx, k=5,
             )
 
+    def test_string_id_stores_end_to_end(
+        self, spark, docs, sf_dir, tmp_path_factory
+    ):
+        """String-id lifecycle through store init → index refresh → pure
+        stored serve → fusion: the 0-row corpus placeholder derives its id
+        type from the text index's postings schema instead of hardcoding
+        bigint (r9 review) — a string-id store must serve without a
+        type-clash anywhere in the path."""
+        import numpy as np
+
+        from docarray_spark.operators import bm25_refresh
+        from docarray_spark.operators.fusion import hybrid_search_stored
+        from docarray_spark.operators.hnsw import hnsw_build_store
+        from docarray_spark.sources.writers import init_parquet_store
+
+        root = tmp_path_factory.mktemp("hybrid_sid")
+        sid = F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        text_store = str(root / "text_store")
+        init_parquet_store(
+            docs.select(sid.alias("id"), "text"), text_store, n_buckets=8
+        )
+        text_idx = str(root / "bm25_idx")
+        bm25_refresh(spark, text_store, text_idx)
+        emb = load(spark, sf_dir, "embeddings").select(
+            F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("id"),
+            "embedding",
+        )
+        vec_idx = str(root / "hnsw_store")
+        hnsw_build_store(
+            emb, vec_idx, metric="cosine", corpus_id_col="id",
+            M=16, ef_construction=200,
+        )
+        qv = np.asarray(
+            [r.embedding for r in load(spark, sf_dir, "embeddings")
+             .filter(F.col("vec_id") < 2).orderBy("vec_id").collect()],
+            dtype=np.float64,
+        )
+        out = hybrid_search_stored(
+            spark, text_idx, [QUERIES[0], QUERIES[1]], qv,
+            vector_index_path=vec_idx, vector_backend="hnsw", k=10, ef=200,
+        ).toPandas()
+        assert len(out) == 20
+        assert out.match_id.str.startswith("doc-").all()
+        assert sorted(out.query_id.unique()) == [0, 1]
+
+    def test_fusion_from_stored_text_list_bit_exact_sf001(self, spark):
+        """VERDICT r9 #5: fusion over a STORED text rank list is
+        SQL-replayable as-is — bm25_match_stored's scoring is pinned
+        ≡ the corpus path elsewhere, so swapping it into the fusion must
+        reproduce the corpus-path fused output BIT-EXACTLY (same vector
+        list on both sides), for both rrf and wsum, at sf0.01 (the
+        driver's correctness scale)."""
+        import os
+
+        import numpy as np
+
+        from docarray_spark.operators import bm25_refresh, bm25_match_stored
+        from docarray_spark.sources.writers import init_parquet_store
+
+        sf01 = "/root/testdata/sf0.01"
+        if not os.path.exists(f"{sf01}/documents.parquet"):
+            pytest.skip("sf0.01 testdata not present")
+        docs01 = load(spark, sf01, "documents").select("doc_id", "text")
+        emb01 = load(spark, sf01, "embeddings").select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        qvecs = (
+            load(spark, sf01, "embeddings")
+            .filter(F.col("vec_id") < 3)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as root:
+            store = f"{root}/text_store"
+            init_parquet_store(
+                docs01.select(F.col("doc_id").alias("id"), "text"),
+                store, n_buckets=8,
+            )
+            idx = f"{root}/bm25_idx"
+            bm25_refresh(spark, store, idx)
+            texts = [QUERIES[0], QUERIES[1], QUERIES[2]]
+            stored_tr = bm25_match_stored(
+                spark, idx, texts, k=40, round_to=6
+            ).select("query_id", F.col("id").alias("match_id"), "score", "rank")
+            corpus_tr = text_search_multi(
+                docs01, QUERIES, id_col="doc_id", k=40, round_to=6
+            ).withColumnRenamed("doc_id", "match_id")
+            vec = match(
+                emb01, qvecs, k=40, metric="cosine", corpus_id_col="doc_id",
+                query_id_col="query_id", round_scores=6, eps=0.0,
+            ).select("query_id", "match_id", "score", "rank")
+            vec = spark.createDataFrame(vec.collect(), vec.schema)
+
+            for fuse in (
+                lambda t: rrf_fuse([t, vec], k=10, round_to=9),
+                lambda t: minmax_fuse(
+                    [t, vec], weights=[0.25, 0.75],
+                    higher_is_better=[True, False], k=10, round_to=6,
+                ),
+            ):
+                a = fuse(stored_tr).toPandas().sort_values(
+                    ["query_id", "rank"], ignore_index=True
+                )
+                b = fuse(corpus_tr).toPandas().sort_values(
+                    ["query_id", "rank"], ignore_index=True
+                )
+                assert a.match_id.tolist() == b.match_id.tolist()
+                assert a.score.tolist() == b.score.tolist()  # bit-exact
+
     def test_wsum_method(self, spark, stores):
         from docarray_spark.operators.fusion import hybrid_search_stored
 
