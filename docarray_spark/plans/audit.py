@@ -70,9 +70,14 @@ def shuffle_count(df: DataFrame) -> int:
 
 def scan_count(df: DataFrame) -> int:
     """Number of file-source scans in the plan — pins 'reads the input
-    once' properties (a per-block driver loop would show n_blocks scans)."""
+    once' properties (a per-block driver loop would show n_blocks scans).
+    ``Scan ExistingRDD`` / LocalTableScan (driver-local collected lists,
+    e.g. a serving operator's ≤k·n_queries result rebuilt locally) are
+    NOT file sources and don't count — r10: the entry's collected rank
+    lists would otherwise inflate the budget while the actual corpus
+    reads DROPPED."""
     s = explain_str(df)
-    ids = set(re.findall(r"\((\d+)\) Scan \w+", s))
+    ids = set(re.findall(r"\((\d+)\) Scan (?!ExistingRDD)\w+", s))
     if ids:
         return len(ids)
     return len(re.findall(r"\bScan (?:parquet|csv|json|text)\b", s))

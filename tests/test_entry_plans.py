@@ -101,11 +101,16 @@ BUDGETS = {
     # fusions) + ONE kNN pass; fusion windows/aggs run on queries×fetch_k
     # rows, never corpus-sized; cartesian = the broadcast 1-row
     # corpus-stats replicate per BM25 pass
-    # +2 shuffles/+1 scan r9b: the mmr part's per-query applyInPandas
-    # over the broadcast candidate-embedding join, plus the expected-count
-    # window on the tiny candidate side (the on_missing guard) — both run
-    # on queries×fetch_k rows, never corpus-sized
-    "text_search_bm25": (12, 7, True),
+    # +2 shuffles r9b: the mmr part's per-query applyInPandas over the
+    # broadcast candidate-embedding join, plus the expected-count window
+    # on the tiny candidate side (the on_missing guard) — both run on
+    # queries×fetch_k rows, never corpus-sized.
+    # r10 TIGHTENED 12,7 → 10,2: the single-query BM25 and kNN lists are
+    # now collected and rebuilt locally (cache-hygiene fix), so the
+    # returned plan holds exactly ONE file scan — embeddings, for the mmr
+    # part's candidate join (local rank lists are Scan ExistingRDD, which
+    # scan_count rightly ignores)
+    "text_search_bm25": (10, 2, True),
     "nested_set": (3, 15, False),
     "dedup_exact": (1, 1, False),
     # minhash LSH path + the exact inverted-index ground-truth path
