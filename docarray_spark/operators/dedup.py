@@ -715,6 +715,7 @@ def semantic_dedup(
     max_cell_rows: int = 1_000_000,
     round_to: int | None = None,
     n_probe: int = 1,
+    persist: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — the published
     semantic-dedup recipe for web-scale training corpora): k-means the
@@ -772,7 +773,17 @@ def semantic_dedup(
     policy — a near-dup pair split across a cell boundary is caught
     whenever any probed cell contains both. Cost is ~n_probe× cell work
     (the fan-out is a map, never a shuffle; the component resolution runs
-    on (id, group-label) edges, linear in rows — no all-pairs risk);
+    on (id, group-label) edges, linear in rows — no all-pairs risk). The
+    probed assignment feeds BOTH the component resolution (eager at call
+    time) and the returned output plan, so the multi path persists it
+    (memory-and-disk) — a corpus-sized cache entry the CALLER owns, like
+    ``tfidf_vectors``; pass ``persist=False`` in serving loops to trade
+    one extra assignment pass for a cache-clean session (p=1 never
+    persists). Multi-probe's primary assignment runs the BLAS form
+    (``‖c‖²−2x·c``) at every k·d — rows near-EXACTLY equidistant between
+    two centroids may resolve their primary cell differently than p=1's
+    literal fold below ``LITERAL_ARGMIN_MAX_KD`` (last-ulp drift; see
+    ``_assign_cells_broadcast``);
     output columns are unchanged (``cell``/``centroid_dist`` are the
     PRIMARY assignment's). Requires an integral ``id_col`` (component
     resolution labels by min id); ``n_probe=1`` is the paper's recipe,
@@ -784,6 +795,17 @@ def semantic_dedup(
     from docarray_spark.operators.cluster import assign_cells, kmeans
 
     spark = df.sparkSession
+    id_type = df.schema[id_col].dataType
+    if n_probe > 1 and not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        # check BEFORE kmeans — a schema-only error must not cost the
+        # full distributed clustering job first (r10 review)
+        raise ValueError(
+            "semantic_dedup: n_probe > 1 requires an integral id column "
+            "(cross-cell components label by min id); got "
+            f"{id_type.simpleString()} — use n_probe=1 or map ids first"
+        )
     emb_d = F.transform(F.col(emb_col), lambda x: x.cast("double"))
     base = (
         df.select(F.col(id_col).alias("id"), emb_d.alias("v"))
@@ -812,11 +834,38 @@ def semantic_dedup(
             f"embeddings in {emb_col!r}, or an empty centroids= list was "
             "passed"
         )
+    sim_floor = 1.0 - float(eps)
+    # rows the base filter excluded (null/empty embedding) come back as
+    # keep=true singletons — "one row per input row" holds, and a missing
+    # embedding never silently deletes a document (ADVICE r8 #4).
+    # Deliberately a SECOND map-only pass over df (columns pruned to
+    # id+embedding), not a cell=-1 route through the grouped pass: a
+    # corpus where a large fraction of rows lack embeddings would land
+    # them all in ONE pandas group — the exact single-executor blowup
+    # max_cell_rows exists to prevent — whereas this filter streams.
+    dropped = (
+        df.select(F.col(id_col).alias("id"), emb_d.alias("v"))
+        .filter(~(F.col("v").isNotNull() & (F.size("v") > 0)))
+        .select(
+            "id",
+            F.lit(None).cast("int").alias("cell"),
+            F.col("id").alias("dup_group"),
+            F.lit(None).cast("double").alias("centroid_dist"),
+            F.lit(True).alias("keep"),
+        )
+    )
+    if n_probe > 1:
+        # branch BEFORE the single-probe broadcast/assignment below — the
+        # multi path builds its own; creating them here leaked one dead
+        # broadcast per call (r10 review)
+        return _semantic_dedup_multi(
+            base, cents, n_probe, id_type, sim_floor, round_to,
+            block_elems, max_cell_rows, persist=persist,
+        ).unionByName(dropped)
     assigned = assign_cells(base, cents)  # (cell, id, v), zero-shuffle
     bc = spark.sparkContext.broadcast(
         {c: np.asarray(v, dtype=np.float64) for c, v in cents}
     )
-    id_type = df.schema[id_col].dataType
     out_schema = T.StructType([
         T.StructField("id", id_type),
         T.StructField("cell", T.IntegerType()),
@@ -824,7 +873,6 @@ def semantic_dedup(
         T.StructField("centroid_dist", T.DoubleType()),
         T.StructField("keep", T.BooleanType()),
     ])
-    sim_floor = 1.0 - float(eps)
 
     def _cell_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = list(pdf["id"])
@@ -876,30 +924,6 @@ def semantic_dedup(
             "keep": [i in kept for i in range(n)],
         })
 
-    # rows the base filter excluded (null/empty embedding) come back as
-    # keep=true singletons — "one row per input row" holds, and a missing
-    # embedding never silently deletes a document (ADVICE r8 #4).
-    # Deliberately a SECOND map-only pass over df (columns pruned to
-    # id+embedding), not a cell=-1 route through the grouped pass: a
-    # corpus where a large fraction of rows lack embeddings would land
-    # them all in ONE pandas group — the exact single-executor blowup
-    # max_cell_rows exists to prevent — whereas this filter streams.
-    dropped = (
-        df.select(F.col(id_col).alias("id"), emb_d.alias("v"))
-        .filter(~(F.col("v").isNotNull() & (F.size("v") > 0)))
-        .select(
-            "id",
-            F.lit(None).cast("int").alias("cell"),
-            F.col("id").alias("dup_group"),
-            F.lit(None).cast("double").alias("centroid_dist"),
-            F.lit(True).alias("keep"),
-        )
-    )
-    if n_probe > 1:
-        return _semantic_dedup_multi(
-            base, cents, n_probe, id_type, sim_floor, round_to,
-            block_elems, max_cell_rows,
-        ).unionByName(dropped)
     labelled = assigned.groupBy("cell").applyInPandas(_cell_dedup, out_schema)
     return labelled.unionByName(dropped)
 
@@ -913,6 +937,7 @@ def _semantic_dedup_multi(
     round_to: int | None,
     block_elems: int,
     max_cell_rows: int,
+    persist: bool = True,
 ) -> DataFrame:
     """The ``n_probe > 1`` path of :func:`semantic_dedup`: multi-probe
     assignment → per-probed-cell min-label propagation emitting
@@ -937,6 +962,14 @@ def _semantic_dedup_multi(
             f"{id_type.simpleString()} — use n_probe=1 or map ids first"
         )
     multi = assign_cells_multi(base, cents, n_probe, round_to=round_to)
+    if persist:
+        # consumed by the eager component resolution AND the returned
+        # plan — without this the n_probe-fanned corpus assignment
+        # recomputes per consumer (r10 review). Caller-owned lifecycle
+        # (corpus-sized output; see the public docstring).
+        from pyspark import StorageLevel
+
+        multi = multi.persist(StorageLevel.MEMORY_AND_DISK)
     lbl_schema = T.StructType([
         T.StructField("id", id_type), T.StructField("label", id_type)
     ])

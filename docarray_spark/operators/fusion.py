@@ -324,6 +324,8 @@ def hybrid_search(
     query_id_col: str = "query_id",
     round_to: int = 6,
     eps: float = 0.0,
+    mmr_lambda: float | None = None,
+    mmr_on_missing: str = "error",
 ) -> DataFrame:
     """Hybrid lexical+vector retrieval: batched corpus BM25
     (:func:`~docarray_spark.operators.text.text_search_multi`) and exact
@@ -335,7 +337,18 @@ def hybrid_search(
     ``docs`` and ``corpus`` may be the same table or two tables sharing
     the id space (text store + embedding store). Both modality top-k's
     are distributed; the fusion runs on queries × fetch_k rows.
-    """
+
+    ``mmr_lambda`` chains the full retrieve → fuse → diversify pipeline:
+    the fused list is kept at ``fetch_k`` depth, its scores are per-query
+    min-max-normalized to [0, 1] (RRF/CombSUM scores are not on the
+    cosine-similarity scale MMR's diversity term uses), and
+    :func:`mmr_rerank` greedily reduces it to ``k`` against the corpus
+    embeddings (λ = ``mmr_lambda``; λ=1 reproduces the fused order).
+    Pinned ≡ the manual three-call composition in tests. A text-ranked
+    doc with no embedding row cannot be diversified — ``mmr_on_missing``
+    forwards mmr_rerank's contract ('error' raises per query, 'drop'
+    excludes explicitly; without the forward the raise would suggest a
+    kwarg this API didn't accept, r10 review)."""
     from .match import match
     from .text import text_search_multi
 
@@ -351,9 +364,44 @@ def hybrid_search(
         corpus_id_col=id_col, query_id_col=query_id_col,
         round_scores=round_to, eps=eps,
     ).select("query_id", "match_id", "score", "rank")
-    return _fuse_modalities(
-        text_ranks, vec_ranks, method=method, k=k, k0=k0, alpha=alpha,
+    fused = _fuse_modalities(
+        text_ranks, vec_ranks, method=method,
+        k=(fetch_k if mmr_lambda is not None else k), k0=k0, alpha=alpha,
         round_to=round_to,
+    )
+    if mmr_lambda is None:
+        return fused
+    return _diversify_fused(
+        fused, corpus, mmr_lambda, k, id_col=id_col, emb_col=on,
+        round_to=round_to, on_missing=mmr_on_missing,
+    )
+
+
+def _diversify_fused(
+    fused: DataFrame,
+    corpus: DataFrame,
+    lam: float,
+    k: int,
+    id_col: str,
+    emb_col: str,
+    round_to: int,
+    on_missing: str = "error",
+) -> DataFrame:
+    """Fused-list → MMR relevance bridge: per-query min-max normalize the
+    fused score into [0, 1] (rounded, deterministic) and greedily rerank
+    to ``k`` against the corpus embeddings. Runs on queries × fetch_k
+    rows; the corpus contributes one broadcast-candidate join."""
+    grp = Window.partitionBy("query_id")
+    rel = F.round(
+        (F.col("score") - F.min("score").over(grp))
+        / (F.max("score").over(grp) - F.min("score").over(grp) + F.lit(1e-7)),
+        round_to,
+    )
+    cand = fused.select("query_id", "match_id", rel.alias("rel"))
+    return mmr_rerank(
+        cand, corpus.select(id_col, emb_col), k=k, lam=lam,
+        emb_id_col=id_col, emb_col=emb_col, round_to=round_to,
+        on_missing=on_missing,
     )
 
 

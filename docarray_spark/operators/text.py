@@ -826,6 +826,7 @@ def tfidf_vectors(
     min_df: int = 1,
     round_to: int = 6,
     broadcast_vocab: bool = True,
+    persist: bool = True,
 ) -> DataFrame:
     """Sparse TF-IDF document vectors as ``(id, token, token_id, weight)``
     triples — the sparse-embedding producer whose output feeds the
@@ -840,19 +841,28 @@ def tfidf_vectors(
     token-stats aggregation riding off it (both map-side combinable), the
     rank exchanges over the VOCAB (not the corpus), a broadcast join back
     onto tf, and a broadcast 1-row N replicate (the BM25 pattern,
-    plan-pinned there)."""
+    plan-pinned there).
+
+    Cache lifecycle: the output is CORPUS-sized, so unlike the bounded
+    BM25 serving calls this operator cannot collect-and-release its
+    internal tf persist; the cache entry lives until the caller drops it
+    (``spark.catalog.clearCache()``). A serving loop calling this
+    repeatedly in one session should pass ``persist=False`` (the
+    (id, token) aggregation recomputes once more per call — two corpus
+    scans instead of one plus a pinned entry per call)."""
     from docarray_spark.operators.group import distributed_row_number
 
     toks = df.select(
         F.col(id_col), F.explode_outer(tokens_col(text_col)).alias("token")
     ).filter(F.col("token") != "")  # explode-inlining trap, NOTES r9
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    # tf feeds both the token-stats aggregation and the final weight join;
-    # persist so the corpus-sized (id, token) aggregation runs once
-    # (r3 amplification lesson — memory-and-disk, corpus-bounded)
-    from pyspark import StorageLevel
+    if persist:
+        # tf feeds both the token-stats aggregation and the final weight
+        # join; persist so the corpus-sized (id, token) aggregation runs
+        # once (r3 amplification lesson — memory-and-disk, corpus-bounded)
+        from pyspark import StorageLevel
 
-    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     st = tf.groupBy("token").agg(
         F.count(F.lit(1)).alias("dfreq"), F.sum("tf").alias("total")
     )

@@ -285,6 +285,37 @@ def _check_shard_layout(files_per_shard: int, max_rows_per_file) -> None:
         )
 
 
+def _shard_layout_write(
+    df: DataFrame,
+    path: str,
+    n_partitions: int,
+    id_col: str,
+    order_within: list[str] | None,
+    files_per_shard: int,
+    max_rows_per_file: int | None,
+    mode: str,
+) -> None:
+    """The ONE shard layout-and-write block (r10 review: it was inlined
+    three times and must stay in lockstep — a layout change applied to
+    one copy would scatter later merges differently than the original
+    export): sub-split repartition, optional within-file sort,
+    maxRecordsPerFile cap, partitionBy(shard) parquet write."""
+    if files_per_shard > 1:
+        w = df.repartition(
+            n_partitions * files_per_shard,
+            F.col("shard"),
+            _sub_split_col(id_col, files_per_shard),
+        )
+    else:
+        w = df.repartition(n_partitions, "shard")
+    if order_within:
+        w = w.sortWithinPartitions("shard", *order_within)
+    writer = w.write.mode(mode)
+    if max_rows_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_rows_per_file)
+    writer.partitionBy("shard").parquet(path)
+
+
 def save_shards(
     df: DataFrame,
     path: str,
@@ -344,21 +375,10 @@ def save_shards(
     spark = df.sparkSession
     data_cols = list(df.columns)
     out = df.withColumn("shard", shard_col(id_col, n_shards, hash_method))
-    if files_per_shard > 1:
-        w = out.repartition(
-            n_shards * files_per_shard,
-            F.col("shard"),
-            _sub_split_col(id_col, files_per_shard),
-        )
-    else:
-        w = out.repartition(n_shards, "shard")
-    if order_within:
-        w = w.sortWithinPartitions("shard", *order_within)
-    writer = w.write.mode(mode)
-    if max_rows_per_file is not None:
-        writer = writer.option("maxRecordsPerFile", max_rows_per_file)
-    writer.partitionBy("shard").parquet(path)
-
+    _shard_layout_write(
+        out, path, n_shards, id_col, order_within, files_per_shard,
+        max_rows_per_file, mode,
+    )
     return _shard_manifest(spark, path, data_cols, id_col)
 
 
@@ -450,24 +470,13 @@ def merge_shards(
         # scattered regime: rewrite the whole export through a temp
         # sibling (streamed, nothing pinned in block-manager storage)
         merged = _apply_batch(spark.read.parquet(path))
-        if files_per_shard > 1:
-            merged = merged.repartition(
-                n_shards * files_per_shard,
-                F.col("shard"),
-                _sub_split_col(id_col, files_per_shard),
-            )
-        else:
-            merged = merged.repartition(n_shards, "shard")
-        if order_within:
-            merged = merged.sortWithinPartitions("shard", *order_within)
         tmp = path.rstrip("/") + ".__rewrite__"
         _delete_dir(tmp, spark)
-        writer = merged.write.mode("overwrite")
-        if max_rows_per_file is not None:
-            writer = writer.option("maxRecordsPerFile", max_rows_per_file)
-        writer.partitionBy("shard").parquet(tmp)
-        _delete_dir(path, spark)
-        _rename_dir(tmp, path, spark)
+        _shard_layout_write(
+            merged, tmp, n_shards, id_col, order_within, files_per_shard,
+            max_rows_per_file, "overwrite",
+        )
+        _swap_dirs(tmp, path, spark)
         # every shard was rewritten — refresh them all (file names/bytes
         # changed even where rows didn't), tombstones for emptied ones
         all_shards = sorted(set(affected) | set(_shard_sizes(path, spark)))
@@ -478,16 +487,6 @@ def merge_shards(
 
     current = spark.read.parquet(path).filter(F.col("shard").isin(affected))
     merged = _apply_batch(current)
-    if files_per_shard > 1:
-        merged = merged.repartition(
-            max(1, len(affected)) * files_per_shard,
-            F.col("shard"),
-            _sub_split_col(id_col, files_per_shard),
-        )
-    else:
-        merged = merged.repartition(max(1, len(affected)), "shard")
-    if order_within:
-        merged = merged.sortWithinPartitions("shard", *order_within)
     from docarray_spark.plans.blocks import released_after
 
     with released_after(spark):
@@ -497,10 +496,10 @@ def merge_shards(
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            writer = merged.write.mode("overwrite")
-            if max_rows_per_file is not None:
-                writer = writer.option("maxRecordsPerFile", max_rows_per_file)
-            writer.partitionBy("shard").parquet(path)
+            _shard_layout_write(
+                merged, path, max(1, len(affected)), id_col, order_within,
+                files_per_shard, max_rows_per_file, "overwrite",
+            )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         surviving = {
@@ -646,6 +645,8 @@ def _rename_dir(src: str, dst: str, spark: SparkSession) -> None:
     """Move a directory into place on any Hadoop-compatible filesystem
     (plain local paths short-circuit to os.rename) — metadata-only on
     HDFS/local; object stores fall back to the FS connector's copy."""
+    dst = dst.rstrip("/")  # os.rename to a nonexistent trailing-slash
+    # newpath fails with ENOENT even when the parent exists
     if "://" not in src:
         import os
 
@@ -657,6 +658,24 @@ def _rename_dir(src: str, dst: str, spark: SparkSession) -> None:
     _, jdst, _ = _hadoop_fs(dst, spark)
     if not fs.rename(jsrc, jdst):
         raise IOError(f"rename {src} -> {dst} failed")
+
+
+def _swap_dirs(tmp: str, path: str, spark: SparkSession) -> None:
+    """Replace ``path`` with ``tmp`` via two renames (each atomic on
+    POSIX/HDFS) instead of delete-then-rename: the live store is moved
+    aside first, so a failure between the steps leaves it recoverable —
+    on a failed swap-in the old store is restored and the error
+    propagates with nothing lost (r10 review: rmtree(ignore_errors) +
+    rename could destroy the export and then fail)."""
+    old = path.rstrip("/") + ".__old__"
+    _delete_dir(old, spark)  # stale leftover from a crashed prior swap
+    _rename_dir(path, old, spark)
+    try:
+        _rename_dir(tmp, path, spark)
+    except BaseException:
+        _rename_dir(old, path, spark)  # restore the live store
+        raise
+    _delete_dir(old, spark)
 
 
 def _delete_dir(path: str, spark: SparkSession) -> None:

@@ -494,13 +494,28 @@ def test_semantic_dedup_multi_probe_catches_cross_cell_dup(spark):
         cols].sort_values("id", ignore_index=True)
     assert one.equals(two)
 
-    # n_probe>1 labels components by min id -> integral ids required
+    # n_probe>1 labels components by min id -> integral ids required,
+    # and the schema-only check fires BEFORE any job (kmeans included)
     sdf = spark.createDataFrame(
         [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
         "id string, embedding array<double>",
     )
     with pytest.raises(ValueError, match="integral id"):
         semantic_dedup(sdf, centroids=cents, n_probe=2)
+    with pytest.raises(ValueError, match="integral id"):
+        semantic_dedup(sdf, k_clusters=2, n_probe=2)  # centroids untrained
+
+    # cache lifecycle: the multi path persists its probed assignment
+    # (caller-owned, tfidf precedent); persist=False keeps the session
+    # cache clean at the cost of one extra assignment pass
+    jsc = spark.sparkContext._jsc.sc()
+    before = len(jsc.getRDDStorageInfo())
+    clean = semantic_dedup(
+        df, centroids=cents, eps=0.01, round_to=6, n_probe=2,
+        persist=False,
+    ).toPandas().set_index("id").sort_index()
+    assert len(jsc.getRDDStorageInfo()) == before
+    assert clean["dup_group"].tolist() == p2["dup_group"].tolist()
 
 
 def test_semantic_dedup_null_embeddings_and_guards(spark):

@@ -275,6 +275,65 @@ class TestHybridSearch:
             assert len(part) == 10
             assert part.score.between(0.0, 1.0 + 1e-9).all()
 
+    def test_mmr_lambda_chains_diversify(self, spark, docs, emb, qvecs):
+        """mmr_lambda runs the full retrieve → fuse → diversify pipeline:
+        ≡ the manual composition (fuse at fetch_k depth, min-max the fused
+        score, mmr_rerank to k); λ=1 reproduces the fused order."""
+        from pyspark.sql import Window
+
+        from docarray_spark.operators import mmr_rerank
+
+        got = hybrid_search(
+            docs, emb, QUERIES, qvecs, id_col="doc_id", k=5, fetch_k=20,
+            method="rrf", mmr_lambda=0.5,
+        ).toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+
+        fused = hybrid_search(
+            docs, emb, QUERIES, qvecs, id_col="doc_id", k=20, fetch_k=20,
+            method="rrf",
+        )
+        grp = Window.partitionBy("query_id")
+        rel = F.round(
+            (F.col("score") - F.min("score").over(grp))
+            / (F.max("score").over(grp) - F.min("score").over(grp)
+               + F.lit(1e-7)),
+            6,
+        )
+        cand = fused.select("query_id", "match_id", rel.alias("rel"))
+        want = mmr_rerank(
+            cand, emb.select("doc_id", "embedding"), k=5, lam=0.5,
+            emb_id_col="doc_id", round_to=6,
+        ).toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+        assert got.match_id.tolist() == want.match_id.tolist()
+        assert got.score.tolist() == want.score.tolist()
+
+        # λ=1: pure relevance — the fused top-5 order survives
+        pure = hybrid_search(
+            docs, emb, QUERIES, qvecs, id_col="doc_id", k=5, fetch_k=20,
+            method="rrf", mmr_lambda=1.0,
+        ).toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+        base = fused.filter(F.col("rank") <= 5).toPandas().sort_values(
+            ["query_id", "rank"], ignore_index=True
+        )
+        assert pure.match_id.tolist() == base.match_id.tolist()
+
+    def test_mmr_on_missing_forwarded(self, spark, docs, emb, qvecs):
+        """r10 review: a text-ranked doc with no embedding row used to
+        raise mmr_rerank's error suggesting on_missing='drop' — a kwarg
+        hybrid_search didn't accept. The forward makes the remedy real."""
+        partial = emb.filter(F.col("doc_id") % 7 != 0)  # holes in coverage
+        with pytest.raises(Exception, match="missing from the embedding"):
+            hybrid_search(
+                docs, partial, QUERIES, qvecs, id_col="doc_id", k=5,
+                fetch_k=20, mmr_lambda=0.5,
+            ).collect()
+        out = hybrid_search(
+            docs, partial, QUERIES, qvecs, id_col="doc_id", k=5,
+            fetch_k=20, mmr_lambda=0.5, mmr_on_missing="drop",
+        ).toPandas()
+        assert len(out) > 0
+        assert (out.match_id % 7 != 0).all()  # holes explicitly excluded
+
     def test_unknown_method(self, docs, emb, qvecs):
         with pytest.raises(ValueError, match="fusion method"):
             hybrid_search(

@@ -554,3 +554,22 @@ def test_split_into_chunks_overlap_and_min_tokens(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="overlap"):
         split_into_chunks(df, chunk_tokens=4, overlap=4)
+
+
+def test_tfidf_persist_false_leaves_no_cache(spark):
+    """Serving-loop escape hatch (r10): tfidf_vectors' output is
+    corpus-sized so its internal tf persist can't be collect-and-released
+    like the BM25 family's; persist=False trades one extra corpus
+    aggregation for a cache-clean session, values identical."""
+    from docarray_spark.operators import tfidf_vectors
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "d")], "id long, text string"
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = len(jsc.getRDDStorageInfo())
+    a = {(r.id, r.token): r.weight for r in
+         tfidf_vectors(df, persist=False).collect()}
+    assert len(jsc.getRDDStorageInfo()) == before
+    b = {(r.id, r.token): r.weight for r in tfidf_vectors(df).collect()}
+    assert a == b

@@ -484,6 +484,24 @@ class TestMergeShards:
         assert back.count() == docs.count()
         assert back.filter(F.col("text") == "REWRITE").count() == 10
 
+    def test_full_rewrite_trailing_slash_and_no_data_loss(
+        self, spark, docs, store
+    ):
+        """r10 review: os.rename to a nonexistent trailing-slash newpath
+        fails with ENOENT — and a delete-then-rename swap would have
+        already destroyed the live export by then. The swap moves the old
+        store ASIDE first and restores it on failure; a trailing-slash
+        path must complete cleanly."""
+        batch = docs.withColumn("text", F.upper("text"))  # all shards
+        m = merge_shards(
+            batch, store + "/", n_shards=self.N, id_col="doc_id"
+        ).toPandas()
+        assert len(m) == self.N
+        back = spark.read.parquet(store)
+        assert back.count() == docs.count()
+        assert not os.path.isdir(store + ".__old__")
+        assert not os.path.isdir(store + ".__rewrite__")
+
     def test_full_rewrite_emptied_shard_tombstone(self, spark, docs, store):
         ids2 = (
             spark.read.parquet(store)
