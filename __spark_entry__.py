@@ -574,26 +574,6 @@ def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     dtext = docs.select("doc_id", "text")
-    single = text_search(
-        docs, "key value scan table", id_col="doc_id", k=20, round_to=6
-    )
-    parts = [
-        single.select(
-            F.lit("bm25").alias("part"),
-            F.lit(-1).cast("long").alias("query_id"),
-            "doc_id", "score", "rank",
-        )
-    ]
-    # text_search_multi returns collected rows (its tf cache released) —
-    # the local result feeds three parts with no recompute and no persist
-    tr40 = text_search_multi(
-        dtext, HYBRID_QUERIES, id_col="doc_id", k=40, round_to=6
-    )
-    parts.append(
-        tr40.filter(F.col("rank") <= 15).select(
-            F.lit("multi").alias("part"), "query_id", "doc_id", "score", "rank"
-        )
-    )
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), "embedding"
     )
@@ -602,17 +582,49 @@ def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < 3)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
+
+    # The three modality lists are eager now (each collects its ≤k·n_q
+    # rows so its tf/score caches release — r9 review): run the three
+    # INDEPENDENT jobs on threads so they overlap on the executor pool
+    # the way they did as stages of one union job when the lists were
+    # lazy persisted subtrees (serializing them cost +60% entry wall,
+    # r10 bench). Spark job submission is thread-safe; each future
+    # returns a driver-local DataFrame.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _knn():
+        # eps=0.0: the unsmoothed cosine ratio SQL replays bit-for-bit
+        plan = match(
+            emb, qvecs, k=40, metric="cosine", corpus_id_col="doc_id",
+            query_id_col="query_id", round_scores=6, eps=0.0,
+        ).select("query_id", "match_id", "score", "rank")
+        return spark.createDataFrame(plan.collect(), plan.schema)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_single = pool.submit(
+            text_search, docs, "key value scan table",
+            id_col="doc_id", k=20, round_to=6,
+        )
+        f_tr40 = pool.submit(
+            text_search_multi, dtext, HYBRID_QUERIES,
+            id_col="doc_id", k=40, round_to=6,
+        )
+        f_vec40 = pool.submit(_knn)
+        single, tr40, vec40 = f_single.result(), f_tr40.result(), f_vec40.result()
+
+    parts = [
+        single.select(
+            F.lit("bm25").alias("part"),
+            F.lit(-1).cast("long").alias("query_id"),
+            "doc_id", "score", "rank",
+        )
+    ]
+    parts.append(
+        tr40.filter(F.col("rank") <= 15).select(
+            F.lit("multi").alias("part"), "query_id", "doc_id", "score", "rank"
+        )
+    )
     text_ranks = tr40.withColumnRenamed("doc_id", "match_id")
-    # eps=0.0: the unsmoothed cosine ratio SQL replays bit-for-bit.
-    # Collect the queries×40 list and rebuild it as a LOCAL DataFrame (the
-    # text_search_multi pattern): the kNN corpus pass runs exactly once and
-    # nothing stays pinned in the session cache after the entry returns —
-    # a persist() here would leak one cache entry per invocation (r9 review)
-    vec40_plan = match(
-        emb, qvecs, k=40, metric="cosine", corpus_id_col="doc_id",
-        query_id_col="query_id", round_scores=6, eps=0.0,
-    ).select("query_id", "match_id", "score", "rank")
-    vec40 = spark.createDataFrame(vec40_plan.collect(), vec40_plan.schema)
     fused = {
         "rrf": rrf_fuse([text_ranks, vec40], k=10, round_to=9),
         # alpha=0.25: both weights (0.25, 1-0.25=0.75) are exact dyadic
