@@ -1723,6 +1723,38 @@ def q_semantic_dedup_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup_p2_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup MULTI-PROBE (r10): the same fixed-centroid pipeline as
+    :func:`q_semantic_dedup_part` at ``n_probe=2`` — every row is probed
+    into its TWO nearest cells, within-cell components are unioned into
+    GLOBAL connected components (operators/dedup._semantic_dedup_multi),
+    catching near-dup pairs whose primary cells differ. The whole path is
+    SQL-replayable: top-2 assignment is a row_number over the 4-centroid
+    cross join, the probed-cell pair edges feed the same WITH RECURSIVE
+    transitive closure, keep policy unchanged. persist=False: the entry
+    must not pin the probed assignment in a long-lived session (the one
+    extra assignment pass is trivially cheap at oracle scale)."""
+    from docarray_spark.operators import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    copies = emb.filter(F.col("id") % 20 == 0).select(
+        (F.col("id") + 100000).alias("id"),
+        F.expr("transform(embedding, x -> x + 0.01d)").alias("embedding"),
+    )
+    base = emb.unionByName(copies)
+    cents = [
+        (int(r.id), [float(x) for x in r.embedding])
+        for r in emb.filter("id < 4").collect()  # 4 rows — bounded
+    ]
+    return semantic_dedup(
+        base, centroids=cents, eps=0.05, id_col="id", emb_col="embedding",
+        round_to=6, n_probe=2, persist=False,
+    )
+
+
 def q_dedup_embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged r3: embedding-cosine near-dup pairs, both gates — the
     'exact_gate' part (thr 0.01, 12 planes × 8 tables) is oracle-checked
@@ -1732,18 +1764,26 @@ def q_dedup_embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     r3 raised it from 8 planes: 8 put ~200 ids in every bucket at sf0.1,
     a 21M-pair verify join for no extra gate strength). r9 adds the
     'semantic' part: the full SemDeDup output (cells, dup groups, keep
-    policy) hash-checked against a DuckDB transitive-closure replay."""
+    policy) hash-checked against a DuckDB transitive-closure replay.
+    r10 adds 'semantic_p2': the multi-probe variant — top-2 cell
+    assignment, per-probed-cell edges, GLOBAL components — replayed by
+    the same recursive CTE over the union of probed-cell pair edges."""
     a = q_dedup_embedding(spark, sf_dir).select(F.lit("exact_gate").alias("part"), "*")
     b = q_dedup_embedding_lsh(spark, sf_dir).select(F.lit("bucket_gate").alias("part"), "*")
     c = q_semantic_dedup_part(spark, sf_dir).select(F.lit("semantic").alias("part"), "*")
+    d = q_semantic_dedup_p2_part(spark, sf_dir).select(
+        F.lit("semantic_p2").alias("part"), "*"
+    )
     # keep rides as INT: a null BOOLEAN stringifies engine-dependently
     # (None vs NaN) while null numerics agree — hash-safe like the other
     # suites' NULL pad columns
-    return (
-        a.unionByName(b)
-        .unionByName(c.withColumn("keep", F.col("keep").cast("int")),
-                     allowMissingColumns=True)
-    )
+    out = a.unionByName(b)
+    for part in (c, d):
+        out = out.unionByName(
+            part.withColumn("keep", F.col("keep").cast("int")),
+            allowMissingColumns=True,
+        )
+    return out
 
 
 def q_dedup_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3868,6 +3908,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, cell, dup_group, centroid_dist, rn = 1 AS keep
             FROM scored
         """,
+        "semantic_dedup_p2": """
+            WITH RECURSIVE b0 AS (
+              SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x + 0.01)
+              FROM embeddings WHERE vec_id % 20 = 0
+            ),
+            cents AS (
+              SELECT vec_id::INT AS cell, embedding::DOUBLE[] AS cv
+              FROM embeddings WHERE vec_id < 4
+            ),
+            -- top-2 nearest cells per row (euclidean, smallest-cell tie-break)
+            asg2 AS (
+              SELECT id, v, cell, probe FROM (
+                SELECT b0.id, b0.v, c.cell,
+                       row_number() OVER (PARTITION BY b0.id
+                         ORDER BY list_distance(b0.v, c.cv) ASC, c.cell ASC)
+                         AS probe
+                FROM b0 CROSS JOIN cents c
+              ) WHERE probe <= 2
+            ),
+            wd AS (
+              SELECT a.id, a.v, a.cell,
+                     round(1 - list_cosine_similarity(a.v, c.cv), 6)
+                       AS centroid_dist
+              FROM asg2 a JOIN cents c USING (cell)
+              WHERE a.probe = 1
+            ),
+            -- pair edges within ANY shared probed cell
+            edges AS (
+              SELECT DISTINCT a.id AS src, b.id AS dst
+              FROM asg2 a JOIN asg2 b ON a.cell = b.cell AND a.id <> b.id
+              WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95
+            ),
+            reach(id, m) AS (
+              SELECT id, id FROM wd
+              UNION
+              SELECT e.dst, r.m FROM reach r JOIN edges e ON r.id = e.src
+            ),
+            comp AS (SELECT id, MIN(m) AS dup_group FROM reach GROUP BY id),
+            scored AS (
+              SELECT w.id, w.cell, c.dup_group, w.centroid_dist,
+                     row_number() OVER (PARTITION BY c.dup_group
+                                        ORDER BY w.centroid_dist DESC,
+                                                 w.id ASC) AS rn
+              FROM wd w JOIN comp c USING (id)
+            )
+            SELECT id, cell, dup_group, centroid_dist, rn = 1 AS keep
+            FROM scored
+        """,
         "dedup_embedding": """
             WITH base AS (
               SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
@@ -4197,6 +4287,15 @@ def oracle_sql() -> dict[str, str]:
                 "id, cell, dup_group, centroid_dist, "
                 "CAST(keep AS INT) AS keep "
                 f"FROM (\n{s['semantic_dedup']}\n)"
+            )
+            + "\nUNION ALL\n"
+            + (
+                "SELECT 'semantic_p2' AS part, CAST(NULL AS BIGINT) AS id_a, "
+                "CAST(NULL AS BIGINT) AS id_b, "
+                "CAST(NULL AS DOUBLE) AS cosine_dist, "
+                "id, cell, dup_group, centroid_dist, "
+                "CAST(keep AS INT) AS keep "
+                f"FROM (\n{s['semantic_dedup_p2']}\n)"
             )
         ),
         "dedup_text_pairs": u(

@@ -181,7 +181,7 @@ def assign_cells_multi(
             Xn = X / np.where(norms == 0.0, 1.0, norms)
             cd = 1.0 - (Xn * Ccos_[idx[:, 0]]).sum(axis=1)
             if round_to is not None:
-                cd = np.round(cd, round_to)
+                cd = np.round(cd, round_to) + 0.0  # -0.0 -> 0.0 (hash class)
             n = len(pdf)
             yield pd.DataFrame({
                 "cell": cells_[idx.ravel()].astype("int32"),

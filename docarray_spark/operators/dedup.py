@@ -897,7 +897,11 @@ def semantic_dedup(
         cn = np.linalg.norm(cv)
         cdist = 1.0 - (Xn @ (cv / cn if cn else cv))
         if round_to is not None:
-            cdist = np.round(cdist, round_to)
+            # + 0.0 normalizes IEEE negative zero: a row that IS its
+            # centroid computes 1 - dot(u, u) = -2e-16, which rounds to
+            # -0.0 and str-hashes differently than the oracle's 0.0
+            # (latent since r9, caught by the r10 sf0.1 sweep)
+            cdist = np.round(cdist, round_to) + 0.0
         # blockwise min-label propagation (vectorized; no per-pair loop):
         # labels start as row indices; each sweep takes, per row, the min
         # label over its >=sim_floor neighbors (diag sim = 1 keeps self),

@@ -294,7 +294,9 @@ def mmr_rerank(
         return pd.DataFrame({
             "_qid": pdf["_qid"].iloc[picked].to_numpy(),
             "_mid": pdf["_mid"].iloc[picked].to_numpy(),
-            "score": np.round(np.asarray(scores), round_to),
+            # + 0.0: normalize IEEE -0.0 (an exactly-cancelling MMR value
+            # would str-hash differently than the oracle's 0.0)
+            "score": np.round(np.asarray(scores), round_to) + 0.0,
             "rank": np.arange(1, len(picked) + 1, dtype=np.int32),
         })
 
