@@ -1694,16 +1694,12 @@ def q_roundtrip_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.unionByName(jg).unionByName(pb).unionByName(nd)
 
 
-def q_semantic_dedup_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (operators/dedup.semantic_dedup, Abbas et al. 2023) with
-    FIXED centroids (the first 4 embedding rows) so the whole pipeline —
-    sqeuclidean cell assignment, within-cell cosine components, keep-low-
-    centroid-similarity policy — is deterministic and SQL-replayable
-    (VERDICT r8 #2: the one dedup family that wasn't oracle-gated).
-    Corpus = embeddings ∪ perturbed copies (every 20th vector +0.01), so
-    each copy forms a two-member dup group with its source."""
-    from docarray_spark.operators import semantic_dedup
-
+def _semdedup_base(spark: SparkSession, sf_dir: str):
+    """Shared gated-SemDeDup corpus: embeddings ∪ perturbed copies (every
+    20th vector +0.01, so each copy pairs with its source) + the 4 fixed
+    centroids (first 4 embedding rows) — ONE recipe for the p=1 and p=2
+    parts so it cannot desync from the oracle's shared b0/cents CTEs
+    (r10 review; also collects the centroids once, not per part)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"),
         F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
@@ -1717,6 +1713,18 @@ def q_semantic_dedup_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r.id), [float(x) for x in r.embedding])
         for r in emb.filter("id < 4").collect()  # 4 rows — bounded
     ]
+    return base, cents
+
+
+def q_semantic_dedup_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.semantic_dedup, Abbas et al. 2023) with
+    FIXED centroids (the first 4 embedding rows) so the whole pipeline —
+    sqeuclidean cell assignment, within-cell cosine components, keep-low-
+    centroid-similarity policy — is deterministic and SQL-replayable
+    (VERDICT r8 #2: the one dedup family that wasn't oracle-gated)."""
+    from docarray_spark.operators import semantic_dedup
+
+    base, cents = _semdedup_base(spark, sf_dir)
     return semantic_dedup(
         base, centroids=cents, eps=0.05, id_col="id", emb_col="embedding",
         round_to=6,
@@ -1736,19 +1744,7 @@ def q_semantic_dedup_p2_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra assignment pass is trivially cheap at oracle scale)."""
     from docarray_spark.operators import semantic_dedup
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("id"),
-        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
-    )
-    copies = emb.filter(F.col("id") % 20 == 0).select(
-        (F.col("id") + 100000).alias("id"),
-        F.expr("transform(embedding, x -> x + 0.01d)").alias("embedding"),
-    )
-    base = emb.unionByName(copies)
-    cents = [
-        (int(r.id), [float(x) for x in r.embedding])
-        for r in emb.filter("id < 4").collect()  # 4 rows — bounded
-    ]
+    base, cents = _semdedup_base(spark, sf_dir)
     return semantic_dedup(
         base, centroids=cents, eps=0.05, id_col="id", emb_col="embedding",
         round_to=6, n_probe=2, persist=False,

@@ -147,7 +147,15 @@ def assign_cells_multi(
 
     One zero-shuffle ``mapInPandas`` over the corpus emitting n_probe
     rows per input row (the probe fan-out is the operator's documented
-    ~p× cell-work cost, never a shuffle)."""
+    ~p× cell-work cost, never a shuffle).
+
+    Distance-form dispatch mirrors :func:`assign_cells` (r10 review): at
+    or below ``LITERAL_ARGMIN_MAX_KD`` the squared distances accumulate
+    in DIMENSION ORDER — the same summation order as the literal fold
+    and an ANSI-SQL ``list_distance`` replay, so near-tie rankings can't
+    flip between engine and oracle; above the budget the BLAS
+    ``‖c‖²−2x·c`` form takes over (oracle-gated callers stay under the
+    budget, same contract as single-probe assignment)."""
     from pyspark.sql import types as T
 
     p = max(1, min(int(n_probe), len(centroids)))
@@ -157,6 +165,7 @@ def assign_cells_multi(
     Cn = (C * C).sum(axis=1)
     cn = np.linalg.norm(C, axis=1)
     Ccos = C / np.where(cn == 0.0, 1.0, cn)[:, None]
+    exact = C.size <= LITERAL_ARGMIN_MAX_KD
     bc = base.sparkSession.sparkContext.broadcast((cells, C, Cn, Ccos))
     in_schema = base.select("id", "v").schema
     out_schema = T.StructType([
@@ -173,7 +182,15 @@ def assign_cells_multi(
             if not len(pdf):
                 continue
             X = np.asarray([np.asarray(e, dtype=np.float64) for e in pdf["v"]])
-            d2 = Cn_[None, :] - 2.0 * (X @ C_.T)
+            if exact:
+                # dimension-order accumulation == the literal fold's /
+                # an oracle's Σ(x_j−c_j)² order; n×k temporaries per dim
+                d2 = np.zeros((len(X), len(C_)), dtype=np.float64)
+                for j in range(C_.shape[1]):
+                    diff = X[:, j, None] - C_[None, :, j]
+                    d2 += diff * diff
+            else:
+                d2 = Cn_[None, :] - 2.0 * (X @ C_.T)
             # stable argsort: exact ties keep centroid (= cell-id) order,
             # matching assign_cells' first-minimum tie-break at _probe=0
             idx = np.argsort(d2, axis=1, kind="stable")[:, :p]

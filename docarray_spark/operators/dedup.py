@@ -779,11 +779,12 @@ def semantic_dedup(
     (memory-and-disk) — a corpus-sized cache entry the CALLER owns, like
     ``tfidf_vectors``; pass ``persist=False`` in serving loops to trade
     one extra assignment pass for a cache-clean session (p=1 never
-    persists). Multi-probe's primary assignment runs the BLAS form
-    (``‖c‖²−2x·c``) at every k·d — rows near-EXACTLY equidistant between
-    two centroids may resolve their primary cell differently than p=1's
-    literal fold below ``LITERAL_ARGMIN_MAX_KD`` (last-ulp drift; see
-    ``_assign_cells_broadcast``);
+    persists). Multi-probe's assignment accumulates squared distances in
+    DIMENSION ORDER at or below ``LITERAL_ARGMIN_MAX_KD`` — the same
+    summation order as p=1's literal fold and an oracle's
+    ``list_distance``, so near-tie primaries agree (r10 review); above
+    the budget the BLAS form takes over with its documented last-ulp
+    tie drift (``_assign_cells_broadcast``);
     output columns are unchanged (``cell``/``centroid_dist`` are the
     PRIMARY assignment's). Requires an integral ``id_col`` (component
     resolution labels by min id); ``n_probe=1`` is the paper's recipe,
