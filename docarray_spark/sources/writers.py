@@ -285,6 +285,164 @@ def _check_shard_layout(files_per_shard: int, max_rows_per_file) -> None:
         )
 
 
+#: Manifest/fingerprint format version. v2 (round 10): ``content_sum``
+#: hashes each row's JSON over the SORTED column set, so manifests are
+#: column-order independent. Exports written by v1 (pre-r10) hashed the
+#: caller's column order — a stored v1 manifest will show spurious
+#: integrity mismatches against a v2 refresh even when rows are
+#: identical; regenerate stored manifests once after upgrading. The
+#: ``_shard_layout.json`` sidecar records the version; an export with NO
+#: sidecar predates v2.
+MANIFEST_VERSION = 2
+
+_LAYOUT_SIDECAR = "_shard_layout.json"
+_POINTER_FILE = "_CURRENT"
+
+#: sentinel distinguishing "caller did not pass this knob" (load it from
+#: the export's layout sidecar) from an explicit value (must MATCH the
+#: sidecar — a mismatched layout silently rewrites touched shards with a
+#: different file scatter than the original export)
+_UNSET = object()
+
+#: schemes where a directory rename is a non-atomic O(data) copy+delete —
+#: the pointer-flip swap is the safe default there
+_RENAME_IS_COPY_SCHEMES = (
+    "s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss",
+    "cosn", "swift",
+)
+
+
+def _fs_atomic_rename(path: str) -> bool:
+    """True when ``path``'s filesystem renames atomically (local, HDFS,
+    viewfs...); False for object stores where rename is a copy."""
+    if "://" not in path:
+        return True
+    scheme = path.split("://", 1)[0].lower()
+    return scheme not in _RENAME_IS_COPY_SCHEMES
+
+
+def _save_layout_sidecar(root: str, layout: dict, spark: SparkSession) -> None:
+    import json
+
+    from .registry import _write_text
+
+    _write_text(f"{root}/{_LAYOUT_SIDECAR}", json.dumps(layout), spark)
+
+
+def _load_layout_sidecar(root: str, spark: SparkSession) -> dict | None:
+    import json
+
+    from .registry import _exists, _read_text
+
+    p = f"{root}/{_LAYOUT_SIDECAR}"
+    if not _exists(p, spark):
+        return None
+    return json.loads(_read_text(p, spark))
+
+
+def resolve_shards_path(path: str, spark: SparkSession | None = None) -> str:
+    """Resolve a shard-export root to the directory holding its live
+    ``shard=N/`` data. Rename-mode exports (the local/HDFS default) keep
+    data directly under ``path`` — returned unchanged. Pointer-mode
+    exports (``swap_mode='pointer'``, the object-store-safe layout) keep
+    data under a hidden versioned subdirectory named by the one-line
+    ``_CURRENT`` pointer file; a full rewrite publishes a NEW version by
+    atomically overwriting that one small file (a single-object PUT /
+    rename — atomic everywhere, including S3A/GCS where a directory
+    rename is a non-atomic O(data) copy). Readers — including every
+    internal read in :func:`merge_shards` — go through this resolver, so
+    a crash mid-rewrite always leaves them on a complete version."""
+    from .registry import _exists, _read_text
+
+    root = path.rstrip("/")
+    p = f"{root}/{_POINTER_FILE}"
+    if _exists(p, spark):
+        return f"{root}/{_read_text(p, spark).strip()}"
+    return root
+
+
+def _list_version_dirs(root: str, spark: SparkSession) -> list[str]:
+    from .registry import _list_subdirs
+
+    return [n for n in _list_subdirs(root, spark) if n.startswith("_v_")]
+
+
+def _new_version_write(
+    df: DataFrame,
+    root: str,
+    n_shards: int,
+    id_col: str,
+    order_within: list[str] | None,
+    files_per_shard: int,
+    max_rows_per_file: int | None,
+    spark: SparkSession,
+) -> str:
+    """Pointer-mode publish: write the full export into a fresh hidden
+    ``_v_<n+1>/`` version directory, then atomically flip the
+    ``_CURRENT`` pointer, then garbage-collect superseded versions (and
+    any legacy ``shard=*`` dirs at the root — upgrading a rename-mode
+    export in place). Every crash window is safe: before the flip the
+    old version (or legacy root) is still served; after the flip the new
+    version is served and the stale dirs are GC'd by the NEXT rewrite.
+    Returns the new data root."""
+    from .registry import _write_text
+
+    cur = None
+    from .registry import _exists, _read_text
+
+    if _exists(f"{root}/{_POINTER_FILE}", spark):
+        cur = _read_text(f"{root}/{_POINTER_FILE}", spark).strip()
+    nxt_n = (int(cur.rsplit("_", 1)[1]) + 1) if cur else 1
+    nxt = f"_v_{nxt_n:010d}"
+    # GC stale versions from a prior crashed rewrite BEFORE writing (a
+    # partial _v_ dir that never got its pointer flip)
+    for name in _list_version_dirs(root, spark):
+        if name != cur:
+            _delete_dir(f"{root}/{name}", spark)
+    _shard_layout_write(
+        df, f"{root}/{nxt}", n_shards, id_col, order_within,
+        files_per_shard, max_rows_per_file, "overwrite",
+    )
+    _write_text(f"{root}/{_POINTER_FILE}", nxt, spark)  # THE atomic flip
+    # GC the superseded version + any legacy root-level shard dirs
+    if cur:
+        _delete_dir(f"{root}/{cur}", spark)
+    else:
+        from .registry import _list_subdirs
+
+        for name in _list_subdirs(root, spark):
+            if name.startswith("shard="):
+                _delete_dir(f"{root}/{name}", spark)
+    return f"{root}/{nxt}"
+
+
+def _recover_swap(root: str, spark: SparkSession) -> None:
+    """Crash recovery for the rename-mode swap (ADVICE r10): a hard
+    process death between ``rename(path -> .__old__)`` and
+    ``rename(tmp -> path)`` leaves the live export absent with its data
+    parked in ``.__old__`` (and the finished rewrite in
+    ``.__rewrite__``). Restore the old export before proceeding — the
+    conservative choice: the merge that died is simply re-run. Manual
+    recovery, should this ever be hit outside a merge call: rename
+    ``<path>.__old__`` back to ``<path>`` and delete
+    ``<path>.__rewrite__``."""
+    from .registry import _exists
+
+    old = root + ".__old__"
+    if not _exists(root, spark) and _exists(old, spark):
+        _rename_dir(old, root, spark)
+
+
+def _resolve_swap_mode(swap_mode: str, path: str) -> str:
+    if swap_mode == "auto":
+        return "rename" if _fs_atomic_rename(path) else "pointer"
+    if swap_mode not in ("rename", "pointer"):
+        raise ValueError(
+            f"swap_mode must be auto|rename|pointer, got {swap_mode!r}"
+        )
+    return swap_mode
+
+
 def _shard_layout_write(
     df: DataFrame,
     path: str,
@@ -326,6 +484,7 @@ def save_shards(
     mode: str = "overwrite",
     files_per_shard: int = 1,
     max_rows_per_file: int | None = None,
+    swap_mode: str = "auto",
 ) -> DataFrame:
     """Training-shard export: write ``df`` under ``path/shard=N/`` and
     return a verification manifest. By default each shard is exactly one
@@ -370,29 +529,136 @@ def save_shards(
     puts each (shard, sub-file) wholly in one task; with ``order_within``
     rows are sorted within each written FILE (whole-shard global order
     needs files_per_shard=1). The manifest aggregate is one pass over the
-    written store, and no driver state exceeds n_shards rows."""
+    written store, and no driver state exceeds n_shards rows.
+
+    ``swap_mode`` fixes how a later :func:`merge_shards` full rewrite
+    REPLACES the export: ``'rename'`` (two directory renames — atomic on
+    POSIX/HDFS, an O(data) copy on object stores) or ``'pointer'``
+    (hidden ``_v_N/`` version directories behind an atomically-flipped
+    one-line ``_CURRENT`` file — readers resolve via
+    :func:`resolve_shards_path`; safe on S3A/GCS where directory rename
+    is not atomic). ``'auto'`` (default) picks rename on
+    rename-atomic filesystems, pointer on object-store schemes. The
+    choice — with every other layout knob and :data:`MANIFEST_VERSION` —
+    is persisted in a ``_shard_layout.json`` sidecar at the export root,
+    which :func:`merge_shards` / ``stream_merge_shards`` default to (a
+    caller who forgets to re-pass ``files_per_shard`` can no longer
+    silently collapse a multi-file export back to single-file layout)."""
     _check_shard_layout(files_per_shard, max_rows_per_file)
     spark = df.sparkSession
+    path = path.rstrip("/")
+    resolved_swap = _resolve_swap_mode(swap_mode, path)
     data_cols = list(df.columns)
     out = df.withColumn("shard", shard_col(id_col, n_shards, hash_method))
-    _shard_layout_write(
-        out, path, n_shards, id_col, order_within, files_per_shard,
-        max_rows_per_file, mode,
+    if resolved_swap == "pointer":
+        from .registry import _exists
+
+        if mode == "append" and _exists(f"{path}/{_POINTER_FILE}", spark):
+            data_root = resolve_shards_path(path, spark)
+            _shard_layout_write(
+                out, data_root, n_shards, id_col, order_within,
+                files_per_shard, max_rows_per_file, mode,
+            )
+        else:
+            data_root = _new_version_write(
+                out, path, n_shards, id_col, order_within,
+                files_per_shard, max_rows_per_file, spark,
+            )
+    else:
+        data_root = path
+        _shard_layout_write(
+            out, path, n_shards, id_col, order_within, files_per_shard,
+            max_rows_per_file, mode,
+        )
+    _save_layout_sidecar(
+        path,
+        {
+            "manifest_version": MANIFEST_VERSION,
+            "n_shards": n_shards,
+            "id_col": id_col,
+            "hash_method": hash_method,
+            "order_within": order_within,
+            "files_per_shard": files_per_shard,
+            "max_rows_per_file": max_rows_per_file,
+            "swap_mode": resolved_swap,
+        },
+        spark,
     )
-    return _shard_manifest(spark, path, data_cols, id_col)
+    return _shard_manifest(spark, data_root, data_cols, id_col)
+
+
+def _resolve_shard_layout(
+    sidecar: dict | None, passed: dict, path: str
+) -> dict:
+    """Merge caller-passed layout knobs with the export's persisted
+    ``_shard_layout.json`` (ADVICE r10): an UNSET knob defaults to the
+    stored value (legacy defaults only when no sidecar exists — exports
+    written before the sidecar); an explicitly-passed knob that CONTRADICTS
+    the stored one raises, because a silently different layout rewrites
+    touched shards with a different scatter than the original export. To
+    change an export's layout, re-export with :func:`save_shards`."""
+    legacy = {
+        "n_shards": None,
+        "id_col": "id",
+        "order_within": None,
+        "hash_method": "md5",
+        "files_per_shard": 1,
+        "max_rows_per_file": None,
+        "swap_mode": "auto",
+    }
+
+    def _norm(k, v):
+        if k == "order_within":
+            return list(v) if v else None
+        return v
+
+    resolved = {}
+    for k, default in legacy.items():
+        v = passed[k]
+        stored = sidecar[k] if sidecar and k in sidecar else _UNSET
+        if v is _UNSET:
+            resolved[k] = _norm(k, stored if stored is not _UNSET else default)
+            continue
+        if k == "swap_mode":
+            # 'auto' defers to the stored choice; an explicit
+            # rename/pointer must match it (migrate by re-exporting)
+            if v == "auto" and stored is not _UNSET:
+                resolved[k] = stored
+                continue
+            v = _resolve_swap_mode(v, path)
+        if stored is not _UNSET and _norm(k, v) != _norm(k, stored):
+            raise ValueError(
+                f"merge_shards: {k}={_norm(k, v)!r} contradicts the "
+                f"export's persisted layout ({k}={_norm(k, stored)!r} in "
+                f"{path}/{_LAYOUT_SIDECAR}). Layout knobs are fixed at "
+                "save_shards time; omit the argument to use the stored "
+                "value, or re-export with save_shards to change the "
+                "layout."
+            )
+        resolved[k] = _norm(k, v)
+    if resolved["n_shards"] is None:
+        raise ValueError(
+            "merge_shards: n_shards is required for exports without a "
+            f"{_LAYOUT_SIDECAR} sidecar (written before the layout "
+            "sidecar existed)"
+        )
+    if resolved["swap_mode"] == "auto":
+        resolved["swap_mode"] = _resolve_swap_mode("auto", path)
+    return resolved
 
 
 def merge_shards(
     df_new: DataFrame,
     path: str,
-    n_shards: int,
-    id_col: str = "id",
-    order_within: list[str] | None = None,
-    hash_method: str = "md5",
+    n_shards: int | None = None,
+    id_col: str = _UNSET,
+    order_within: list[str] | None = _UNSET,
+    hash_method: str = _UNSET,
     delete_ids: DataFrame | None = None,
-    files_per_shard: int = 1,
-    max_rows_per_file: int | None = None,
+    files_per_shard: int = _UNSET,
+    max_rows_per_file: int | None = _UNSET,
     full_rewrite_at: float = 1.0,
+    swap_mode: str = _UNSET,
 ) -> DataFrame:
     """Incremental maintenance of a :func:`save_shards` export: upsert
     ``df_new`` (new rows win by id) and optionally drop ``delete_ids``,
@@ -435,11 +701,39 @@ def merge_shards(
     returned manifest then covers EVERY shard (they were all rewritten —
     files/bytes change even where rows didn't), still ≤ n_shards rows.
 
-    ``files_per_shard`` / ``max_rows_per_file`` follow :func:`save_shards`;
-    pass the original export's values to preserve its layout (untouched
-    shards keep theirs regardless)."""
-    _check_shard_layout(files_per_shard, max_rows_per_file)
+    Layout knobs (``n_shards``, ``id_col``, ``hash_method``,
+    ``order_within``, ``files_per_shard``, ``max_rows_per_file``,
+    ``swap_mode``) default to the values persisted in the export's
+    ``_shard_layout.json`` sidecar at :func:`save_shards` time — a caller
+    who forgets to re-pass ``files_per_shard`` no longer silently
+    collapses touched shards back to single-file layout. Explicitly
+    passing a value that CONTRADICTS the sidecar raises (re-export to
+    change a layout). Exports without a sidecar (pre-sidecar) fall back
+    to the legacy defaults and require ``n_shards``."""
     spark = df_new.sparkSession
+    path = path.rstrip("/")
+    _recover_swap(path, spark)
+    layout = _resolve_shard_layout(
+        _load_layout_sidecar(path, spark),
+        {
+            "n_shards": n_shards if n_shards is not None else _UNSET,
+            "id_col": id_col,
+            "order_within": order_within,
+            "hash_method": hash_method,
+            "files_per_shard": files_per_shard,
+            "max_rows_per_file": max_rows_per_file,
+            "swap_mode": swap_mode,
+        },
+        path,
+    )
+    n_shards = layout["n_shards"]
+    id_col = layout["id_col"]
+    order_within = layout["order_within"]
+    hash_method = layout["hash_method"]
+    files_per_shard = layout["files_per_shard"]
+    max_rows_per_file = layout["max_rows_per_file"]
+    _check_shard_layout(files_per_shard, max_rows_per_file)
+    data_root = resolve_shards_path(path, spark)
     data_cols = list(df_new.columns)
     up = df_new.withColumn("shard", shard_col(id_col, n_shards, hash_method))
     affected = {r.shard for r in up.select("shard").distinct().collect()}
@@ -466,26 +760,48 @@ def merge_shards(
         return merged
 
     id_type = df_new.schema[id_col].dataType.simpleString()
-    if affected and len(affected) >= full_rewrite_at * n_shards:
-        # scattered regime: rewrite the whole export through a temp
+    # integer threshold (ADVICE r10): float multiply at exact fractional
+    # thresholds (6/8, 1/3 on non-dyadic n_shards) can flip the route on
+    # FP error — which path runs changes the returned manifest's coverage
+    import math
+
+    rewrite_thr = math.ceil(full_rewrite_at * n_shards - 1e-9)
+    if affected and len(affected) >= rewrite_thr:
+        # scattered regime: rewrite the whole export through an invisible
         # sibling (streamed, nothing pinned in block-manager storage)
-        merged = _apply_batch(spark.read.parquet(path))
-        tmp = path.rstrip("/") + ".__rewrite__"
-        _delete_dir(tmp, spark)
-        _shard_layout_write(
-            merged, tmp, n_shards, id_col, order_within, files_per_shard,
-            max_rows_per_file, "overwrite",
-        )
-        _swap_dirs(tmp, path, spark)
+        merged = _apply_batch(spark.read.parquet(data_root))
+        if layout["swap_mode"] == "pointer":
+            data_root = _new_version_write(
+                merged, path, n_shards, id_col, order_within,
+                files_per_shard, max_rows_per_file, spark,
+            )
+        else:
+            tmp = path + ".__rewrite__"
+            _delete_dir(tmp, spark)
+            _shard_layout_write(
+                merged, tmp, n_shards, id_col, order_within,
+                files_per_shard, max_rows_per_file, "overwrite",
+            )
+            # the sidecar travels inside tmp so the swap replaces data
+            # and layout record in ONE atomic rename
+            _save_layout_sidecar(
+                tmp, {"manifest_version": MANIFEST_VERSION, **layout}, spark
+            )
+            _swap_dirs(tmp, path, spark)
+            data_root = path
         # every shard was rewritten — refresh them all (file names/bytes
         # changed even where rows didn't), tombstones for emptied ones
-        all_shards = sorted(set(affected) | set(_shard_sizes(path, spark)))
+        all_shards = sorted(
+            set(affected) | set(_shard_sizes(data_root, spark))
+        )
         return _shard_manifest(
-            spark, path, data_cols, id_col, shards=all_shards,
+            spark, data_root, data_cols, id_col, shards=all_shards,
             id_type=id_type,
         )
 
-    current = spark.read.parquet(path).filter(F.col("shard").isin(affected))
+    current = spark.read.parquet(data_root).filter(
+        F.col("shard").isin(affected)
+    )
     merged = _apply_batch(current)
     from docarray_spark.plans.blocks import released_after
 
@@ -497,8 +813,9 @@ def merge_shards(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             _shard_layout_write(
-                merged, path, max(1, len(affected)), id_col, order_within,
-                files_per_shard, max_rows_per_file, "overwrite",
+                merged, data_root, max(1, len(affected)), id_col,
+                order_within, files_per_shard, max_rows_per_file,
+                "overwrite",
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
@@ -507,9 +824,10 @@ def merge_shards(
         }
     # dynamic overwrite can't DELETE a partition: drop emptied shard dirs
     for s in sorted(set(affected) - surviving):
-        _delete_dir(f"{path}/shard={s}", spark)
+        _delete_dir(f"{data_root}/shard={s}", spark)
     return _shard_manifest(
-        spark, path, data_cols, id_col, shards=affected, id_type=id_type
+        spark, data_root, data_cols, id_col, shards=affected,
+        id_type=id_type,
     )
 
 

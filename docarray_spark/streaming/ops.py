@@ -496,16 +496,17 @@ def stream_upsert_parquet_store(
 def stream_merge_shards(
     sdf: DataFrame,
     path: str,
-    n_shards: int,
-    id_col: str = "id",
-    order_within: list[str] | None = None,
-    hash_method: str = "md5",
+    n_shards: int | None = None,
+    id_col: str | None = None,
+    order_within: "list[str] | None" = None,
+    hash_method: str | None = None,
     checkpoint: str | None = None,
     available_now: bool = True,
     gate: "Callable[[SparkSession, DataFrame], DataFrame] | None" = None,
-    files_per_shard: int = 1,
-    max_rows_per_file: int | None = None,
+    files_per_shard: "int | None" = None,
+    max_rows_per_file: "int | None" = None,
     full_rewrite_at: float = 1.0,
+    swap_mode: str = "auto",
 ):
     """Streaming maintenance of a :func:`~docarray_spark.sources.writers.
     save_shards` training-shard export: every micro-batch upserts into the
@@ -519,39 +520,66 @@ def stream_merge_shards(
     upsert is: the merge is idempotent per batch (same rows → same shard
     state). ``gate`` slots admission control (quality filter, dedup
     probe) before the merge, after per-batch id dedup. First batch
-    against an empty path initializes the export. Returns the started
-    StreamingQuery."""
+    against an empty path initializes the export (``n_shards`` is
+    required then; against an EXISTING export every layout knob defaults
+    to its persisted ``_shard_layout.json`` value, same as
+    :func:`~docarray_spark.sources.writers.merge_shards`). Returns the
+    started StreamingQuery.
+
+    In this wrapper ``None`` means "not passed" for every layout knob
+    (defer to the sidecar / legacy default) — a streaming caller cannot
+    express "explicitly unsorted/uncapped against a sorted/capped
+    export"; re-export with save_shards for that."""
     import os
 
     from docarray_spark.sources.registry import _exists
-    from docarray_spark.sources.writers import merge_shards, save_shards
+    from docarray_spark.sources.writers import (
+        _UNSET,
+        _load_layout_sidecar,
+        merge_shards,
+        save_shards,
+    )
+
+    def _u(v):
+        return v if v is not None else _UNSET
 
     def _merge(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
-        b = batch_df.dropDuplicates([id_col])
+        fresh = not _exists(path, spark) or (
+            "://" not in path and not os.listdir(path)
+        )
+        sidecar = None if fresh else _load_layout_sidecar(path, spark)
+        eff_id = id_col or (sidecar or {}).get("id_col") or "id"
+        b = batch_df.dropDuplicates([eff_id])
         if b.isEmpty():
             return
         if gate is not None:
             b = gate(spark, b)
             if b.isEmpty():
                 return
-        fresh = not _exists(path, spark) or (
-            "://" not in path and not os.listdir(path)
-        )
         if fresh:
+            if n_shards is None:
+                raise ValueError(
+                    "stream_merge_shards: n_shards is required to "
+                    "initialize a fresh export"
+                )
             save_shards(
-                b, path, n_shards, id_col=id_col,
-                order_within=order_within, hash_method=hash_method,
-                files_per_shard=files_per_shard,
+                b, path, n_shards, id_col=eff_id,
+                order_within=order_within,
+                hash_method=hash_method or "md5",
+                files_per_shard=files_per_shard or 1,
                 max_rows_per_file=max_rows_per_file,
+                swap_mode=swap_mode,
             )
         else:
             merge_shards(
-                b, path, n_shards, id_col=id_col,
-                order_within=order_within, hash_method=hash_method,
-                files_per_shard=files_per_shard,
-                max_rows_per_file=max_rows_per_file,
+                b, path, n_shards, id_col=_u(id_col),
+                order_within=_u(order_within),
+                hash_method=_u(hash_method),
+                files_per_shard=_u(files_per_shard),
+                max_rows_per_file=_u(max_rows_per_file),
                 full_rewrite_at=full_rewrite_at,
+                swap_mode=swap_mode,
             )
 
     w = sdf.writeStream.foreachBatch(_merge)
