@@ -446,6 +446,10 @@ def hybrid_search_stored(
     k0: int = 60,
     alpha: float = 0.5,
     round_to: int = 6,
+    mmr_lambda: float | None = None,
+    mmr_on_missing: str = "error",
+    mmr_corpus: DataFrame | None = None,
+    mmr_emb_col: str = "embedding",
     **vector_kwargs,
 ) -> DataFrame:
     """Hybrid retrieval served entirely from MAINTAINED indexes: the text
@@ -466,7 +470,17 @@ def hybrid_search_stored(
 
     Fusion is rank-based (``rrf``, default) or score-normalized
     (``wsum``) — rrf composes the stored backends' heterogeneous score
-    scales (BM25 vs ADC sqeuclidean vs graph cosine) without caring."""
+    scales (BM25 vs ADC sqeuclidean vs graph cosine) without caring.
+
+    ``mmr_lambda`` chains retrieve → fuse → diversify exactly like the
+    corpus path (:func:`hybrid_search`): the fused list is kept at
+    ``fetch_k`` depth, per-query min-max normalized, and MMR-reranked to
+    ``k``. Diversification needs RAW embeddings, which the stored ANN
+    backends do not expose (HNSW stores pickled graphs, PQ/SQ8 store
+    codes) — pass ``mmr_corpus`` (an ``(id, embedding)`` table, e.g. the
+    embedding store the index was refreshed from); it defaults to
+    ``corpus`` when that was given. One broadcast candidate join against
+    it per call (queries × fetch_k rows), never a corpus scan."""
     from .index_store import bm25_match_stored
     from .match import find_by_vectors
 
@@ -510,6 +524,15 @@ def hybrid_search_stored(
             f"vector_backend={vector_backend!r} needs vector_index_path= "
             "(stored serve) or corpus= (build inline)"
         )
+    if mmr_lambda is not None:
+        if mmr_corpus is None:
+            mmr_corpus = corpus
+        if mmr_corpus is None:
+            raise ValueError(
+                "mmr_lambda= needs raw embeddings to diversify against — "
+                "stored ANN backends hold graphs/codes, not vectors; pass "
+                "mmr_corpus= (an (id, embedding) table) or corpus="
+            )
     fetch_k = fetch_k or 4 * k
     text_ranks = bm25_match_stored(
         spark, text_index_path, list(query_texts), id_col=id_col,
@@ -536,7 +559,14 @@ def hybrid_search_stored(
         corpus, qmat, k=fetch_k, backend=vector_backend,
         round_scores=round_to, **vector_kwargs,
     ).select("query_id", "match_id", "score", "rank")
-    return _fuse_modalities(
-        text_ranks, vec_ranks, method=method, k=k, k0=k0, alpha=alpha,
+    fused = _fuse_modalities(
+        text_ranks, vec_ranks, method=method,
+        k=(fetch_k if mmr_lambda is not None else k), k0=k0, alpha=alpha,
         round_to=round_to,
+    )
+    if mmr_lambda is None:
+        return fused
+    return _diversify_fused(
+        fused, mmr_corpus, mmr_lambda, k, id_col=id_col,
+        emb_col=mmr_emb_col, round_to=round_to, on_missing=mmr_on_missing,
     )

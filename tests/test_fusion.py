@@ -792,3 +792,104 @@ class TestHybridStored:
         ).toPandas()
         assert len(out) == 5
         assert out.score.between(0.0, 1.0 + 1e-9).all()
+
+    def test_mmr_chained_equals_manual_composition(
+        self, spark, stores, sf_dir
+    ):
+        """VERDICT r10 #2: the stored serving form chains retrieve → fuse
+        → diversify in one call — pinned ≡ composing the un-chained
+        stored call with _diversify_fused by hand, on the REAL stored
+        backends (bm25 index + hnsw graphs)."""
+        from docarray_spark.operators.fusion import (
+            _diversify_fused,
+            hybrid_search_stored,
+        )
+
+        text_idx, vec_idx, qv = stores
+        emb = load(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id"), "embedding"
+        )
+        texts = [QUERIES[0], QUERIES[1], QUERIES[2]]
+        chained = hybrid_search_stored(
+            spark, text_idx, texts, qv, vector_index_path=vec_idx,
+            vector_backend="hnsw", k=10, ef=200,
+            mmr_lambda=0.5, mmr_corpus=emb, mmr_on_missing="drop",
+        ).toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+        fused = hybrid_search_stored(
+            spark, text_idx, texts, qv, vector_index_path=vec_idx,
+            vector_backend="hnsw", k=40, fetch_k=40, ef=200,
+        )
+        manual = _diversify_fused(
+            fused, emb, 0.5, 10, id_col="id", emb_col="embedding",
+            round_to=6, on_missing="drop",
+        ).toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+        assert chained.match_id.tolist() == manual.match_id.tolist()
+        assert chained.score.tolist() == manual.score.tolist()
+        assert (chained.groupby("query_id").size() == 10).all()
+
+    def test_mmr_chained_equals_corpus_path_sf001(self, spark):
+        """...AND ≡ the corpus-path chained output on the same corpus —
+        the r9 stored-fusion bit-exact pin extended one stage through the
+        diversifier: stored text index + exact vector scoring gives both
+        paths one candidate universe, so hybrid_search(mmr_lambda=) and
+        hybrid_search_stored(mmr_lambda=) must agree bit-for-bit."""
+        import os
+
+        from docarray_spark.operators import bm25_refresh
+        from docarray_spark.operators.fusion import hybrid_search_stored
+        from docarray_spark.sources.writers import init_parquet_store
+
+        sf01 = "/root/testdata/sf0.01"
+        if not os.path.exists(f"{sf01}/documents.parquet"):
+            pytest.skip("sf0.01 testdata not present")
+        docs01 = load(spark, sf01, "documents").select("doc_id", "text")
+        emb01 = load(spark, sf01, "embeddings").select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        qvecs = (
+            load(spark, sf01, "embeddings")
+            .filter(F.col("vec_id") < 3)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        import numpy as np
+
+        qv = np.asarray(
+            [r.embedding for r in qvecs.orderBy("query_id").collect()],
+            dtype=np.float64,
+        )
+        corpus_path = hybrid_search(
+            docs01, emb01, QUERIES, qvecs, id_col="doc_id", k=10,
+            method="rrf", mmr_lambda=0.5,
+        ).toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as root:
+            store = f"{root}/text_store"
+            init_parquet_store(
+                docs01.select(F.col("doc_id").alias("id"), "text"),
+                store, n_buckets=8,
+            )
+            idx = f"{root}/bm25_idx"
+            bm25_refresh(spark, store, idx)
+            stored = hybrid_search_stored(
+                spark, idx, [QUERIES[0], QUERIES[1], QUERIES[2]], qv,
+                vector_backend="exact",
+                corpus=emb01.withColumnRenamed("doc_id", "id"),
+                id_col="id", k=10, method="rrf",
+                mmr_lambda=0.5, mmr_emb_col="embedding", eps=0.0,
+            ).toPandas().sort_values(
+                ["query_id", "rank"], ignore_index=True
+            )
+        assert corpus_path.match_id.tolist() == stored.match_id.tolist()
+        assert corpus_path.score.tolist() == stored.score.tolist()
+
+    def test_mmr_needs_embeddings(self, spark, stores):
+        from docarray_spark.operators.fusion import hybrid_search_stored
+
+        text_idx, vec_idx, qv = stores
+        with pytest.raises(ValueError, match="mmr_corpus"):
+            hybrid_search_stored(
+                spark, text_idx, [QUERIES[0]], qv[:1],
+                vector_index_path=vec_idx, vector_backend="hnsw",
+                k=5, ef=200, mmr_lambda=0.5,
+            )
