@@ -196,7 +196,17 @@ def assign_cells_multi(
             idx = np.argsort(d2, axis=1, kind="stable")[:, :p]
             norms = np.linalg.norm(X, axis=1, keepdims=True)
             Xn = X / np.where(norms == 0.0, 1.0, norms)
-            cd = 1.0 - (Xn * Ccos_[idx[:, 0]]).sum(axis=1)
+            # primary cosine distance in the SAME dot form as the
+            # single-probe path's per-cell ``Xn @ cv`` (ADVICE r10): an
+            # elementwise-multiply + pairwise sum can differ by half an
+            # ulp at a round_to boundary and flip a keep-policy tie
+            # between p=1 and p>1 on the same row — gather rows per
+            # primary cell and run the identical matrix@vector BLAS op
+            prim = idx[:, 0]
+            cd = np.empty(len(X), dtype=np.float64)
+            for c in np.unique(prim):
+                m = prim == c
+                cd[m] = 1.0 - (Xn[m] @ Ccos_[c])
             if round_to is not None:
                 cd = np.round(cd, round_to) + 0.0  # -0.0 -> 0.0 (hash class)
             n = len(pdf)

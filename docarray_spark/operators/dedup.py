@@ -786,9 +786,11 @@ def semantic_dedup(
     the budget the BLAS form takes over with its documented last-ulp
     tie drift (``_assign_cells_broadcast``);
     output columns are unchanged (``cell``/``centroid_dist`` are the
-    PRIMARY assignment's). Requires an integral ``id_col`` (component
-    resolution labels by min id); ``n_probe=1`` is the paper's recipe,
-    supports any id type, and remains the oracle-gated contract."""
+    PRIMARY assignment's). Any id type: non-integral ids are hashed to
+    longs for the component pass and groups are re-labelled by smallest
+    ORIGINAL id on the way out (see :func:`_semantic_dedup_multi` — the
+    r10 integral-id restriction is lifted); ``n_probe=1`` is the paper's
+    recipe and remains the oracle-gated contract."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -797,16 +799,6 @@ def semantic_dedup(
 
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType
-    if n_probe > 1 and not isinstance(
-        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-    ):
-        # check BEFORE kmeans — a schema-only error must not cost the
-        # full distributed clustering job first (r10 review)
-        raise ValueError(
-            "semantic_dedup: n_probe > 1 requires an integral id column "
-            "(cross-cell components label by min id); got "
-            f"{id_type.simpleString()} — use n_probe=1 or map ids first"
-        )
     emb_d = F.transform(F.col(emb_col), lambda x: x.cast("double"))
     base = (
         df.select(F.col(id_col).alias("id"), emb_d.alias("v"))
@@ -949,7 +941,18 @@ def _semantic_dedup_multi(
     ``(id, label)`` group edges (label = the cell-group's smallest member
     id, so edges are id→id and LINEAR in probed rows — no pair
     materialization) → global connected components → the paper's keep
-    policy as a window over the merged groups."""
+    policy as a window over the merged groups.
+
+    Non-integral ids (real corpora key on string doc-ids, r10 VERDICT
+    #3): :func:`connected_components`' edge space is (long, long), so
+    arbitrary ids are mapped to ``xxhash64(id)`` longs first — one
+    map-side column, no sort, no zipWithIndex pass — with a
+    collision-count check (two countDistincts over the ids-only
+    projection; on the ~n²/2⁶⁴ collision the hash is re-salted and
+    re-checked). Components run on the mapped space; the output maps
+    back and RE-LABELS each group by its smallest ORIGINAL id (the
+    hash-min is meaningless to callers), so p>1 on string ids groups
+    exactly like p>1 on the ids' integral pre-images."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
@@ -958,14 +961,32 @@ def _semantic_dedup_multi(
     from docarray_spark.operators.cluster import assign_cells_multi
     from docarray_spark.operators.components import connected_components
 
-    if not isinstance(
+    integral = isinstance(
         id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-    ):
-        raise ValueError(
-            "semantic_dedup: n_probe > 1 requires an integral id column "
-            "(cross-cell components label by min id); got "
-            f"{id_type.simpleString()} — use n_probe=1 or map ids first"
-        )
+    )
+    id_map = None
+    if not integral:
+        for salt in range(4):
+            nid = (
+                F.xxhash64(F.col("id").cast("string"))
+                if salt == 0
+                else F.xxhash64(F.col("id").cast("string"), F.lit(salt))
+            )
+            mapped = base.withColumn("_nid", nid)
+            ck = mapped.agg(
+                F.countDistinct("id").alias("a"),
+                F.countDistinct("_nid").alias("b"),
+            ).first()
+            if ck.a == ck.b:
+                break
+        else:
+            raise ValueError(
+                "semantic_dedup: xxhash64 id mapping collided under 4 "
+                "salts — statistically impossible unless ids repeat"
+            )
+        id_map = mapped.select(F.col("id").alias("_oid"), "_nid")
+        base = mapped.select(F.col("_nid").alias("id"), "v")
+        id_type = T.LongType()
     multi = assign_cells_multi(base, cents, n_probe, round_to=round_to)
     if persist:
         # consumed by the eager component resolution AND the returned
@@ -1015,6 +1036,27 @@ def _semantic_dedup_multi(
             "centroid_dist",
         )
     )
+    if id_map is not None:
+        # map back: recover the original id, then RE-LABEL each group by
+        # its smallest original id (hash-min labels are meaningless to
+        # callers; the single-probe path labels by member-id min too).
+        # Both windows share the long-group partition key, so Catalyst
+        # plans ONE exchange for the relabel + keep policy.
+        joined = out.join(id_map, out["id"] == id_map["_nid"], "inner")
+        wg = Window.partitionBy("dup_group")
+        wkeep = Window.partitionBy("dup_group").orderBy(
+            F.col("centroid_dist").desc(), F.col("_oid").asc()
+        )
+        return joined.select(
+            F.col("_oid").alias("id"),
+            "cell",
+            F.min("_oid").over(wg).alias("_dgroup"),
+            "centroid_dist",
+            (F.row_number().over(wkeep) == 1).alias("keep"),
+        ).select(
+            "id", "cell", F.col("_dgroup").alias("dup_group"),
+            "centroid_dist", "keep",
+        )
     wkeep = Window.partitionBy("dup_group").orderBy(
         F.col("centroid_dist").desc(), F.col("id").asc()
     )

@@ -465,8 +465,10 @@ def test_semantic_dedup_multi_probe_catches_cross_cell_dup(spark):
     assert p2.loc[2, "keep"] and p2.loc[3, "keep"]
     assert p2["cell"].tolist() == [0, 1, 0, 1]  # PRIMARY assignment
     assert len(p2) == 4
-    # centroid_dist is the primary-cell cosine distance, same as p=1's
-    assert np.allclose(p2["centroid_dist"], p1["centroid_dist"])
+    # centroid_dist is the primary-cell cosine distance, BIT-IDENTICAL
+    # to p=1's (ADVICE r10: both modes share one BLAS dot form now —
+    # allclose would hide a half-ulp flip at a round_to boundary)
+    assert p2["centroid_dist"].tolist() == p1["centroid_dist"].tolist()
 
     # partitioning invariance of the multi-probe path
     a = semantic_dedup(
@@ -494,17 +496,6 @@ def test_semantic_dedup_multi_probe_catches_cross_cell_dup(spark):
         cols].sort_values("id", ignore_index=True)
     assert one.equals(two)
 
-    # n_probe>1 labels components by min id -> integral ids required,
-    # and the schema-only check fires BEFORE any job (kmeans included)
-    sdf = spark.createDataFrame(
-        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
-        "id string, embedding array<double>",
-    )
-    with pytest.raises(ValueError, match="integral id"):
-        semantic_dedup(sdf, centroids=cents, n_probe=2)
-    with pytest.raises(ValueError, match="integral id"):
-        semantic_dedup(sdf, k_clusters=2, n_probe=2)  # centroids untrained
-
     # cache lifecycle: the multi path persists its probed assignment
     # (caller-owned, tfidf precedent); persist=False keeps the session
     # cache clean at the cost of one extra assignment pass
@@ -516,6 +507,81 @@ def test_semantic_dedup_multi_probe_catches_cross_cell_dup(spark):
     ).toPandas().set_index("id").sort_index()
     assert len(jsc.getRDDStorageInfo()) == before
     assert clean["dup_group"].tolist() == p2["dup_group"].tolist()
+
+
+def test_multi_probe_centroid_dist_hash_exact_vs_single(spark, sf_dir):
+    """ADVICE r10: assign_cells_multi's primary centroid_dist must use
+    the SAME summation order as the single-probe path (per-cell BLAS
+    matrix@vector) — over a real 64-d corpus every rounded value must be
+    string-identical between modes, the hash-compare the driver runs."""
+    from pyspark.sql import functions as F
+
+    from docarray_spark.operators import kmeans, semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>")
+        .alias("embedding"),
+    )
+    cent_df, _ = kmeans(emb, k=8, n_iter=2, id_col="id",
+                        emb_col="embedding")
+    cents = [(int(r.cell), list(r.centroid)) for r in cent_df.collect()]
+    p1 = semantic_dedup(
+        emb, centroids=cents, eps=0.05, round_to=6
+    ).toPandas().sort_values("id", ignore_index=True)
+    p3 = semantic_dedup(
+        emb, centroids=cents, eps=0.05, round_to=6, n_probe=3
+    ).toPandas().sort_values("id", ignore_index=True)
+    assert p1["cell"].tolist() == p3["cell"].tolist()
+    a = [str(x) for x in p1["centroid_dist"]]
+    b = [str(x) for x in p3["centroid_dist"]]
+    assert a == b
+
+
+def test_multi_probe_string_ids_pinned_to_integral(spark):
+    """VERDICT r10 #3: the multi-probe integral-id restriction is lifted
+    — arbitrary ids are hashed to longs for the component pass and
+    groups re-labelled by smallest ORIGINAL id on the way out. p=2 on
+    string ids must group exactly like p=2 on the ids' integral
+    pre-images (same cross-boundary fixture that pins the p=1 miss)."""
+    from pyspark.sql import functions as F
+
+    from docarray_spark.operators import semantic_dedup
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    rows = [
+        (0, [0.74, 0.6786]),
+        (1, [0.6786, 0.74]),  # cross-boundary twin of 0
+        (2, [1.0, 0.05]),
+        (3, [0.05, 1.0]),
+    ]
+    di = spark.createDataFrame(rows, "id long, embedding array<double>")
+    ds = di.select(
+        F.concat(F.lit("doc-"), F.col("id").cast("string")).alias("id"),
+        "embedding",
+    )
+    pi = semantic_dedup(
+        di, centroids=cents, eps=0.01, round_to=6, n_probe=2
+    ).toPandas().sort_values("id", ignore_index=True)
+    ps = semantic_dedup(
+        ds, centroids=cents, eps=0.01, round_to=6, n_probe=2
+    ).toPandas().sort_values("id", ignore_index=True)
+    assert ps["id"].tolist() == [f"doc-{i}" for i in pi["id"]]
+    # identical grouping under the id mapping, labelled by min ORIGINAL id
+    assert ps["dup_group"].tolist() == [f"doc-{g}" for g in pi["dup_group"]]
+    assert ps["keep"].tolist() == pi["keep"].tolist()
+    assert ps["cell"].tolist() == pi["cell"].tolist()
+    assert ps["centroid_dist"].tolist() == pi["centroid_dist"].tolist()
+    # the cross-cell dup is actually caught on the string-id path
+    assert ps.loc[1, "dup_group"] == "doc-0"
+    # null-embedding rows still ride through as keep=true singletons
+    withnull = ds.unionByName(spark.createDataFrame(
+        [("doc-9", None)], ds.schema
+    ))
+    pn = semantic_dedup(
+        withnull, centroids=cents, eps=0.01, round_to=6, n_probe=2
+    ).toPandas().set_index("id")
+    assert bool(pn.loc["doc-9", "keep"]) and pn.loc["doc-9", "dup_group"] == "doc-9"
+    assert len(pn) == 5
 
 
 def test_semantic_dedup_null_embeddings_and_guards(spark):
