@@ -1125,7 +1125,26 @@ def q_mm_image_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", "parent_id", "granularity", "offset", "height", "width", "channels",
         F.round(F.aggregate("pixels", F.lit(0.0), lambda a, x: a + x), 4).alias("pixel_sum"),
     )
-    return img.unionByName(audio).unionByName(video)
+    # 'mesh' part (r11): load_uri_to_point_cloud_tensor(as_chunks=True)
+    # (reference mesh.py:12-42) — one chunk row per scene geometry, each
+    # sampled to 16 points. The fake sampler tiles the blob's bytes as
+    # float32 INTEGER coordinates (exact in float32) and takes the
+    # geometry count from the md5 first byte, so the whole chain —
+    # geometry fan-out, chunk-row encoding, per-geometry point sums —
+    # hash-gates against a pure-SQL replay.
+    from docarray_spark.operators.multimodal import point_cloud_chunks
+
+    mesh = point_cloud_chunks(media, samples=16).select(
+        F.lit("mesh").alias("part"),
+        "id", "parent_id", "granularity", "offset",
+        F.col("n_points").cast("int").alias("height"),
+        F.lit(3).cast("int").alias("width"),
+        F.lit(1).cast("int").alias("channels"),
+        F.round(
+            F.aggregate("points", F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("pixel_sum"),
+    )
+    return img.unionByName(audio).unionByName(video).unionByName(mesh)
 
 
 
@@ -4405,6 +4424,18 @@ def oracle_sql() -> dict[str, str]:
               FOR j IN range(0, 12) ]
           ), 4) AS pixel_sum
         FROM (SELECT id, text, L, unnest(range(0, 2)) AS k FROM d)
+        UNION ALL
+        -- mesh (r11): 1 + (md5 byte0 % 3) geometries per scene, geometry
+        -- g's 16x3 points tile the blob's bytes rotated by g (float32
+        -- integer coordinates, exact) — point sum replays byte-for-byte
+        SELECT 'mesh' AS part, id || '.' || CAST(g AS VARCHAR) AS id,
+          id AS parent_id, 1 AS granularity, CAST(g AS BIGINT) AS "offset",
+          16 AS height, 3 AS width, 1 AS channels,
+          ROUND(list_sum(
+            [ CAST(ascii(substr(text, 1 + ((g + j) % L), 1)) AS DOUBLE)
+              FOR j IN range(0, 48) ]
+          ), 4) AS pixel_sum
+        FROM (SELECT id, text, L, unnest(range(0, 1 + (b0 % 3))) AS g FROM d)
     """
     # r4: Document-schema QL truth table (reference test_filter.py:26-85
     # semantics) — the oracle synthesizes the SAME table as flat columns

@@ -58,12 +58,12 @@ def fake_decode_audio(blob: bytes, sr: int = 16000) -> np.ndarray:
     return np.frombuffer(blob[:n], dtype="<i2").astype(np.float32) / 32768.0
 
 
-def _resolve_decode(decode_fn, fake):
+def _resolve_decode(decode_fn, fake, lib_hint: str = "an image/audio library"):
     if decode_fn == "raise":
-        def _raise(_b):
+        def _raise(*_a):
             raise NotImplementedError(
-                "real media decoding needs an image/audio library; "
-                "pass decode_fn=<callable> (e.g. PIL-based) or use the "
+                f"real media decoding needs {lib_hint}; "
+                "pass decode_fn=<callable> or use the "
                 "deterministic fake (decode_fn=None)"
             )
         return _raise
@@ -281,6 +281,156 @@ def sample_frames(
             )
 
     return df.mapInPandas(_sample, schema=out_schema)
+
+
+# --------------------------------------------------------- mesh / point cloud
+
+def fake_decode_point_cloud(
+    blob: bytes, samples: int, start: int = 0
+) -> np.ndarray:
+    """DETERMINISTIC FAKE mesh surface sampler (container has no
+    trimesh): point coordinates TILE the blob's bytes — the same idiom
+    as :func:`fake_decode_image` — as float32 integer values 0..255
+    (integer-exact in float32, so an ANSI-SQL oracle replays the values
+    bit-for-bit; a /255 scaling would diverge in the last float32 ulp).
+    ``start`` rotates the tiling (the scene fake gives each geometry a
+    distinct rotation). Replace with a real
+    ``trimesh.load(...).sample(samples)``-backed callable in
+    production."""
+    flat = np.frombuffer(blob, dtype=np.uint8)
+    need = samples * 3
+    if len(flat) == 0:
+        return np.zeros((samples, 3), dtype=np.float32)
+    idx = (start + np.arange(need)) % len(flat)
+    return flat[idx].astype(np.float32).reshape(samples, 3)
+
+
+def fake_decode_point_cloud_chunks(blob: bytes, samples: int) -> list:
+    """DETERMINISTIC FAKE scene decomposition: 1–3 'geometries' (count
+    from the blob's md5 first byte, the :func:`fake_decode_image` shape
+    idiom), geometry ``g`` sampled via :func:`fake_decode_point_cloud`
+    with the tiling rotated by ``g`` — stable across
+    runs/partitionings and SQL-replayable."""
+    n_geo = 1 + hashlib.md5(blob).digest()[0] % 3
+    return [
+        fake_decode_point_cloud(blob, samples, start=g)
+        for g in range(n_geo)
+    ]
+
+
+POINT_CLOUD_DECODED_FIELDS = "n_points int, points array<float>"
+
+
+def decode_point_clouds(
+    df: DataFrame,
+    samples: int,
+    blob_col: str = "blob",
+    decode_fn: Callable[[bytes, int], np.ndarray] | str | None = None,
+) -> DataFrame:
+    """``load_uri_to_point_cloud_tensor(samples)`` (``mesh.py:12-42``,
+    ``as_chunks=False``) over a binary column: the reference coerces the
+    file into ONE combined mesh (``force='mesh'``) and samples
+    ``samples`` surface points into ``.tensor`` — here each row gains
+    ``(n_points, points)`` with points flat row-major ``(samples·3,)``.
+    ``decode_fn(blob, samples) → (samples, 3)`` is the injectable codec
+    seam (trimesh in production; deterministic fake in-container;
+    ``'raise'`` for the honest NotImplementedError). Arrow batches in,
+    partition-preserving, zero shuffle."""
+    fn = _resolve_decode(
+        decode_fn, fake_decode_point_cloud, lib_hint="a mesh library (trimesh)"
+    )
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema += ", " + POINT_CLOUD_DECODED_FIELDS
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pts = [
+                None if b is None else np.asarray(fn(b, samples), np.float32)
+                for b in pdf[blob_col]
+            ]
+            pdf = pdf.copy()
+            pdf["n_points"] = [None if t is None else t.shape[0] for t in pts]
+            pdf["points"] = [None if t is None else t.ravel() for t in pts]
+            yield pdf
+
+    return df.mapInPandas(_decode, schema=out_schema)
+
+
+def point_cloud_chunks(
+    df: DataFrame,
+    samples: int,
+    id_col: str = "id",
+    blob_col: str = "blob",
+    decode_fn: Callable[[bytes, int], list] | str | None = None,
+) -> DataFrame:
+    """``load_uri_to_point_cloud_tensor(samples, as_chunks=True)``
+    (``mesh.py:33-37``): the reference coerces the file into a SCENE and
+    appends one chunk Document per geometry, each sampled to ``samples``
+    points. Here: one output row per geometry, in the engine's chunk-row
+    encoding (``id=parent.k``, ``parent_id``, ``granularity=1``,
+    ``offset=k`` — same shape :func:`sample_frames` and the sliding
+    windows emit). ``decode_fn(blob, samples) → [(samples, 3), ...]``
+    (one array per geometry). Zero shuffle; fan-out is bounded by the
+    scene's geometry count."""
+    fn = _resolve_decode(
+        decode_fn, fake_decode_point_cloud_chunks,
+        lib_hint="a mesh library (trimesh)",
+    )
+    out_schema = (
+        "id string, parent_id string, granularity int, offset long, "
+        "n_points int, points array<float>"
+    )
+
+    def _chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, b in zip(pdf[id_col], pdf[blob_col]):
+                if b is None:
+                    continue
+                for k, geo in enumerate(fn(b, samples)):
+                    t = np.asarray(geo, np.float32)
+                    rows.append(
+                        (f"{rid}.{k}", str(rid), 1, k, t.shape[0], t.ravel())
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "parent_id", "granularity", "offset",
+                    "n_points", "points",
+                ],
+            )
+
+    return df.mapInPandas(_chunks, schema=out_schema)
+
+
+def normalize_point_clouds(
+    df: DataFrame, points_col: str = "points"
+) -> DataFrame:
+    """Canonicalize decoded point clouds — translate to the centroid and
+    scale into the unit sphere (the standard PointNet-style prep). REAL
+    numpy over Arrow batches, no codec needed; partition-preserving."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def _norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for px in pdf[points_col]:
+                if px is None:
+                    out.append(None)
+                    continue
+                t = np.asarray(px, np.float32).reshape(-1, 3)
+                t = t - t.mean(axis=0, keepdims=True)
+                r = float(np.linalg.norm(t, axis=1).max())
+                out.append((t / r if r > 0.0 else t).ravel())
+            pdf = pdf.copy()
+            pdf[points_col] = out
+            yield pdf
+
+    return df.mapInPandas(_norm, schema=out_schema)
 
 
 # ------------------------------------------------- multimodal dataclass model

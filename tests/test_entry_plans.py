@@ -52,7 +52,9 @@ BUDGETS = {
     # exact-gate + bucket-gate LSH paths (5 shuffles / 8 scans each)
     "dedup_embedding": (10, 16, False),
     "embed_batch": (0, 1, False),             # mapInPandas, scan-fused
-    "mm_image_chunks": (0, 3, False),  # image + audio + video chains (r4)
+    # image + audio + video chains (r4) + mesh chunk chain (r11) — four
+    # map-only mapInPandas branches, one scan each, zero shuffles
+    "mm_image_chunks": (0, 4, False),
     "stream_counts_dedup": (0, 0, False),   # memory-sink table reads
     "stream_neardup_keys": (0, 0, False),   # memory-sink table read
     "stream_session_windows": (0, 0, False),  # memory-sink table read
