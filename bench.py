@@ -56,6 +56,22 @@ GEMM_SLOW_RATIO = 1.8
 MAX_ATTEMPTS_PER_ENTRY = 3  # first measurement + up to 2 re-measures
 GLOBAL_RETRY_BUDGET = 14  # bounds worst-case bench runtime on a busy host
 
+# ------- finalize gate (VERDICT r10 #5): the committed BENCH_r{N}.json is
+# the cross-round comparison artifact — a recording whose windows are
+# mildly degraded (below the 1.5/1.8 retry thresholds but above ~1.2)
+# still forces clock adjudication in the next verdict. Don't finalize
+# such a recording: re-measure the offending windows (anchors first —
+# r10's pollution was the anchor window itself) until every kept window
+# reads within FINALIZE_SLOW_RATIO of the run's best clock and
+# ext_cores ≤ FINALIZE_EXT_CORES, or the bounded budget runs out (then
+# the printed line carries window_ok=false so the reader knows).
+FINALIZE_SLOW_RATIO = 1.2
+FINALIZE_EXT_CORES = 0.5
+FINALIZE_MAX_PASSES = 2   # extra passes over still-degraded entries
+FINALIZE_RETRY_BUDGET = 12  # total extra entry re-measures across passes
+FINALIZE_ANCHOR_RETRIES = 2  # extra anchor-suite runs if its window degraded
+FINALIZE_SLEEP_SEC = 10   # let a co-tenant burst pass before re-measuring
+
 
 def _read_loadavg() -> float | None:
     try:
@@ -315,15 +331,47 @@ def main() -> None:
     # Baseline anchors run FIRST, on a fresh heap: after 2x50 entry
     # executions the JVM's heap history (cached-block churn, GC debt)
     # added up to 10x jitter to the 1M-row anchor timings (r3 measurement)
-    aw = _win_start()
-    a_py = _pyloop_once()
-    a_ge = _gemm_once()
-    anchors = _baseline_anchors(spark)
-    anchors["window"] = _win_end(aw)
-    anchors["window"]["pyloop"] = round(min(a_py, _pyloop_once()), 4)
-    anchors["window"]["gemm"] = round(min(a_ge, _gemm_once()), 4)
-    spark.catalog.clearCache()
-    spark.sparkContext._jvm.System.gc()
+    def _anchors_once() -> dict:
+        aw = _win_start()
+        a_py = _pyloop_once()
+        a_ge = _gemm_once()
+        a = _baseline_anchors(spark)
+        a["window"] = _win_end(aw)
+        a["window"]["pyloop"] = round(min(a_py, _pyloop_once()), 4)
+        a["window"]["gemm"] = round(min(a_ge, _gemm_once()), 4)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        return a
+
+    def _anchor_badness(a) -> float:
+        w = a["window"]
+        ratio = max(
+            w["pyloop"] / cpu_ref["pyloop_2e6_sec"],
+            w["gemm"] / cpu_ref["gemm_1024_sec"],
+        )
+        return max(0.0, ratio - 1.0) + (w["ext_cores"] or 0.0)
+
+    def _anchor_degraded(a) -> bool:
+        w = a["window"]
+        ratio = max(
+            w["pyloop"] / cpu_ref["pyloop_2e6_sec"],
+            w["gemm"] / cpu_ref["gemm_1024_sec"],
+        )
+        return ratio > FINALIZE_SLOW_RATIO or (
+            (w["ext_cores"] or 0.0) > FINALIZE_EXT_CORES
+        )
+
+    anchors = _anchors_once()
+    # VERDICT r10 #5: the r10 anchor window ITSELF was loaded (gemm 1.8x,
+    # ext_cores 1.5) while the builder's quiet recording existed — don't
+    # keep a degraded anchor window while the heap is still anchor-fresh
+    for _ in range(FINALIZE_ANCHOR_RETRIES):
+        if not _anchor_degraded(anchors):
+            break
+        time.sleep(FINALIZE_SLEEP_SEC)
+        cand = _anchors_once()
+        if _anchor_badness(cand) < _anchor_badness(anchors):
+            anchors = cand
 
     # cold = first execution (includes janino codegen compile + any
     # Python-worker spin-up for that query's UDFs — per-process one-time
@@ -386,6 +434,70 @@ def main() -> None:
             "loaded": _is_loaded(calm),
         }
 
+    # ------- finalize gate: re-measure entries whose KEPT window is
+    # mildly degraded (>1.2x clock or nonzero co-tenant cores — below the
+    # in-loop retry thresholds but above what a clean cross-round
+    # comparison tolerates), keeping the calmer of old/new.
+    def _entry_degraded(d) -> bool:
+        ratio = max(d["pyloop"] / best_py, d["gemm"] / best_ge)
+        return ratio > FINALIZE_SLOW_RATIO or (
+            (d["ext_cores"] or 0.0) > FINALIZE_EXT_CORES
+        )
+
+    def _entry_badness(d) -> float:
+        ratio = max(d["pyloop"] / best_py, d["gemm"] / best_ge)
+        return max(0.0, ratio - 1.0) + (d["ext_cores"] or 0.0)
+
+    fin_budget = FINALIZE_RETRY_BUDGET
+    fin_retries = 0
+    qmap = entry_mod.queries()
+    for _pass in range(FINALIZE_MAX_PASSES):
+        offending = [n for n, d in detail.items() if _entry_degraded(d)]
+        if not offending or fin_budget <= 0:
+            break
+        time.sleep(FINALIZE_SLEEP_SEC)
+        for name in offending:
+            if fin_budget <= 0:
+                break
+            fin_budget -= 1
+            fin_retries += 1
+            m = _measure_entry(spark, qmap[name], sf_dir)
+            _entry_cleanup(spark)
+            best_py = min(best_py, m["pyloop"])
+            best_ge = min(best_ge, m["gemm"])
+            if _entry_badness(m) < _entry_badness(detail[name]):
+                calm_cold[name] = m["cold"]
+                calm_warm[name] = m["warm"]
+                detail[name] = {
+                    "attempts": detail[name]["attempts"] + 1,
+                    "load1": m["load1"],
+                    "ext_cores": m["ext_cores"],
+                    "pyloop": m["pyloop"],
+                    "gemm": m["gemm"],
+                    "loaded": _is_loaded(m),
+                }
+            else:
+                detail[name]["attempts"] += 1
+
+    max_entry_ratio = max(
+        (max(d["pyloop"] / best_py, d["gemm"] / best_ge)
+         for d in detail.values()),
+        default=1.0,
+    )
+    anchor_ratio = max(
+        anchors["window"]["pyloop"] / best_py,
+        anchors["window"]["gemm"] / best_ge,
+    )
+    window_ok = (
+        max_entry_ratio <= FINALIZE_SLOW_RATIO
+        and anchor_ratio <= FINALIZE_SLOW_RATIO
+        and not any(
+            (d["ext_cores"] or 0.0) > FINALIZE_EXT_CORES
+            for d in detail.values()
+        )
+        and (anchors["window"]["ext_cores"] or 0.0) <= FINALIZE_EXT_CORES
+    )
+
     total_calm = round(sum(calm_cold.values()), 4)
     loaded_entries = sum(1 for d in detail.values() if d["loaded"])
 
@@ -440,6 +552,14 @@ def main() -> None:
                 "total_cold_raw": round(sum(raw_cold.values()), 4),
                 "total_warm_raw": round(sum(raw_warm.values()), 4),
                 "loaded_entries": loaded_entries,
+                "finalize": {
+                    "window_ok": window_ok,
+                    "max_entry_slow_ratio": round(max_entry_ratio, 3),
+                    "anchor_slow_ratio": round(anchor_ratio, 3),
+                    "entry_retries": fin_retries,
+                    "slow_ratio_threshold": FINALIZE_SLOW_RATIO,
+                    "ext_cores_threshold": FINALIZE_EXT_CORES,
+                },
                 "delta_vs_prev": delta_vs_prev,
                 "prev_totals": {
                     "total_cold": prev.get("total_cold"),
@@ -460,6 +580,8 @@ def main() -> None:
         "value_warm": round(sum(calm_warm.values()), 2),
         "value_raw": round(sum(raw_cold.values()), 2),
         "loaded_entries": loaded_entries,
+        "window_ok": window_ok,
+        "max_slow_ratio": round(max(max_entry_ratio, anchor_ratio), 3),
         "cpu_ref": cpu_ref,
         "sf": sf,
         "baseline_anchors": anchors,
