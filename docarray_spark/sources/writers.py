@@ -361,6 +361,23 @@ def resolve_shards_path(path: str, spark: SparkSession | None = None) -> str:
     return root
 
 
+def read_shards(
+    spark: SparkSession,
+    path: str,
+    shards: "list[int] | None" = None,
+) -> DataFrame:
+    """Consumer-side reader for a :func:`save_shards` export: resolves
+    the ``_CURRENT`` pointer (pointer-mode) or reads the root
+    (rename-mode) via :func:`resolve_shards_path`, optionally pruned to
+    a shard list — the filter lands in the scan's PartitionFilters, so a
+    dataloader rank reads ONLY its ``shard=N`` directories regardless of
+    export size or swap mode."""
+    df = spark.read.parquet(resolve_shards_path(path, spark))
+    if shards is not None:
+        df = df.filter(F.col("shard").isin(sorted(shards)))
+    return df
+
+
 def _list_version_dirs(root: str, spark: SparkSession) -> list[str]:
     from .registry import _list_subdirs
 

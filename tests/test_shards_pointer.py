@@ -296,3 +296,27 @@ class TestStreamLayoutPassthrough:
         back = spark.read.parquet(path)
         assert back.count() == docs.count()
         assert back.filter(F.col("text") != F.upper("text")).count() == 0
+
+
+class TestReadShards:
+    def test_resolves_and_prunes_both_modes(self, spark, docs, tmp_path):
+        """read_shards: one reader call for either swap mode, with the
+        shard filter landing in PartitionFilters (a dataloader rank
+        scans only its own shard=N dirs)."""
+        from docarray_spark.plans.audit import partition_filters
+        from docarray_spark.sources import read_shards
+
+        for mode in ("rename", "pointer"):
+            path = str(tmp_path / mode)
+            save_shards(
+                docs, path, n_shards=4, id_col="doc_id", swap_mode=mode
+            )
+            back = read_shards(spark, path)
+            assert back.count() == docs.count()
+            pruned = read_shards(spark, path, shards=[1, 2])
+            want = docs.select(
+                shard_col("doc_id", 4).alias("s")
+            ).filter(F.col("s").isin([1, 2])).count()
+            assert pruned.count() == want
+            pf = partition_filters(pruned)
+            assert pf, f"{mode}: shard filter not pushed to the scan"
