@@ -393,38 +393,52 @@ def _new_version_write(
     files_per_shard: int,
     max_rows_per_file: int | None,
     spark: SparkSession,
+    keep_versions: int = 1,
 ) -> str:
     """Pointer-mode publish: write the full export into a fresh hidden
     ``_v_<n+1>/`` version directory, then atomically flip the
-    ``_CURRENT`` pointer, then garbage-collect superseded versions (and
-    any legacy ``shard=*`` dirs at the root — upgrading a rename-mode
-    export in place). Every crash window is safe: before the flip the
-    old version (or legacy root) is still served; after the flip the new
-    version is served and the stale dirs are GC'd by the NEXT rewrite.
-    Returns the new data root."""
-    from .registry import _write_text
+    ``_CURRENT`` pointer, then garbage-collect superseded versions
+    beyond the newest ``keep_versions`` (and any legacy ``shard=*``
+    dirs at the root — upgrading a rename-mode export in place). Every
+    crash window is safe: before the flip the old version (or legacy
+    root) is still served; after the flip the new version is served and
+    the stale dirs are GC'd by the NEXT rewrite.
+
+    ``keep_versions`` is the snapshot-retention knob (the Iceberg/Delta
+    discipline, sized down): the default 1 keeps only the flipped-in
+    version — cheapest, but a reader that resolved the pointer BEFORE a
+    rewrite and is still scanning (an epoch-long dataloader) loses its
+    files mid-read. ``keep_versions=2`` holds the previous version
+    through one full rewrite cycle at 2× storage; size it to the
+    longest reader you run. Returns the new data root."""
+    from .registry import _exists, _read_text, _write_text
 
     cur = None
-    from .registry import _exists, _read_text
-
     if _exists(f"{root}/{_POINTER_FILE}", spark):
         cur = _read_text(f"{root}/{_POINTER_FILE}", spark).strip()
     nxt_n = (int(cur.rsplit("_", 1)[1]) + 1) if cur else 1
     nxt = f"_v_{nxt_n:010d}"
     # GC stale versions from a prior crashed rewrite BEFORE writing (a
-    # partial _v_ dir that never got its pointer flip)
+    # partial _v_ dir NEWER than current never got its pointer flip and
+    # is garbage; retained older versions wait for the post-flip policy)
     for name in _list_version_dirs(root, spark):
-        if name != cur:
+        if cur is None or name > cur:
             _delete_dir(f"{root}/{name}", spark)
     _shard_layout_write(
         df, f"{root}/{nxt}", n_shards, id_col, order_within,
         files_per_shard, max_rows_per_file, "overwrite",
     )
     _write_text(f"{root}/{_POINTER_FILE}", nxt, spark)  # THE atomic flip
-    # GC the superseded version + any legacy root-level shard dirs
-    if cur:
-        _delete_dir(f"{root}/{cur}", spark)
-    else:
+    # GC superseded versions beyond the retention window + any legacy
+    # root-level shard dirs (the pre-pointer layout, fully merged into
+    # the version just published)
+    keep = sorted(_list_version_dirs(root, spark), reverse=True)[
+        : max(1, keep_versions)
+    ]
+    for name in _list_version_dirs(root, spark):
+        if name not in keep:
+            _delete_dir(f"{root}/{name}", spark)
+    if cur is None:
         from .registry import _list_subdirs
 
         for name in _list_subdirs(root, spark):
@@ -502,6 +516,7 @@ def save_shards(
     files_per_shard: int = 1,
     max_rows_per_file: int | None = None,
     swap_mode: str = "auto",
+    keep_versions: int = 1,
 ) -> DataFrame:
     """Training-shard export: write ``df`` under ``path/shard=N/`` and
     return a verification manifest. By default each shard is exactly one
@@ -560,7 +575,11 @@ def save_shards(
     is persisted in a ``_shard_layout.json`` sidecar at the export root,
     which :func:`merge_shards` / ``stream_merge_shards`` default to (a
     caller who forgets to re-pass ``files_per_shard`` can no longer
-    silently collapse a multi-file export back to single-file layout)."""
+    silently collapse a multi-file export back to single-file layout).
+    ``keep_versions`` (pointer mode) is snapshot retention: how many
+    versions the post-flip GC keeps — default 1 (current only);
+    size it to the longest-running reader (see
+    :func:`_new_version_write`)."""
     _check_shard_layout(files_per_shard, max_rows_per_file)
     spark = df.sparkSession
     path = path.rstrip("/")
@@ -568,7 +587,7 @@ def save_shards(
     data_cols = list(df.columns)
     out = df.withColumn("shard", shard_col(id_col, n_shards, hash_method))
     if resolved_swap == "pointer":
-        from .registry import _exists
+        from .registry import _exists, _list_subdirs
 
         if mode == "append" and _exists(f"{path}/{_POINTER_FILE}", spark):
             data_root = resolve_shards_path(path, spark)
@@ -577,9 +596,24 @@ def save_shards(
                 files_per_shard, max_rows_per_file, mode,
             )
         else:
+            if mode == "append" and any(
+                n.startswith("shard=") for n in _list_subdirs(path, spark)
+            ):
+                # append onto a LEGACY rename-layout export would publish
+                # a version holding only the appended rows and then GC
+                # the root shard dirs — silent data loss. Migration goes
+                # through merge_shards (which merges the existing corpus)
+                # or an explicit overwrite.
+                raise ValueError(
+                    "save_shards: mode='append' with swap_mode='pointer' "
+                    f"cannot migrate the rename-layout export at {path!r} "
+                    "— use merge_shards (merges existing rows into the "
+                    "new version) or mode='overwrite'"
+                )
             data_root = _new_version_write(
                 out, path, n_shards, id_col, order_within,
                 files_per_shard, max_rows_per_file, spark,
+                keep_versions=keep_versions,
             )
     else:
         data_root = path
@@ -598,6 +632,7 @@ def save_shards(
             "files_per_shard": files_per_shard,
             "max_rows_per_file": max_rows_per_file,
             "swap_mode": resolved_swap,
+            "keep_versions": keep_versions,
         },
         spark,
     )
@@ -622,6 +657,7 @@ def _resolve_shard_layout(
         "files_per_shard": 1,
         "max_rows_per_file": None,
         "swap_mode": "auto",
+        "keep_versions": 1,
     }
 
     def _norm(k, v):
@@ -676,6 +712,7 @@ def merge_shards(
     max_rows_per_file: int | None = _UNSET,
     full_rewrite_at: float = 1.0,
     swap_mode: str = _UNSET,
+    keep_versions: int = _UNSET,
 ) -> DataFrame:
     """Incremental maintenance of a :func:`save_shards` export: upsert
     ``df_new`` (new rows win by id) and optionally drop ``delete_ids``,
@@ -740,6 +777,7 @@ def merge_shards(
             "files_per_shard": files_per_shard,
             "max_rows_per_file": max_rows_per_file,
             "swap_mode": swap_mode,
+            "keep_versions": keep_versions,
         },
         path,
     )
@@ -791,6 +829,7 @@ def merge_shards(
             data_root = _new_version_write(
                 merged, path, n_shards, id_col, order_within,
                 files_per_shard, max_rows_per_file, spark,
+                keep_versions=layout["keep_versions"],
             )
         else:
             tmp = path + ".__rewrite__"

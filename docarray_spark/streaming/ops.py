@@ -507,6 +507,7 @@ def stream_merge_shards(
     max_rows_per_file: "int | None" = None,
     full_rewrite_at: float = 1.0,
     swap_mode: str = "auto",
+    keep_versions: "int | None" = None,
 ):
     """Streaming maintenance of a :func:`~docarray_spark.sources.writers.
     save_shards` training-shard export: every micro-batch upserts into the
@@ -570,6 +571,7 @@ def stream_merge_shards(
                 files_per_shard=files_per_shard or 1,
                 max_rows_per_file=max_rows_per_file,
                 swap_mode=swap_mode,
+                keep_versions=keep_versions or 1,
             )
         else:
             merge_shards(
@@ -580,6 +582,7 @@ def stream_merge_shards(
                 max_rows_per_file=_u(max_rows_per_file),
                 full_rewrite_at=full_rewrite_at,
                 swap_mode=swap_mode,
+                keep_versions=_u(keep_versions),
             )
 
     w = sdf.writeStream.foreachBatch(_merge)

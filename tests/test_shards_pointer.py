@@ -320,3 +320,51 @@ class TestReadShards:
             assert pruned.count() == want
             pf = partition_filters(pruned)
             assert pf, f"{mode}: shard filter not pushed to the scan"
+
+
+class TestVersionRetention:
+    def test_keep_versions_holds_previous_snapshot(
+        self, spark, docs, tmp_path
+    ):
+        """Snapshot retention (r11 self-review): keep_versions=2 holds
+        the superseded version through one rewrite cycle so an
+        epoch-long reader that resolved the pointer pre-rewrite keeps
+        its files; the next rewrite GCs it."""
+        path = str(tmp_path / "kv")
+        save_shards(
+            docs, path, n_shards=4, id_col="doc_id",
+            swap_mode="pointer", keep_versions=2,
+        )
+        v = lambda n: os.path.join(path, f"_v_{n:010d}")  # noqa: E731
+        merge_shards(
+            docs.withColumn("text", F.upper("text")), path
+        )  # full rewrite -> v2; v1 retained under keep_versions=2
+        assert os.path.isdir(v(1)) and os.path.isdir(v(2))
+        assert resolve_shards_path(path, spark).endswith("_v_0000000002")
+        merge_shards(
+            docs.withColumn("text", F.lower("text")), path
+        )  # -> v3; v2 retained, v1 GC'd
+        assert not os.path.isdir(v(1))
+        assert os.path.isdir(v(2)) and os.path.isdir(v(3))
+        assert resolve_shards_path(path, spark).endswith("_v_0000000003")
+        # the retained snapshot is COMPLETE (an in-flight reader's view)
+        old = spark.read.parquet(v(2))
+        assert old.count() == docs.count()
+        json_path = os.path.join(path, "_shard_layout.json")
+        assert json.load(open(json_path))["keep_versions"] == 2
+
+    def test_append_pointer_onto_legacy_layout_raises(
+        self, spark, docs, tmp_path
+    ):
+        """r11 self-review: append+pointer onto a rename-layout export
+        would publish a version holding ONLY the appended rows and GC
+        the legacy shard dirs — silent data loss. Must raise."""
+        path = str(tmp_path / "legacyappend")
+        save_shards(docs, path, n_shards=4, id_col="doc_id")  # rename
+        with pytest.raises(ValueError, match="cannot migrate"):
+            save_shards(
+                docs, path, n_shards=4, id_col="doc_id",
+                mode="append", swap_mode="pointer",
+            )
+        # the export is untouched
+        assert spark.read.parquet(path).count() == docs.count()
