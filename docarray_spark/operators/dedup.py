@@ -984,7 +984,10 @@ def _semantic_dedup_multi(
                 "semantic_dedup: xxhash64 id mapping collided under 4 "
                 "salts — statistically impossible unless ids repeat"
             )
-        id_map = mapped.select(F.col("id").alias("_oid"), "_nid")
+        # distinct: one map row per ID — an input carrying duplicate ids
+        # (one out row per INPUT row) must not fan out through the
+        # map-back join (r11 review)
+        id_map = mapped.select(F.col("id").alias("_oid"), "_nid").distinct()
         base = mapped.select(F.col("_nid").alias("id"), "v")
         id_type = T.LongType()
     multi = assign_cells_multi(base, cents, n_probe, round_to=round_to)

@@ -672,6 +672,12 @@ def _resolve_shard_layout(
         if v is _UNSET:
             resolved[k] = _norm(k, stored if stored is not _UNSET else default)
             continue
+        if k == "keep_versions":
+            # GC policy, not a layout contract: an explicit value wins
+            # for THIS call (e.g. temporarily retain more snapshots)
+            # without invalidating the export or the stored default
+            resolved[k] = v
+            continue
         if k == "swap_mode":
             # 'auto' defers to the stored choice; an explicit
             # rename/pointer must match it (migrate by re-exporting)

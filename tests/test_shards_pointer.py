@@ -368,3 +368,22 @@ class TestVersionRetention:
             )
         # the export is untouched
         assert spark.read.parquet(path).count() == docs.count()
+
+    def test_keep_versions_override_without_raise(
+        self, spark, docs, tmp_path
+    ):
+        """keep_versions is GC policy, not a layout contract: a merge
+        may override it for one call without tripping the sidecar
+        contradiction check or mutating the stored default."""
+        path = str(tmp_path / "kvov")
+        save_shards(
+            docs, path, n_shards=4, id_col="doc_id",
+            swap_mode="pointer", keep_versions=1,
+        )
+        merge_shards(
+            docs.withColumn("text", F.upper("text")), path, keep_versions=2
+        )
+        v = lambda n: os.path.join(path, f"_v_{n:010d}")  # noqa: E731
+        assert os.path.isdir(v(1)) and os.path.isdir(v(2))  # retained
+        sidecar = json.load(open(os.path.join(path, "_shard_layout.json")))
+        assert sidecar["keep_versions"] == 1  # stored default unchanged
