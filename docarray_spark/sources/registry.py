@@ -134,6 +134,25 @@ def _list_subdirs(root: str, spark: SparkSession | None = None) -> list[str]:
     )
 
 
+def _list_filenames(root: str, spark: SparkSession | None = None) -> list[str]:
+    """Plain FILES directly under ``root`` (``_list_subdirs`` lists
+    directories on remote filesystems) — the shard-export manifest
+    listing, bounded by the snapshot-retention policy."""
+    if not _is_remote(root):
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            n for n in os.listdir(root)
+            if os.path.isfile(os.path.join(root, n))
+        )
+    fs, jpath, _ = _hadoop_fs(root, spark)
+    if not fs.exists(jpath):
+        return []
+    return sorted(
+        st.getPath().getName() for st in fs.listStatus(jpath) if st.isFile()
+    )
+
+
 def _delete_dir(path: str, spark: SparkSession | None = None) -> bool:
     if not _is_remote(path):
         if os.path.isdir(path):

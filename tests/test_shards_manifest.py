@@ -1,0 +1,566 @@
+"""Round-12 shard-export format v3: file-manifest snapshots
+(VERDICT r11 #1-#3, ADVICE r11).
+
+``swap_mode='manifest'`` points ``_CURRENT`` at a small manifest FILE
+mapping each shard to the immutable batch directories that own it (the
+Iceberg discipline, sized down — the same sidecar pattern
+``_shard_layout.json`` already uses). Appends publish zero-copy
+snapshots (old files shared); partial merges are snapshot-isolated
+(merged shards stream into a NEW batch dir, never into live
+directories); ``keep_versions`` retains manifests and GC deletes data
+no retained manifest references, at shard-subdir granularity. Plus:
+optimistic concurrency on the pointer flip (two racing writers — the
+loser aborts loudly, no silent lost update), and
+``read_shards(version=)`` snapshot pinning for epoch-long dataloaders.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from docarray_spark.sources import (
+    merge_shards,
+    read_shards,
+    resolve_shards_path,
+    save_shards,
+    shard_col,
+    shard_versions,
+)
+
+
+def load(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+N = 8
+
+
+def _file_states(root):
+    """{relative parquet path: (size, mtime)} under root, recursive."""
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+class TestManifestBasics:
+    @pytest.fixture()
+    def store(self, docs, tmp_path):
+        path = str(tmp_path / "man")
+        m = save_shards(
+            docs, path, n_shards=N, id_col="doc_id",
+            order_within=["doc_id"], swap_mode="manifest", keep_versions=2,
+        )
+        return path, m.toPandas()
+
+    def test_layout_and_read(self, spark, docs, store):
+        path, m = store
+        # pointer names a manifest file; data lives in ONE batch dir
+        cur = open(os.path.join(path, "_CURRENT")).read()
+        assert cur.startswith("_m_0000000001_")
+        man = json.load(
+            open(os.path.join(path, "_manifests", f"{cur}.json"))
+        )
+        assert man["format"] == 3 and man["n"] == 1
+        batches = {b for bl in man["batches_by_shard"].values() for b in bl}
+        assert len(batches) == 1
+        assert not any(
+            d.startswith("shard=") for d in os.listdir(path)
+        )  # nothing at the root — readers go through the manifest
+        sidecar = json.load(open(os.path.join(path, "_shard_layout.json")))
+        assert sidecar["swap_mode"] == "manifest"
+        assert sidecar["manifest_version"] == 3  # v3 alongside v2
+        back = read_shards(spark, path).drop("shard")
+        a = docs.toPandas().sort_values("doc_id", ignore_index=True)
+        b = back.toPandas()[a.columns.tolist()].sort_values(
+            "doc_id", ignore_index=True
+        )
+        assert a.equals(b)
+        # no single data root — the resolver says so honestly
+        with pytest.raises(ValueError, match="manifest-mode"):
+            resolve_shards_path(path, spark)
+
+    def test_manifest_matches_rename_mode(self, spark, docs, store, tmp_path):
+        """content_sum/rows are swap-layout independent across all THREE
+        modes: v3 manifests of the same corpus equal v2's."""
+        path, m_man = store
+        other = str(tmp_path / "ren")
+        m_ren = save_shards(
+            docs, other, n_shards=N, id_col="doc_id",
+            order_within=["doc_id"], swap_mode="rename",
+        ).toPandas()
+        cols = ["shard", "rows", "id_min", "id_max", "content_sum"]
+        assert m_man[cols].reset_index(drop=True).equals(
+            m_ren[cols].reset_index(drop=True)
+        )
+
+    def test_shard_pruning_reaches_scans(self, spark, docs, store):
+        from docarray_spark.plans.audit import partition_filters
+
+        path, _ = store
+        pruned = read_shards(spark, path, shards=[1, 2])
+        want = docs.select(
+            shard_col("doc_id", N).alias("s")
+        ).filter(F.col("s").isin([1, 2])).count()
+        assert pruned.count() == want
+        assert partition_filters(pruned), "shard filter not pushed to scan"
+
+    def test_append_is_zero_copy(self, spark, docs, store):
+        """VERDICT r11 #1 core: append publishes snapshot n+1 WITHOUT
+        rewriting a byte of the existing corpus — prior batch files are
+        shared (same size+mtime), only a new batch dir appears."""
+        path, _ = store
+        before = _file_states(path)
+        extra = docs.limit(0).unionByName(
+            docs.sparkSession.createDataFrame(
+                [(900001, "fresh row", "en", "web", 9)], docs.schema
+            )
+        )
+        m = save_shards(extra, path, mode="append")  # knobs from sidecar
+        after = _file_states(path)
+        assert set(before).issubset(set(after))
+        for f in before:
+            assert after[f] == before[f], f"{f} was rewritten by append"
+        assert shard_versions(path)["current"] == 2
+        back = read_shards(spark, path)
+        assert back.count() == docs.count() + 1
+        assert back.filter(F.col("doc_id") == 900001).count() == 1
+        # the returned manifest covers the WHOLE snapshot
+        assert m.toPandas().rows.sum() == docs.count() + 1
+
+    def test_partial_merge_snapshot_isolated(self, spark, docs, store):
+        """ADVICE r11 #3 closed for this layout: a partial merge never
+        mutates live directories — the pre-merge snapshot stays readable
+        (pinned) while the new snapshot serves the merged rows."""
+        path, _ = store
+        pinned = read_shards(spark, path)  # file listing captured now
+        before = _file_states(path)
+        batch = docs.filter(F.col("doc_id") < 5).withColumn(
+            "text", F.lit("UPDATED")
+        )
+        m = merge_shards(batch, path, id_col="doc_id").toPandas()
+        assert 0 < len(m) < N  # COW route: touched shards only
+        for f in before:  # every pre-merge file intact (keep_versions=2)
+            assert _file_states(path)[f] == before[f]
+        assert pinned.filter(F.col("text") == "UPDATED").count() == 0
+        assert pinned.count() == docs.count()
+        cur = read_shards(spark, path)
+        assert cur.count() == docs.count()
+        assert cur.filter(F.col("text") == "UPDATED").count() == 5
+
+    def test_merge_layout_defaults_and_contradiction(
+        self, spark, docs, tmp_path
+    ):
+        path = str(tmp_path / "knobs")
+        save_shards(
+            docs, path, n_shards=4, id_col="doc_id",
+            files_per_shard=2, swap_mode="manifest",
+        )
+        with pytest.raises(ValueError, match="files_per_shard"):
+            merge_shards(docs.limit(3), path, files_per_shard=1)
+        with pytest.raises(ValueError, match="swap_mode"):
+            merge_shards(docs.limit(3), path, swap_mode="rename")
+        # knob-less merge inherits the stored layout
+        m = merge_shards(
+            docs.limit(3).withColumn("text", F.lit("X")), path
+        ).toPandas()
+        assert len(m) >= 1
+        assert read_shards(spark, path).filter(
+            F.col("text") == "X"
+        ).count() == 3
+
+
+class TestVersionPinning:
+    def test_read_shards_version_pin(self, spark, docs, tmp_path):
+        """VERDICT r11 #3 acceptance: resolve, full rewrite under the
+        reader, pinned read still serves the old rows while the default
+        read serves the new."""
+        path = str(tmp_path / "pin")
+        save_shards(
+            docs, path, n_shards=4, id_col="doc_id",
+            swap_mode="manifest", keep_versions=2,
+        )
+        v = shard_versions(path)
+        assert v == {"mode": "manifest", "current": 1, "versions": [1]}
+        merge_shards(docs.withColumn("text", F.upper("text")), path)
+        assert shard_versions(path)["versions"] == [1, 2]
+        old = read_shards(spark, path, version=1)
+        new = read_shards(spark, path)
+        assert old.count() == docs.count()
+        assert old.filter(F.col("text") == F.upper("text")).count() == 0
+        assert new.filter(F.col("text") != F.upper("text")).count() == 0
+        # beyond retention → clear error naming what IS available
+        merge_shards(docs.withColumn("text", F.lower("text")), path)
+        assert shard_versions(path)["versions"] == [2, 3]
+        with pytest.raises(ValueError, match="not retained"):
+            read_shards(spark, path, version=1)
+
+    def test_pointer_mode_version_pin(self, spark, docs, tmp_path):
+        """version= works for v2 pointer-dir exports too (retained
+        ``_v_`` dirs are the snapshots there)."""
+        path = str(tmp_path / "pinptr")
+        save_shards(
+            docs, path, n_shards=4, id_col="doc_id",
+            swap_mode="pointer", keep_versions=2,
+        )
+        merge_shards(docs.withColumn("text", F.upper("text")), path)
+        assert shard_versions(path) == {
+            "mode": "pointer", "current": 2, "versions": [1, 2],
+        }
+        old = read_shards(spark, path, version=1)
+        assert old.filter(F.col("text") == F.upper("text")).count() == 0
+        with pytest.raises(ValueError, match="not retained"):
+            read_shards(spark, path, version=7)
+
+    def test_rename_mode_rejects_version(self, spark, docs, tmp_path):
+        path = str(tmp_path / "ren")
+        save_shards(docs, path, n_shards=4, id_col="doc_id")
+        assert shard_versions(path) == {
+            "mode": "rename", "current": None, "versions": [],
+        }
+        with pytest.raises(ValueError, match="rename-mode"):
+            read_shards(spark, path, version=1)
+
+    def test_reader_pinned_across_concurrent_append(self, spark, docs, tmp_path):
+        """A reader pinned to manifest N sees identical rows across a
+        concurrent append AND a full rewrite (VERDICT r11 #1 Done
+        criterion)."""
+        path = str(tmp_path / "epoch")
+        save_shards(
+            docs, path, n_shards=4, id_col="doc_id",
+            swap_mode="manifest", keep_versions=3,
+        )
+        want = docs.toPandas().sort_values("doc_id", ignore_index=True)
+        pinned = read_shards(spark, path, version=1)
+        extra = spark.createDataFrame(
+            [(900001, "fresh", "en", "web", 5)], docs.schema
+        )
+        save_shards(extra, path, mode="append")
+        merge_shards(docs.withColumn("text", F.upper("text")), path)
+        got = (
+            read_shards(spark, path, version=1).drop("shard").toPandas()
+            [want.columns.tolist()].sort_values("doc_id", ignore_index=True)
+        )
+        assert got.equals(want)
+        # the already-built pre-mutation DataFrame also still collects
+        assert pinned.count() == docs.count()
+
+
+class TestCrashAndGC:
+    def test_crash_before_flip_serves_old_and_gc(
+        self, spark, docs, tmp_path, monkeypatch
+    ):
+        """Death after the batch dir + manifest file are written but
+        before the pointer flip: readers stay on the old complete
+        snapshot; the orphan batch/manifest are swept by the next
+        successful publish's GC."""
+        import docarray_spark.sources.registry as registry
+
+        path = str(tmp_path / "crash")
+        save_shards(
+            docs, path, n_shards=4, id_col="doc_id", swap_mode="manifest"
+        )
+        orig = registry._write_text
+
+        def dying(p, text, spark=None):
+            if p.endswith("_CURRENT"):
+                raise RuntimeError("injected crash before pointer flip")
+            return orig(p, text, spark)
+
+        monkeypatch.setattr(registry, "_write_text", dying)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            merge_shards(
+                docs.withColumn("text", F.upper("text")), path,
+                id_col="doc_id",
+            )
+        assert shard_versions(path)["current"] == 1  # old snapshot live
+        back = read_shards(spark, path)
+        assert back.count() == docs.count()
+        assert back.filter(F.col("text") == F.upper("text")).count() == 0
+        orphans = [d for d in os.listdir(path) if d.startswith("_b_0000000002")]
+        assert orphans  # crashed batch parked, unreferenced
+        monkeypatch.setattr(registry, "_write_text", orig)
+        merge_shards(
+            docs.withColumn("text", F.upper("text")), path, id_col="doc_id"
+        )
+        assert shard_versions(path)["current"] == 2
+        # exactly one _b_..._2 batch dir survives: the published one;
+        # the crashed orphan was GC'd
+        b2 = [d for d in os.listdir(path) if d.startswith("_b_0000000002")]
+        assert len(b2) == 1
+        back = read_shards(spark, path)
+        assert back.filter(F.col("text") != F.upper("text")).count() == 0
+
+    def test_shard_subdir_gc_after_retention(self, spark, docs, tmp_path):
+        """keep_versions=1: a partial merge supersedes the touched
+        shards' old files — GC removes exactly those ``shard=K`` subdirs
+        from the old batch while its untouched shards stay live."""
+        path = str(tmp_path / "gc")
+        save_shards(
+            docs, path, n_shards=N, id_col="doc_id",
+            swap_mode="manifest", keep_versions=1,
+        )
+        b1 = [d for d in os.listdir(path) if d.startswith("_b_")][0]
+        batch = docs.filter(F.col("doc_id") < 5).withColumn(
+            "text", F.lit("UPDATED")
+        )
+        m = merge_shards(batch, path, id_col="doc_id").toPandas()
+        touched = set(m.shard)
+        left = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(os.path.join(path, b1))
+            if d.startswith("shard=")
+        }
+        assert left == set(range(N)) - touched  # superseded subdirs GC'd
+        cur = read_shards(spark, path)
+        assert cur.count() == docs.count()
+        assert cur.filter(F.col("text") == "UPDATED").count() == 5
+
+    def test_emptied_shard_tombstoned(self, spark, docs, tmp_path):
+        """Delete-only merge that empties a shard: the manifest drops
+        the shard's mapping (tombstone row returned), and the reader
+        sees the rows gone."""
+        path = str(tmp_path / "empty")
+        save_shards(
+            docs, path, n_shards=4, id_col="doc_id", swap_mode="manifest"
+        )
+        sid = docs.select(
+            "doc_id", shard_col("doc_id", 4).alias("s")
+        )
+        victims = sid.filter(F.col("s") == 2).select("doc_id")
+        n_victims = victims.count()
+        m = merge_shards(
+            docs.limit(0), path, id_col="doc_id", delete_ids=victims
+        ).toPandas()
+        row = m[m.shard == 2].iloc[0]
+        assert row.rows == 0 and row.files == 0  # explicit tombstone
+        back = read_shards(spark, path)
+        assert back.count() == docs.count() - n_victims
+        assert back.filter(F.col("shard") == 2).count() == 0
+        cur = open(os.path.join(path, "_CURRENT")).read()
+        man = json.load(
+            open(os.path.join(path, "_manifests", f"{cur}.json"))
+        )
+        assert "2" not in man["batches_by_shard"]
+
+
+class TestConcurrentWriters:
+    def test_manifest_race_loser_aborts_no_data_loss(
+        self, spark, docs, tmp_path, monkeypatch
+    ):
+        """VERDICT r11 #2 acceptance: two concurrent full rewrites — the
+        writer whose flip comes second ABORTS with a clear error and the
+        winner's published rows survive intact (uuid batch tokens keep
+        the writers' files collision-free, so the loser never clobbers
+        the winner). keep_versions=2 so the winner's GC retains the
+        snapshot the loser is still reading — with retention 1 the loser
+        instead dies mid-read on the GC'd files (louder, earlier, still
+        no silent loss)."""
+        import docarray_spark.sources.writers as W
+
+        path = str(tmp_path / "race")
+        save_shards(
+            docs, path, n_shards=4, id_col="doc_id", swap_mode="manifest",
+            keep_versions=2,
+        )
+        real = W._shard_layout_write
+        state = {"fired": False}
+
+        def interleaved(*args, **kwargs):
+            if not state["fired"]:
+                state["fired"] = True
+                # the OTHER writer publishes completely while this one
+                # is mid-publish (resolved the old pointer already)
+                inner = docs.withColumn("text", F.lit("WINNER"))
+                merge_shards(inner, path, id_col="doc_id")
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(W, "_shard_layout_write", interleaved)
+        loser = docs.withColumn("text", F.lit("LOSER"))
+        with pytest.raises(RuntimeError, match="concurrent writer"):
+            merge_shards(loser, path, id_col="doc_id")
+        monkeypatch.setattr(W, "_shard_layout_write", real)
+        back = read_shards(spark, path)
+        assert back.count() == docs.count()
+        assert back.filter(F.col("text") == "WINNER").count() == docs.count()
+        assert back.filter(F.col("text") == "LOSER").count() == 0
+        # loser's orphan is swept by the next publish
+        merge_shards(docs.limit(1), path, id_col="doc_id")
+        seqs = sorted(
+            d.split("_")[2] for d in os.listdir(path) if d.startswith("_b_")
+        )
+        assert len(seqs) == len(set(seqs))  # one batch per sequence
+
+    def test_pointer_race_aborts_before_clobber(
+        self, spark, docs, tmp_path, monkeypatch
+    ):
+        """v2 pointer-dir mode: version names are deterministic (cur+1),
+        so both racers target the SAME directory — the errorifexists
+        write makes the second writer abort BEFORE touching the first's
+        published files."""
+        import docarray_spark.sources.writers as W
+
+        path = str(tmp_path / "raceptr")
+        save_shards(
+            docs, path, n_shards=4, id_col="doc_id", swap_mode="pointer",
+            keep_versions=2,
+        )
+        real = W._shard_layout_write
+        state = {"fired": False}
+
+        def interleaved(*args, **kwargs):
+            if not state["fired"]:
+                state["fired"] = True
+                merge_shards(
+                    docs.withColumn("text", F.lit("WINNER")), path,
+                    id_col="doc_id",
+                )
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(W, "_shard_layout_write", interleaved)
+        with pytest.raises(RuntimeError, match="concurrent writer"):
+            merge_shards(
+                docs.withColumn("text", F.lit("LOSER")), path,
+                id_col="doc_id",
+            )
+        monkeypatch.setattr(W, "_shard_layout_write", real)
+        back = spark.read.parquet(resolve_shards_path(path, spark))
+        assert back.count() == docs.count()
+        assert back.filter(F.col("text") == "WINNER").count() == docs.count()
+
+
+class TestMigrationsAndAuto:
+    def test_append_auto_follows_established_mode(self, spark, docs, tmp_path):
+        """ADVICE r11 #1: save_shards(mode='append', swap_mode='auto')
+        on a pointer export must NOT resolve from the filesystem scheme
+        (rename on local) — it follows the stored mode, so the appended
+        rows are visible behind the pointer."""
+        path = str(tmp_path / "autoptr")
+        save_shards(
+            docs, path, n_shards=4, id_col="doc_id", swap_mode="pointer"
+        )
+        extra = spark.createDataFrame(
+            [(900001, "fresh", "en", "web", 5)], docs.schema
+        )
+        save_shards(extra, path, mode="append")  # auto, knobs from sidecar
+        assert not any(
+            d.startswith("shard=") for d in os.listdir(path)
+        )  # nothing appended at the ROOT
+        back = read_shards(spark, path)
+        assert back.count() == docs.count() + 1
+        assert back.filter(F.col("doc_id") == 900001).count() == 1
+        # sidecar NOT poisoned by the append (ADVICE r11 #2)
+        sidecar = json.load(open(os.path.join(path, "_shard_layout.json")))
+        assert sidecar["swap_mode"] == "pointer"
+
+    def test_append_validates_layout_against_sidecar(
+        self, spark, docs, tmp_path
+    ):
+        """ADVICE r11 #2: append with contradicting layout knobs raises
+        instead of scattering rows wrong and rewriting the sidecar."""
+        path = str(tmp_path / "strictapp")
+        save_shards(
+            docs, path, n_shards=4, id_col="doc_id", files_per_shard=2
+        )
+        with pytest.raises(ValueError, match="n_shards"):
+            save_shards(
+                docs.limit(1), path, n_shards=8, id_col="doc_id",
+                mode="append",
+            )
+        with pytest.raises(ValueError, match="files_per_shard"):
+            save_shards(
+                docs.limit(1), path, files_per_shard=1, mode="append"
+            )
+        sidecar = json.load(open(os.path.join(path, "_shard_layout.json")))
+        assert sidecar["n_shards"] == 4 and sidecar["files_per_shard"] == 2
+
+    def test_overwrite_migrations_between_modes(self, spark, docs, tmp_path):
+        """Explicit overwrite re-exports migrate layout families cleanly
+        in both directions — no stale pointer artifacts left behind."""
+        path = str(tmp_path / "mig")
+        save_shards(docs, path, n_shards=4, id_col="doc_id")  # rename
+        # rename -> manifest
+        save_shards(
+            docs, path, n_shards=4, id_col="doc_id", swap_mode="manifest"
+        )
+        assert shard_versions(path)["mode"] == "manifest"
+        assert not any(d.startswith("shard=") for d in os.listdir(path))
+        assert read_shards(spark, path).count() == docs.count()
+        # manifest -> rename: pointer artifacts dropped
+        save_shards(
+            docs, path, n_shards=4, id_col="doc_id", swap_mode="rename"
+        )
+        assert shard_versions(path)["mode"] == "rename"
+        assert not os.path.exists(os.path.join(path, "_CURRENT"))
+        assert not any(d.startswith("_b_") for d in os.listdir(path))
+        assert read_shards(spark, path).count() == docs.count()
+        # pointer -> manifest via merge (full rewrite migrates)
+        p2 = str(tmp_path / "mig2")
+        save_shards(
+            docs, p2, n_shards=4, id_col="doc_id", swap_mode="pointer"
+        )
+        os.remove(os.path.join(p2, "_shard_layout.json"))  # pre-sidecar
+        merge_shards(
+            docs.withColumn("text", F.upper("text")), p2, n_shards=4,
+            id_col="doc_id", swap_mode="manifest",
+        )
+        assert shard_versions(p2)["mode"] == "manifest"
+        assert not any(d.startswith("_v_") for d in os.listdir(p2))
+        back = read_shards(spark, p2)
+        assert back.count() == docs.count()
+        assert back.filter(F.col("text") != F.upper("text")).count() == 0
+
+    def test_overwrite_auto_keeps_established_family(
+        self, spark, docs, tmp_path
+    ):
+        """A knob-less refresh (overwrite, swap auto) of a manifest
+        export stays manifest — no silent migration to the filesystem
+        scheme's default."""
+        path = str(tmp_path / "keepfam")
+        save_shards(
+            docs, path, n_shards=4, id_col="doc_id", swap_mode="manifest"
+        )
+        save_shards(docs, path, n_shards=4, id_col="doc_id")  # refresh
+        assert shard_versions(path)["mode"] == "manifest"
+        assert read_shards(spark, path).count() == docs.count()
+
+
+class TestStreamingManifest:
+    def test_stream_merge_converges_on_manifest_export(
+        self, spark, docs, tmp_path
+    ):
+        """stream_merge_shards against a manifest export publishes
+        per-batch snapshots and converges to the batch save_shards
+        result (mirror of the rename-mode passthrough pin)."""
+        from docarray_spark.streaming import read_stream, stream_merge_shards
+
+        path = str(tmp_path / "sms")
+        save_shards(
+            docs, path, n_shards=4, id_col="doc_id", swap_mode="manifest"
+        )
+        src = str(tmp_path / "src")
+        docs.withColumn("text", F.upper("text")).write.parquet(src)
+        sdf = read_stream(spark, src, schema=docs.schema)
+        q = stream_merge_shards(
+            sdf, path,
+            checkpoint=str(tmp_path / "ckpt"),
+            full_rewrite_at=0.0,
+        )
+        q.awaitTermination(120)
+        assert shard_versions(path)["mode"] == "manifest"
+        back = read_shards(spark, path)
+        assert back.count() == docs.count()
+        assert back.filter(F.col("text") != F.upper("text")).count() == 0

@@ -358,14 +358,26 @@ class TestVersionRetention:
     ):
         """r11 self-review: append+pointer onto a rename-layout export
         would publish a version holding ONLY the appended rows and GC
-        the legacy shard dirs — silent data loss. Must raise."""
+        the legacy shard dirs — silent data loss. Must raise. Since r12
+        save_shards append validates against the sidecar exactly like
+        merge_shards (ADVICE r11 #2), so the contradiction check fires
+        first; the root-dir migration guard still backstops sidecar-less
+        legacy exports."""
         path = str(tmp_path / "legacyappend")
         save_shards(docs, path, n_shards=4, id_col="doc_id")  # rename
-        with pytest.raises(ValueError, match="cannot migrate"):
+        with pytest.raises(ValueError, match="contradicts the export"):
             save_shards(
                 docs, path, n_shards=4, id_col="doc_id",
                 mode="append", swap_mode="pointer",
             )
+        # pre-sidecar legacy export: the root shard-dir guard backstops
+        os.remove(os.path.join(path, "_shard_layout.json"))
+        for swap in ("pointer", "manifest"):
+            with pytest.raises(ValueError, match="cannot migrate"):
+                save_shards(
+                    docs, path, n_shards=4, id_col="doc_id",
+                    mode="append", swap_mode=swap,
+                )
         # the export is untouched
         assert spark.read.parquet(path).count() == docs.count()
 
