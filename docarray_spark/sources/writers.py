@@ -1144,6 +1144,71 @@ def _established_swap_mode(
     return "manifest" if cur.startswith("_m_") else "pointer"
 
 
+def compact_shards(
+    spark: SparkSession,
+    path: str,
+    keep_versions: int = _UNSET,
+) -> DataFrame:
+    """Collapse a shard export's CURRENT snapshot into one fresh batch —
+    the compaction half of the zero-copy append story: every
+    ``mode='append'`` grows a manifest-mode shard's batch list by one
+    (readers union one more scan per live batch), and pointer-/rename-
+    mode appends accrete small files inside the live directories.
+    Compaction reads the current snapshot once and republishes it
+    through the export's own full-rewrite path (new snapshot in
+    manifest/pointer modes — concurrent pinned readers keep the old one
+    per ``keep_versions``; tmp-and-swap in rename mode), restoring the
+    one-batch-per-shard / ``files_per_shard`` layout without changing a
+    row. Returns the refreshed verification manifest (``content_sum``
+    is layout-independent, so it must equal the pre-compaction
+    manifest's). Layout comes from the persisted sidecar — compaction
+    never changes a layout; ``keep_versions`` may be overridden for
+    this call (GC policy, same as :func:`merge_shards`)."""
+    path = path.rstrip("/")
+    sidecar = _load_layout_sidecar(path, spark)
+    if sidecar is None:
+        raise ValueError(
+            f"compact_shards: no {_LAYOUT_SIDECAR} sidecar at {path!r} — "
+            "compaction replays the stored layout; re-export with "
+            "save_shards for pre-sidecar exports"
+        )
+    layout = _resolve_shard_layout(
+        sidecar,
+        {
+            "n_shards": _UNSET, "id_col": _UNSET, "order_within": _UNSET,
+            "hash_method": _UNSET, "files_per_shard": _UNSET,
+            "max_rows_per_file": _UNSET, "swap_mode": _UNSET,
+            "keep_versions": keep_versions,
+        },
+        path,
+        op="compact_shards",
+    )
+    df = read_shards(spark, path)  # shard column already assigned
+    data_cols = [c for c in df.columns if c != "shard"]
+    id_col = layout["id_col"]
+    if layout["swap_mode"] == "manifest":
+        _, _, bname = _publish_snapshot(df, path, layout, spark, "rewrite")
+        return _shard_manifest(spark, f"{path}/{bname}", data_cols, id_col)
+    if layout["swap_mode"] == "pointer":
+        data_root = _new_version_write(
+            df, path, layout["n_shards"], id_col, layout["order_within"],
+            layout["files_per_shard"], layout["max_rows_per_file"], spark,
+            keep_versions=layout["keep_versions"],
+        )
+        return _shard_manifest(spark, data_root, data_cols, id_col)
+    tmp = path + ".__rewrite__"
+    _delete_dir(tmp, spark)
+    _shard_layout_write(
+        df, tmp, layout["n_shards"], id_col, layout["order_within"],
+        layout["files_per_shard"], layout["max_rows_per_file"], "overwrite",
+    )
+    _save_layout_sidecar(
+        tmp, {"manifest_version": MANIFEST_VERSION, **layout}, spark
+    )
+    _swap_dirs(tmp, path, spark)
+    return _shard_manifest(spark, path, data_cols, id_col)
+
+
 def _resolve_shard_layout(
     sidecar: dict | None, passed: dict, path: str, op: str = "merge_shards"
 ) -> dict:

@@ -538,6 +538,99 @@ class TestMigrationsAndAuto:
         assert read_shards(spark, path).count() == docs.count()
 
 
+class TestCompaction:
+    def test_compact_collapses_append_history(self, spark, docs, tmp_path):
+        """Three zero-copy appends → three extra batch dirs and 4-deep
+        per-shard batch lists; compact_shards republishes the snapshot
+        as ONE batch, rows and content_sum unchanged."""
+        from docarray_spark.sources import compact_shards
+
+        path = str(tmp_path / "cpt")
+        save_shards(
+            docs, path, n_shards=4, id_col="doc_id", swap_mode="manifest"
+        )
+        for i in range(3):
+            extra = spark.createDataFrame(
+                [(900001 + i, f"fresh {i}", "en", "web", 7)], docs.schema
+            )
+            save_shards(extra, path, mode="append")
+        assert len([d for d in os.listdir(path) if d.startswith("_b_")]) == 4
+        before = read_shards(spark, path)
+        n_before = before.count()
+        m = compact_shards(spark, path).toPandas()
+        assert len([d for d in os.listdir(path) if d.startswith("_b_")]) == 1
+        cur = open(os.path.join(path, "_CURRENT")).read()
+        man = json.load(
+            open(os.path.join(path, "_manifests", f"{cur}.json"))
+        )
+        assert all(len(bl) == 1 for bl in man["batches_by_shard"].values())
+        back = read_shards(spark, path)
+        assert back.count() == n_before == m.rows.sum()
+        assert back.filter(F.col("doc_id") >= 900001).count() == 3
+        # content_sum is layout-independent: compaction changed nothing
+        ref = save_shards(
+            back.drop("shard"), str(tmp_path / "ref"), n_shards=4,
+            id_col="doc_id", swap_mode="rename",
+        ).toPandas()
+        cols = ["shard", "rows", "id_min", "id_max", "content_sum"]
+        assert m[cols].reset_index(drop=True).equals(
+            ref[cols].reset_index(drop=True)
+        )
+
+    def test_compact_pointer_and_rename_modes(self, spark, docs, tmp_path):
+        """Compaction works on all three layouts: pointer appends into
+        the live version dir and rename appends at the root both
+        collapse back to the files_per_shard contract."""
+        from docarray_spark.sources import compact_shards
+        from docarray_spark.sources.writers import _shard_sizes
+
+        for mode in ("pointer", "rename"):
+            path = str(tmp_path / mode)
+            save_shards(
+                docs, path, n_shards=4, id_col="doc_id", swap_mode=mode
+            )
+            extra = spark.createDataFrame(
+                [(900001, "fresh", "en", "web", 5)], docs.schema
+            )
+            save_shards(extra, path, mode="append")
+            m = compact_shards(spark, path).toPandas()
+            assert m.rows.sum() == docs.count() + 1
+            data_root = resolve_shards_path(path, spark)
+            sizes = _shard_sizes(data_root, spark)
+            assert all(v[0] == 1 for v in sizes.values())  # 1 file/shard
+            assert read_shards(spark, path).count() == docs.count() + 1
+
+    def test_compact_requires_sidecar_and_keeps_layout(
+        self, spark, docs, tmp_path
+    ):
+        from docarray_spark.sources import compact_shards
+
+        path = str(tmp_path / "nos")
+        save_shards(docs, path, n_shards=4, id_col="doc_id")
+        os.remove(os.path.join(path, "_shard_layout.json"))
+        with pytest.raises(ValueError, match="sidecar"):
+            compact_shards(spark, path)
+        # multi-file layout survives compaction (sidecar-driven)
+        p2 = str(tmp_path / "multi")
+        save_shards(
+            docs, p2, n_shards=4, id_col="doc_id", files_per_shard=2,
+            swap_mode="manifest",
+        )
+        compact_shards(spark, p2)
+        sidecar = json.load(open(os.path.join(p2, "_shard_layout.json")))
+        assert sidecar["files_per_shard"] == 2
+        ref = save_shards(
+            docs, str(tmp_path / "refm"), n_shards=4, id_col="doc_id",
+            files_per_shard=2,
+        ).toPandas()
+        b = [d for d in os.listdir(p2) if d.startswith("_b_")]
+        assert len(b) == 1
+        from docarray_spark.sources.writers import _shard_sizes
+
+        sizes = _shard_sizes(os.path.join(p2, b[0]), spark)
+        assert [sizes[s][0] for s in sorted(sizes)] == ref["files"].tolist()
+
+
 class TestStreamingManifest:
     def test_stream_merge_converges_on_manifest_export(
         self, spark, docs, tmp_path
