@@ -153,6 +153,20 @@ def _list_filenames(root: str, spark: SparkSession | None = None) -> list[str]:
     )
 
 
+def _delete_file(path: str, spark: SparkSession | None = None) -> bool:
+    """Delete ONE file (non-recursive) on local or any Hadoop-compatible
+    filesystem; True when something was removed."""
+    if not _is_remote(path):
+        if os.path.isfile(path):
+            os.remove(path)
+            return True
+        return False
+    fs, jpath, _ = _hadoop_fs(path, spark)
+    if fs.exists(jpath):
+        return fs.delete(jpath, False)
+    return False
+
+
 def _delete_dir(path: str, spark: SparkSession | None = None) -> bool:
     if not _is_remote(path):
         if os.path.isdir(path):

@@ -411,9 +411,21 @@ def read_shards(
         man = _load_manifest(root, name, spark)
         df = _manifest_read(spark, root, man, shards=shards)
         if df is None:
+            batches = sorted(
+                {b for bl in man["batches_by_shard"].values() for b in bl}
+            )
+            if batches and shards is not None:
+                # pruned to emptied/tombstoned shards: 0 rows with the
+                # snapshot's schema — same contract as pointer/rename
+                # exports, where the filter just matches nothing (r12
+                # review: a dataloader rank owning an emptied shard
+                # must get an empty frame, not a crash)
+                return spark.read.parquet(
+                    f"{root}/{batches[0]}"
+                ).filter(F.lit(False))
             raise ValueError(
                 f"read_shards: snapshot {name!r} at {root!r} is empty "
-                "(every shard deleted or pruned away)"
+                "(every shard deleted)"
             )
         return df
     if version is not None:
@@ -426,8 +438,18 @@ def read_shards(
         from .registry import _exists
 
         name = version if isinstance(version, str) else f"_v_{version:010d}"
-        if not _exists(f"{root}/{name}", spark):
-            have = sorted(_parse_seq(n) for n in _list_version_dirs(root, spark))
+        # the pin must be a PUBLISHED retained snapshot: a crashed
+        # rewrite's partial _v_ dir is newer than current and passes a
+        # bare existence check (r12 review) — never serve it
+        if (
+            not _exists(f"{root}/{name}", spark)
+            or _parse_seq(name) > _parse_seq(cur)
+        ):
+            have = sorted(
+                _parse_seq(n)
+                for n in _list_version_dirs(root, spark)
+                if _parse_seq(n) <= _parse_seq(cur)
+            )
             raise ValueError(
                 f"read_shards: version {version!r} not retained at "
                 f"{root!r} (available: {have}; raise keep_versions to "
@@ -453,18 +475,28 @@ def shard_versions(path: str, spark: SparkSession | None = None) -> dict:
     cur = _current_pointer(root, spark)
     if cur is None:
         return {"mode": "rename", "current": None, "versions": []}
+    # only PUBLISHED snapshots are versions: anything newer than current
+    # (a crashed never-flipped attempt) or sharing current's sequence
+    # under another token (a lost race) is pre-GC garbage, not a valid
+    # pin (r12 review)
+    cur_seq = _parse_seq(cur)
     if cur.startswith("_m_"):
-        names = _list_manifest_names(root, spark)
+        names = [
+            n for n in _list_manifest_names(root, spark)
+            if _parse_seq(n) < cur_seq or n == cur
+        ]
         return {
             "mode": "manifest",
-            "current": _parse_seq(cur),
-            "versions": sorted(_parse_seq(n) for n in names),
+            "current": cur_seq,
+            "versions": sorted({_parse_seq(n) for n in names}),
         }
     return {
         "mode": "pointer",
-        "current": _parse_seq(cur),
+        "current": cur_seq,
         "versions": sorted(
-            _parse_seq(n) for n in _list_version_dirs(root, spark)
+            _parse_seq(n)
+            for n in _list_version_dirs(root, spark)
+            if _parse_seq(n) <= cur_seq
         ),
     }
 
@@ -497,22 +529,37 @@ def _resolve_manifest_name(
     root: str, cur: str, version, spark: SparkSession | None
 ) -> str:
     """Map a ``version=`` pin (int sequence or full name) to a retained
-    manifest name; None → the current one."""
+    manifest name; None → the current one. Only PUBLISHED retained
+    snapshots resolve (sequence ≤ current's, same-sequence lost-race
+    orphans excluded) — and a stale pin gets the actionable
+    not-retained error whether it arrives as an int or as the full name
+    (r12 review: the string form used to die in _load_manifest with a
+    raw file-not-found)."""
     if version is None:
         return cur
+    cur_seq = _parse_seq(cur)
+    retained = [
+        n for n in _list_manifest_names(root, spark)
+        if _parse_seq(n) < cur_seq or n == cur
+    ]
+    have = sorted({_parse_seq(n) for n in retained})
     if isinstance(version, str):
+        if version not in retained:
+            raise ValueError(
+                f"read_shards: version {version!r} not retained at "
+                f"{root!r} (available: {have}; raise keep_versions to "
+                "hold snapshots longer)"
+            )
         return version
-    names = [n for n in _list_manifest_names(root, spark) if _parse_seq(n) == version]
+    names = [n for n in retained if _parse_seq(n) == version]
     if not names:
-        have = sorted(_parse_seq(n) for n in _list_manifest_names(root, spark))
         raise ValueError(
             f"read_shards: version {version!r} not retained at {root!r} "
             f"(available: {have}; raise keep_versions to hold snapshots "
             "longer)"
         )
-    # >1 name with one sequence only happens for a lost-race orphan that
-    # GC has not swept yet — the one _CURRENT names (if any) is the
-    # published one, else the lexically last (deterministic)
+    # >1 name with one sequence only happens for an ancient lost-race
+    # orphan GC has not swept — deterministic pick
     return cur if cur in names else sorted(names)[-1]
 
 
@@ -574,6 +621,7 @@ def _publish_snapshot(
     spark: SparkSession,
     publish: str,
     affected: "list[int] | None" = None,
+    expected=_UNSET,
 ) -> tuple[str, dict, str]:
     """Manifest-mode publish (format v3, VERDICT r11 #1): write ``df``
     into a fresh IMMUTABLE batch directory ``_b_<n>_<token>/shard=K/…``,
@@ -596,6 +644,17 @@ def _publish_snapshot(
     dirs collision-free — the loser aborts at the flip with its output
     orphaned, never clobbering the winner's published files.
 
+    ``expected`` is the pointer the CALLER resolved its input data
+    against (r12 review): a merge computes its affected shards and
+    merged rows from a snapshot read seconds-to-minutes before
+    publishing, and a concurrent publish inside that window would make
+    this snapshot silently revert the other writer's rows even though
+    the flip-time pointer "didn't move" relative to a publish-time
+    re-read. With ``expected`` set the publish fails FAST (before
+    writing anything) when the pointer has already moved; callers whose
+    output doesn't depend on prior export state (a fresh overwrite)
+    omit it.
+
     Returns ``(manifest_name, manifest_dict, batch_name)``."""
     import json
     import uuid
@@ -603,6 +662,15 @@ def _publish_snapshot(
     from .registry import _write_text
 
     cur = _current_pointer(root, spark)
+    if expected is not _UNSET and cur != expected:
+        raise RuntimeError(
+            f"shard-export publish aborted: _CURRENT at {root!r} moved "
+            f"from {expected!r} to {cur!r} since this writer resolved "
+            "its input snapshot — a concurrent writer published in "
+            "between; publishing anyway would silently revert its rows. "
+            "Nothing was written; re-run the merge against the new "
+            "current snapshot."
+        )
     old_map: dict = {}
     if cur is not None and cur.startswith("_m_"):
         old_map = _load_manifest(root, cur, spark)["batches_by_shard"]
@@ -664,20 +732,11 @@ def _manifest_gc(
         key=_parse_seq, reverse=True,
     )
     keep = [current] + older[: max(1, keep_versions) - 1]
+    from .registry import _delete_file
+
     for n in names:
         if n not in keep:
-            from .registry import _hadoop_fs, _is_remote
-
-            p = f"{root}/{_MANIFEST_DIR}/{n}.json"
-            if not _is_remote(p):
-                import os
-
-                if os.path.exists(p):
-                    os.remove(p)
-            else:
-                fs, jp, _ = _hadoop_fs(p, spark)
-                if fs.exists(jp):
-                    fs.delete(jp, False)
+            _delete_file(f"{root}/{_MANIFEST_DIR}/{n}.json", spark)
     referenced: dict[str, set] = {}
     for n in keep:
         for s, bl in _load_manifest(root, n, spark)["batches_by_shard"].items():
@@ -708,6 +767,7 @@ def _new_version_write(
     max_rows_per_file: int | None,
     spark: SparkSession,
     keep_versions: int = 1,
+    expected=_UNSET,
 ) -> str:
     """Pointer-mode publish: write the full export into a fresh hidden
     ``_v_<n+1>/`` version directory, then atomically flip the
@@ -730,7 +790,23 @@ def _new_version_write(
     cur = None
     if _exists(f"{root}/{_POINTER_FILE}", spark):
         cur = _read_text(f"{root}/{_POINTER_FILE}", spark).strip()
-    nxt_n = (int(cur.rsplit("_", 1)[1]) + 1) if cur else 1
+    if expected is not _UNSET and cur != expected:
+        # fail FAST (r12 review): the caller's merged rows were computed
+        # against `expected`; a publish that raced in since then would
+        # be silently reverted if this writer continued
+        raise RuntimeError(
+            f"shard-export publish aborted: _CURRENT at {root!r} moved "
+            f"from {expected!r} to {cur!r} since this writer resolved "
+            "its input snapshot — a concurrent writer published in "
+            "between; publishing anyway would silently revert its rows. "
+            "Nothing was written; re-run the merge against the new "
+            "current snapshot."
+        )
+    # _parse_seq, not rsplit: an overwrite MIGRATION from a manifest
+    # export arrives here with cur = "_m_<n>_<token>" — the sequence
+    # continues across the layout change (r12 self-review: rsplit took
+    # the token and crashed int())
+    nxt_n = (_parse_seq(cur) + 1) if cur else 1
     nxt = f"_v_{nxt_n:010d}"
     # GC stale versions from a prior crashed rewrite BEFORE writing (a
     # partial _v_ dir NEWER than current never got its pointer flip and
@@ -774,6 +850,15 @@ def _new_version_write(
 
         for name in _list_subdirs(root, spark):
             if name.startswith("shard="):
+                _delete_dir(f"{root}/{name}", spark)
+    elif cur.startswith("_m_"):
+        # migrated from a manifest-layout export: its batch dirs and
+        # manifest files are unreferenced now that _CURRENT names a
+        # version directory
+        from .registry import _list_subdirs
+
+        for name in _list_subdirs(root, spark):
+            if name.startswith("_b_") or name == _MANIFEST_DIR:
                 _delete_dir(f"{root}/{name}", spark)
     return f"{root}/{nxt}"
 
@@ -1050,6 +1135,9 @@ def save_shards(
             mode == "append" and established == "manifest"
         ) else "rewrite"
         _, man, bname = _publish_snapshot(out, path, layout, spark, publish)
+        # (append's old-map dependency is re-read inside the publish, so
+        # its unanchored window is just the map-read → flip gap; a fresh
+        # overwrite has no prior-state dependency at all)
         data_root = f"{path}/{bname}"
         if publish == "append":
             # the returned manifest covers the whole snapshot (appended
@@ -1084,18 +1172,9 @@ def save_shards(
             # artifacts survive and readers would resolve a stale
             # pointer over the fresh data — drop them explicitly
             from .registry import _delete_dir as _rm
-            from .registry import _hadoop_fs, _is_remote
+            from .registry import _delete_file
 
-            p = f"{path}/{_POINTER_FILE}"
-            if not _is_remote(p):
-                import os
-
-                if os.path.exists(p):
-                    os.remove(p)
-            else:
-                fs, jp, _ = _hadoop_fs(p, spark)
-                if fs.exists(jp):
-                    fs.delete(jp, False)
+            _delete_file(f"{path}/{_POINTER_FILE}", spark)
             for d in _list_subdirs(path, spark):
                 if d.startswith("_v_") or d.startswith("_b_") or d == _MANIFEST_DIR:
                     _rm(f"{path}/{d}", spark)
@@ -1165,6 +1244,7 @@ def compact_shards(
     never changes a layout; ``keep_versions`` may be overridden for
     this call (GC policy, same as :func:`merge_shards`)."""
     path = path.rstrip("/")
+    _recover_swap(path, spark)  # heal a crashed rename-mode swap first
     sidecar = _load_layout_sidecar(path, spark)
     if sidecar is None:
         raise ValueError(
@@ -1183,17 +1263,22 @@ def compact_shards(
         path,
         op="compact_shards",
     )
+    cur_ptr = _current_pointer(path, spark)  # concurrency anchor: the
+    # snapshot the read below resolves — a publish racing in before the
+    # republish must abort this compaction, not be silently reverted
     df = read_shards(spark, path)  # shard column already assigned
     data_cols = [c for c in df.columns if c != "shard"]
     id_col = layout["id_col"]
     if layout["swap_mode"] == "manifest":
-        _, _, bname = _publish_snapshot(df, path, layout, spark, "rewrite")
+        _, _, bname = _publish_snapshot(
+            df, path, layout, spark, "rewrite", expected=cur_ptr
+        )
         return _shard_manifest(spark, f"{path}/{bname}", data_cols, id_col)
     if layout["swap_mode"] == "pointer":
         data_root = _new_version_write(
             df, path, layout["n_shards"], id_col, layout["order_within"],
             layout["files_per_shard"], layout["max_rows_per_file"], spark,
-            keep_versions=layout["keep_versions"],
+            keep_versions=layout["keep_versions"], expected=cur_ptr,
         )
         return _shard_manifest(spark, data_root, data_cols, id_col)
     tmp = path + ".__rewrite__"
@@ -1434,7 +1519,7 @@ def merge_shards(
                 base = spark.createDataFrame([], up.schema)
             merged = _apply_batch(base)
             _, man, bname = _publish_snapshot(
-                merged, path, layout, spark, "rewrite"
+                merged, path, layout, spark, "rewrite", expected=cur_ptr
             )
             all_shards = sorted(
                 {int(s) for s in man["batches_by_shard"]} | set(affected)
@@ -1452,7 +1537,8 @@ def merge_shards(
             current = spark.createDataFrame([], up.schema)
         merged = _apply_batch(current)
         _, man, bname = _publish_snapshot(
-            merged, path, layout, spark, "partial", affected=affected
+            merged, path, layout, spark, "partial", affected=affected,
+            expected=cur_ptr,
         )
         return _shard_manifest(
             spark, f"{path}/{bname}", data_cols, id_col, shards=affected,
@@ -1466,7 +1552,7 @@ def merge_shards(
             data_root = _new_version_write(
                 merged, path, n_shards, id_col, order_within,
                 files_per_shard, max_rows_per_file, spark,
-                keep_versions=layout["keep_versions"],
+                keep_versions=layout["keep_versions"], expected=cur_ptr,
             )
         else:
             tmp = path + ".__rewrite__"

@@ -442,6 +442,177 @@ class TestConcurrentWriters:
         assert back.filter(F.col("text") == "WINNER").count() == docs.count()
 
 
+class TestReviewFindings:
+    """r12 review pass over the v3/concurrency code: six findings, each
+    pinned here."""
+
+    def test_stale_resolve_publish_aborts_manifest(
+        self, spark, docs, tmp_path, monkeypatch
+    ):
+        """Finding 1 (headline): the optimistic check must anchor to the
+        pointer the writer RESOLVED ITS DATA against, not a publish-time
+        re-read — a concurrent publish inside the resolve→publish window
+        (the affected-shard collect, the merge plan) must abort the late
+        writer, else its snapshot silently reverts the winner's rows."""
+        import docarray_spark.sources.writers as W
+
+        path = str(tmp_path / "stale")
+        save_shards(
+            docs, path, n_shards=N, id_col="doc_id", swap_mode="manifest",
+            keep_versions=2,
+        )
+        real = W._manifest_read
+        state = {"fired": False}
+
+        def interleaved(*args, **kwargs):
+            if not state["fired"]:
+                state["fired"] = True
+                merge_shards(
+                    docs.withColumn("text", F.lit("WINNER")), path,
+                    id_col="doc_id",
+                )
+            return real(*args, **kwargs)
+
+        # the patch fires inside the LOSER's current-shard read — i.e.
+        # after it resolved cur_ptr but before it publishes
+        monkeypatch.setattr(W, "_manifest_read", interleaved)
+        batches_before = None
+        with pytest.raises(RuntimeError, match="resolved its input snapshot"):
+            batch = docs.filter(F.col("doc_id") < 5).withColumn(
+                "text", F.lit("LOSER")
+            )
+            merge_shards(batch, path, id_col="doc_id")
+        monkeypatch.setattr(W, "_manifest_read", real)
+        back = read_shards(spark, path)
+        assert back.filter(F.col("text") == "WINNER").count() == docs.count()
+        assert back.filter(F.col("text") == "LOSER").count() == 0
+        # the loser aborted BEFORE writing: no orphan batch beyond the
+        # winner's two snapshots
+        batches = [d for d in os.listdir(path) if d.startswith("_b_")]
+        assert len(batches) == 2, batches
+
+    def test_stale_resolve_publish_aborts_pointer(
+        self, spark, docs, tmp_path, monkeypatch
+    ):
+        """Finding 1, pointer mode: merge_shards resolves data_root at
+        entry; a publish racing in before its _new_version_write must
+        abort it fast (before the version-dir write)."""
+        import docarray_spark.sources.writers as W
+
+        path = str(tmp_path / "staleptr")
+        save_shards(
+            docs, path, n_shards=4, id_col="doc_id", swap_mode="pointer",
+            keep_versions=2,
+        )
+        real = W._new_version_write
+        state = {"fired": False}
+
+        def interleaved(*args, **kwargs):
+            if not state["fired"]:
+                state["fired"] = True
+                merge_shards(
+                    docs.withColumn("text", F.lit("WINNER")), path,
+                    id_col="doc_id",
+                )
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(W, "_new_version_write", interleaved)
+        with pytest.raises(RuntimeError, match="resolved its input snapshot"):
+            merge_shards(
+                docs.withColumn("text", F.lit("LOSER")), path,
+                id_col="doc_id",
+            )
+        monkeypatch.setattr(W, "_new_version_write", real)
+        back = spark.read.parquet(resolve_shards_path(path, spark))
+        assert back.filter(F.col("text") == "WINNER").count() == docs.count()
+
+    def test_emptied_shard_read_returns_empty_frame(
+        self, spark, docs, tmp_path
+    ):
+        """Finding 2: a dataloader rank assigned a tombstoned shard gets
+        an EMPTY frame with the snapshot's schema — same contract as
+        pointer/rename exports — not a crash."""
+        path = str(tmp_path / "emptyrank")
+        save_shards(
+            docs, path, n_shards=4, id_col="doc_id", swap_mode="manifest"
+        )
+        victims = docs.select(
+            "doc_id", shard_col("doc_id", 4).alias("s")
+        ).filter(F.col("s") == 2).select("doc_id")
+        merge_shards(docs.limit(0), path, id_col="doc_id",
+                     delete_ids=victims)
+        rank2 = read_shards(spark, path, shards=[2])
+        assert rank2.count() == 0
+        assert set(docs.columns) | {"shard"} == set(rank2.columns)
+
+    def test_crashed_snapshot_is_not_a_version(
+        self, spark, docs, tmp_path, monkeypatch
+    ):
+        """Finding 3: a crashed never-flipped attempt (newer than
+        current) must not appear in shard_versions nor be pinnable —
+        in pointer mode the partial _v_ dir EXISTS on disk; serving it
+        would be silent partial data."""
+        import docarray_spark.sources.registry as registry
+
+        for mode in ("pointer", "manifest"):
+            path = str(tmp_path / mode)
+            save_shards(
+                docs, path, n_shards=4, id_col="doc_id", swap_mode=mode
+            )
+            orig = registry._write_text
+
+            def dying(p, text, spark=None):
+                if p.endswith("_CURRENT"):
+                    raise RuntimeError("injected crash")
+                return orig(p, text, spark)
+
+            monkeypatch.setattr(registry, "_write_text", dying)
+            with pytest.raises(RuntimeError, match="injected crash"):
+                merge_shards(
+                    docs.withColumn("text", F.upper("text")), path,
+                    id_col="doc_id",
+                )
+            monkeypatch.setattr(registry, "_write_text", orig)
+            v = shard_versions(path)
+            assert v["current"] == 1 and v["versions"] == [1], (mode, v)
+            with pytest.raises(ValueError, match="not retained"):
+                read_shards(spark, path, version=2)
+
+    def test_string_version_pin_stale_gets_clear_error(
+        self, spark, docs, tmp_path
+    ):
+        """Finding 4: a stored full manifest NAME whose snapshot aged
+        out of retention raises the actionable not-retained error, not a
+        raw file-not-found from _load_manifest."""
+        path = str(tmp_path / "strpin")
+        save_shards(
+            docs, path, n_shards=4, id_col="doc_id", swap_mode="manifest"
+        )
+        name1 = open(os.path.join(path, "_CURRENT")).read().strip()
+        merge_shards(docs.withColumn("text", F.upper("text")), path)
+        merge_shards(docs.withColumn("text", F.lower("text")), path)
+        with pytest.raises(ValueError, match="not retained"):
+            read_shards(spark, path, version=name1)
+        # a RETAINED name still resolves
+        cur = open(os.path.join(path, "_CURRENT")).read().strip()
+        assert read_shards(spark, path, version=cur).count() == docs.count()
+
+    def test_compact_heals_crashed_rename_swap(self, spark, docs, tmp_path):
+        """Finding 5: compact_shards on a rename-mode export parked
+        mid-swap by a crashed merge heals it (same _recover_swap as
+        merge_shards) instead of claiming the sidecar is missing."""
+        from docarray_spark.sources import compact_shards
+
+        path = str(tmp_path / "heal")
+        save_shards(docs, path, n_shards=4, id_col="doc_id")
+        os.rename(path, path + ".__old__")  # crash window simulation
+        os.makedirs(path + ".__rewrite__")
+        m = compact_shards(spark, path).toPandas()
+        assert m.rows.sum() == docs.count()
+        assert not os.path.isdir(path + ".__old__")
+        assert read_shards(spark, path).count() == docs.count()
+
+
 class TestMigrationsAndAuto:
     def test_append_auto_follows_established_mode(self, spark, docs, tmp_path):
         """ADVICE r11 #1: save_shards(mode='append', swap_mode='auto')
@@ -506,6 +677,19 @@ class TestMigrationsAndAuto:
         assert shard_versions(path)["mode"] == "rename"
         assert not os.path.exists(os.path.join(path, "_CURRENT"))
         assert not any(d.startswith("_b_") for d in os.listdir(path))
+        assert read_shards(spark, path).count() == docs.count()
+        # manifest -> pointer (r12 self-review: the version counter must
+        # continue through _parse_seq — cur is "_m_<n>_<token>" here)
+        save_shards(
+            docs, path, n_shards=4, id_col="doc_id", swap_mode="manifest"
+        )
+        save_shards(
+            docs, path, n_shards=4, id_col="doc_id", swap_mode="pointer"
+        )
+        v = shard_versions(path)
+        assert v["mode"] == "pointer" and v["current"] >= 2
+        assert not any(d.startswith("_b_") for d in os.listdir(path))
+        assert not os.path.isdir(os.path.join(path, "_manifests"))
         assert read_shards(spark, path).count() == docs.count()
         # pointer -> manifest via merge (full rewrite migrates)
         p2 = str(tmp_path / "mig2")
