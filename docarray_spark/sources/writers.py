@@ -622,6 +622,7 @@ def _publish_snapshot(
     publish: str,
     affected: "list[int] | None" = None,
     expected=_UNSET,
+    compact_at: "int | None" = None,
 ) -> tuple[str, dict, str]:
     """Manifest-mode publish (format v3, VERDICT r11 #1): write ``df``
     into a fresh IMMUTABLE batch directory ``_b_<n>_<token>/shard=K/…``,
@@ -655,6 +656,17 @@ def _publish_snapshot(
     output doesn't depend on prior export state (a fresh overwrite)
     omit it.
 
+    ``compact_at`` (append only) is the LSM-style fold threshold: any
+    shard whose batch list has reached ``compact_at`` entries is folded
+    — its current rows are read once and written into this batch
+    alongside the appended rows, and its manifest entry resets to the
+    one new batch — so no shard's reader fan-out ever exceeds
+    ``compact_at`` scans. Shards below the threshold keep the zero-copy
+    append. The fold work is bounded by the folded shards' rows, paid
+    by the writer that crossed the threshold (amortized compaction),
+    and the usual snapshot isolation holds: pinned readers keep the
+    pre-fold batches until retention releases them.
+
     Returns ``(manifest_name, manifest_dict, batch_name)``."""
     import json
     import uuid
@@ -674,6 +686,20 @@ def _publish_snapshot(
     old_map: dict = {}
     if cur is not None and cur.startswith("_m_"):
         old_map = _load_manifest(root, cur, spark)["batches_by_shard"]
+    fold: set = set()
+    if publish == "append" and compact_at is not None:
+        fold = {
+            int(s) for s, bl in old_map.items() if len(bl) >= compact_at
+        }
+        if fold:
+            base = _manifest_read(
+                spark, root,
+                {"batches_by_shard": {
+                    str(s): old_map[str(s)] for s in fold
+                }},
+            )
+            if base is not None:
+                df = base.unionByName(df)
     n = (_parse_seq(cur) + 1) if cur else 1
     token = uuid.uuid4().hex[:8]
     bname = f"_b_{n:010d}_{token}"
@@ -689,7 +715,10 @@ def _publish_snapshot(
     elif publish == "append":
         new_map = {s: list(bl) for s, bl in old_map.items()}
         for s in written:
-            new_map.setdefault(str(s), []).append(bname)
+            if s in fold:
+                new_map[str(s)] = [bname]  # compacted into this batch
+            else:
+                new_map.setdefault(str(s), []).append(bname)
     elif publish == "partial":
         new_map = {s: list(bl) for s, bl in old_map.items()}
         got = set(written)
@@ -983,6 +1012,7 @@ def save_shards(
     max_rows_per_file: int | None = _UNSET,
     swap_mode: str = _UNSET,
     keep_versions: int = _UNSET,
+    compact_at: "int | None" = None,
 ) -> DataFrame:
     """Training-shard export: write ``df`` under ``path/shard=N/`` and
     return a verification manifest. By default each shard is exactly one
@@ -1063,7 +1093,22 @@ def save_shards(
     post-flip GC keeps — default 1 (current only); size it to the
     longest-running reader, and to ≥2 whenever concurrent
     readers/writers overlap a rewrite (see :func:`_new_version_write`,
-    :func:`_publish_snapshot`)."""
+    :func:`_publish_snapshot`).
+
+    ``compact_at`` (manifest-layout ``mode='append'`` only) bounds
+    append-history fragmentation: every zero-copy append grows the
+    touched shards' batch lists by one, and a reader of a shard with B
+    batches unions B scans (the 10M churn probe measured a 3-batch
+    snapshot's full rewrite at ~5x a compacted one). With
+    ``compact_at=B``, a shard whose list has reached B entries is
+    folded into the new batch during the append (its rows re-written
+    once, its list reset to 1) — amortized LSM-style compaction that
+    caps every shard's fan-out at B without the explicit
+    :func:`compact_shards` stop-the-world pass. Per-call policy, not
+    persisted. Other modes/layouts raise: overwrite publishes one
+    batch by construction, merges self-compact the shards they touch,
+    and pointer/rename appends write into live directories (nothing to
+    fold)."""
     spark = df.sparkSession
     path = path.rstrip("/")
     sidecar = _load_layout_sidecar(path, spark)
@@ -1129,12 +1174,26 @@ def save_shards(
             "— use merge_shards (merges existing rows into the "
             "new version) or mode='overwrite'"
         )
+    if compact_at is not None and compact_at < 1:
+        raise ValueError(f"save_shards: compact_at must be >= 1, got {compact_at}")
+    if compact_at is not None and not (
+        mode == "append" and resolved_swap == "manifest"
+    ):
+        raise ValueError(
+            "save_shards: compact_at applies only to mode='append' on a "
+            f"manifest-layout export (got mode={mode!r}, "
+            f"swap_mode={resolved_swap!r}) — overwrites publish a single "
+            "batch already, and pointer/rename appends write into live "
+            "directories with no batch list to fold"
+        )
     back = sizes = None
     if resolved_swap == "manifest":
         publish = "append" if (
             mode == "append" and established == "manifest"
         ) else "rewrite"
-        _, man, bname = _publish_snapshot(out, path, layout, spark, publish)
+        _, man, bname = _publish_snapshot(
+            out, path, layout, spark, publish, compact_at=compact_at
+        )
         # (append's old-map dependency is re-read inside the publish, so
         # its unanchored window is just the map-read → flip gap; a fresh
         # overwrite has no prior-state dependency at all)

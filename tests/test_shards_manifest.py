@@ -841,3 +841,102 @@ class TestStreamingManifest:
         back = read_shards(spark, path)
         assert back.count() == docs.count()
         assert back.filter(F.col("text") != F.upper("text")).count() == 0
+
+
+class TestCompactAt:
+    """r12: amortized append compaction — ``save_shards(mode='append',
+    compact_at=B)`` folds any shard whose batch list reached B into the
+    new batch, capping every shard's reader fan-out at B scans."""
+
+    @staticmethod
+    def _batch_map(path):
+        cur = open(os.path.join(path, "_CURRENT")).read().strip()
+        with open(os.path.join(path, "_manifests", f"{cur}.json")) as f:
+            return json.load(f)["batches_by_shard"]
+
+    def test_fanout_stays_bounded(self, spark, tmp_path):
+        """Five appends under compact_at=2: after every one, no shard
+        lists more than 2 batches and the served rows are exactly the
+        accumulated corpus."""
+        path = str(tmp_path / "bound")
+        mk = lambda lo, hi: spark.createDataFrame(
+            [(i, f"t{i}") for i in range(lo, hi)], "doc_id long, text string"
+        )
+        save_shards(
+            mk(0, 30), path, n_shards=4, id_col="doc_id",
+            swap_mode="manifest",
+        )
+        expect = 30
+        folded_once = False
+        for k in range(5):
+            lo = 100 + 10 * k
+            save_shards(mk(lo, lo + 4), path, mode="append", compact_at=2)
+            expect += 4
+            bm = self._batch_map(path)
+            assert max(len(bl) for bl in bm.values()) <= 2, bm
+            folded_once = folded_once or any(
+                len(bl) == 1 for bl in bm.values()
+            )
+            back = read_shards(spark, path)
+            assert back.count() == expect
+        assert folded_once  # the threshold actually fired
+        # with keep_versions=1, fold + GC keeps disk bounded: live
+        # batches are only the ones the current manifest references
+        live = {b for bl in self._batch_map(path).values() for b in bl}
+        on_disk = {d for d in os.listdir(path) if d.startswith("_b_")}
+        assert on_disk == live
+
+    def test_below_threshold_append_stays_zero_copy(self, spark, tmp_path):
+        """An append that folds nothing must not rewrite any existing
+        file (the zero-copy contract is untouched below the cap)."""
+        path = str(tmp_path / "zc")
+        df0 = spark.createDataFrame(
+            [(i, "x") for i in range(20)], "doc_id long, text string"
+        )
+        save_shards(
+            df0, path, n_shards=4, id_col="doc_id", swap_mode="manifest"
+        )
+        pre = _file_states(path)
+        one = spark.createDataFrame([(99, "y")], "doc_id long, text string")
+        save_shards(one, path, mode="append", compact_at=5)
+        post = _file_states(path)
+        assert all(post[p] == st for p, st in pre.items())
+
+    def test_fold_is_snapshot_isolated(self, spark, tmp_path):
+        """A reader pinned before a folding append keeps the pre-fold
+        rows under keep_versions=2."""
+        path = str(tmp_path / "iso")
+        mk = lambda lo, hi, t: spark.createDataFrame(
+            [(i, t) for i in range(lo, hi)], "doc_id long, text string"
+        )
+        save_shards(
+            mk(0, 20, "a"), path, n_shards=4, id_col="doc_id",
+            swap_mode="manifest", keep_versions=2,
+        )
+        save_shards(mk(20, 24, "b"), path, mode="append")  # lists at 2
+        pin = shard_versions(path)["current"]
+        save_shards(mk(24, 28, "c"), path, mode="append", compact_at=2)
+        pinned = read_shards(spark, path, version=pin)
+        assert pinned.count() == 24
+        assert pinned.filter(F.col("text") == "c").count() == 0
+        assert read_shards(spark, path).count() == 28
+
+    def test_compact_at_validation(self, spark, docs, tmp_path):
+        p1 = str(tmp_path / "v1")
+        with pytest.raises(ValueError, match="compact_at applies only"):
+            save_shards(
+                docs, p1, n_shards=4, id_col="doc_id",
+                swap_mode="manifest", compact_at=2,
+            )
+        p2 = str(tmp_path / "v2")
+        save_shards(
+            docs, p2, n_shards=4, id_col="doc_id", swap_mode="pointer"
+        )
+        with pytest.raises(ValueError, match="compact_at applies only"):
+            save_shards(docs.limit(2), p2, mode="append", compact_at=2)
+        p3 = str(tmp_path / "v3")
+        save_shards(
+            docs, p3, n_shards=4, id_col="doc_id", swap_mode="manifest"
+        )
+        with pytest.raises(ValueError, match="must be >= 1"):
+            save_shards(docs.limit(2), p3, mode="append", compact_at=0)
