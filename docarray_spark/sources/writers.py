@@ -481,14 +481,14 @@ def shard_versions(path: str, spark: SparkSession | None = None) -> dict:
     # pin (r12 review)
     cur_seq = _parse_seq(cur)
     if cur.startswith("_m_"):
-        names = [
-            n for n in _list_manifest_names(root, spark)
-            if _parse_seq(n) < cur_seq or n == cur
-        ]
+        # the lineage chain IS the retained-version set: off-chain
+        # manifests (lost-race orphans, crashed never-flipped attempts)
+        # are pre-GC garbage whatever their sequence number
+        chain = _manifest_chain(root, cur, spark)
         return {
             "mode": "manifest",
             "current": cur_seq,
-            "versions": sorted({_parse_seq(n) for n in names}),
+            "versions": sorted(_parse_seq(n) for n in chain),
         }
     return {
         "mode": "pointer",
@@ -537,12 +537,11 @@ def _resolve_manifest_name(
     raw file-not-found)."""
     if version is None:
         return cur
-    cur_seq = _parse_seq(cur)
-    retained = [
-        n for n in _list_manifest_names(root, spark)
-        if _parse_seq(n) < cur_seq or n == cur
-    ]
-    have = sorted({_parse_seq(n) for n in retained})
+    # only lineage-chain members resolve: a lost-race orphan shares a
+    # sequence with a published snapshot but was never flipped to —
+    # serving it would be silent wrong data
+    retained = _manifest_chain(root, cur, spark)
+    have = sorted(_parse_seq(n) for n in retained)
     if isinstance(version, str):
         if version not in retained:
             raise ValueError(
@@ -558,9 +557,7 @@ def _resolve_manifest_name(
             f"(available: {have}; raise keep_versions to hold snapshots "
             "longer)"
         )
-    # >1 name with one sequence only happens for an ancient lost-race
-    # orphan GC has not swept — deterministic pick
-    return cur if cur in names else sorted(names)[-1]
+    return names[0]  # sequences are unique on a lineage chain
 
 
 def _manifest_read(
@@ -623,6 +620,7 @@ def _publish_snapshot(
     affected: "list[int] | None" = None,
     expected=_UNSET,
     compact_at: "int | None" = None,
+    meta: "dict | None" = None,
 ) -> tuple[str, dict, str]:
     """Manifest-mode publish (format v3, VERDICT r11 #1): write ``df``
     into a fresh IMMUTABLE batch directory ``_b_<n>_<token>/shard=K/…``,
@@ -730,11 +728,56 @@ def _publish_snapshot(
     else:
         raise ValueError(f"unknown publish kind {publish!r}")
     mname = f"_m_{n:010d}_{token}"
-    man = {"format": SNAPSHOT_FORMAT, "n": n, "batches_by_shard": new_map}
+    # "prev" is the snapshot LINEAGE (the Iceberg parent pointer): GC
+    # retention and version listing walk this chain from current, so a
+    # lost-race orphan manifest — same sequence, different token, never
+    # flipped to — is never on the chain and can never steal a
+    # retention slot from the published snapshot it lost to
+    man = {
+        "format": SNAPSHOT_FORMAT, "n": n, "batches_by_shard": new_map,
+        "prev": cur,
+    }
+    if meta:
+        # writer-supplied metadata rides the atomic publish (e.g. the
+        # streaming ingest's micro-batch id for exactly-once replay
+        # skipping) — visible only while ITS snapshot is current
+        man["meta"] = dict(meta)
     _write_text(f"{root}/{_MANIFEST_DIR}/{mname}.json", json.dumps(man), spark)
     _flip_pointer(root, cur, mname, spark)
     _manifest_gc(root, mname, layout.get("keep_versions", 1), spark)
     return mname, man, bname
+
+
+def _manifest_chain(
+    root: str,
+    cur: str,
+    spark: SparkSession | None,
+    limit: "int | None" = None,
+) -> list[str]:
+    """The published-snapshot lineage: walk ``prev`` links back from
+    ``cur`` through manifests that still exist, up to ``limit`` entries
+    (None = until the chain ends). Only chain members are real
+    snapshots — same-sequence lost-race orphans and crashed
+    never-flipped attempts are off-chain by construction. A manifest
+    without ``prev`` (pre-lineage v3) or whose predecessor is already
+    GC'd ends the walk."""
+    names = set(_list_manifest_names(root, spark))
+    keep, seen = [cur], {cur}
+    name = cur
+    while limit is None or len(keep) < limit:
+        try:
+            prev = _load_manifest(root, name, spark).get("prev")
+        except Exception:
+            break
+        if (
+            not prev or not prev.startswith("_m_")
+            or prev not in names or prev in seen
+        ):
+            break
+        keep.append(prev)
+        seen.add(prev)
+        name = prev
+    return keep
 
 
 def _manifest_gc(
@@ -755,12 +798,7 @@ def _manifest_gc(
     from .registry import _list_subdirs
 
     names = _list_manifest_names(root, spark)
-    cur_seq = _parse_seq(current)
-    older = sorted(
-        (n for n in names if _parse_seq(n) < cur_seq),
-        key=_parse_seq, reverse=True,
-    )
-    keep = [current] + older[: max(1, keep_versions) - 1]
+    keep = _manifest_chain(root, current, spark, limit=max(1, keep_versions))
     from .registry import _delete_file
 
     for n in names:
@@ -1013,6 +1051,8 @@ def save_shards(
     swap_mode: str = _UNSET,
     keep_versions: int = _UNSET,
     compact_at: "int | None" = None,
+    manifest_scope: str = "snapshot",
+    manifest_meta: "dict | None" = None,
 ) -> DataFrame:
     """Training-shard export: write ``df`` under ``path/shard=N/`` and
     return a verification manifest. By default each shard is exactly one
@@ -1108,7 +1148,33 @@ def save_shards(
     persisted. Other modes/layouts raise: overwrite publishes one
     batch by construction, merges self-compact the shards they touch,
     and pointer/rename appends write into live directories (nothing to
-    fold)."""
+    fold).
+
+    ``manifest_scope`` (manifest-layout ``mode='append'`` only) bounds
+    the RETURNED verification manifest's cost: the default
+    ``'snapshot'`` reads back the whole snapshot (content sums over
+    every row — per-append cost grows O(corpus); the 1M churn probe
+    measured append walls climbing 3.5 s → 11.9 s purely from this
+    read-back), ``'batch'`` reads back only the new immutable batch
+    directory, keeping the append O(batch) end to end — the high-rate
+    ingest setting. Batch-scope rows cover the appended delta per
+    touched shard (a ``compact_at``-folded shard's row covers its full
+    content, since the fold wrote all of it into the batch); diff them
+    against a stored snapshot manifest with a rolling sum, or run a
+    periodic ``'snapshot'`` append / :func:`compact_shards` for a full
+    audit. Other modes raise: an overwrite's read-back is already
+    proportional to what it wrote, and pointer/rename appends
+    interleave their files into live shard directories — there is no
+    delta directory to scope the read-back to.
+
+    ``manifest_meta`` (manifest layout only) is a small JSON-able dict
+    stored under ``"meta"`` in the published snapshot manifest — it
+    rides the same atomic pointer flip as the data, which is what makes
+    it useful: ``stream_merge_shards(mode='append')`` records its
+    micro-batch id there, so a foreachBatch replay after a crash can
+    see whether the batch's publish actually landed (exactly-once
+    appends from an at-least-once stream). Only CURRENT-snapshot
+    metadata is consulted; any other writer's publish replaces it."""
     spark = df.sparkSession
     path = path.rstrip("/")
     sidecar = _load_layout_sidecar(path, spark)
@@ -1174,6 +1240,28 @@ def save_shards(
             "— use merge_shards (merges existing rows into the "
             "new version) or mode='overwrite'"
         )
+    if manifest_scope not in ("snapshot", "batch"):
+        raise ValueError(
+            f"save_shards: manifest_scope must be 'snapshot' or 'batch', "
+            f"got {manifest_scope!r}"
+        )
+    if manifest_scope == "batch" and not (
+        mode == "append" and resolved_swap == "manifest"
+    ):
+        raise ValueError(
+            "save_shards: manifest_scope='batch' applies only to "
+            f"mode='append' on a manifest-layout export (got mode={mode!r}, "
+            f"swap_mode={resolved_swap!r}) — an overwrite's read-back is "
+            "proportional to what it wrote, and pointer/rename appends "
+            "interleave files into live shard directories with no delta "
+            "directory to scope to"
+        )
+    if manifest_meta is not None and resolved_swap != "manifest":
+        raise ValueError(
+            "save_shards: manifest_meta requires the manifest layout "
+            f"(got swap_mode={resolved_swap!r}) — only a snapshot "
+            "manifest publish can carry it atomically"
+        )
     if compact_at is not None and compact_at < 1:
         raise ValueError(f"save_shards: compact_at must be >= 1, got {compact_at}")
     if compact_at is not None and not (
@@ -1192,17 +1280,31 @@ def save_shards(
             mode == "append" and established == "manifest"
         ) else "rewrite"
         _, man, bname = _publish_snapshot(
-            out, path, layout, spark, publish, compact_at=compact_at
+            out, path, layout, spark, publish, compact_at=compact_at,
+            meta=manifest_meta,
         )
         # (append's old-map dependency is re-read inside the publish, so
         # its unanchored window is just the map-read → flip gap; a fresh
         # overwrite has no prior-state dependency at all)
         data_root = f"{path}/{bname}"
         if publish == "append":
-            # the returned manifest covers the whole snapshot (appended
-            # files share shards with prior batches)
-            back = _manifest_read(spark, path, man)
-            sizes = _manifest_sizes(path, man, spark)
+            if manifest_scope == "batch":
+                # O(batch) read-back: rows/sums cover the appended delta
+                # (and folded shards' full content) only; an empty
+                # append wrote no batch dir to read
+                if man["batches_by_shard"] and any(
+                    bname in bl for bl in man["batches_by_shard"].values()
+                ):
+                    back = spark.read.parquet(data_root)
+                    sizes = _shard_sizes(data_root, spark)
+                else:
+                    back = out.limit(0)
+                    sizes = {}
+            else:
+                # the returned manifest covers the whole snapshot
+                # (appended files share shards with prior batches)
+                back = _manifest_read(spark, path, man)
+                sizes = _manifest_sizes(path, man, spark)
     elif resolved_swap == "pointer":
         from .registry import _exists
 

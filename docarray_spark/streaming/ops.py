@@ -508,6 +508,8 @@ def stream_merge_shards(
     full_rewrite_at: float = 1.0,
     swap_mode: str = "auto",
     keep_versions: "int | None" = None,
+    mode: str = "merge",
+    compact_at: "int | None" = None,
 ):
     """Streaming maintenance of a :func:`~docarray_spark.sources.writers.
     save_shards` training-shard export: every micro-batch upserts into the
@@ -530,25 +532,81 @@ def stream_merge_shards(
     In this wrapper ``None`` means "not passed" for every layout knob
     (defer to the sidecar / legacy default) — a streaming caller cannot
     express "explicitly unsorted/uncapped against a sorted/capped
-    export"; re-export with save_shards for that."""
+    export"; re-export with save_shards for that.
+
+    ``mode='append'`` (manifest layout only) is the high-rate ingest
+    path: each micro-batch publishes a zero-copy append snapshot
+    (``manifest_scope='batch'`` — O(batch) end to end, no touched-shard
+    COW rewrite) with ``compact_at`` bounding every shard's batch
+    fan-out LSM-style. Append is blind to ids already in the export —
+    rows are ADDED, never upserted — so it fits known-new streams
+    (e.g. gated by a dedup-against-history probe); use the default
+    ``mode='merge'`` when re-seen ids must converge by upsert. Replay
+    safety: the (checkpoint identity, micro-batch id) pair is recorded
+    in the published manifest's ``meta`` (the same atomic flip as the
+    data), and a batch whose id is <= the id recorded by the SAME
+    checkpoint is SKIPPED — exactly-once appends from foreachBatch's
+    at-least-once delivery. Batch ids are per-checkpoint, so a fresh
+    checkpoint never matches and is appended normally. Holds under the
+    export family's single-writer contract (another writer's publish
+    replaces the metadata; don't compact mid-stream)."""
     import os
 
     from docarray_spark.sources.registry import _exists
     from docarray_spark.sources.writers import (
         _UNSET,
+        _current_pointer,
         _load_layout_sidecar,
+        _load_manifest,
         merge_shards,
         save_shards,
     )
 
+    if mode not in ("merge", "append"):
+        raise ValueError(
+            f"stream_merge_shards: mode must be 'merge' or 'append', "
+            f"got {mode!r}"
+        )
+    if mode == "append" and swap_mode not in ("auto", "manifest"):
+        raise ValueError(
+            "stream_merge_shards: mode='append' publishes zero-copy "
+            "manifest snapshots — swap_mode must be 'manifest' (or "
+            f"'auto' onto a manifest export), got {swap_mode!r}"
+        )
+    if compact_at is not None and mode != "append":
+        raise ValueError(
+            "stream_merge_shards: compact_at is the append-mode fold "
+            "threshold; mode='merge' self-compacts the shards it touches"
+        )
+    eff_swap = "manifest" if mode == "append" else swap_mode
+    # replay guard identity: batch ids are per-checkpoint, so the
+    # recorded id only suppresses a replay from the SAME checkpoint —
+    # a fresh checkpoint restarts at 0 and must not be skipped
+    import uuid as _uuid
+
+    app_id = checkpoint or f"ephemeral-{_uuid.uuid4().hex}"
+
     def _u(v):
         return v if v is not None else _UNSET
+
+    def _applied_batch_id(spark):
+        cur = _current_pointer(path, spark)
+        if cur is None or not cur.startswith("_m_"):
+            return None
+        meta = _load_manifest(path, cur, spark).get("meta") or {}
+        if meta.get("stream_app_id") != app_id:
+            return None
+        return meta.get("stream_batch_id")
 
     def _merge(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
         fresh = not _exists(path, spark) or (
             "://" not in path and not os.listdir(path)
         )
+        if mode == "append" and not fresh:
+            last = _applied_batch_id(spark)
+            if last is not None and _batch_id <= last:
+                return  # replayed batch whose publish already landed
         sidecar = None if fresh else _load_layout_sidecar(path, spark)
         eff_id = id_col or (sidecar or {}).get("id_col") or "id"
         b = batch_df.dropDuplicates([eff_id])
@@ -570,8 +628,20 @@ def stream_merge_shards(
                 hash_method=hash_method or "md5",
                 files_per_shard=files_per_shard or 1,
                 max_rows_per_file=max_rows_per_file,
-                swap_mode=swap_mode,
+                swap_mode=eff_swap,
                 keep_versions=keep_versions or 1,
+                manifest_meta=(
+                    {"stream_app_id": app_id, "stream_batch_id": _batch_id}
+                    if mode == "append" else None
+                ),
+            )
+        elif mode == "append":
+            save_shards(
+                b, path, mode="append", compact_at=compact_at,
+                manifest_scope="batch",
+                manifest_meta={
+                    "stream_app_id": app_id, "stream_batch_id": _batch_id
+                },
             )
         else:
             merge_shards(

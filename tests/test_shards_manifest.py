@@ -940,3 +940,259 @@ class TestCompactAt:
         )
         with pytest.raises(ValueError, match="must be >= 1"):
             save_shards(docs.limit(2), p3, mode="append", compact_at=0)
+
+
+class TestManifestScope:
+    """r12: manifest_scope='batch' keeps an append O(batch) — the
+    default 'snapshot' read-back verifies the whole export (content
+    sums over every row), which the 1M probe measured growing the
+    per-append wall with corpus size."""
+
+    def test_batch_scope_returns_delta_rows(self, spark, tmp_path):
+        path = str(tmp_path / "delta")
+        mk = lambda lo, n, t: spark.createDataFrame(
+            [(i, t) for i in range(lo, lo + n)], "doc_id long, text string"
+        )
+        save_shards(
+            mk(0, 30, "a"), path, n_shards=4, id_col="doc_id",
+            swap_mode="manifest",
+        )
+        m = save_shards(
+            mk(100, 4, "b"), path, mode="append", manifest_scope="batch"
+        ).toPandas()
+        assert m.rows.sum() == 4  # the appended delta, not the snapshot
+        snap = save_shards(
+            mk(200, 4, "c"), path, mode="append"
+        ).toPandas()
+        assert snap.rows.sum() == 38  # default scope still full-snapshot
+        assert read_shards(spark, path).count() == 38
+
+    def test_batch_scope_covers_folded_shards_fully(self, spark, tmp_path):
+        """Under compact_at, a folded shard's batch-scope row covers its
+        complete content (the fold wrote all of it into the batch)."""
+        path = str(tmp_path / "foldrow")
+        mk = lambda lo, n, t: spark.createDataFrame(
+            [(i, t) for i in range(lo, lo + n)], "doc_id long, text string"
+        )
+        save_shards(
+            mk(0, 30, "a"), path, n_shards=4, id_col="doc_id",
+            swap_mode="manifest",
+        )
+        save_shards(mk(100, 8, "b"), path, mode="append")  # lists at 2
+        m = save_shards(
+            mk(200, 8, "c"), path, mode="append", compact_at=2,
+            manifest_scope="batch",
+        ).toPandas()
+        # every shard folded (all were at the cap): the batch holds the
+        # whole corpus, so delta rows sum to it
+        assert m.rows.sum() == 46
+        assert read_shards(spark, path).count() == 46
+
+    def test_batch_scope_empty_append(self, spark, tmp_path):
+        path = str(tmp_path / "emptyapp")
+        df0 = spark.createDataFrame(
+            [(i, "x") for i in range(10)], "doc_id long, text string"
+        )
+        save_shards(
+            df0, path, n_shards=4, id_col="doc_id", swap_mode="manifest"
+        )
+        m = save_shards(
+            df0.limit(0), path, mode="append", manifest_scope="batch"
+        ).toPandas()
+        assert m.rows.sum() == 0
+        assert read_shards(spark, path).count() == 10
+
+    def test_manifest_scope_validation(self, spark, docs, tmp_path):
+        p1 = str(tmp_path / "ms1")
+        with pytest.raises(ValueError, match="manifest_scope='batch' applies"):
+            save_shards(
+                docs, p1, n_shards=4, id_col="doc_id",
+                swap_mode="manifest", manifest_scope="batch",
+            )
+        p2 = str(tmp_path / "ms2")
+        save_shards(
+            docs, p2, n_shards=4, id_col="doc_id", swap_mode="pointer"
+        )
+        with pytest.raises(ValueError, match="manifest_scope='batch' applies"):
+            save_shards(
+                docs.limit(2), p2, mode="append", manifest_scope="batch"
+            )
+        p3 = str(tmp_path / "ms3")
+        save_shards(
+            docs, p3, n_shards=4, id_col="doc_id", swap_mode="manifest"
+        )
+        with pytest.raises(ValueError, match="must be 'snapshot' or 'batch'"):
+            save_shards(
+                docs.limit(2), p3, mode="append", manifest_scope="full"
+            )
+
+
+class TestStreamingAppend:
+    """r12: stream_merge_shards(mode='append') — zero-copy O(batch)
+    snapshot publishes per micro-batch with exactly-once replay
+    skipping keyed on (checkpoint identity, batch id) in the manifest
+    meta."""
+
+    @staticmethod
+    def _mk_rows(spark, lo, n, t):
+        return spark.createDataFrame(
+            [(i, t) for i in range(lo, lo + n)], "doc_id long, text string"
+        )
+
+    @staticmethod
+    def _drain(spark, q):
+        """availableNow termination races its deregistration from the
+        active-query list; a follow-up query on the SAME checkpoint
+        must wait for the deregister or Spark rejects it as concurrent."""
+        import time
+
+        q.awaitTermination(120)
+        for _ in range(300):
+            if all(x.id != q.id for x in spark.streams.active):
+                return
+            time.sleep(0.1)
+
+    def test_append_stream_exactly_once(self, spark, tmp_path):
+        import shutil
+
+        from docarray_spark.streaming import read_stream, stream_merge_shards
+
+        path = str(tmp_path / "sapp")
+        save_shards(
+            self._mk_rows(spark, 0, 30, "base"), path, n_shards=4,
+            id_col="doc_id", swap_mode="manifest",
+        )
+        src = str(tmp_path / "src")
+        for k in range(3):
+            # ONE part-file per write: each becomes exactly one
+            # micro-batch under maxFilesPerTrigger=1, so the LAST batch
+            # is a data batch and its commit marker is the newest one
+            self._mk_rows(spark, 100 + 10 * k, 5, f"b{k}").repartition(
+                1
+            ).write.mode("append").parquet(src)
+        ck = str(tmp_path / "ckpt")
+        sdf = read_stream(
+            spark, src, schema="doc_id long, text string",
+            max_files_per_trigger=1,
+        )
+        q = stream_merge_shards(
+            sdf, path, checkpoint=ck, mode="append", compact_at=3
+        )
+        self._drain(spark, q)
+        assert read_shards(spark, path).count() == 45
+        cur = open(os.path.join(path, "_CURRENT")).read().strip()
+        with open(os.path.join(path, "_manifests", f"{cur}.json")) as f:
+            man = json.load(f)
+        assert man["meta"]["stream_app_id"] == ck
+        last_id = man["meta"]["stream_batch_id"]
+        commits = [
+            int(n) for n in os.listdir(os.path.join(ck, "commits"))
+            if n.isdigit()
+        ]
+        # the newest commit must be the batch the manifest recorded —
+        # deleting a MID-log commit would instead look like a log gap
+        assert last_id == max(commits)
+        assert max(
+            len(bl) for bl in man["batches_by_shard"].values()
+        ) <= 3
+        # at-least-once replay: drop the final batch's commit marker so
+        # a restarted query re-executes it with the SAME batch id — the
+        # manifest-meta guard must skip the publish (no duplicate rows)
+        os.remove(os.path.join(ck, "commits", str(last_id)))
+        crc = os.path.join(ck, "commits", f".{last_id}.crc")
+        if os.path.exists(crc):  # Hadoop LocalFS checksum sidecar — a
+            os.remove(crc)  # stale one makes the re-create look like a
+            # concurrent writer (FileAlreadyExists on the crc)
+        sdf2 = read_stream(
+            spark, src, schema="doc_id long, text string",
+            max_files_per_trigger=1,
+        )
+        q2 = stream_merge_shards(
+            sdf2, path, checkpoint=ck, mode="append", compact_at=3
+        )
+        self._drain(spark, q2)
+        assert read_shards(spark, path).count() == 45  # no re-append
+        # a FRESH checkpoint restarts batch ids at 0 — different app
+        # identity, so its appends must NOT be suppressed
+        src2 = str(tmp_path / "src2")
+        self._mk_rows(spark, 500, 4, "new").write.parquet(src2)
+        sdf3 = read_stream(spark, src2, schema="doc_id long, text string")
+        q3 = stream_merge_shards(
+            sdf3, path, checkpoint=str(tmp_path / "ckpt2"), mode="append"
+        )
+        q3.awaitTermination(120)
+        assert read_shards(spark, path).count() == 49
+        shutil.rmtree(src2)
+
+    def test_append_stream_fresh_init_forces_manifest(self, spark, tmp_path):
+        from docarray_spark.streaming import read_stream, stream_merge_shards
+
+        path = str(tmp_path / "sfresh")
+        src = str(tmp_path / "srcf")
+        self._mk_rows(spark, 0, 12, "a").write.parquet(src)
+        sdf = read_stream(spark, src, schema="doc_id long, text string")
+        q = stream_merge_shards(
+            sdf, path, n_shards=4, id_col="doc_id",
+            checkpoint=str(tmp_path / "ckf"), mode="append",
+        )
+        q.awaitTermination(120)
+        assert shard_versions(path)["mode"] == "manifest"
+        assert read_shards(spark, path).count() == 12
+
+    def test_append_mode_validation(self, spark):
+        from docarray_spark.streaming import stream_merge_shards
+
+        with pytest.raises(ValueError, match="mode must be"):
+            stream_merge_shards(None, "/tmp/x", mode="upsert")
+        with pytest.raises(ValueError, match="swap_mode must be 'manifest'"):
+            stream_merge_shards(None, "/tmp/x", mode="append",
+                                swap_mode="rename")
+        with pytest.raises(ValueError, match="append-mode fold threshold"):
+            stream_merge_shards(None, "/tmp/x", compact_at=3)
+
+
+class TestLineage:
+    """r12: manifests record their predecessor ("prev") — retention,
+    version listing, and pin resolution walk the lineage chain, so an
+    off-chain manifest (lost-race orphan, crashed attempt) can never
+    steal a retention slot or serve a pin, whatever its sequence."""
+
+    def test_orphan_manifest_never_resolves(self, spark, docs, tmp_path):
+        import shutil
+
+        path = str(tmp_path / "lin")
+        save_shards(
+            docs, path, n_shards=4, id_col="doc_id", swap_mode="manifest",
+            keep_versions=3,
+        )
+        merge_shards(docs.withColumn("text", F.upper("text")), path)
+        # hand-craft a lost-race orphan at sequence 2: same seq as the
+        # retained published snapshot, lexically LAST token (the old
+        # tie-break would have picked it)
+        mdir = os.path.join(path, "_manifests")
+        pub2 = [n for n in os.listdir(mdir) if n.startswith("_m_0000000002")]
+        assert len(pub2) == 1
+        orphan = "_m_0000000002_zzzzzzzz.json"
+        shutil.copy(os.path.join(mdir, pub2[0]), os.path.join(mdir, orphan))
+        v = shard_versions(path)
+        assert v["versions"] == [1, 2]  # orphan invisible
+        got = read_shards(spark, path, version=2)
+        assert got.filter(F.col("text") != F.upper("text")).count() == 0
+        with pytest.raises(ValueError, match="not retained"):
+            read_shards(spark, path, version=orphan[:-5])
+        # next publish GC-sweeps the orphan (off-chain)
+        merge_shards(docs.limit(1), path, id_col="doc_id")
+        assert orphan not in os.listdir(mdir)
+
+    def test_chain_survives_retention_walk(self, spark, docs, tmp_path):
+        path = str(tmp_path / "chain")
+        save_shards(
+            docs, path, n_shards=4, id_col="doc_id", swap_mode="manifest",
+            keep_versions=3,
+        )
+        for k in range(4):
+            merge_shards(
+                docs.limit(2).withColumn("text", F.lit(f"v{k}")), path
+            )
+        assert shard_versions(path)["versions"] == [3, 4, 5]
+        assert read_shards(spark, path, version=3).count() == docs.count()
