@@ -682,8 +682,26 @@ def _publish_snapshot(
             "current snapshot."
         )
     old_map: dict = {}
+    old_man: "dict | None" = None
     if cur is not None and cur.startswith("_m_"):
-        old_map = _load_manifest(root, cur, spark)["batches_by_shard"]
+        old_man = _load_manifest(root, cur, spark)
+        old_map = old_man["batches_by_shard"]
+    if publish == "append" and old_man is not None and old_map:
+        # a schema-drifted append would publish fine and then brick
+        # EVERY snapshot read at cross-batch union time (r12 review) —
+        # and batch-scope verification cannot see it, so check here
+        old_cols = old_man.get("columns")
+        if old_cols is None:  # pre-columns manifest: one footer read
+            any_b = next(b for bl in old_map.values() for b in bl)
+            old_cols = sorted(spark.read.parquet(f"{root}/{any_b}").columns)
+        if old_cols != sorted(df.columns):
+            raise ValueError(
+                f"save_shards: append columns {sorted(df.columns)} do "
+                f"not match the export's {old_cols} at {root!r} — a "
+                "drifted batch would make every snapshot read fail at "
+                "union time; re-export with mode='overwrite' to change "
+                "the schema"
+            )
     fold: set = set()
     if publish == "append" and compact_at is not None:
         fold = {
@@ -735,7 +753,7 @@ def _publish_snapshot(
     # retention slot from the published snapshot it lost to
     man = {
         "format": SNAPSHOT_FORMAT, "n": n, "batches_by_shard": new_map,
-        "prev": cur,
+        "prev": cur, "columns": sorted(df.columns),
     }
     if meta:
         # writer-supplied metadata rides the atomic publish (e.g. the
@@ -765,10 +783,11 @@ def _manifest_chain(
     keep, seen = [cur], {cur}
     name = cur
     while limit is None or len(keep) < limit:
-        try:
-            prev = _load_manifest(root, name, spark).get("prev")
-        except Exception:
-            break
+        # every name loaded here was just listed, so a read failure is
+        # abnormal (transient IO, races outside the single-writer
+        # contract) and MUST propagate: swallowing it would truncate
+        # the chain and let the GC below delete retained snapshots
+        prev = _load_manifest(root, name, spark).get("prev")
         if (
             not prev or not prev.startswith("_m_")
             or prev not in names or prev in seen
@@ -1203,6 +1222,15 @@ def save_shards(
     established = _established_swap_mode(sidecar, path, spark)
     if (swap_mode is _UNSET or swap_mode == "auto") and established is not None:
         layout["swap_mode"] = established
+    if keep_versions is _UNSET and sidecar is not None and mode != "append":
+        # keep_versions is GC policy, not a layout contract (see
+        # _resolve_shard_layout) — but that cuts both ways: an overwrite
+        # refresh with the knob UNSET must inherit the stored retention,
+        # not silently reset it to the legacy default and GC snapshots
+        # pinned readers still depend on (r12 review)
+        layout["keep_versions"] = sidecar.get(
+            "keep_versions", layout["keep_versions"]
+        )
     resolved_swap = layout["swap_mode"]
     if mode == "append" and established is not None and established != resolved_swap:
         raise ValueError(
@@ -1274,6 +1302,56 @@ def save_shards(
             "batch already, and pointer/rename appends write into live "
             "directories with no batch list to fold"
         )
+    if mode in ("error", "ignore") and resolved_swap in ("manifest", "pointer"):
+        # honor Spark's errorifexists/ignore writer contract (r12
+        # review): these layouts used to route every non-append mode
+        # through a full 'rewrite' publish, silently replacing — and
+        # with keep_versions=1 immediately GC'ing — the existing corpus
+        existing = _current_pointer(path, spark)
+        if existing is not None:
+            if mode == "error":
+                raise ValueError(
+                    f"save_shards: mode='error' and an export already "
+                    f"exists at {path!r}"
+                )
+            if existing.startswith("_m_"):
+                cur_man = _load_manifest(path, existing, spark)
+                return _shard_manifest(
+                    spark, None, data_cols, id_col,
+                    back=_manifest_read(spark, path, cur_man),
+                    sizes=_manifest_sizes(path, cur_man, spark),
+                )
+            return _shard_manifest(
+                spark, resolve_shards_path(path, spark), data_cols, id_col
+            )
+    sidecar_payload = {
+        "manifest_version": (
+            SNAPSHOT_FORMAT if resolved_swap == "manifest"
+            else MANIFEST_VERSION
+        ),
+        "n_shards": n_shards,
+        "id_col": id_col,
+        "hash_method": hash_method,
+        "order_within": order_within,
+        "files_per_shard": files_per_shard,
+        "max_rows_per_file": max_rows_per_file,
+        "swap_mode": resolved_swap,
+        "keep_versions": keep_versions,
+    }
+    # append must NOT rewrite the sidecar (ADVICE r11: overwriting it
+    # with per-call values would poison merge_shards' contradiction
+    # check instead of arming it); the stored layout is immutable
+    # between re-exports
+    write_sidecar = not (mode == "append" and sidecar is not None)
+    if write_sidecar and resolved_swap in ("manifest", "pointer"):
+        # persist the layout BEFORE the publish (r12 review): a crash
+        # between the pointer flip and a post-publish sidecar write
+        # leaves an export whose knob-less appends/merges are wedged on
+        # 'n_shards is required'. Batch/version dirs never wipe the
+        # root, so the early write survives the publish; rename-mode
+        # overwrite DOES wipe the root and keeps the post-write below.
+        _save_layout_sidecar(path, sidecar_payload, spark)
+        write_sidecar = False
     back = sizes = None
     if resolved_swap == "manifest":
         publish = "append" if (
@@ -1339,29 +1417,8 @@ def save_shards(
             for d in _list_subdirs(path, spark):
                 if d.startswith("_v_") or d.startswith("_b_") or d == _MANIFEST_DIR:
                     _rm(f"{path}/{d}", spark)
-    if not (mode == "append" and sidecar is not None):
-        # append must NOT rewrite the sidecar (ADVICE r11: overwriting
-        # it with per-call values would poison merge_shards'
-        # contradiction check instead of arming it); the stored layout
-        # is immutable between re-exports
-        _save_layout_sidecar(
-            path,
-            {
-                "manifest_version": (
-                    SNAPSHOT_FORMAT if resolved_swap == "manifest"
-                    else MANIFEST_VERSION
-                ),
-                "n_shards": n_shards,
-                "id_col": id_col,
-                "hash_method": hash_method,
-                "order_within": order_within,
-                "files_per_shard": files_per_shard,
-                "max_rows_per_file": max_rows_per_file,
-                "swap_mode": resolved_swap,
-                "keep_versions": keep_versions,
-            },
-            spark,
-        )
+    if write_sidecar:
+        _save_layout_sidecar(path, sidecar_payload, spark)
     if back is not None:
         return _shard_manifest(
             spark, None, data_cols, id_col, back=back, sizes=sizes

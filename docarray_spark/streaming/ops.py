@@ -546,10 +546,13 @@ def stream_merge_shards(
     in the published manifest's ``meta`` (the same atomic flip as the
     data), and a batch whose id is <= the id recorded by the SAME
     checkpoint is SKIPPED — exactly-once appends from foreachBatch's
-    at-least-once delivery. Batch ids are per-checkpoint, so a fresh
-    checkpoint never matches and is appended normally. Holds under the
-    export family's single-writer contract (another writer's publish
-    replaces the metadata; don't compact mid-stream)."""
+    at-least-once delivery. The identity is a token file INSIDE the
+    checkpoint directory (not the path): it lives and dies with the
+    checkpoint, so a fresh checkpoint — including one recreated at the
+    same path after a delete — never matches and is appended normally.
+    Holds under the export family's single-writer contract (another
+    writer's publish replaces the metadata; don't compact
+    mid-stream)."""
     import os
 
     from docarray_spark.sources.registry import _exists
@@ -579,12 +582,36 @@ def stream_merge_shards(
             "threshold; mode='merge' self-compacts the shards it touches"
         )
     eff_swap = "manifest" if mode == "append" else swap_mode
-    # replay guard identity: batch ids are per-checkpoint, so the
-    # recorded id only suppresses a replay from the SAME checkpoint —
-    # a fresh checkpoint restarts at 0 and must not be skipped
+    # replay-guard identity: batch ids are per-checkpoint INSTANCE, so
+    # the recorded id may only suppress a replay from the same one. The
+    # checkpoint PATH is not enough — a checkpoint deleted and recreated
+    # at the same path restarts ids at 0 and would silently drop every
+    # batch up to the recorded id (r12 review). A token file inside the
+    # checkpoint directory shares its lifecycle exactly: delete the
+    # checkpoint, the token dies with it and a fresh one never matches.
     import uuid as _uuid
 
-    app_id = checkpoint or f"ephemeral-{_uuid.uuid4().hex}"
+    _app: dict = {"id": None}
+
+    def _app_identity(spark):
+        if _app["id"] is not None:
+            return _app["id"]
+        if checkpoint is None:
+            _app["id"] = f"ephemeral-{_uuid.uuid4().hex}"
+            return _app["id"]
+        from docarray_spark.sources.registry import (
+            _exists,
+            _read_text,
+            _write_text,
+        )
+
+        tok = f"{checkpoint.rstrip('/')}/_shard_stream_identity"
+        if _exists(tok, spark):
+            _app["id"] = _read_text(tok, spark).strip()
+        else:
+            _app["id"] = _uuid.uuid4().hex
+            _write_text(tok, _app["id"], spark)
+        return _app["id"]
 
     def _u(v):
         return v if v is not None else _UNSET
@@ -594,7 +621,7 @@ def stream_merge_shards(
         if cur is None or not cur.startswith("_m_"):
             return None
         meta = _load_manifest(path, cur, spark).get("meta") or {}
-        if meta.get("stream_app_id") != app_id:
+        if meta.get("stream_app_id") != _app_identity(spark):
             return None
         return meta.get("stream_batch_id")
 
@@ -631,16 +658,30 @@ def stream_merge_shards(
                 swap_mode=eff_swap,
                 keep_versions=keep_versions or 1,
                 manifest_meta=(
-                    {"stream_app_id": app_id, "stream_batch_id": _batch_id}
+                    {
+                        "stream_app_id": _app_identity(spark),
+                        "stream_batch_id": _batch_id,
+                    }
                     if mode == "append" else None
                 ),
             )
         elif mode == "append":
+            # forward the caller's layout knobs so save_shards validates
+            # them against the persisted sidecar exactly like merge mode
+            # — dropping them here would swallow an n_shards/id_col
+            # contradiction instead of raising it (r12 review)
             save_shards(
-                b, path, mode="append", compact_at=compact_at,
+                b, path, n_shards, id_col=_u(id_col),
+                order_within=_u(order_within),
+                hash_method=_u(hash_method),
+                files_per_shard=_u(files_per_shard),
+                max_rows_per_file=_u(max_rows_per_file),
+                keep_versions=_u(keep_versions),
+                mode="append", compact_at=compact_at,
                 manifest_scope="batch",
                 manifest_meta={
-                    "stream_app_id": app_id, "stream_batch_id": _batch_id
+                    "stream_app_id": _app_identity(spark),
+                    "stream_batch_id": _batch_id,
                 },
             )
         else:

@@ -1083,7 +1083,8 @@ class TestStreamingAppend:
         cur = open(os.path.join(path, "_CURRENT")).read().strip()
         with open(os.path.join(path, "_manifests", f"{cur}.json")) as f:
             man = json.load(f)
-        assert man["meta"]["stream_app_id"] == ck
+        tok = open(os.path.join(ck, "_shard_stream_identity")).read().strip()
+        assert man["meta"]["stream_app_id"] == tok
         last_id = man["meta"]["stream_batch_id"]
         commits = [
             int(n) for n in os.listdir(os.path.join(ck, "commits"))
@@ -1196,3 +1197,155 @@ class TestLineage:
             )
         assert shard_versions(path)["versions"] == [3, 4, 5]
         assert read_shards(spark, path, version=3).count() == docs.count()
+
+
+class TestReviewFindingsR12b:
+    """Second r12 review pass (over the append/lineage/streaming work):
+    seven findings, pinned here (the chain-walk error propagation is
+    structural — no injection test)."""
+
+    def _mk(self, spark, lo, n, t, schema="doc_id long, text string"):
+        return spark.createDataFrame(
+            [(i, t) for i in range(lo, lo + n)], schema
+        )
+
+    def test_recreated_checkpoint_not_suppressed(self, spark, tmp_path):
+        """Finding 1: identity is a token INSIDE the checkpoint dir —
+        deleting and recreating the checkpoint at the same path must
+        re-process from scratch (appends happen; duplicates are the
+        documented append-mode semantics), never silently drop
+        batches."""
+        import shutil
+
+        from docarray_spark.streaming import read_stream, stream_merge_shards
+
+        path = str(tmp_path / "ckid")
+        save_shards(
+            self._mk(spark, 0, 20, "base"), path, n_shards=4,
+            id_col="doc_id", swap_mode="manifest",
+        )
+        src = str(tmp_path / "src")
+        self._mk(spark, 100, 6, "s").repartition(1).write.parquet(src)
+        ck = str(tmp_path / "ck")
+        for expected in (26, 32):  # second pass re-appends (dup rows)
+            sdf = read_stream(spark, src, schema="doc_id long, text string")
+            q = stream_merge_shards(sdf, path, checkpoint=ck, mode="append")
+            q.awaitTermination(120)
+            got = read_shards(spark, path).count()
+            assert got == expected, (expected, got)
+            shutil.rmtree(ck)
+
+    def test_overwrite_refresh_inherits_keep_versions(
+        self, spark, docs, tmp_path
+    ):
+        """Finding 2: an overwrite refresh with keep_versions UNSET must
+        inherit the stored retention, not reset it to 1 and GC the
+        snapshots pinned readers depend on."""
+        path = str(tmp_path / "kvkeep")
+        save_shards(
+            docs, path, n_shards=4, id_col="doc_id", swap_mode="manifest",
+            keep_versions=3,
+        )
+        merge_shards(docs.withColumn("text", F.upper("text")), path)
+        save_shards(docs, path, n_shards=4, id_col="doc_id")  # refresh
+        sidecar = json.load(open(os.path.join(path, "_shard_layout.json")))
+        assert sidecar["keep_versions"] == 3
+        v = shard_versions(path)
+        assert v["versions"] == [1, 2, 3]  # prior snapshots retained
+        assert read_shards(spark, path, version=2).count() == docs.count()
+
+    def test_append_schema_drift_raises(self, spark, tmp_path):
+        """Finding 3: a schema-drifted append must raise BEFORE
+        publishing — a published drifted batch bricks every snapshot
+        read at union time."""
+        path = str(tmp_path / "drift")
+        save_shards(
+            self._mk(spark, 0, 20, "a"), path, n_shards=4, id_col="doc_id",
+            swap_mode="manifest",
+        )
+        bad = spark.createDataFrame(
+            [(100, "x", "en")], "doc_id long, text string, lang string"
+        )
+        for scope in ("snapshot", "batch"):
+            with pytest.raises(ValueError, match="do not match the export"):
+                save_shards(bad, path, mode="append", manifest_scope=scope)
+        assert read_shards(spark, path).count() == 20  # nothing published
+
+    def test_sidecar_written_before_publish(
+        self, spark, docs, tmp_path, monkeypatch
+    ):
+        """Finding 5: the layout sidecar lands BEFORE the publish, so a
+        crash at the pointer flip leaves an export whose knob-less
+        appends still resolve the layout instead of wedging on
+        'n_shards is required'."""
+        import docarray_spark.sources.writers as W
+
+        path = str(tmp_path / "precrash")
+
+        def dying(*a, **k):
+            raise RuntimeError("injected flip crash")
+
+        monkeypatch.setattr(W, "_flip_pointer", dying)
+        with pytest.raises(RuntimeError, match="injected flip crash"):
+            save_shards(
+                docs, path, n_shards=4, id_col="doc_id",
+                swap_mode="manifest",
+            )
+        monkeypatch.undo()
+        assert os.path.exists(os.path.join(path, "_shard_layout.json"))
+        # knob-less append resolves the persisted layout and publishes
+        save_shards(self._mk(spark, 0, 3, "x"), path, mode="append")
+        assert read_shards(spark, path).count() == 3
+
+    def test_stream_append_validates_layout_knobs(self, spark, tmp_path):
+        """Finding 6: append mode forwards the caller's layout knobs so
+        a contradiction raises like merge mode instead of being
+        silently swallowed."""
+        from docarray_spark.streaming import read_stream, stream_merge_shards
+
+        path = str(tmp_path / "knobchk")
+        save_shards(
+            self._mk(spark, 0, 20, "a"), path, n_shards=4, id_col="doc_id",
+            swap_mode="manifest",
+        )
+        src = str(tmp_path / "srck")
+        self._mk(spark, 100, 3, "b").repartition(1).write.parquet(src)
+        sdf = read_stream(spark, src, schema="doc_id long, text string")
+        q = stream_merge_shards(
+            sdf, path, n_shards=8, checkpoint=str(tmp_path / "ckk"),
+            mode="append",
+        )
+        with pytest.raises(Exception, match="n_shards"):
+            q.awaitTermination(120)
+        assert read_shards(spark, path).count() == 20
+
+    def test_mode_error_and_ignore_on_snapshot_layouts(
+        self, spark, docs, tmp_path
+    ):
+        """Finding 7: Spark's errorifexists/ignore writer contract holds
+        on manifest and pointer layouts — no silent full rewrite."""
+        for swap in ("manifest", "pointer"):
+            path = str(tmp_path / f"mode_{swap}")
+            save_shards(
+                docs, path, n_shards=4, id_col="doc_id", swap_mode=swap
+            )
+            v_before = shard_versions(path)["current"]
+            with pytest.raises(ValueError, match="already exists"):
+                save_shards(
+                    docs.limit(3), path, n_shards=4, id_col="doc_id",
+                    swap_mode=swap, mode="error",
+                )
+            m = save_shards(
+                docs.limit(3), path, n_shards=4, id_col="doc_id",
+                swap_mode=swap, mode="ignore",
+            ).toPandas()
+            assert m.rows.sum() == docs.count()  # current corpus, no-op
+            assert shard_versions(path)["current"] == v_before
+            assert read_shards(spark, path).count() == docs.count()
+            # fresh target: both behave like a first write
+            p2 = str(tmp_path / f"fresh_{swap}")
+            save_shards(
+                docs.limit(5), p2, n_shards=2, id_col="doc_id",
+                swap_mode=swap, mode="error",
+            )
+            assert read_shards(spark, p2).count() == 5
