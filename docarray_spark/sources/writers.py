@@ -315,6 +315,15 @@ _MANIFEST_DIR = "_manifests"
 #: different file scatter than the original export)
 _UNSET = object()
 
+
+class ConcurrentPublishError(RuntimeError):
+    """A shard-export publish aborted because another writer published
+    between this writer's snapshot resolve and its pointer flip (the
+    optimistic-concurrency check, VERDICT r11 #2). Nothing was
+    published by the aborted writer; re-run against the new current
+    snapshot — or pass ``retries=`` to :func:`merge_shards` /
+    :func:`compact_shards` to have that re-run happen automatically."""
+
 #: schemes where a directory rename is a non-atomic O(data) copy+delete —
 #: the pointer-flip swap is the safe default there
 _RENAME_IS_COPY_SCHEMES = (
@@ -673,7 +682,7 @@ def _publish_snapshot(
 
     cur = _current_pointer(root, spark)
     if expected is not _UNSET and cur != expected:
-        raise RuntimeError(
+        raise ConcurrentPublishError(
             f"shard-export publish aborted: _CURRENT at {root!r} moved "
             f"from {expected!r} to {cur!r} since this writer resolved "
             "its input snapshot — a concurrent writer published in "
@@ -880,7 +889,7 @@ def _new_version_write(
         # fail FAST (r12 review): the caller's merged rows were computed
         # against `expected`; a publish that raced in since then would
         # be silently reverted if this writer continued
-        raise RuntimeError(
+        raise ConcurrentPublishError(
             f"shard-export publish aborted: _CURRENT at {root!r} moved "
             f"from {expected!r} to {cur!r} since this writer resolved "
             "its input snapshot — a concurrent writer published in "
@@ -913,7 +922,7 @@ def _new_version_write(
         )
     except Exception as ex:
         if "PATH_ALREADY_EXISTS" in str(ex) or "already exists" in str(ex):
-            raise RuntimeError(
+            raise ConcurrentPublishError(
                 f"shard-export publish aborted: version dir {nxt!r} at "
                 f"{root!r} appeared while this writer was preparing it — "
                 "a concurrent writer is publishing the same version; "
@@ -1015,7 +1024,7 @@ def _flip_pointer(
 
     cur = _current_pointer(root, spark)
     if cur != expected:
-        raise RuntimeError(
+        raise ConcurrentPublishError(
             f"shard-export publish aborted: _CURRENT at {root!r} moved "
             f"from {expected!r} to {cur!r} while this writer was "
             f"publishing {new!r} — a concurrent writer won the race. "
@@ -1445,6 +1454,28 @@ def compact_shards(
     spark: SparkSession,
     path: str,
     keep_versions: int = _UNSET,
+    retries: int = 0,
+) -> DataFrame:
+    """Collapse a shard export's CURRENT snapshot into one fresh batch
+    (see :func:`_compact_shards_impl` for the full mechanics).
+    ``retries`` bounds automatic optimistic-concurrency retries exactly
+    as in :func:`merge_shards`: on a :class:`ConcurrentPublishError`
+    the compaction re-reads the new current snapshot and re-runs, up to
+    ``retries`` times — compaction changes no rows, so a retry is
+    always safe."""
+    while True:
+        try:
+            return _compact_shards_impl(spark, path, keep_versions)
+        except ConcurrentPublishError:
+            if retries <= 0:
+                raise
+            retries -= 1
+
+
+def _compact_shards_impl(
+    spark: SparkSession,
+    path: str,
+    keep_versions: int = _UNSET,
 ) -> DataFrame:
     """Collapse a shard export's CURRENT snapshot into one fresh batch —
     the compaction half of the zero-copy append story: every
@@ -1580,6 +1611,51 @@ def _resolve_shard_layout(
 
 
 def merge_shards(
+    df_new: DataFrame,
+    path: str,
+    n_shards: int | None = None,
+    id_col: str = _UNSET,
+    order_within: list[str] | None = _UNSET,
+    hash_method: str = _UNSET,
+    delete_ids: DataFrame | None = None,
+    files_per_shard: int = _UNSET,
+    max_rows_per_file: int | None = _UNSET,
+    full_rewrite_at: float = 1.0,
+    swap_mode: str = _UNSET,
+    keep_versions: int = _UNSET,
+    retries: int = 0,
+) -> DataFrame:
+    """Incremental COW maintenance of a :func:`save_shards` export —
+    upsert ``df_new`` by id and/or drop ``delete_ids``, rewriting only
+    the touched shards. Full semantics, cost model, and publish-path
+    details are on the implementation, :func:`_merge_shards_impl`
+    (same module, same signature minus ``retries``).
+
+    ``retries`` bounds automatic optimistic-concurrency retries (the
+    Delta-style commit-retry discipline): on a
+    :class:`ConcurrentPublishError` — another writer published between
+    this merge's snapshot resolve and its pointer flip, so the abort
+    guaranteed nothing was written — the whole merge re-runs from
+    scratch against the NEW current snapshot, up to ``retries`` times.
+    Re-running is safe by construction: upsert/delete is keyed by id,
+    so applying the same batch to the fresher base converges to the
+    same logical result. The default 0 keeps the loud-abort behavior
+    (single-writer remains the operational norm; the underlying check
+    is best-effort on stores without read-after-write consistency)."""
+    while True:
+        try:
+            return _merge_shards_impl(
+                df_new, path, n_shards, id_col, order_within, hash_method,
+                delete_ids, files_per_shard, max_rows_per_file,
+                full_rewrite_at, swap_mode, keep_versions,
+            )
+        except ConcurrentPublishError:
+            if retries <= 0:
+                raise
+            retries -= 1
+
+
+def _merge_shards_impl(
     df_new: DataFrame,
     path: str,
     n_shards: int | None = None,

@@ -1349,3 +1349,89 @@ class TestReviewFindingsR12b:
                 swap_mode=swap, mode="error",
             )
             assert read_shards(spark, p2).count() == 5
+
+
+class TestOptimisticRetry:
+    """r12: merge_shards/compact_shards(retries=) — the Delta-style
+    commit-retry: a ConcurrentPublishError abort re-runs the whole
+    operation against the new current snapshot."""
+
+    def test_merge_retries_after_lost_race(
+        self, spark, docs, tmp_path, monkeypatch
+    ):
+        import docarray_spark.sources.writers as W
+        from docarray_spark.sources import ConcurrentPublishError
+
+        path = str(tmp_path / "retry")
+        save_shards(
+            docs, path, n_shards=N, id_col="doc_id", swap_mode="manifest",
+            keep_versions=2,
+        )
+        real = W._manifest_read
+        state = {"fired": False}
+
+        def interleaved(*args, **kwargs):
+            if not state["fired"]:
+                state["fired"] = True
+                merge_shards(
+                    docs.withColumn("text", F.lit("WINNER")), path,
+                    id_col="doc_id",
+                )
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(W, "_manifest_read", interleaved)
+        batch = docs.filter(F.col("doc_id") < 5).withColumn(
+            "text", F.lit("LATE")
+        )
+        m = merge_shards(batch, path, id_col="doc_id", retries=1)
+        monkeypatch.undo()
+        assert len(m.toPandas()) >= 1  # second attempt published
+        back = read_shards(spark, path)
+        # the retry applied the late batch ON TOP of the winner's rows
+        assert back.filter(F.col("text") == "LATE").count() == 5
+        assert back.filter(
+            F.col("text") == "WINNER"
+        ).count() == docs.count() - 5
+        # same race with retries=0 still aborts loudly
+        state["fired"] = False
+        monkeypatch.setattr(W, "_manifest_read", interleaved)
+        with pytest.raises(ConcurrentPublishError):
+            merge_shards(batch, path, id_col="doc_id")
+
+    def test_compact_retries_after_lost_race(
+        self, spark, docs, tmp_path, monkeypatch
+    ):
+        import docarray_spark.sources.writers as W
+        from docarray_spark.sources import compact_shards
+
+        path = str(tmp_path / "retryc")
+        save_shards(
+            docs, path, n_shards=N, id_col="doc_id", swap_mode="manifest",
+            keep_versions=2,
+        )
+        save_shards(docs.limit(0).unionByName(
+            spark.createDataFrame(
+                [(900100, "fresh", "en", "web", 5)], docs.schema
+            )
+        ), path, mode="append")
+        real = W._manifest_read
+        state = {"fired": False}
+
+        def interleaved(*args, **kwargs):
+            if not state["fired"]:
+                state["fired"] = True
+                merge_shards(
+                    docs.withColumn("text", F.lit("MID")), path,
+                    id_col="doc_id",
+                )
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(W, "_manifest_read", interleaved)
+        m = compact_shards(spark, path, retries=1).toPandas()
+        monkeypatch.undo()
+        back = read_shards(spark, path)
+        # compaction re-read AFTER the mid-flight merge: its snapshot
+        # includes the merge's rows and the appended one
+        assert back.count() == docs.count() + 1
+        assert back.filter(F.col("text") == "MID").count() == docs.count()
+        assert m.rows.sum() == docs.count() + 1
