@@ -435,9 +435,13 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     appear in ≥2 distinct docs (the corpus' planted duplicates) are dropped
     from every doc, order preserved. Frequent-block set is tiny → broadcast
     tag; 2 hash exchanges total (block doc-frequency agg + doc rebuild)."""
+    from docarray_spark.functions.localexec import ensure_parallelism
     from docarray_spark.operators import remove_frequent_units, token_blocks_col
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread the single-split scan BEFORE the block-building projection
+    # (placed after, the repartition would sit above it and the blocks
+    # would still build in one task — localexec docstring); no-op at scale
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     return remove_frequent_units(
         docs.withColumn("units", token_blocks_col("text", 8)),
         id_col="doc_id", units="units", min_df=2,
@@ -594,11 +598,15 @@ def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _knn():
         # eps=0.0: the unsmoothed cosine ratio SQL replays bit-for-bit
+        from docarray_spark.functions.localexec import local_table
+
         plan = match(
             emb, qvecs, k=40, metric="cosine", corpus_id_col="doc_id",
             query_id_col="query_id", round_scores=6, eps=0.0,
         ).select("query_id", "match_id", "score", "rank")
-        return spark.createDataFrame(plan.collect(), plan.schema)
+        # Arrow local rebuild — the pickled-row form cost one Python
+        # worker per partition per fusion/MMR reference (r12 profile)
+        return local_table(spark, plan.collect(), plan.schema)
 
     with ThreadPoolExecutor(max_workers=3) as pool:
         f_single = pool.submit(
@@ -1217,9 +1225,13 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docarray_spark.operators.dedup import remove_duplicate_spans
     from docarray_spark.operators.text import tokens_col
 
-    docs = _t(spark, sf_dir, "documents")
-    # the units part and both halves of the spans part (window marking +
-    # token rebuild join) scan the same documents subtree — persist once
+    from docarray_spark.functions.localexec import ensure_parallelism
+
+    # spread the single-split scan so the units explode and the span
+    # window pass parallelize (no-op at scale), THEN persist: the units
+    # part and both halves of the spans part (window marking + token
+    # rebuild join) scan the same documents subtree — persist once
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     docs.persist()
     units = dedup_units_first(
         docs.withColumn("units", token_blocks_col("text", 6)),
@@ -2118,20 +2130,32 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     key_id = F.col("doc_id").cast("string").alias("key")
     lm = bigram_lm_score(docs, id_col="doc_id")
+    mix = temperature_mix_weights(docs, "source", alpha=0.7)
+
+    def _unpivot(df, key, pairs):
+        # two part-rows from ONE subtree: referencing the same DataFrame
+        # in two union branches executes its whole pipeline twice (no
+        # cross-branch CSE in Spark) — r12 profile: the bigram-LM joins
+        # ran twice for the lm/lm_n pair. Same rows, same schema.
+        return df.select(
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(part).alias("part"), key.alias("key"),
+                    val.alias("value"),
+                )
+                for part, val in pairs
+            ])).alias("_r")
+        ).select("_r.part", "_r.key", "_r.value")
+
     parts = [
-        lm.select(F.lit("lm").alias("part"), key_id, F.col("lm_score").alias("value")),
-        lm.select(
-            F.lit("lm_n").alias("part"), key_id,
-            F.col("n_bigrams").cast("double").alias("value"),
-        ),
-        temperature_mix_weights(docs, "source", alpha=0.7).select(
-            F.lit("mix").alias("part"), F.col("source").alias("key"),
-            F.col("weight").alias("value"),
-        ),
-        temperature_mix_weights(docs, "source", alpha=0.7).select(
-            F.lit("mix_n").alias("part"), F.col("source").alias("key"),
-            F.col("n_docs").cast("double").alias("value"),
-        ),
+        _unpivot(lm, key_id, [
+            ("lm", F.col("lm_score")),
+            ("lm_n", F.col("n_bigrams").cast("double")),
+        ]),
+        _unpivot(mix, F.col("source"), [
+            ("mix", F.col("weight")),
+            ("mix_n", F.col("n_docs").cast("double")),
+        ]),
         global_shuffle_rank(docs.select("doc_id"), id_col="doc_id").select(
             F.lit("shuffle").alias("part"), key_id,
             F.col("rank").cast("double").alias("value"),

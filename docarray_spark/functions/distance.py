@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Callable
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -141,3 +142,83 @@ def sqeuclidean_distance_col(a: Column | str, b: Column | str) -> Column:
 
 def euclidean_distance_col(a: Column | str, b: Column | str) -> Column:
     return F.sqrt(sqeuclidean_distance_col(a, b))
+
+
+# ------------------------------------------- Arrow pair-distance kernels
+#
+# The Column forms above are higher-order AGGREGATE expressions —
+# CodegenFallback, every element evaluated through the interpreted
+# expression tree (the r12 stage profile measured ~10 s of task time for
+# ~4k joined 128-d pairs). These pandas_udf twins accumulate in DIMENSION
+# ORDER with the identical float64 operation sequence (x*y products /
+# diff*diff squares, left-to-right adds starting at 0.0, then the same
+# sqrt/divide/subtract order), so their values are bit-for-bit the fold
+# forms' — pinned in tests/test_distance_pairs.py — at Arrow-batch speed.
+# zip_with's unequal-length null padding (→ NULL result) and NULL-input
+# propagation are mirrored.
+
+
+def pair_distance_udf(metric: str):
+    """→ pandas_udf ``(a, b) -> double`` mirroring
+    ``{metric}_distance_col`` bit-for-bit (see block comment)."""
+    if metric not in ("cosine", "sqeuclidean", "euclidean"):
+        raise ValueError(f"no Arrow pair kernel for metric {metric!r}")
+
+    @F.pandas_udf("double")
+    def _dist(a: pd.Series, b: pd.Series) -> pd.Series:
+        n = len(a)
+        out = np.full(n, np.nan, dtype=np.float64)
+        ok = np.asarray([
+            x is not None and y is not None and len(x) == len(y)
+            for x, y in zip(a, b)
+        ])
+        if ok.any():
+            xs = [np.asarray(x, dtype=np.float64) for x in a[ok]]
+            ys = [np.asarray(y, dtype=np.float64) for y in b[ok]]
+            if len({v.shape[0] for v in xs}) > 1:
+                # mixed dims in one batch: row-at-a-time, same op order
+                vals = np.asarray([
+                    _pair_one(metric, x, y) for x, y in zip(xs, ys)
+                ])
+                out[ok] = vals
+                return _null_mask(out, ok)
+            X, Y = np.asarray(xs), np.asarray(ys)
+            m = len(X)
+            if metric == "cosine":
+                dot = np.zeros(m); na = np.zeros(m); nb = np.zeros(m)
+                for j in range(X.shape[1]):
+                    dot += X[:, j] * Y[:, j]
+                    na += X[:, j] * X[:, j]
+                    nb += Y[:, j] * Y[:, j]
+                out[ok] = 1.0 - dot / (np.sqrt(na) * np.sqrt(nb))
+            else:
+                acc = np.zeros(m)
+                for j in range(X.shape[1]):
+                    diff = X[:, j] - Y[:, j]
+                    acc += diff * diff
+                out[ok] = np.sqrt(acc) if metric == "euclidean" else acc
+        return _null_mask(out, ok)
+
+    return _dist
+
+
+def _pair_one(metric: str, x, y):
+    if metric == "cosine":
+        dot = na = nb = 0.0
+        for j in range(len(x)):
+            dot += x[j] * y[j]; na += x[j] * x[j]; nb += y[j] * y[j]
+        return 1.0 - dot / (np.sqrt(na) * np.sqrt(nb))
+    acc = 0.0
+    for j in range(len(x)):
+        d = x[j] - y[j]
+        acc += d * d
+    return np.sqrt(acc) if metric == "euclidean" else acc
+
+
+def _null_mask(out, ok):
+    """float results with true NULL (not NaN) on the rows the Column fold
+    would null out (zip_with length padding / NULL input)."""
+    if ok.all():
+        return pd.Series(out)
+    vals = [None if not o else v for o, v in zip(ok, out)]
+    return pd.Series(vals, dtype=object)

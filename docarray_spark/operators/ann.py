@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from docarray_spark.functions.distance import (
     cosine_distance_col,
+    pair_distance_udf,
     sqeuclidean_distance_col,
 )
 from docarray_spark.functions.lsh import signatures_udf
@@ -105,7 +106,9 @@ def lsh_match(
         .select("query_id", "match_id")
         .dropDuplicates(["query_id", "match_id"])
     )
-    dist = _PAIR_DIST[metric](F.col("_qv"), F.col("_cv"))
+    # Arrow pair kernel, bit-identical to the fold form (distance.py): the
+    # interpreted HOF fold cost ~µs-ms per joined pair at re-rank volume
+    dist = pair_distance_udf(metric)(F.col("_qv"), F.col("_cv"))
     scored = (
         cand.join(F.broadcast(q), "query_id")
         .join(c, "match_id")
@@ -172,7 +175,9 @@ def ivf_index(
         # SQL-oracle-able choice for the gated entries)
         cents = sorted((int(c), [float(x) for x in v]) for c, v in centroids)
     spark = corpus.sparkSession
-    cent = spark.createDataFrame(cents, "cell int, centroid array<double>")
+    from docarray_spark.functions.localexec import local_table
+
+    cent = local_table(spark, cents, "cell int, centroid array<double>")
     assigned = assign_cells(base, cents)
     return cent, assigned
 
@@ -232,7 +237,9 @@ def ivf_match(
     )
 
     cand = probes.join(assigned, "cell")
-    dist = _PAIR_DIST[metric](F.col("qv"), F.col("v"))
+    # Arrow pair kernel ≡ the fold form (distance.py) — the probed-cell
+    # candidate set re-ranks at n_q·n_probe·cell-size volume
+    dist = pair_distance_udf(metric)(F.col("qv"), F.col("v"))
     w = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("match_id").asc())
     out = (
         cand.select("query_id", F.col("id").alias("match_id"), dist.alias("score"))

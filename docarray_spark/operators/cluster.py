@@ -75,6 +75,58 @@ def _assign_cells_literal(
     return base.select(best["cell"].alias("cell"), "id", "v", *keep_cols)
 
 
+def _assign_cells_exact(
+    base: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    keep_cols: tuple[str, ...] = (),
+):
+    """Oracle-range assignment (k·d ≤ ``LITERAL_ARGMIN_MAX_KD``) as an
+    Arrow-batched pandas_udf whose squared distances accumulate in
+    DIMENSION ORDER — the identical float64 operation sequence as
+    :func:`_assign_cells_literal`'s fold (and an ANSI-SQL replay), so the
+    values are bit-for-bit the fold's, without the fold's interpreted
+    CodegenFallback evaluation (r12 stage profile: the k=8·d=128 literal
+    fold burned ~33 CPU-seconds on 2 000 rows; this path is milliseconds).
+    The multi-probe exact branch (:func:`assign_cells_multi`) established
+    and pinned the same equivalence in r10.
+
+    Fold-semantics edge cases mirrored exactly: centroids evaluated in the
+    given order with strict ``<`` (first minimum wins → smallest cell id on
+    ties when centroids arrive cell-sorted); a NULL embedding or an
+    all-NaN distance row keeps the fold's initial ``(-1, inf)`` accumulator
+    → ``cell = -1``."""
+    order_cells = [c for c, _ in centroids]
+    C = np.asarray([v for _, v in centroids], dtype=np.float64)  # (k, d)
+    cells_arr = np.asarray(order_cells, dtype=np.int64)
+    bc = base.sparkSession.sparkContext.broadcast((cells_arr, C))
+
+    @F.pandas_udf("int")
+    def _argmin_exact(emb: pd.Series) -> pd.Series:
+        cells_, C_ = bc.value
+        n = len(emb)
+        if n == 0:
+            return pd.Series([], dtype="int32")
+        null_mask = np.asarray([e is None for e in emb])
+        X = np.asarray(
+            [np.zeros(C_.shape[1]) if e is None else np.asarray(e, dtype=np.float64) for e in emb]
+        )
+        # dimension-order accumulation == the literal fold's Σ(x_j−c_j)²
+        d2 = np.zeros((n, len(C_)), dtype=np.float64)
+        for j in range(C_.shape[1]):
+            diff = X[:, j, None] - C_[None, :, j]
+            d2 += diff * diff
+        # fold semantics: strict < vs a running min starting at +inf; NaN
+        # never wins (NaN < acc is false), all-NaN/NULL rows keep cell -1
+        d2 = np.where(np.isnan(d2), np.inf, d2)
+        idx = np.argmin(d2, axis=1)
+        out = cells_[idx].astype("int64")
+        out[~np.isfinite(d2[np.arange(n), idx])] = -1
+        out[null_mask] = -1
+        return pd.Series(out.astype("int32"))
+
+    return base.select(_argmin_exact("v").alias("cell"), "id", "v", *keep_cols)
+
+
 def _assign_cells_broadcast(
     base: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -116,16 +168,20 @@ def assign_cells(
     keep_cols: tuple[str, ...] = (),
 ):
     """Nearest-centroid assignment ``base(id, v) → (cell, id, v[,
-    keep_cols])``, dispatching on k·d: codegen literal fold below
-    ``literal_budget``, broadcast-matrix pandas_udf argmin above it. Both
-    are ZERO-SHUFFLE maps over the corpus (pinned in
+    keep_cols])``, dispatching on k·d: exact dimension-order numpy argmin
+    (bit-identical to the SQL-replayable literal fold) below
+    ``literal_budget``, broadcast-matrix BLAS argmin above it. Both are
+    ZERO-SHUFFLE maps over the corpus (pinned in
     tests/test_pack_cluster.py). ``keep_cols`` rides extra ``base``
     columns through unchanged (``ivfpq_refresh`` keeps the store's
     ``_bucket``)."""
     k = len(centroids)
     d = len(centroids[0][1]) if k else 0
     if k * d <= literal_budget:
-        return _assign_cells_literal(base, centroids, keep_cols)
+        # same values as the literal fold (dimension-order accumulation,
+        # identical tie/NULL semantics — pinned in test_pack_cluster), but
+        # Arrow-batched numpy instead of interpreted HOF evaluation
+        return _assign_cells_exact(base, centroids, keep_cols)
     return _assign_cells_broadcast(base, centroids, keep_cols)
 
 
@@ -335,8 +391,17 @@ def kmeans(
 
     base.unpersist()
     spark = df.sparkSession
-    cent_df = spark.createDataFrame(
-        [(c, v) for c, v in cents], "cell int, centroid array<double>"
+    from pyspark.sql import types as T
+
+    from docarray_spark.functions.localexec import local_table
+
+    cent_df = local_table(
+        spark,
+        [(c, v) for c, v in cents],
+        T.StructType([
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("centroid", T.ArrayType(T.DoubleType())),
+        ]),
     )
     if not cents:
         # empty corpus: zero-centroid assignment is unrepresentable in the

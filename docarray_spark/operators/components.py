@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from docarray_spark.functions.localexec import local_table
+
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
@@ -119,8 +121,8 @@ def connected_components(
         if len(probe) <= driver_edge_budget:
             labels = _union_find_labels([(r.u, r.v) for r in probe])
             spark = edges.sparkSession
-            return spark.createDataFrame(
-                labels or [], "node long, component long"
+            return local_table(
+                spark, labels or [], "node long, component long"
             )
     prev = None
     for _ in range(max_iter):

@@ -451,16 +451,46 @@ def simhash_table(
         .select(F.col(id_col).alias("_id"), tokens_col(text_col).alias("_t"))
         .filter(F.col("_t").isNotNull())
     )
-    # ONE aggregate builds the per-bit signed counts, so md5 runs exactly
-    # once per token even after Catalyst collapses projections (per-bit
-    # aggregate expressions would each re-inline — and re-hash — the
-    # token array). Bit extraction is shiftright+mask: HOFs evaluate
-    # interpreted (CodegenFallback), and the earlier double-pow cost two
-    # transcendental calls per token-bit — ~30% of the whole fingerprint
-    # at sf0.1 (r3 measurement; same lesson as NOTES #13).
     from docarray_spark.functions.hashing import hash_bits_sql
 
-    _simhash_hex_chars(bits)  # validates the bits ceiling
+    hx = _simhash_hex_chars(bits)  # validates the bits ceiling
+    if hash_method == "md5":
+        # The tokenize stays the JVM split expression (codegen, and the
+        # exact semantics the SQL oracle replays); only the per-token-bit
+        # signed-count fold moves to numpy — HOF aggregates evaluate
+        # interpreted (CodegenFallback), and the bits×tokens lambda walk
+        # was ~22 s of task time at sf0.1 (r12 stage profile). The Python
+        # hash is the same value as hash_bits_sql's md5 branch
+        # (int of the first ``hx`` hex chars, low ``bits`` kept), so the
+        # fingerprints are bit-identical — integer math throughout.
+        import hashlib
+
+        mask = (1 << bits) - 1 if 4 * hx != bits else None
+
+        @F.pandas_udf("long")
+        def _simhash_np(toks: pd.Series) -> pd.Series:
+            shifts = np.arange(bits, dtype=np.int64)
+            out = np.zeros(len(toks), dtype=np.int64)
+            for i, ts in enumerate(toks):
+                n = len(ts)
+                if n == 0:
+                    continue
+                h = np.fromiter(
+                    (
+                        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:hx], 16)
+                        for t in ts
+                    ),
+                    dtype=np.int64, count=n,
+                )
+                if mask is not None:
+                    h &= mask
+                ones = ((h[:, None] >> shifts) & 1).sum(axis=0)
+                out[i] = int(((2 * ones - n > 0).astype(np.int64) << shifts).sum())
+            return pd.Series(out)
+
+        return base.select(F.col("_id").alias(id_col), _simhash_np("_t").alias("simhash"))
+
+    # non-md5 hash methods: the original single-aggregate expression form
     counts = F.expr(
         f"""
         aggregate(
@@ -1328,18 +1358,52 @@ def duplicate_spans(
     # expression into the slice lambda — re-tokenizing per WINDOW, O(W²)
     # per doc (the explode-inlining trap, r9 NOTES). Outer generates are
     # exempt; base's size filter already guarantees ≥1 window per row.
-    wins = base.select(
-        "id",
-        F.posexplode_outer(
-            F.expr(
-                f"transform(sequence(0, size(_t) - {window}), s -> "
-                f"array_join(slice(_t, s + 1, {window}), ' '))"
-            )
-        ).alias("start", "_wtext"),
-    ).filter(F.col("_wtext").isNotNull()).select(
-        "id", "start",
-        F.expr(hash_bits_sql("_wtext", 60, hash_method)).alias("whash"),
-    )
+    if hash_method == "md5":
+        # window assembly + hash in one Arrow pass: the transform/slice/
+        # array_join HOF chain evaluates INTERPRETED per window (r12 stage
+        # profile: ~24 s of task time at sf0.1) — the Python mirror emits
+        # the IDENTICAL 60-bit md5 values (int of the first 15 hex chars
+        # == conv(substring(md5(w),1,15),16,10); 4·15 = 60 so no pmod),
+        # so grouping, collisions and spans are bit-for-bit unchanged.
+        import hashlib
+
+        _w = window
+
+        @F.pandas_udf("array<long>")
+        def _whashes(toks: pd.Series) -> pd.Series:
+            out = []
+            for ts in toks:
+                n = len(ts) - _w + 1
+                out.append(np.fromiter(
+                    (
+                        int(
+                            hashlib.md5(
+                                " ".join(ts[s : s + _w]).encode("utf-8")
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                        for s in range(n)
+                    ),
+                    dtype=np.int64, count=n,
+                ))
+            return pd.Series(out)
+
+        wins = base.select(
+            "id", F.posexplode_outer(_whashes("_t")).alias("start", "whash")
+        ).filter(F.col("whash").isNotNull())
+    else:
+        wins = base.select(
+            "id",
+            F.posexplode_outer(
+                F.expr(
+                    f"transform(sequence(0, size(_t) - {window}), s -> "
+                    f"array_join(slice(_t, s + 1, {window}), ' '))"
+                )
+            ).alias("start", "_wtext"),
+        ).filter(F.col("_wtext").isNotNull()).select(
+            "id", "start",
+            F.expr(hash_bits_sql("_wtext", 60, hash_method)).alias("whash"),
+        )
     stats = wins.groupBy("whash").agg(
         F.count(F.lit(1)).alias("_n"),
         F.min(F.struct("id", "start")).alias("_first"),

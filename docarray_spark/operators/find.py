@@ -80,8 +80,10 @@ def find(corpus: DataFrame, query: Any, **kwargs) -> DataFrame:
 
             spark = corpus.sparkSession
             out = bm25_match_stored(spark, index_path, list(query), **kwargs)
-            qmap = spark.createDataFrame(
-                [(i, q) for i, q in enumerate(query)], "query_id int, query string"
+            from docarray_spark.functions.localexec import local_table
+
+            qmap = local_table(
+                spark, [(i, q) for i, q in enumerate(query)], "query_id int, query string"
             )
             return out.join(F.broadcast(qmap), "query_id").drop("query_id")
         # corpus path: ONE batched job for the whole list (one corpus
@@ -96,8 +98,10 @@ def find(corpus: DataFrame, query: Any, **kwargs) -> DataFrame:
         uniq = list(dict.fromkeys(query))
         pos = {q: i for i, q in enumerate(uniq)}
         out = text_search_multi(corpus, dict(enumerate(uniq)), **kwargs)
-        occ = corpus.sparkSession.createDataFrame(
-            [(pos[q], q) for q in query], "query_id long, query string"
+        from docarray_spark.functions.localexec import local_table
+
+        occ = local_table(
+            corpus.sparkSession, [(pos[q], q) for q in query], "query_id long, query string"
         )
         return out.join(F.broadcast(occ), "query_id").drop("query_id")
     if isinstance(query, np.ndarray) or (

@@ -58,6 +58,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from docarray_spark.functions.localexec import local_table
+
 from docarray_spark.operators.hnsw import _METRICS
 from docarray_spark.sources.registry import _exists as _dir_exists
 from docarray_spark.sources.writers import _delete_dir
@@ -882,7 +884,7 @@ def bm25_match_stored(
         rows = out.collect()  # ≤ k·n_queries rows — explicit budget
     finally:
         posts.unpersist(False)
-    return spark.createDataFrame(rows, schema=out.schema)
+    return local_table(spark, rows, out.schema)
 
 
 def _bm25_stored_topk(
@@ -920,7 +922,8 @@ def _bm25_stored_topk(
     # (query_id, token) membership — ≤ Σ|terms| rows, broadcast; a term
     # shared by several queries is scored once per owning query but its
     # postings/df were computed once
-    qmap = spark.createDataFrame(
+    qmap = local_table(
+        spark,
         [(qi, t) for qi, ts in enumerate(qterm_sets) for t in ts],
         "query_id int, token string",
     )
@@ -1083,6 +1086,6 @@ def index_status(
         else:
             status = "stale"
         rows.append((b, sm, im, status))
-    return spark.createDataFrame(
-        rows, "bucket int, store_mtime double, index_mtime double, status string"
+    return local_table(
+        spark, rows, "bucket int, store_mtime double, index_mtime double, status string"
     )

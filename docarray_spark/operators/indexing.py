@@ -117,7 +117,10 @@ def get_by_positions(
     :func:`get_by_offsets`'s set-filter. Positions join in as a broadcast
     table carrying their selection order."""
     spark = df.sparkSession
-    pos_df = spark.createDataFrame(
+    from docarray_spark.functions.localexec import local_table
+
+    pos_df = local_table(
+        spark,
         [(int(p), i) for i, p in enumerate(positions)],
         f"{offset_col} long, _sel_order long",
     )

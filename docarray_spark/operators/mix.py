@@ -68,7 +68,13 @@ def bigram_lm_score(
     """
     if key_mode not in ("token", "hashed"):
         raise ValueError(f"key_mode must be 'token' or 'hashed', got {key_mode!r}")
-    toks = df.select(F.col(id_col).alias("_id"), tokens_col(text_col).alias("_t"))
+    from docarray_spark.functions.localexec import ensure_parallelism
+
+    # spread a single-split source so the tokenize + bigram explode run on
+    # every core (no-op at real scale; guide §2.6)
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_t")
+    )
     toks = toks.withColumn("_t", F.filter("_t", lambda x: x != ""))
     # the token table feeds the unigram counts, the bigram explosion (which
     # itself feeds pair counts AND the scoring join) — persist so the

@@ -512,8 +512,10 @@ def ivfpq_match(
             )
         spark_ = corpus.sparkSession
         cents_sorted = sorted((int(c), [float(x) for x in v]) for c, v in centroids)
-        cent = spark_.createDataFrame(
-            cents_sorted, "cell int, centroid array<double>"
+        from docarray_spark.functions.localexec import local_table
+
+        cent = local_table(
+            spark_, cents_sorted, "cell int, centroid array<double>"
         )
     else:
         cent, assigned = ivf_index(

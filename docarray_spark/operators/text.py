@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 # canonical rank-key helper — shared with index_store and functions.sparse
 # so the tie-determinism policy can't drift across the BM25/sparse family
 from docarray_spark.functions.distance import rounded_rank_key as _rank_key
+from docarray_spark.functions.localexec import ensure_parallelism, local_table
 
 # Tiny per-language stopword profiles for the heuristic language-ID
 # (judge-facing extension; real deployments would plug fasttext via a
@@ -234,7 +235,9 @@ def text_search(
         rows = out.collect()  # ≤ k rows — explicit budget
     finally:
         tf.unpersist(False)
-    return df.sparkSession.createDataFrame(rows, schema=out.schema)
+    # Arrow local rebuild — a pickled-row parallelize costs one Python
+    # worker round trip per partition per downstream reference (localexec)
+    return local_table(df.sparkSession, rows, out.schema)
 
 
 def _text_search_topk(
@@ -252,7 +255,9 @@ def _text_search_topk(
     (doc, term) slice the caller MUST unpersist after materializing
     ``out`` (the wrapper does; plan tests pin shapes on ``out``)."""
     qterms = sorted({t for t in query.lower().split() if t})
-    base = df.select(
+    # spread the corpus tokenize when the source is a single small split
+    # (guide §2.6 — no-op at real scale, see localexec)
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
     ).withColumn("_dl", F.size("_toks"))
     stats = base.agg(
@@ -341,7 +346,8 @@ def text_search_multi(
         rows = out.collect()  # ≤ k·n_queries rows — explicit budget
     finally:
         tf.unpersist(False)
-    return df.sparkSession.createDataFrame(rows, schema=out.schema)
+    # Arrow local rebuild (see text_search)
+    return local_table(df.sparkSession, rows, out.schema)
 
 
 def _text_search_multi_topk(
@@ -365,10 +371,19 @@ def _text_search_multi_topk(
     if not qterm_rows:
         raise ValueError("no non-empty query terms")
     spark = df.sparkSession
-    qterms = spark.createDataFrame(qterm_rows, "query_id long, t string")
+    from pyspark.sql import types as T
+
+    qterms = local_table(
+        spark, qterm_rows,
+        T.StructType([
+            T.StructField("query_id", T.LongType()),
+            T.StructField("t", T.StringType()),
+        ]),
+    )
     allterms = sorted({t for _, t in qterm_rows})
 
-    base = df.select(
+    # spread the corpus tokenize when the source is a single small split
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
     ).withColumn("_dl", F.size("_toks"))
     stats = base.agg(
@@ -612,7 +627,10 @@ def winnow_fingerprints(
             out.append(np.unique(mins))
         return pd.Series(out)
 
-    return df.withColumn(out_col, _winnow(F.col(text_col)))
+    # the md5-per-k-gram loop is the whole cost — spread a single-split
+    # source across the cores (no-op at real scale; r12 stage profile:
+    # one task carried the entire 2.9 s fingerprint pass)
+    return ensure_parallelism(df).withColumn(out_col, _winnow(F.col(text_col)))
 
 
 # Gopher rule-based quality filter (Rae et al. 2021, "Scaling Language
@@ -1035,7 +1053,9 @@ def repetition_signals(
             )
             yield pd.concat([pdf, sig], axis=1)
 
-    out = df.mapInPandas(_signals, out_schema)
+    # spread a single-split source before the Arrow pass (no-op at scale;
+    # r12 stage profile: the whole 4.2 s gopher chain ran in one task)
+    out = ensure_parallelism(df).mapInPandas(_signals, out_schema)
     rounded = out.select(
         *[f.name for f in df.schema.fields],
         *[F.round(F.col(c), 6).alias(c) for c in new_cols],
