@@ -1934,7 +1934,22 @@ def q_stream_counts_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming exact key-dedup (dropDuplicatesWithinWatermark), as
     (part, key, n, sum_value) rows — both drained availableNow and equal
     to their batch twins, so the oracle is exact."""
-    w = q_stream_windowed_counts(spark, sf_dir).select(
+    # The two drains are INDEPENDENT availableNow queries over the same
+    # landing — run them on threads so their micro-batches overlap on the
+    # executor pool (guide §2.6; the sequential form serialized two
+    # state-store init + commit rounds). The landing is materialized once
+    # up front so the threads share it; the shared shuffle-partition
+    # scope wraps both (the inner scopes then set/restore the same value,
+    # race-free).
+    from concurrent.futures import ThreadPoolExecutor
+
+    _events_stream(spark, sf_dir)  # materialize the landing once
+    with _stream_partitions(spark):
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fw = pool.submit(q_stream_windowed_counts, spark, sf_dir)
+            fd = pool.submit(q_stream_dedup_keys, spark, sf_dir)
+            wdf, ddf = fw.result(), fd.result()
+    w = wdf.select(
         F.lit("window").alias("part"),
         F.concat(
             F.unix_micros("window_start").cast("string"), F.lit("|"), "event_type"
@@ -1942,7 +1957,7 @@ def q_stream_counts_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("sum_value"),
     )
-    d = q_stream_dedup_keys(spark, sf_dir).select(
+    d = ddf.select(
         F.lit("dedup").alias("part"),
         F.concat(F.col("user_id").cast("string"), F.lit("|"), "event_type").alias("key"),
         F.lit(None).cast("long").alias("n"),

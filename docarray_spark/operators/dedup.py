@@ -697,7 +697,11 @@ def embedding_dup_pairs(
         pairs = cand.join(v_a, "id_a").join(v_b, "id_b")
     else:
         raise ValueError(f"unknown method {method!r}")
-    dist = cosine_distance_col(F.col("va"), F.col("vb"))
+    # Arrow pair kernel ≡ the fold form bit-for-bit (functions/distance.py)
+    # — the interpreted HOF fold dominated the verify stage (r12 profile)
+    from docarray_spark.functions.distance import pair_distance_udf
+
+    dist = pair_distance_udf("cosine")(F.col("va"), F.col("vb"))
     if round_to is not None:
         dist = F.round(dist, round_to)
     return (

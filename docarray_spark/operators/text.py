@@ -138,7 +138,9 @@ def vocabulary(
     # and outer generates skip the inferred size filter whose pushdown
     # would tokenize every doc twice
     counts = (
-        df.select(F.explode_outer(tokens_col(text_col)).alias("token"))
+        # spread a single-split source before the tokenize (no-op at scale)
+        ensure_parallelism(df)
+        .select(F.explode_outer(tokens_col(text_col)).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("count"))
@@ -870,7 +872,7 @@ def tfidf_vectors(
     scans instead of one plus a pinned entry per call)."""
     from docarray_spark.operators.group import distributed_row_number
 
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         F.col(id_col), F.explode_outer(tokens_col(text_col)).alias("token")
     ).filter(F.col("token") != "")  # explode-inlining trap, NOTES r9
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))

@@ -20,8 +20,12 @@ from docarray_spark.plans import explain_str, has_cartesian, scan_count, shuffle
 BUDGETS = {
     # --- round-3 first block (previously outside the r2 oracle window)
     # ivf part (1 shuffle / 3 scans) + r5 pq_adc part: one window-merge
-    # exchange + the encoded-corpus scan; codebook collect is eager
-    "ann_ivf_cosine": (2, 4, True),
+    # exchange + the encoded-corpus scan; codebook collect is eager.
+    # r12 +1: the Arrow pair-distance kernel (replacing the interpreted
+    # HOF fold — ~10 CPU-s at sf0.1) sits between the probe window and
+    # the rank window, so the rank exchange no longer reuses the probe
+    # partitioning — an ids+score-only exchange, vectors never ride it
+    "ann_ivf_cosine": (3, 4, True),
     "ann_lsh_cosine": (2, 4, False),
     # sizes agg + output sort; assignment itself is a zero-shuffle map
     "kmeans_clusters": (2, 2, False),
@@ -40,8 +44,9 @@ BUDGETS = {
     # tf agg + vocab-rank exchanges (over the VOCAB, not the corpus) +
     # broadcast joins; cartesian = broadcast 1-row N replicate (BM25 stance)
     "tfidf_vectors": (11, 4, True),
-    # vocabulary two-phase rank (7) + the one bigram-count agg
-    "vocab_ngrams": (8, 3, False),
+    # vocabulary two-phase rank (7) + the one bigram-count agg.
+    # r12 +2: vocabulary()'s ensure_parallelism repartition per reference
+    "vocab_ngrams": (10, 3, False),
     # per-dim combinable agg + array re-collect; exchange ships partials
     "embed_pool": (2, 1, False),
     # asof union-window exchange + range window agg + bucketized equi-join
@@ -81,21 +86,30 @@ BUDGETS = {
     "traverse_suite": (12, 49, False),
     # slice/set/pop/delete fuse into the scan; MERGE joins broadcast updates
     "slice_crud": (0, 2, False),
-    # feature-hash two-level agg + text_to_tensor vocab rank; datauri fused
-    "content_codecs": (10, 7, False),
+    # feature-hash two-level agg + text_to_tensor vocab rank; datauri fused.
+    # r12 +2: vocabulary()'s ensure_parallelism repartition, once per
+    # vocab-subtree reference (no-op at real scale)
+    "content_codecs": (12, 7, False),
     "eval_metrics": (4, 3, False),
     # stats/lang-id/token counts CHAIN into one map-only projection
     "text_profile": (0, 1, False),
-    "quality_gopher": (0, 1, False),
-    # block doc-frequency agg + doc rebuild; frequent set joins broadcast
-    "boilerplate_removal": (2, 2, False),
+    # r12 +1: ensure_parallelism repartition before the Arrow pass (the
+    # whole chain ran in ONE task off the single-split scan; no-op at scale)
+    "quality_gopher": (1, 1, False),
+    # block doc-frequency agg + doc rebuild; frequent set joins broadcast.
+    # r12 +2: ensure_parallelism spreads the single-split scan before the
+    # block-building projection (one repartition per subtree reference;
+    # no-ops at real scale where the input carries many splits)
+    "boilerplate_removal": (4, 2, False),
     # one exchange on user_id, reused by both the lag window and the rollup
     "sessionize": (1, 1, False),
     "pii_scrub": (0, 1, False),
     # eval-gram distinct (tiny side) + per-doc hit count + output orderBy;
     # the corpus gram explosion itself never shuffles (broadcast probe)
     "decontaminate": (3, 2, False),
-    "fingerprint_winnow": (0, 1, False),
+    # r12 +1: ensure_parallelism repartition before the winnow UDF (same
+    # single-task-scan fix as quality_gopher)
+    "fingerprint_winnow": (1, 1, False),
     "doc_summary": (2, 1, False),
     # r9 four-part hybrid suite: single bm25 (5/3) + ONE shared batched
     # multi-query pass (text_search_multi collects its fetch_k=40 list —

@@ -431,6 +431,41 @@ def test_assign_cells_ties_pick_smallest_cell(spark):
     assert _assign_cells_broadcast(base, cents).first().cell == 1
 
 
+def test_assign_cells_exact_equals_literal(spark):
+    """r12: the oracle-range dispatch swapped the interpreted literal fold
+    for the dimension-order numpy path — assignments must be IDENTICAL
+    (same accumulation order, strict-< first-min tie-break), including the
+    fold's NULL-embedding → cell -1 edge."""
+    from docarray_spark.operators.cluster import (
+        _assign_cells_exact,
+        _assign_cells_literal,
+        assign_cells,
+    )
+    from docarray_spark.plans import explain_str
+
+    base = spark.range(300).select(
+        F.col("id"),
+        F.expr(
+            "CASE WHEN id = 7 THEN NULL ELSE "
+            "transform(sequence(0, 15), j -> cast(sin(id * 17 + j) as double)) END"
+        ).alias("v"),
+    )
+    cents = [
+        (i, [float(__import__("math").sin(i * 13 + j)) for j in range(16)])
+        for i in range(5)
+    ]
+    lit = {r.id: r.cell for r in _assign_cells_literal(base, cents).collect()}
+    ex = {r.id: r.cell for r in _assign_cells_exact(base, cents).collect()}
+    assert lit == ex
+    assert lit[7] == -1  # NULL embedding keeps the fold's initial accumulator
+    # duplicate-centroid tie keeps the smallest cell id on the exact path too
+    one = spark.createDataFrame([(1, [1.0, 1.0])], "id long, v array<double>")
+    tie = [(0, [5.0, 5.0]), (1, [1.0, 1.0]), (2, [1.0, 1.0])]
+    assert _assign_cells_exact(one, tie).first().cell == 1
+    # dispatch: oracle-range k*d routes to the numpy path (ArrowEvalPython)
+    assert "ArrowEvalPython" in explain_str(assign_cells(base, cents))
+
+
 def test_pack_sequences_requires_group_col(spark):
     """VERDICT r2 #3: a global pack is an Exchange SinglePartition — refuse
     it unless the caller opts in explicitly."""
