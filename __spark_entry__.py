@@ -17,7 +17,6 @@ from docarray_spark.operators import (
     dup_groups,
     embed,
     set_along_path,
-    text_search,
     embedding_dup_pairs,
     group_counts,
     hash_sample,
@@ -608,17 +607,23 @@ def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         # worker per partition per fusion/MMR reference (r12 profile)
         return local_table(spark, plan.collect(), plan.schema)
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_single = pool.submit(
-            text_search, docs, "key value scan table",
-            id_col="doc_id", k=20, round_to=6,
-        )
-        f_tr40 = pool.submit(
-            text_search_multi, dtext, HYBRID_QUERIES,
+    # r12: the single 'bm25' query rides the SAME batched pass as the
+    # three multi queries (query_id -1) — document frequencies, N and
+    # avgdl are query-set-independent, so every score is bit-identical to
+    # the separate text_search call while the corpus tokenize runs once
+    # for all four queries instead of twice (two fewer corpus passes and
+    # one fewer thread job; oracle SQL unchanged)
+    all_queries = dict(HYBRID_QUERIES)
+    all_queries[-1] = "key value scan table"
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_tr = pool.submit(
+            text_search_multi, dtext, all_queries,
             id_col="doc_id", k=40, round_to=6,
         )
         f_vec40 = pool.submit(_knn)
-        single, tr40, vec40 = f_single.result(), f_tr40.result(), f_vec40.result()
+        tr_all, vec40 = f_tr.result(), f_vec40.result()
+    single = tr_all.filter((F.col("query_id") == -1) & (F.col("rank") <= 20))
+    tr40 = tr_all.filter(F.col("query_id") >= 0)
 
     parts = [
         single.select(

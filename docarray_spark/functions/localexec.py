@@ -69,6 +69,9 @@ def local_table(spark: SparkSession, rows, schema) -> DataFrame:
             for r in rows
         ]
         tbl = pa.Table.from_pylist(dicts, schema=arrow_schema)
-        return spark.createDataFrame(tbl, schema=schema)
+        # coalesce(1): createDataFrame slices the table into
+        # defaultParallelism partitions — 32 near-empty tasks scheduled per
+        # downstream reference for a ≤k-row table; one task reads them all
+        return spark.createDataFrame(tbl, schema=schema).coalesce(1)
     except Exception:
         return spark.createDataFrame(list(rows), schema)
