@@ -20,7 +20,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from docarray_spark.functions.distance import cosine_distance_col
 from docarray_spark.operators.text import tokens_col
 
 
