@@ -465,25 +465,60 @@ def simhash_table(
         import hashlib
 
         mask = (1 << bits) - 1 if 4 * hx != bits else None
+        # digest-byte read: int(hexdigest[:hx], 16) == the first hx hex
+        # chars == int.from_bytes(digest[:ceil(hx/2)]) >> (4 if hx odd) —
+        # same value, no hex-string round trip
+        _nb = (hx + 1) // 2
+        _sh4 = 4 * (2 * _nb - hx)
 
         @F.pandas_udf("long")
         def _simhash_np(toks: pd.Series) -> pd.Series:
+            # md5 once per DISTINCT token per batch, not per occurrence:
+            # natural text repeats tokens heavily (the whole batch's
+            # occurrence→distinct ratio is ~5-30×), and the hash is the
+            # per-token cost that dominated this kernel (r12 opt pass 2).
+            # np.unique(return_inverse) maps occurrences back, so every
+            # per-doc bit count sees exactly the values the per-occurrence
+            # loop produced (pinned ≡ simhash_col's fold in
+            # test_dedup.test_simhash_kernel_matches_fold).
+            md5 = hashlib.md5
             shifts = np.arange(bits, dtype=np.int64)
-            out = np.zeros(len(toks), dtype=np.int64)
-            for i, ts in enumerate(toks):
+            nrows = len(toks)
+            out = np.zeros(nrows, dtype=np.int64)
+            lens = np.fromiter(
+                (len(ts) for ts in toks), dtype=np.int64, count=nrows
+            )
+            total = int(lens.sum())
+            if total == 0:
+                return pd.Series(out)
+            flat = np.empty(total, dtype=object)
+            pos = 0
+            for ts in toks:
                 n = len(ts)
+                if n:
+                    flat[pos:pos + n] = ts
+                    pos += n
+            uniq, inv = np.unique(flat, return_inverse=True)
+            hu = np.fromiter(
+                (
+                    int.from_bytes(
+                        md5(t.encode("utf-8")).digest()[:_nb], "big"
+                    ) >> _sh4
+                    for t in uniq
+                ),
+                dtype=np.int64, count=len(uniq),
+            )
+            if mask is not None:
+                hu &= mask
+            h = hu[inv]
+            offs = 0
+            for i in range(nrows):
+                n = int(lens[i])
                 if n == 0:
                     continue
-                h = np.fromiter(
-                    (
-                        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:hx], 16)
-                        for t in ts
-                    ),
-                    dtype=np.int64, count=n,
-                )
-                if mask is not None:
-                    h &= mask
-                ones = ((h[:, None] >> shifts) & 1).sum(axis=0)
+                seg = h[offs:offs + n]
+                offs += n
+                ones = ((seg[:, None] >> shifts) & 1).sum(axis=0)
                 out[i] = int(((2 * ones - n > 0).astype(np.int64) << shifts).sum())
             return pd.Series(out)
 
@@ -1374,17 +1409,25 @@ def duplicate_spans(
 
         @F.pandas_udf("array<long>")
         def _whashes(toks: pd.Series) -> pd.Series:
+            # per-token utf-8 encode hoisted out of the window loop (each
+            # token was re-encoded ~W times inside the joined string), and
+            # the 60-bit value read straight off the digest bytes:
+            # int.from_bytes(digest[:8]) >> 4 == int(hexdigest[:15], 16)
+            # (15 hex chars = 60 bits = first 7.5 bytes) — no hex string.
+            # b" ".join(encoded) == (" ".join(strs)).encode("utf-8"), so
+            # every hash input byte is unchanged (r12 opt pass 2, pinned
+            # in test_dedup.test_whash_kernel_matches_str_form).
+            md5 = hashlib.md5
             out = []
             for ts in toks:
                 n = len(ts) - _w + 1
+                bts = [t.encode("utf-8") for t in ts]
                 out.append(np.fromiter(
                     (
-                        int(
-                            hashlib.md5(
-                                " ".join(ts[s : s + _w]).encode("utf-8")
-                            ).hexdigest()[:15],
-                            16,
-                        )
+                        int.from_bytes(
+                            md5(b" ".join(bts[s : s + _w])).digest()[:8],
+                            "big",
+                        ) >> 4
                         for s in range(n)
                     ),
                     dtype=np.int64, count=n,
@@ -1407,19 +1450,28 @@ def duplicate_spans(
             "id", "start",
             F.expr(hash_bits_sql("_wtext", 60, hash_method)).alias("whash"),
         )
-    stats = wins.groupBy("whash").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.min(F.struct("id", "start")).alias("_first"),
-    ).filter(F.col("_n") > 1)
-    # duplicated occurrences, first kept
+    # duplicated occurrences, first kept. Window aggregates over the whash
+    # exchange instead of groupBy + join-back: the join-back form evaluated
+    # the `wins` subtree — the expensive window-hash map — TWICE (once into
+    # the count aggregate, once into the join probe side; ~14 s of task
+    # time per evaluation at sf0.1, r12 opt pass 2). Both forms hash-
+    # partition the same (id, start, whash) rows once; count/min over the
+    # whole whash partition are exactly the old aggregate values, so the
+    # marked set is bit-for-bit unchanged. Per-partition window state is
+    # one hash's occurrence list — bounded by the duplication factor, the
+    # same bound the old aggregate row carried.
+    from pyspark.sql import Window as W
+
+    wh = W.partitionBy("whash")
     marked = (
-        wins.join(stats, "whash")
+        wins.withColumn("_n", F.count(F.lit(1)).over(wh))
+        .withColumn("_first", F.min(F.struct("id", "start")).over(wh))
+        .filter(F.col("_n") > 1)
         .filter(~((F.col("id") == F.col("_first.id")) & (F.col("start") == F.col("_first.start"))))
         .select("id", "start", (F.col("start") + window).alias("end"))
     )
     # gaps-and-islands: a window starts a new span iff it begins after the
     # running max end of all previous windows in the doc
-    from pyspark.sql import Window as W
 
     order = W.partitionBy("id").orderBy("start")
     prev_max_end = F.max("end").over(order.rowsBetween(W.unboundedPreceding, -1))

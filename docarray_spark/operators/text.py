@@ -258,13 +258,21 @@ def _text_search_topk(
     ``out`` (the wrapper does; plan tests pin shapes on ``out``)."""
     qterms = sorted({t for t in query.lower().split() if t})
     # spread the corpus tokenize when the source is a single small split
-    # (guide §2.6 — no-op at real scale, see localexec)
-    base = ensure_parallelism(df).select(
+    # (guide §2.6 — no-op at real scale, see localexec). The stats
+    # aggregate reads doc length off the regex count (== size(split(...))
+    # for every input — see the multi form) so its branch prunes the
+    # tokenize entirely; the tf branch keeps size() off the array it
+    # builds anyway.
+    src = ensure_parallelism(df)
+    _dl_regex = (
+        F.regexp_count(F.trim(F.col(text_col)), F.lit(r"\s+")) + F.lit(1)
+    ).cast("int")
+    stats = src.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg(_dl_regex).alias("_avgdl")
+    )
+    base = src.select(
         F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
     ).withColumn("_dl", F.size("_toks"))
-    stats = base.agg(
-        F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
-    )
     # explode_outer: the isin filter drops the null row an empty token
     # array emits, and outer skips the inferred size filter whose
     # pushdown would tokenize every doc twice (trap note, NOTES r9)
@@ -384,13 +392,28 @@ def _text_search_multi_topk(
     )
     allterms = sorted({t for _, t in qterm_rows})
 
-    # spread the corpus tokenize when the source is a single small split
-    base = ensure_parallelism(df).select(
+    # spread the corpus tokenize when the source is a single small split.
+    # The stats aggregate reads doc length off the regex count, NOT the
+    # token array: split-with-limit=-1 yields (separator runs + 1) parts
+    # for every string (leading/trailing runs contribute edge empties),
+    # so regexp_count(trim(text), '\s+') + 1 == size(split(lower(trim(
+    # text)), '\s+')) for any input, null included (lower() cannot change
+    # whitespace runs). With the aggregate off the regex form, column
+    # pruning drops the whole tokenize+array build from the stats branch
+    # — the corpus is tokenized once per call, not twice — while the tf
+    # branch keeps reading size() off the array it builds anyway (r12 opt
+    # pass 2; pinned in test_text.test_dl_regexp_count_matches_split_size
+    # and by the BM25 oracle's dl replay).
+    src = ensure_parallelism(df)
+    _dl_regex = (
+        F.regexp_count(F.trim(F.col(text_col)), F.lit(r"\s+")) + F.lit(1)
+    ).cast("int")
+    stats = src.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg(_dl_regex).alias("_avgdl")
+    )
+    base = src.select(
         F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
     ).withColumn("_dl", F.size("_toks"))
-    stats = base.agg(
-        F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
-    )
     # explode_outer + isin: same inlining-trap shape as text_search
     toks = base.select("_id", "_dl", F.explode_outer("_toks").alias("t")).filter(
         F.col("t").isin(allterms)

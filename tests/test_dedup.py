@@ -681,3 +681,87 @@ def test_semantic_dedup_null_embeddings_and_guards(spark):
     with pytest.raises((PythonException, Py4JJavaError),
                        match="max_cell_rows"):
         semantic_dedup(df, k_clusters=1, max_cell_rows=4).collect()
+
+
+# ---- r12 optimization pins: Arrow kernels ≡ the expression/str forms ----
+
+
+def test_simhash_kernel_matches_fold(spark):
+    """The distinct-token md5 kernel (np.unique + digest-byte read, r12
+    opt pass 2) must emit the EXACT fingerprints of simhash_col's
+    interpreted fold — unicode tokens, heavy repeats, empty and
+    single-token docs included."""
+    from docarray_spark.operators.dedup import simhash_col, simhash_table
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog the quick fox"),
+        (1, "héllo wörld héllo wörld ünïcode tökens the the the"),
+        (2, ""),
+        (3, "single"),
+        (4, " ".join(f"w{i % 7}" for i in range(200))),
+        (5, "\t tab  separated \n lines mixed   whitespace \t"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    for bits in (16, 32, 48):
+        kern = {r.id: r.simhash
+                for r in simhash_table(df, "id", "text", bits=bits).collect()}
+        fold = {r.id: r.sh
+                for r in df.select("id", simhash_col("text", bits).alias("sh")).collect()}
+        assert kern == fold, bits
+
+
+def test_whash_kernel_matches_str_form(spark):
+    """The byte-join window-hash kernel (per-token encode hoisted,
+    digest[:8] >> 4 read) must group windows exactly like the original
+    ' '.join + hexdigest[:15] form: same spans on a corpus with unicode
+    and repeated 8-token runs."""
+    import hashlib
+    from collections import defaultdict
+
+    from docarray_spark.operators.dedup import duplicate_spans
+    from docarray_spark.operators.text import tokens_col
+
+    W = 8
+    dup_run = "alpha bravo chárlie delta echo föxtrot golf hotel"
+    rows = [
+        (0, dup_run + " one two three"),
+        (1, "prefix words here " + dup_run),
+        (2, "unrelated content with enough tokens to clear the window size"),
+        (3, dup_run + " " + dup_run),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = sorted(tuple(r) for r in duplicate_spans(df, window=W).collect())
+
+    # pure-python replay of the ORIGINAL pipeline (str-join windows,
+    # hexdigest[:15], groupBy + join-back marking, island merge)
+    toks = {r.id: [t for t in list(r.t)]
+            for r in df.select(
+                "id", F.array_remove(tokens_col("text"), "").alias("t")
+            ).collect()}
+    groups = defaultdict(list)
+    for i, ts in toks.items():
+        for s in range(len(ts) - W + 1):
+            h = int(hashlib.md5(
+                " ".join(ts[s:s + W]).encode("utf-8")
+            ).hexdigest()[:15], 16)
+            groups[h].append((i, s))
+    marked = defaultdict(list)
+    for occ in groups.values():
+        if len(occ) > 1:
+            first = min(occ)
+            for o in occ:
+                if o != first:
+                    marked[o[0]].append((o[1], o[1] + W))
+    exp = []
+    for i, lst in marked.items():
+        lst.sort()
+        cs, ce = lst[0]
+        for s, e in lst[1:]:
+            if s > ce:
+                exp.append((i, cs, ce))
+                cs, ce = s, e
+            else:
+                ce = max(ce, e)
+        exp.append((i, cs, ce))
+    assert got == sorted(exp)
+    assert got, "corpus must actually produce duplicated spans"

@@ -207,3 +207,25 @@ def test_repetition_signals_property_vs_naive(spark):
                 assert got[i][k] == v, (k, text)
 
     check()
+
+
+def test_dl_regexp_count_matches_split_size(spark):
+    """BM25's _dl now rides regexp_count(trim(text), '\\s+') + 1 so the
+    stats aggregation prunes the tokenize (r12 opt pass 2). split with
+    limit -1 yields (separator runs + 1) parts for EVERY string —
+    edge empties from non-space whitespace included — so the two forms
+    must agree on every input, null included."""
+    from docarray_spark.operators.text import tokens_col
+
+    cases = ["", " ", "a", " a ", "\ta b\t", "a  b", "\n\na\nb\n",
+             "héllo WÖRLD", None, "  \t ",
+             "one two  three\tfour\nfive ", "İstanbul I", "\r\n", "a b"]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, text string"
+    )
+    old = F.size(tokens_col("text"))
+    new = (F.regexp_count(F.trim(F.col("text")), F.lit(r"\s+")) + F.lit(1)).cast("int")
+    rows = df.select("i", "text", old.alias("o"), new.alias("n")).collect()
+    assert all(r.o == r.n for r in rows), [
+        (r.text, r.o, r.n) for r in rows if r.o != r.n
+    ]
