@@ -265,8 +265,14 @@ def minhash_dedup_pairs(
     if persist:
         # both join sides (and the optional bucket census) reference this
         # subtree; un-persisted, each reference re-runs the minhash UDF and
-        # the re-computation amplified the 204k-doc run ~10x (r3 scale run)
-        buckets = buckets.persist()
+        # the re-computation amplified the 204k-doc run ~10x (r3 scale run).
+        # eager_cache: the join's two map stages otherwise build the cache
+        # CONCURRENTLY and racing tasks recompute the shingle+minhash chain
+        # per side (r12 opt pass 2 — this also materializes the shingle
+        # base above, which the verify self-join reads)
+        from docarray_spark.functions.localexec import eager_cache
+
+        buckets = eager_cache(buckets.persist())
     if max_bucket is not None:
         # broadcast the HOT buckets (tiny by construction: only the
         # pathological keys exceed the cap) and anti-join — broadcasting
@@ -345,8 +351,12 @@ def ngram_jaccard_exact_pairs(
         sizes = posting.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
         posting = posting.drop("_sz").join(sizes, "_id")
     # both self-join sides reference the posting list; persist so the
-    # shingle explode runs once, not per side (r3 amplification lesson)
-    posting = posting.persist()
+    # shingle explode runs once, not per side (r3 amplification lesson),
+    # and materialize BEFORE the join so its two concurrent map stages
+    # read the cache instead of racing to build it (r12 opt pass 2)
+    from docarray_spark.functions.localexec import eager_cache
+
+    posting = eager_cache(posting.persist())
     a = posting.select(
         F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"), "_s"
     )
@@ -595,8 +605,12 @@ def simhash_dup_pairs(
     # both join sides derive from the fingerprint table; persist it so the
     # per-token hashing runs ONCE, not once per side (the projections
     # differ, so exchange reuse alone never kicks in — halves the
-    # operator's wall clock at sf0.1)
-    base = base.persist()
+    # operator's wall clock at sf0.1). eager_cache: without it the bucket
+    # join's two concurrent map stages race to build the cache and each
+    # recomputes the fingerprint kernel (r12 opt pass 2)
+    from docarray_spark.functions.localexec import eager_cache
+
+    base = eager_cache(base.persist())
     if slices_per_band == 1:
         slices = base.selectExpr(
             "_id",
@@ -701,13 +715,18 @@ def embedding_dup_pairs(
         # base feeds four subtrees (both bucket sides + both verify
         # re-joins) and sigs feeds two — persist both so the scan and the
         # signature UDF run once, not per reference (same lesson as
-        # simhash_dup_pairs; bench clears cache between entries)
+        # simhash_dup_pairs; bench clears cache between entries).
+        # eager_cache on sigs materializes BOTH caches in one job (sigs
+        # reads through base) before the bucket/verify self-joins fan out
+        # concurrently and race to build them (r12 opt pass 2)
+        from docarray_spark.functions.localexec import eager_cache
+
         base = base.persist()
         # ids-only buckets: the projection consumes the vector, emits
         # (id, table, sig) and nothing else
-        sigs = base.select(
+        sigs = eager_cache(base.select(
             "_id", F.posexplode(sig("_v")).alias("table", "sig")
-        ).persist()
+        ).persist())
         if max_bucket is not None:
             hot = (
                 sigs.groupBy("table", "sig")
