@@ -164,17 +164,31 @@ def pair_distance_udf(metric: str):
     if metric not in ("cosine", "sqeuclidean", "euclidean"):
         raise ValueError(f"no Arrow pair kernel for metric {metric!r}")
 
+    def _f64(v):
+        # a vector containing a NULL element (None in an object array) makes
+        # np.asarray(..., float64) raise TypeError and would kill the whole
+        # Arrow task, whereas the zip_with fold propagates a NULL distance
+        # for just that row (ADVICE r12 #2) — mirror the fold: unconvertible
+        # rows become NULL output via the ok mask.
+        try:
+            arr = np.asarray(v, dtype=np.float64)
+        except (TypeError, ValueError):
+            return None
+        return arr
+
     @F.pandas_udf("double")
     def _dist(a: pd.Series, b: pd.Series) -> pd.Series:
         n = len(a)
         out = np.full(n, np.nan, dtype=np.float64)
+        conv_a = [None if x is None else _f64(x) for x in a]
+        conv_b = [None if y is None else _f64(y) for y in b]
         ok = np.asarray([
             x is not None and y is not None and len(x) == len(y)
-            for x, y in zip(a, b)
+            for x, y in zip(conv_a, conv_b)
         ])
         if ok.any():
-            xs = [np.asarray(x, dtype=np.float64) for x in a[ok]]
-            ys = [np.asarray(y, dtype=np.float64) for y in b[ok]]
+            xs = [x for x, o in zip(conv_a, ok) if o]
+            ys = [y for y, o in zip(conv_b, ok) if o]
             if len({v.shape[0] for v in xs}) > 1:
                 # mixed dims in one batch: row-at-a-time, same op order
                 vals = np.asarray([

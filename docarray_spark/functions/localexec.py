@@ -23,20 +23,97 @@ OPTIMIZATION_r12.md):
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame, Row, SparkSession
+
+# split-estimate memo: (files, target) → decision. Only consulted on the
+# stat path (fewer input files than cores), so keys stay tiny; entries that
+# call ensure_parallelism on the same scan several times per query
+# construction pay the file stat once per process.
+_SPLIT_DECISION_CACHE: dict = {}
+
+
+def _file_size(spark: SparkSession, uri: str) -> int | None:
+    local = uri
+    if local.startswith("file:"):
+        local = local[5:]
+        while local.startswith("//"):
+            local = local[1:]
+    try:
+        return os.path.getsize(local)
+    except OSError:
+        pass
+    try:  # non-local filesystems: one Hadoop FS call per file (≤ cores files)
+        jvm = spark.sparkContext._jvm
+        path = jvm.org.apache.hadoop.fs.Path(uri)
+        fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        return int(fs.getFileStatus(path).getLen())
+    except Exception:
+        return None
+
+
+def _scan_splits_below(df: DataFrame, target: int) -> bool | None:
+    """True iff the scan behind ``df`` will plan FEWER than ``target`` input
+    splits, estimated from the input files' sizes with Spark's own
+    split-packing formula (maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, totalWeightedBytes / parallelism))).
+
+    This replaces the old ``df.rdd.getNumPartitions()`` probe, which forced
+    a full plan→RDD conversion on the driver per call and pinned the
+    pre-AQE partitioning (VERDICT r12 #8) — on a 100 TB table with a complex
+    upstream plan that conversion is a non-trivial driver-side analysis pass
+    per query construction. Files are only stat'ed when there are fewer
+    files than ``target`` (never at real scale, where thousands of files
+    short-circuit the answer), and decisions are memoized per process.
+
+    Returns None when the answer is unknowable cheaply (no file-backed
+    leaves, e.g. a local relation) — those sources are already created with
+    ``defaultParallelism`` slices, so the caller treats None as 'no-op'."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    if len(files) >= target:
+        return False
+    key = (tuple(files), target)
+    hit = _SPLIT_DECISION_CACHE.get(key)
+    if hit is not None:
+        return hit
+    spark = df.sparkSession
+    try:
+        sqlconf = spark._jsparkSession.sessionState().conf()
+        max_split = int(sqlconf.filesMaxPartitionBytes())
+        open_cost = int(sqlconf.filesOpenCostInBytes())
+    except Exception:
+        max_split, open_cost = 128 * 1024 * 1024, 4 * 1024 * 1024
+    sizes = [_file_size(spark, f) for f in files]
+    if any(s is None for s in sizes):
+        return None
+    total = sum(sizes) + open_cost * len(files)
+    bytes_per_core = total / max(1, spark.sparkContext.defaultParallelism)
+    split = min(max_split, max(open_cost, bytes_per_core))
+    est = max(1, math.ceil(total / split))
+    below = est < target
+    _SPLIT_DECISION_CACHE[key] = below
+    return below
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Spread CPU-heavy per-row work across the cluster when the source has
-    fewer partitions than cores (e.g. one small parquet file). At real scale
-    the input already has thousands of partitions and this no-ops.
+    fewer input splits than cores (e.g. one small parquet file). At real
+    scale the input already has thousands of splits and this no-ops —
+    without touching ``df.rdd`` (see :func:`_scan_splits_below`).
 
     Call this on the RAW input, BEFORE the expensive projection: Spark puts
     the repartition exchange ABOVE existing projections, so
     ``ensure_parallelism(df.select(expensive))`` would still evaluate the
     expensive expression in the source's (possibly single) partitions."""
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if _scan_splits_below(df, target):
         return df.repartition(target)
     return df
 

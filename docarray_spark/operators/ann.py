@@ -114,7 +114,14 @@ def lsh_match(
         .join(c, "match_id")
         .select("query_id", "match_id", dist.alias("score"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("match_id").asc())
+    # asc_nulls_last: a degenerate candidate (zero-norm / NaN-component
+    # vector) scores NULL through the Arrow pair kernel, and plain asc()
+    # sorts NULLs FIRST — it would silently become the top-1 match
+    # (ADVICE r12 #1). Well-formed scores are never NULL, so ordering of
+    # real results is unchanged.
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc_nulls_last(), F.col("match_id").asc()
+    )
     out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -240,7 +247,11 @@ def ivf_match(
     # Arrow pair kernel ≡ the fold form (distance.py) — the probed-cell
     # candidate set re-ranks at n_q·n_probe·cell-size volume
     dist = pair_distance_udf(metric)(F.col("qv"), F.col("v"))
-    w = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("match_id").asc())
+    # asc_nulls_last: see lsh_match (ADVICE r12 #1 — NULL kernel scores
+    # must rank last, not first)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc_nulls_last(), F.col("match_id").asc()
+    )
     out = (
         cand.select("query_id", F.col("id").alias("match_id"), dist.alias("score"))
         .withColumn("rank", F.row_number().over(w))
@@ -373,7 +384,7 @@ def _ivf_match_vectorized(
 
     cand = assigned.select("cell", "id", "v").mapInPandas(_partition_topk, out_schema)
     w = Window.partitionBy("query_id").orderBy(
-        F.col("score").asc(), F.col("match_id").asc()
+        F.col("score").asc_nulls_last(), F.col("match_id").asc()
     )
     out = (
         cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -106,10 +106,24 @@ def _assign_cells_exact(
         n = len(emb)
         if n == 0:
             return pd.Series([], dtype="int32")
-        null_mask = np.asarray([e is None for e in emb])
-        X = np.asarray(
-            [np.zeros(C_.shape[1]) if e is None else np.asarray(e, dtype=np.float64) for e in emb]
-        )
+        # rows whose embedding is NULL, length-mismatched vs the centroid
+        # dim, or not float-convertible keep the fold's padding semantics
+        # (zip_with null padding → NULL distance → accumulator stays
+        # (-1, inf) → cell -1) instead of a ragged np.asarray raising and
+        # killing the task (ADVICE r12 #3)
+        d_ = C_.shape[1]
+
+        def _row(e):
+            if e is None or len(e) != d_:
+                return None
+            try:
+                return np.asarray(e, dtype=np.float64)
+            except (TypeError, ValueError):
+                return None
+
+        rows = [_row(e) for e in emb]
+        null_mask = np.asarray([r is None for r in rows])
+        X = np.asarray([np.zeros(d_) if r is None else r for r in rows])
         # dimension-order accumulation == the literal fold's Σ(x_j−c_j)²
         d2 = np.zeros((n, len(C_)), dtype=np.float64)
         for j in range(C_.shape[1]):

@@ -24,18 +24,11 @@ from docarray_spark.operators.text import tokens_col
 
 
 def _ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Spread CPU-heavy per-row work across the cluster when the source has
-    fewer partitions than cores (e.g. one small parquet file). At real scale
-    the input already has thousands of partitions and this no-ops.
+    """Alias of :func:`docarray_spark.functions.localexec.ensure_parallelism`
+    (file-split estimate, no ``df.rdd`` plan→RDD conversion — VERDICT r12 #8)."""
+    from docarray_spark.functions.localexec import ensure_parallelism
 
-    Call this on the RAW input, BEFORE the expensive projection: Spark puts
-    the repartition exchange ABOVE existing projections, so
-    ``_ensure_parallelism(df.select(expensive))`` would still evaluate the
-    expensive expression in the source's (possibly single) partitions."""
-    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    return ensure_parallelism(df, min_parts)
 
 # ------------------------------------------------------------------- exact
 

@@ -79,3 +79,38 @@ def test_pair_udf_null_and_length_mismatch(spark):
 def test_pair_udf_unknown_metric_raises():
     with pytest.raises(ValueError, match="no Arrow pair kernel"):
         pair_distance_udf("manhattan")
+
+
+def test_pair_udf_null_element_yields_null_not_crash(spark):
+    # ADVICE r12 #2: a NULL element inside one vector must produce a NULL
+    # distance (the zip_with fold's semantics), not a failed Arrow task
+    df = spark.sql(
+        "SELECT array(1.0d, CAST(NULL AS DOUBLE)) a, array(1.0d, 2.0d) b "
+        "UNION ALL SELECT array(1.0d, 2.0d), array(1.0d, 2.0d)"
+    )
+    rows = df.select(
+        pair_distance_udf("cosine")(F.col("a"), F.col("b")).alias("u")
+    ).collect()
+    vals = sorted((r.u is None for r in rows))
+    assert vals == [False, True]
+
+
+def test_pair_udf_zero_norm_ranks_last_with_nulls_last(spark):
+    # ADVICE r12 #1: a zero-norm vector's cosine is NULL through the kernel;
+    # ranking sites order with asc_nulls_last so it can never become top-1
+    from pyspark.sql import Window
+
+    df = spark.sql(
+        "SELECT 1 AS query_id, 10 AS match_id, array(0.0d, 0.0d) a, array(1.0d, 2.0d) b "
+        "UNION ALL SELECT 1, 11, array(1.0d, 2.0d), array(1.0d, 2.0d) "
+        "UNION ALL SELECT 1, 12, array(2.0d, 1.0d), array(1.0d, 2.0d)"
+    )
+    scored = df.select(
+        "query_id", "match_id",
+        pair_distance_udf("cosine")(F.col("a"), F.col("b")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc_nulls_last(), F.col("match_id").asc()
+    )
+    top = scored.withColumn("rank", F.row_number().over(w)).filter("rank = 1").collect()
+    assert top[0].match_id == 11  # the degenerate zero-norm row is NOT top-1

@@ -608,3 +608,22 @@ def test_tfidf_persist_false_leaves_no_cache(spark):
     assert len(jsc.getRDDStorageInfo()) == before
     b = {(r.id, r.token): r.weight for r in tfidf_vectors(df).collect()}
     assert a == b
+
+
+def test_assign_cells_exact_ragged_dim_degrades_to_minus_one(spark):
+    # ADVICE r12 #3: an embedding whose length differs from the centroid
+    # dimension must degrade to cell -1 (the literal fold's zip_with null
+    # padding), not raise inside the Arrow task
+    from pyspark.sql import functions as F
+
+    from docarray_spark.operators.cluster import _assign_cells_exact
+
+    base = spark.sql(
+        "SELECT 0 AS id, array(1.0d, 2.0d) AS v "
+        "UNION ALL SELECT 1, array(1.0d) "              # too short
+        "UNION ALL SELECT 2, array(1.0d, 2.0d, 3.0d) "  # too long
+        "UNION ALL SELECT 3, CAST(NULL AS ARRAY<DOUBLE>)"
+    ).select("id", "v")
+    cents = [(0, [0.0, 0.0]), (1, [5.0, 5.0])]
+    got = {r.id: r.cell for r in _assign_cells_exact(base, cents).collect()}
+    assert got == {0: 0, 1: -1, 2: -1, 3: -1}
