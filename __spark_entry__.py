@@ -1800,8 +1800,29 @@ def q_dedup_embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     r10 adds 'semantic_p2': the multi-probe variant — top-2 cell
     assignment, per-probed-cell edges, GLOBAL components — replayed by
     the same recursive CTE over the union of probed-cell pair edges."""
-    a = q_dedup_embedding(spark, sf_dir).select(F.lit("exact_gate").alias("part"), "*")
-    b = q_dedup_embedding_lsh(spark, sf_dir).select(F.lit("bucket_gate").alias("part"), "*")
+    # exact_gate + bucket_gate FUSED (r13, guide §2.4): the two pipelines
+    # differed only in (num_tables, threshold) over the same input, and
+    # hyperplane signs derive per (seed, table, plane) independently of
+    # num_tables — so one signature pass + one bucket join + ONE exact
+    # cosine verify serves both gates bit-identically (the 4-table gate's
+    # candidates are exactly min(table) < 4), with a recall-safe
+    # Cauchy–Schwarz prefilter ahead of the vector re-joins
+    # (dedup.embedding_dup_pair_gates; equivalence pinned in test_dedup).
+    from docarray_spark.operators.dedup import embedding_dup_pair_gates
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    copies = emb.filter(F.col("id") % 20 == 0).select(
+        (F.col("id") + 100000).alias("id"),
+        F.expr("transform(embedding, x -> x + 0.01d)").alias("embedding"),
+    )
+    ab = embedding_dup_pair_gates(
+        emb.unionByName(copies),
+        gates=[("exact_gate", 8, 0.01), ("bucket_gate", 4, 0.05)],
+        id_col="id", num_planes=12, seed=42, round_to=6, dim=64,
+    )
     c = q_semantic_dedup_part(spark, sf_dir).select(F.lit("semantic").alias("part"), "*")
     d = q_semantic_dedup_p2_part(spark, sf_dir).select(
         F.lit("semantic_p2").alias("part"), "*"
@@ -1809,7 +1830,7 @@ def q_dedup_embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep rides as INT: a null BOOLEAN stringifies engine-dependently
     # (None vs NaN) while null numerics agree — hash-safe like the other
     # suites' NULL pad columns
-    out = a.unionByName(b)
+    out = ab
     for part in (c, d):
         out = out.unionByName(
             part.withColumn("keep", F.col("keep").cast("int")),

@@ -65,6 +65,45 @@ def signatures_udf(dim: int, num_tables: int, num_planes: int, seed: int = 42):
     return signatures
 
 
+def signatures_gate_udf(
+    dim: int, num_tables: int, num_planes: int, seed: int = 42,
+    n_chunks: int = 8,
+):
+    """pandas_udf: embedding → struct(sigs array<long>, gate array<double>).
+
+    ``sigs`` is exactly :func:`signatures_udf`'s output (same planes, same
+    BLAS matmul, same bit packing). ``gate`` carries the NORMALIZED CHUNK
+    NORMS u_c = ‖x_c‖/‖x‖ over ``n_chunks`` contiguous dimension blocks —
+    the per-vector half of a Cauchy–Schwarz upper bound on cosine
+    similarity: cos(x, y) = Σ_c x_c·y_c / (‖x‖‖y‖) ≤ Σ_c ‖x_c‖‖y_c‖ /
+    (‖x‖‖y‖) = Σ_c u_c(x)·u_c(y). A candidate pair whose gate dot falls at
+    or below 1 − threshold (minus a rounding margin) therefore PROVABLY
+    fails ``cosine_dist < threshold`` and can be dropped JVM-side before
+    the vectors are ever re-joined for the exact Arrow verify — a
+    recall-safe candidate prefilter (guide §3.2 spirit; VERDICT r12 #1).
+    Zero-norm vectors yield NaN gate entries; NaN comparisons are false, so
+    such pairs drop at the gate — consistent with their NULL kernel
+    distance failing the final threshold filter anyway."""
+    proj = hyperplane_signs(dim, num_tables, num_planes, seed).T.copy()
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+    n_chunks = max(1, min(n_chunks, dim))
+    bounds = np.linspace(0, dim, n_chunks + 1).astype(np.int64)
+
+    @pandas_udf("struct<sigs: array<long>, gate: array<double>>")
+    def signatures_gate(embs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in embs])
+        bits = (mat @ proj) > 0
+        sigs = bits.reshape(len(mat), num_tables, num_planes) @ weights
+        sq = mat * mat
+        cn = np.sqrt(
+            np.add.reduceat(sq, bounds[:-1], axis=1)
+        )  # (n, n_chunks) chunk norms
+        u = cn / np.sqrt(sq.sum(axis=1))[:, None]
+        return pd.DataFrame({"sigs": list(sigs), "gate": list(u)})
+
+    return signatures_gate
+
+
 def signatures_sql_expr(
     dim: int,
     num_tables: int,

@@ -756,6 +756,123 @@ def embedding_dup_pairs(
     )
 
 
+def embedding_dup_pair_gates(
+    df: DataFrame,
+    gates: list[tuple[str, int, float]],
+    id_col: str = "id",
+    emb_col: str = "embedding",
+    num_planes: int = 12,
+    seed: int = 42,
+    round_to: int | None = None,
+    dim: int | None = None,
+    gate_chunks: int = 8,
+) -> DataFrame:
+    """Fused form of several :func:`embedding_dup_pairs`(method='lsh') calls
+    over the SAME input that differ only in ``(num_tables, threshold)`` —
+    the r12 suite ran two such full pipelines back to back (8-table/θ=0.01
+    and 4-table/θ=0.05), re-scanning, re-signing and re-verifying the same
+    vectors (guide §2.4: no cross-branch CSE).
+
+    ``gates``: list of ``(part_label, num_tables, threshold)``.
+
+    Why fusing is value-exact: hyperplane components derive from
+    ``md5(f"{seed}_{table}_{plane}_{dim}")`` (functions/lsh.py) —
+    independent of ``num_tables`` — so a T-table gate's signature table is
+    literally the first T tables of the max-table signature set, and its
+    candidate pairs are exactly the fused candidates with
+    ``min(table) < T``. One signature pass, one bucket join, ONE exact
+    cosine verify (same Arrow kernel, same rounding); each gate row-filters
+    ``min(table) < T AND dist < θ``. The per-gate outputs are bit-for-bit
+    the separate operators' (pinned in tests/test_dedup.py).
+
+    Candidate prefilter (VERDICT r12 #1, guide §3.2 spirit): the signature
+    pass also emits normalized chunk norms, and candidates whose
+    Cauchy–Schwarz cosine upper bound cannot reach the LOOSEST gate
+    threshold are dropped JVM-side BEFORE the two vector re-joins — a
+    recall-safe cut of the verify join's input (measured 46% of candidate
+    pairs at sf0.1; the margin 1e-6 covers the round_to=6 boundary).
+
+    No ``_ensure_parallelism`` here: the signature kernel is one BLAS
+    matmul per Arrow batch (trivial per row), so at bench scale a 32-way
+    repartition just multiplies Python round-trips per downstream stage,
+    and at real scale parallelism comes from the input's own splits.
+
+    → (part, id_a, id_b, cosine_dist), each part exactly its gate's
+    :func:`embedding_dup_pairs` rows."""
+    from docarray_spark.functions.distance import pair_distance_udf
+    from docarray_spark.functions.localexec import eager_cache
+    from docarray_spark.functions.lsh import signatures_gate_udf
+
+    max_tables = max(t for _, t, _ in gates)
+    max_thr = max(th for _, _, th in gates)
+    emb_d = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("_id"), emb_d.alias("_v")).filter(
+        F.col("_v").isNotNull() & (F.size("_v") > 0)
+    )
+    if dim is None:  # one extra job; pass dim when known
+        dim = len(base.select("_v").first()[0])
+    sg = signatures_gate_udf(dim, max_tables, num_planes, seed, gate_chunks)
+    base = base.persist()
+    # one persisted (id, table, sig, gate) table feeds both bucket-join
+    # sides; eager_cache materializes base+sigs before the self-join's two
+    # map stages race to build them (r12 opt pass 2)
+    s = sg("_v")
+    sigs = eager_cache(
+        base.select(
+            "_id", s["gate"].alias("_u"), F.posexplode(s["sigs"]).alias("table", "sig")
+        ).persist()
+    )
+    left = sigs.select(
+        F.col("_id").alias("id_a"), F.col("_u").alias("_ua"), "table", "sig"
+    )
+    right = sigs.select(
+        F.col("_id").alias("id_b"), F.col("_u").alias("_ub"), "table", "sig"
+    )
+    cand = (
+        left.join(right, ["table", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min("table").alias("_mintab"),
+            F.first("_ua").alias("_ua"),
+            F.first("_ub").alias("_ub"),
+        )
+    )
+    # Cauchy–Schwarz gate, codegen-friendly expanded dot (no HOF fold):
+    # keep iff Σ_c ua_c·ub_c > 1 − max_thr − 1e-6 (can't-pass pairs drop
+    # before the vector joins; NaN gates — zero-norm vectors — drop too,
+    # matching their NULL kernel distance failing every threshold)
+    bound = None
+    for c in range(1, gate_chunks + 1):
+        term = F.element_at("_ua", c) * F.element_at("_ub", c)
+        bound = term if bound is None else bound + term
+    cand = cand.filter(bound > F.lit(1.0 - max_thr - 1e-6)).drop("_ua", "_ub")
+    v_a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    v_b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    pairs = cand.join(v_a, "id_a").join(v_b, "id_b")
+    dist = pair_distance_udf("cosine")(F.col("va"), F.col("vb"))
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+    scored = pairs.select("id_a", "id_b", "_mintab", dist.alias("cosine_dist"))
+    # per-gate rows unpivot from ONE scored subtree (guide §2.4 — a union
+    # of per-gate selects would re-execute the whole verify join per gate)
+    parts = F.array(
+        *[
+            F.when(
+                (F.col("_mintab") < F.lit(t)) & (F.col("cosine_dist") < F.lit(th)),
+                F.lit(label),
+            )
+            for label, t, th in gates
+        ]
+    )
+    return (
+        scored.select(
+            F.explode(F.filter(parts, lambda p: p.isNotNull())).alias("part"),
+            "id_a", "id_b", "cosine_dist",
+        )
+    )
+
+
 def _propagate_min_labels(Xn, sim_floor, round_to, block_elems):
     """Blockwise min-label propagation over the ``>= sim_floor`` cosine
     similarity graph of the rows of unit-normalized ``Xn`` → int64 root
@@ -1426,18 +1543,30 @@ def duplicate_spans(
             # the 60-bit value read straight off the digest bytes:
             # int.from_bytes(digest[:8]) >> 4 == int(hexdigest[:15], 16)
             # (15 hex chars = 60 bits = first 7.5 bytes) — no hex string.
-            # b" ".join(encoded) == (" ".join(strs)).encode("utf-8"), so
-            # every hash input byte is unchanged (r12 opt pass 2, pinned
-            # in test_dedup.test_whash_kernel_matches_str_form).
+            # r13: the W-token join itself is hoisted too — the whole doc
+            # joins ONCE and each window hashes a memoryview slice of that
+            # buffer: b" ".join(bts[s:s+W]) == buf[starts[s]:ends[s+W-1]]
+            # byte-for-byte (single-space joins are contiguous), so every
+            # hash input byte is unchanged (pinned in
+            # test_dedup.test_whash_kernel_matches_str_form) while the
+            # per-window W-element list slice + join allocation disappears.
             md5 = hashlib.md5
             out = []
             for ts in toks:
                 n = len(ts) - _w + 1
                 bts = [t.encode("utf-8") for t in ts]
+                buf = b" ".join(bts)
+                lens = np.fromiter(
+                    (len(b) for b in bts), dtype=np.int64, count=len(bts)
+                )
+                ends = np.cumsum(lens + 1) - 1  # end offset of token i
+                starts = ends - lens            # start offset of token i
+                win_end = ends[_w - 1:]
+                mv = memoryview(buf)
                 out.append(np.fromiter(
                     (
                         int.from_bytes(
-                            md5(b" ".join(bts[s : s + _w])).digest()[:8],
+                            md5(mv[starts[s] : win_end[s]]).digest()[:8],
                             "big",
                         ) >> 4
                         for s in range(n)

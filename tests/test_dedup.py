@@ -765,3 +765,45 @@ def test_whash_kernel_matches_str_form(spark):
         exp.append((i, cs, ce))
     assert got == sorted(exp)
     assert got, "corpus must actually produce duplicated spans"
+
+
+def test_embedding_dup_pair_gates_matches_separate_calls(spark):
+    # r13 fusion pin: the fused two-gate operator must emit BIT-IDENTICAL
+    # rows to two independent embedding_dup_pairs calls (8-table/0.01 and
+    # 4-table/0.05) over an adversarial frame: a near-dup cluster, far
+    # vectors, and a zero-norm vector (NULL kernel distance on one path,
+    # NaN Cauchy-Schwarz gate on the other - both must drop it).
+    import numpy as np
+
+    from docarray_spark.operators.dedup import (
+        embedding_dup_pair_gates,
+        embedding_dup_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(120):
+        v = rng.randn(16)
+        rows.append((i, [float(x) for x in v]))
+        if i % 10 == 0:  # near-dup copy
+            rows.append((1000 + i, [float(x) + 0.005 for x in v]))
+    rows.append((9999, [0.0] * 16))  # zero-norm degenerate
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+
+    fused = embedding_dup_pair_gates(
+        df, gates=[("g8", 8, 0.01), ("g4", 4, 0.05)],
+        num_planes=6, seed=42, round_to=6, dim=16,
+    ).collect()
+    by_part = {"g8": set(), "g4": set()}
+    for r in fused:
+        by_part[r.part].add((r.id_a, r.id_b, r.cosine_dist))
+
+    for part, tables, thr in [("g8", 8, 0.01), ("g4", 4, 0.05)]:
+        sep = embedding_dup_pairs(
+            df, threshold=thr, method="lsh", num_planes=6,
+            num_tables=tables, seed=42, round_to=6, dim=16,
+        ).collect()
+        sep_set = {(r.id_a, r.id_b, r.cosine_dist) for r in sep}
+        assert by_part[part] == sep_set, part
+        assert len(sep_set) > 0, part  # the pin must actually exercise pairs
+    spark.catalog.clearCache()
