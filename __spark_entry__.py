@@ -1438,15 +1438,24 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LANDING_CACHE: dict[str, str] = {}
 
 
-def _stream_partitions(spark: SparkSession, n: str = "8"):
+def _stream_partitions(spark: SparkSession, n: str | None = None):
     """Scoped shuffle-partition override for the streaming drains: each
     stateful operator materializes one state-store instance PER shuffle
     partition at query start, which dominates wall clock when the keyed
     state is small (interval join at 32 partitions: 7.4 s warm; at 8:
-    2.7 s — r3 measurement). Size state partitions to key cardinality, not
-    the batch shuffle default; a 100 TB deployment raises it back via the
-    same knob. Restores the session conf on exit."""
+    2.7 s — r3 measurement; r13 matched A/B at sf0.1, min of alternating
+    reps: counts_dedup 1.55/1.47/1.38 s, session_windows 1.40/1.35/1.51,
+    interval_join 2.85/2.73/2.39 at 8/4/2 partitions — the r12 scaling
+    block's 0.61–0.87 ratios said 8 still over-provisioned, so the local
+    default drops to 4). Size state partitions to key cardinality, not
+    the batch shuffle default; a 100 TB deployment raises it via
+    ``SPARK_GRAFT_STREAM_PARTITIONS`` (the same knob the driver's bench
+    inherits). Restores the session conf on exit."""
+    import os
     from contextlib import contextmanager
+
+    if n is None:
+        n = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")
 
     @contextmanager
     def _scope():

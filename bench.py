@@ -216,18 +216,39 @@ def _win_end(w: dict) -> dict:
     return {"load1": w["load1"], "ext_cores": ext}
 
 
-def _measure_entry(spark, fn, sf_dir) -> dict:
+def _measure_entry(spark, fn, sf_dir, cold_rep: bool = False) -> dict:
     """One full measurement of an entry: cold run, then the clean-heap
     best-of-reps warm protocol, wrapped in one load window. The window
     carries its own single-thread anchor reading (min of a sample before
     the cold run and one after the warm reps) so a mid-run clock slowdown
-    is attributable PER ENTRY instead of run-forensically."""
+    is attributable PER ENTRY instead of run-forensically.
+
+    ``cold_rep`` (VERDICT r12 #9 noise guard): sub-second entries are
+    scheduling-bound and a single cold execution carries multi-x jitter on
+    a 32-core local master — five r12 entries were flagged "regressed"
+    purely from one jittery cold sample that the 8-core rerun did not
+    reproduce. For entries whose PREVIOUS recording's cold was < 1 s (or
+    whose first cold here reads < 1 s), one extra cold-style execution
+    (cache cleared + GC'd first, so persisted subtrees rebuild exactly as
+    in a cold run) is taken and the MIN kept as ``cold``. The unrepeated
+    first execution is preserved as ``cold_first`` in BENCH_DETAIL so the
+    old methodology's number stays visible. Bounded extra runtime:
+    ~25 sub-second entries × <1 s. Codegen-compile time is still included
+    in both samples' plans being identical; only scheduler jitter is
+    filtered."""
     w = _win_start()
     py_a = _pyloop_once()
     ge_a = _gemm_once()
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     cold = round(time.perf_counter() - t0, 4)
+    cold_first = cold
+    if cold_rep or cold < 1.0:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold = round(min(cold, time.perf_counter() - t0), 4)
     # warm = best of 2 re-executions ON A CLEAN HEAP: a single warm run
     # carries multi-x jitter from GC pauses (r3: ann_lsh warm 5.9 s vs
     # 1.4 s cold), and entries that persist big shared subtrees measured
@@ -257,6 +278,7 @@ def _measure_entry(spark, fn, sf_dir) -> dict:
     ge_b = _gemm_once()
     out = _win_end(w)
     out["cold"] = cold
+    out["cold_first"] = cold_first
     out["warm"] = round(best, 4)
     out["pyloop"] = round(min(py_a, py_b), 4)
     out["gemm"] = round(min(ge_a, ge_b), 4)
@@ -322,9 +344,12 @@ def main() -> None:
         "id", _F.timestamp_seconds("id").alias("ts")
     ).write.mode("overwrite").parquet(_sdir)
     _old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")  # 8 state partitions,
-    # matching the entries' _stream_partitions scope — state-store init is
-    # per shuffle partition
+    # match the entries' _stream_partitions scope (state-store init is per
+    # shuffle partition; local default 4 since r13, env-tunable)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"),
+    )
     try:
         _wq = (
             spark.readStream.schema(spark.read.parquet(_sdir).schema)
@@ -445,8 +470,14 @@ def main() -> None:
                 + max(0.0, a["gemm"] / best_ge - GEMM_SLOW_RATIO), ext)
 
     retries_left = GLOBAL_RETRY_BUDGET
+    prev_cold_map = (prev or {}).get("queries_cold", {})
+    cold_first: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
-        attempts = [_measure_entry(spark, fn, sf_dir)]
+        # sub-second noise guard (VERDICT r12 #9): min-of-2 cold for
+        # entries whose previous cold was < 1 s (auto-applied when the
+        # first cold here reads < 1 s; cold_first keeps the old number)
+        rep = (prev_cold_map.get(name) or 9e9) < 1.0
+        attempts = [_measure_entry(spark, fn, sf_dir, cold_rep=rep)]
         _entry_cleanup(spark)
         best_py = min(best_py, attempts[-1]["pyloop"])
         best_ge = min(best_ge, attempts[-1]["gemm"])
@@ -456,7 +487,7 @@ def main() -> None:
             and retries_left > 0
         ):
             retries_left -= 1
-            attempts.append(_measure_entry(spark, fn, sf_dir))
+            attempts.append(_measure_entry(spark, fn, sf_dir, cold_rep=rep))
             _entry_cleanup(spark)
             best_py = min(best_py, attempts[-1]["pyloop"])
             best_ge = min(best_ge, attempts[-1]["gemm"])
@@ -467,6 +498,7 @@ def main() -> None:
         raw_warm[name] = attempts[0]["warm"]
         calm_cold[name] = calm["cold"]
         calm_warm[name] = calm["warm"]
+        cold_first[name] = calm["cold_first"]
         detail[name] = {
             "attempts": len(attempts),
             "load1": calm["load1"],
@@ -539,7 +571,10 @@ def main() -> None:
                 break
             fin_budget -= 1
             fin_retries += 1
-            m = _measure_entry(spark, qmap[name], sf_dir)
+            m = _measure_entry(
+                spark, qmap[name], sf_dir,
+                cold_rep=(prev_cold_map.get(name) or 9e9) < 1.0,
+            )
             _entry_cleanup(spark)
             best_py = min(best_py, m["pyloop"])
             best_ge = min(best_ge, m["gemm"])
@@ -548,6 +583,7 @@ def main() -> None:
             ):
                 calm_cold[name] = m["cold"]
                 calm_warm[name] = m["warm"]
+                cold_first[name] = m["cold_first"]
                 detail[name] = {
                     "attempts": detail[name]["attempts"] + 1,
                     "load1": m["load1"],
@@ -655,6 +691,10 @@ def main() -> None:
                 "queries_warm": calm_warm,
                 "queries_cold_raw": raw_cold,
                 "queries_warm_raw": raw_warm,
+                # pre-noise-guard first executions (VERDICT r12 #9): the
+                # old methodology's cold sample, kept alongside the
+                # min-of-2 headline for sub-second entries
+                "queries_cold_first": cold_first,
                 "load": detail,
                 "total_cold": total_calm,
                 "total_warm": round(sum(calm_warm.values()), 4),

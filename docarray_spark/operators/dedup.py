@@ -253,7 +253,8 @@ def minhash_dedup_pairs(
         for b in range(num_bands)
     ]
     buckets = mins.select(
-        "_id", F.posexplode(F.array(*band_keys)).alias("band", "mh")
+        "_id", F.size("_sh").alias("_sz"),
+        F.posexplode(F.array(*band_keys)).alias("band", "mh"),
     )
     if persist:
         # both join sides (and the optional bucket census) reference this
@@ -278,11 +279,25 @@ def minhash_dedup_pairs(
             .select("band", "mh")
         )
         buckets = buckets.join(F.broadcast(hot), ["band", "mh"], "left_anti")
-    left = buckets.select(F.col("_id").alias("id_a"), "band", "mh")
-    right = buckets.select(F.col("_id").alias("id_b"), "band", "mh")
+    left = buckets.select(
+        F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"), "band", "mh"
+    )
+    right = buckets.select(
+        F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"), "band", "mh"
+    )
+    # size-ratio prefilter (r13, guide §3 candidate pruning): distinct-
+    # shingle sets obey J ≤ min(sz)/max(sz), so candidates whose sizes
+    # cannot reach the threshold drop BEFORE the pair dedup and the two
+    # shingle-array re-joins; 1e-6 slack covers the round_to boundary
+    # (recall-safe — see ngram_jaccard_exact_pairs). Sizes are one long
+    # per bucket row riding the existing exchange.
+    ratio_ok = F.least(F.col("_sza"), F.col("_szb")) >= (
+        F.lit(float(threshold) - 1e-6) * F.greatest(F.col("_sza"), F.col("_szb"))
+    )
     pairs = (
         left.join(right, ["band", "mh"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(ratio_ok)
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -356,9 +371,21 @@ def ngram_jaccard_exact_pairs(
     b = posting.select(
         F.col("_id").alias("id_b"), F.col("_sz").alias("sz_b"), "_s"
     )
+    # size-ratio prefilter (r13, guide §3 candidate pruning — the length
+    # filter of the ppjoin family): for DISTINCT-shingle sets,
+    # J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose size ratio cannot
+    # reach the threshold are dropped BEFORE the intersection aggregate —
+    # they would be filtered by `jaccard >= threshold` anyway. The 1e-6
+    # slack covers the round_to boundary (round(J, 6) ≥ t needs
+    # J > t − 0.5e-6 > t − 1e-6); with round_to=None it only keeps extra
+    # pairs. Provably recall-safe either way.
+    ratio_ok = F.least(F.col("sz_a"), F.col("sz_b")) >= (
+        F.lit(float(threshold) - 1e-6) * F.greatest(F.col("sz_a"), F.col("sz_b"))
+    )
     inter = (
         a.join(b, "_s")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(ratio_ok)
         .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("_i"))
     )
@@ -1550,26 +1577,25 @@ def duplicate_spans(
             # hash input byte is unchanged (pinned in
             # test_dedup.test_whash_kernel_matches_str_form) while the
             # per-window W-element list slice + join allocation disappears.
+            from itertools import accumulate
+
             md5 = hashlib.md5
             out = []
             for ts in toks:
                 n = len(ts) - _w + 1
                 bts = [t.encode("utf-8") for t in ts]
                 buf = b" ".join(bts)
-                lens = np.fromiter(
-                    (len(b) for b in bts), dtype=np.int64, count=len(bts)
-                )
-                ends = np.cumsum(lens + 1) - 1  # end offset of token i
-                starts = ends - lens            # start offset of token i
-                win_end = ends[_w - 1:]
+                # plain-list offsets (numpy scalar indexing costs more per
+                # window than it saves here): bound[i] = end of token i + 1
+                bound = list(accumulate(len(b) + 1 for b in bts))
+                starts = [0]
+                starts.extend(bound[:-1])
                 mv = memoryview(buf)
                 out.append(np.fromiter(
                     (
-                        int.from_bytes(
-                            md5(mv[starts[s] : win_end[s]]).digest()[:8],
-                            "big",
-                        ) >> 4
-                        for s in range(n)
+                        int.from_bytes(md5(mv[a : e - 1]).digest()[:8], "big")
+                        >> 4
+                        for a, e in zip(starts, bound[_w - 1:])
                     ),
                     dtype=np.int64, count=n,
                 ))

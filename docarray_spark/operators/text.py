@@ -138,8 +138,11 @@ def vocabulary(
     # and outer generates skip the inferred size filter whose pushdown
     # would tokenize every doc twice
     counts = (
-        # spread a single-split source before the tokenize (no-op at scale)
-        ensure_parallelism(df)
+        # spread a single-split source before the tokenize — width scales
+        # with input bytes (~1 MB/task: tokenize+count is light per byte;
+        # r13 A/B: 25 MB single file 1.3× faster fanned out, 0.6 MB file
+        # faster NOT fanned out). No-op at scale either way.
+        ensure_parallelism(df, bytes_per_task=1 << 20)
         .select(F.explode_outer(tokens_col(text_col)).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
@@ -895,7 +898,10 @@ def tfidf_vectors(
     scans instead of one plus a pinned entry per call)."""
     from docarray_spark.operators.group import distributed_row_number
 
-    toks = ensure_parallelism(df).select(
+    # scale-adaptive fan-out (~1 MB/task — tokenize+aggregate is light per
+    # byte; r13 matched A/B: 2.1× faster on one 25 MB file, ~0.1 s cheaper
+    # on one 0.6 MB file without the exchange)
+    toks = ensure_parallelism(df, bytes_per_task=1 << 20).select(
         F.col(id_col), F.explode_outer(tokens_col(text_col)).alias("token")
     ).filter(F.col("token") != "")  # explode-inlining trap, NOTES r9
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
