@@ -1232,12 +1232,19 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from docarray_spark.functions.localexec import ensure_parallelism
 
+    from docarray_spark.functions.localexec import eager_cache
+
     # spread the single-split scan so the units explode and the span
     # window pass parallelize (no-op at scale), THEN persist: the units
     # part and both halves of the spans part (window marking + token
-    # rebuild join) scan the same documents subtree — persist once
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    docs.persist()
+    # rebuild join) scan the same documents subtree — persist once.
+    # r13: materialize EAGERLY — the units map stage and the spans whash
+    # stage are submitted concurrently and raced to build this cache
+    # (stage attribution: 91.6 s task-CPU for the two stages lazy vs
+    # 25.1 s with the cache built first; wall-neutral at sf0.1 — min
+    # 2.06 vs 2.15 s matched A/B — but the racing recompute is pure
+    # waste at scale, r12 opt pass 2 pathology)
+    docs = eager_cache(ensure_parallelism(_t(spark, sf_dir, "documents")).persist())
     units = dedup_units_first(
         docs.withColumn("units", token_blocks_col("text", 6)),
         id_col="doc_id", units="units",
@@ -1850,9 +1857,36 @@ def q_dedup_embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged r3: MinHash+LSH near-dup pairs and the exact inverted-index
-    n-gram Jaccard all-pairs set (its ground truth), part-tagged."""
-    m = q_dedup_minhash_lsh(spark, sf_dir).select(F.lit("minhash_lsh").alias("part"), "*")
-    e = q_dedup_ngram_jaccard(spark, sf_dir).select(F.lit("exact").alias("part"), "*")
+    n-gram Jaccard all-pairs set (its ground truth), part-tagged.
+
+    r13 (guide §2.4): both parts ran ``with_word_shingles`` over the SAME
+    near-dup corpus — two full tokenize+shingle passes per entry (no
+    cross-branch CSE). ONE persisted ``(_id, _sh)`` table now feeds the
+    minhash chain AND the inverted-index explode via the operators'
+    ``shingles=`` contract; the shingle expression is the identical one
+    each operator would have built, so every pair/jaccard value is
+    unchanged (pinned in tests/test_dedup.py; plus the entry oracle)."""
+    from pyspark import StorageLevel
+
+    from docarray_spark.functions.localexec import eager_cache, ensure_parallelism
+    from docarray_spark.operators import ngram_jaccard_exact_pairs
+    from docarray_spark.operators.dedup import with_word_shingles
+
+    base = _docs_with_neardups(spark, sf_dir)
+    sh = with_word_shingles(ensure_parallelism(base), "text", 3).select(
+        F.col("id").alias("_id"), "_sh"
+    )
+    # eager: the minhash-bucket and posting materializations otherwise race
+    # to build this cache from both parts at once (r12 opt pass 2)
+    sh = eager_cache(sh.persist(StorageLevel.MEMORY_AND_DISK))
+    m = minhash_dedup_pairs(
+        base, id_col="id", text_col="text", shingle_n=3, num_bands=16,
+        threshold=0.4, round_to=6, num_rows=2, shingles=sh,
+    ).select(F.lit("minhash_lsh").alias("part"), "*")
+    e = ngram_jaccard_exact_pairs(
+        base, id_col="id", text_col="text", shingle_n=3, threshold=0.4,
+        round_to=6, shingles=sh,
+    ).select(F.lit("exact").alias("part"), "*")
     return m.unionByName(e)
 
 

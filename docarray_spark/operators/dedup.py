@@ -166,9 +166,20 @@ def minhash_dedup_pairs(
     num_rows: int = 1,
     max_bucket: int | None = None,
     hash_method: str = "md5",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: shingle → banded minhash → bucket
     equi-join → exact Jaccard verify ≥ threshold.
+
+    ``shingles``: a pre-built ``(_id, _sh)`` shingle table — EXACTLY what
+    ``with_word_shingles(df, text_col, shingle_n).select(id→_id, _sh)``
+    produces — shared with other passes over the same corpus (r13, guide
+    §2.4: the minhash and exact-Jaccard entries each re-tokenized and
+    re-shingled the same documents; one persisted table serves both).
+    The caller owns its persistence; the operator skips its own shingle
+    build AND its own persist of that table (``persist`` then only
+    governs the bucket table). Values are unchanged by construction —
+    the expression the caller ran is the one this operator would have.
 
     ``max_bucket``: drop (band, minhash) buckets holding more than this
     many docs before the candidate join — a mass-duplicated boilerplate
@@ -203,13 +214,16 @@ def minhash_dedup_pairs(
     # on it would be predicate-pushed BELOW the staging projection with the
     # whole gram expression inlined — the O(W²) re-split-per-element
     # rebuild with_word_shingles exists to avoid (r9 plan forensics)
-    base = with_word_shingles(_ensure_parallelism(df), text_col, shingle_n).select(
-        F.col(id_col).alias("_id"), "_sh"
-    )
-    if persist:
-        from pyspark import StorageLevel
+    if shingles is not None:
+        base = shingles
+    else:
+        base = with_word_shingles(
+            _ensure_parallelism(df), text_col, shingle_n
+        ).select(F.col(id_col).alias("_id"), "_sh")
+        if persist:
+            from pyspark import StorageLevel
 
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+            base = base.persist(StorageLevel.MEMORY_AND_DISK)
     n_hashes = num_bands * num_rows
     # md5 runs ONCE per shingle as a JVM expression; the n_hashes affine
     # minima then compute in numpy over the hash array (Arrow-batched).
@@ -320,6 +334,7 @@ def ngram_jaccard_exact_pairs(
     threshold: float = 0.5,
     round_to: int | None = None,
     max_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard via a shingle inverted index — the
     ground-truth counterpart to the LSH paths (use it to measure their
@@ -335,16 +350,23 @@ def ngram_jaccard_exact_pairs(
     ``max_df`` docs (the standard prefix-filter); pairs sharing ONLY
     dropped shingles are then missed AND surviving pairs' Jaccard is
     computed on the filtered sets — exactness only holds with
-    ``max_df=None``."""
+    ``max_df=None``.
+
+    ``shingles``: a pre-built ``(_id, _sh)`` table shared with other
+    passes over the same corpus (same contract as
+    :func:`minhash_dedup_pairs`; caller owns its persistence)."""
     # explode_outer, NOT explode: InferFiltersFromGenerate would add a
     # size(...)>0 filter below a plain explode, and predicate pushdown
     # inlines the whole staged shingle expression into it — the O(W²)
     # re-split-per-element rebuild (r9 plan forensics; outer generates are
     # exempt from the inference). The post-generate null filter restores
     # the exact row set (empty arrays emit one null row).
-    base = with_word_shingles(_ensure_parallelism(df), text_col, shingle_n).select(
-        F.col(id_col).alias("_id"), "_sh"
-    )
+    if shingles is not None:
+        base = shingles
+    else:
+        base = with_word_shingles(
+            _ensure_parallelism(df), text_col, shingle_n
+        ).select(F.col(id_col).alias("_id"), "_sh")
     posting = base.select(
         "_id", F.size("_sh").alias("_sz"), F.explode_outer("_sh").alias("_s")
     ).filter(F.col("_s").isNotNull())
@@ -672,12 +694,21 @@ def simhash_dup_pairs(
         slices = slices.join(F.broadcast(hot), ["band", "sliceval"], "left_anti")
     left = slices.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "sliceval")
     right = slices.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "sliceval")
+    # hamming verify BEFORE the pair dedup (r13, guide §2.3 — shuffle fewer
+    # bytes): the fingerprints ride the bucket rows, so the verify is an
+    # inline bit_count — no re-join needed — and it is functionally
+    # determined by (id_a, id_b) (one fingerprint per id), so every
+    # duplicate bucket collision of a pair passes or fails together and
+    # the surviving dropDuplicates row set is bit-identical. Measured at
+    # sf0.1 (dedup_components SQL metrics): the distinct aggregate's input
+    # drops 2.53 M → 83 k rows, its 23.7 s aggregation build and 135 MiB
+    # exchange collapse proportionally.
     return (
         left.join(right, ["band", "sliceval"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 

@@ -807,3 +807,55 @@ def test_embedding_dup_pair_gates_matches_separate_calls(spark):
         assert by_part[part] == sep_set, part
         assert len(sep_set) > 0, part  # the pin must actually exercise pairs
     spark.catalog.clearCache()
+
+
+def test_shared_shingles_matches_inline_build(spark):
+    # r13 fusion pin: passing a pre-built (_id, _sh) shingle table via the
+    # operators' shingles= contract must emit BIT-IDENTICAL rows to the
+    # operators building their own shingles, for BOTH the minhash-LSH and
+    # the exact inverted-index paths, on an adversarial frame: near-dup
+    # pairs at/below the threshold, a short doc (< shingle_n tokens), an
+    # empty doc, and a whitespace-only doc.
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from docarray_spark.functions.localexec import eager_cache
+    from docarray_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        ngram_jaccard_exact_pairs,
+        with_word_shingles,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "completely different text with nothing shared at all"),
+        (4, "tiny doc"),
+        (5, ""),
+        (6, "   "),
+        (7, "quick brown fox jumps over the lazy dog extra tokens here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    sh = with_word_shingles(df, "text", 3).select(
+        F.col("id").alias("_id"), "_sh"
+    )
+    sh = eager_cache(sh.persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        for fn, kw in [
+            (minhash_dedup_pairs, dict(num_bands=16, num_rows=2)),
+            (ngram_jaccard_exact_pairs, dict()),
+        ]:
+            inline = fn(
+                df, id_col="id", text_col="text", shingle_n=3,
+                threshold=0.4, round_to=6, **kw,
+            ).collect()
+            shared = fn(
+                df, id_col="id", text_col="text", shingle_n=3,
+                threshold=0.4, round_to=6, shingles=sh, **kw,
+            ).collect()
+            key = lambda r: (r.id_a, r.id_b, r.jaccard)
+            assert sorted(map(key, shared)) == sorted(map(key, inline)), fn.__name__
+            assert len(inline) > 0, fn.__name__  # pin must exercise pairs
+    finally:
+        spark.catalog.clearCache()
